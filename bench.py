@@ -1,0 +1,64 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed as a full action (count of the result) after a
+warm-up of the session. The headline metric is the sum of per-query
+wall times — lower is better.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    import __spark_entry__ as entrymod
+    from etl_dagster_service_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    # Warm the JVM/codegen path so the first timed query isn't paying
+    # session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    bench_names = entrymod.bench_queries() if hasattr(entrymod, "bench_queries") else None
+    qs = entrymod.queries()
+    if bench_names is None:
+        bench_names = list(qs)
+
+    timings: dict[str, float] = {}
+    for name in bench_names:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        # Force full execution without driver-side materialization of
+        # wide results: count() runs the whole plan.
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    out = {
+        "metric": "sum_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
