@@ -4,6 +4,7 @@
 ``queries()`` maps every implemented operator from SURVEY.md §2 to a
 (spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` maps the same
 keys to DuckDB-runnable ANSI SQL for the driver's differential check.
+Specs live in etl_dagster_service_crawler_spark/workloads/.
 """
 
 from __future__ import annotations
@@ -15,10 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, "/root/repo")
 
-from etl_dagster_service_crawler_spark.plans.flagship import (  # noqa: E402
-    FLAGSHIP_ORACLE_SQL,
-    revenue_by_nation,
-)
+from etl_dagster_service_crawler_spark.plans.flagship import revenue_by_nation  # noqa: E402
+from etl_dagster_service_crawler_spark.workloads import registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,13 +27,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {
-        "flagship_revenue_by_nation": revenue_by_nation,
-    }
+    return {name: spec.fn for name, spec in registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for each queries() key (tables pre-registered)."""
+    """DuckDB-equivalent SQL for each queries() key (tables pre-registered).
+
+    Keys absent here are non-SQL-expressible ops (streaming/stateful/
+    approximate) — the driver records a rows-only check for those.
+    """
     return {
-        "flagship_revenue_by_nation": FLAGSHIP_ORACLE_SQL,
+        name: spec.oracle for name, spec in registry().items() if spec.oracle is not None
     }
+
+
+def bench_queries() -> list[str]:
+    """Headline subset timed by bench.py."""
+    return [name for name, spec in registry().items() if spec.bench]

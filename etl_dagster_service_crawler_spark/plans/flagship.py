@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_dagster_service_crawler_spark.functions.compat import fround
 from etl_dagster_service_crawler_spark.io.tables import load_table
 
 
@@ -42,14 +43,14 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.sum("rev_term"), 2).alias("revenue"))
+        .agg(fround(F.sum("rev_term"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
 FLAGSHIP_ORACLE_SQL = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

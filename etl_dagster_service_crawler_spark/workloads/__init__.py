@@ -1,0 +1,32 @@
+"""Declared engine capability surface: every SURVEY.md §2 operator as a
+QuerySpec (PySpark query + DuckDB oracle). Assembled by registry()."""
+
+from __future__ import annotations
+
+from etl_dagster_service_crawler_spark.core import QuerySpec
+
+
+def registry() -> dict[str, QuerySpec]:
+    from etl_dagster_service_crawler_spark.workloads import (
+        joins_wl,
+        relational,
+    )
+
+    specs: list[QuerySpec] = []
+    specs += relational.SPECS
+    specs += joins_wl.SPECS
+    for mod_name in ("llm", "streaming_wl"):
+        try:
+            mod = __import__(
+                f"etl_dagster_service_crawler_spark.workloads.{mod_name}",
+                fromlist=["SPECS"],
+            )
+            specs += mod.SPECS
+        except ImportError:
+            pass
+    out: dict[str, QuerySpec] = {}
+    for s in specs:
+        if s.name in out:
+            raise ValueError(f"duplicate query name {s.name}")
+        out[s.name] = s
+    return out

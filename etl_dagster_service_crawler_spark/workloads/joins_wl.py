@@ -1,0 +1,180 @@
+"""Join operator surface (SURVEY.md §2.B join_* rows).
+
+Scale notes per query are in the operator docstrings
+(operators/joins.py). The only shuffle-heavy query here is the asof
+join (one hash shuffle on the key); everything else broadcasts a dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.functions.compat import fround
+from etl_dagster_service_crawler_spark.io.tables import load_table
+from etl_dagster_service_crawler_spark.operators.joins import (
+    asof_join,
+    broadcast_dim_join,
+    theta_tolerance_join,
+)
+from etl_dagster_service_crawler_spark.plans.flagship import (
+    FLAGSHIP_ORACLE_SQL,
+    revenue_by_nation,
+)
+
+
+def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fact x 2 broadcast dims -> group agg (reference P9 legend shape)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = broadcast_dim_join(
+        broadcast_dim_join(c, n, F.col("c_nationkey") == F.col("n_nationkey")),
+        r,
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("cnt"), fround(F.avg("c_acctbal"), 2).alias("avg_bal")
+    )
+
+
+SQL_BROADCAST = """
+SELECT r_name, count(*) AS cnt, floor((avg(c_acctbal)) * 100.0 + 0.5) / 100.0 AS avg_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_theta_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±5 tolerance join against a 5-row legend dim — the reference's
+    is_similar_rgb gender-legend match (test.py:36-39, 436-449)."""
+    e = load_table(spark, sf_dir, "events")
+    legend = load_table(spark, sf_dir, "region").select(
+        "r_name", (F.col("r_regionkey") * 40).cast("double").alias("center")
+    )
+    joined = theta_tolerance_join(
+        e, legend, F.abs(F.col("value") - F.col("center")) <= 5.0
+    )
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("cnt"), fround(F.avg("value"), 2).alias("avg_value")
+    )
+
+
+SQL_THETA = """
+SELECT r_name, count(*) AS cnt, floor((avg(value)) * 100.0 + 0.5) / 100.0 AS avg_value
+FROM events
+JOIN (SELECT r_name, CAST(r_regionkey * 40 AS DOUBLE) AS center FROM region) legend
+  ON abs(value - center) <= 5.0
+GROUP BY r_name
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS — customers that placed an order (Q2 seen-rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+SQL_SEMI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS — customers with no orders (Q2 new-rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(
+        o, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """backward as-of: each event enriched with the customer's latest
+    order at event time. Union-sort implementation — one shuffle."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    o = load_table(spark, sf_dir, "orders")
+    # unique (key, time) on the right side for determinism
+    latest = o.groupBy("o_custkey", "o_orderdate").agg(
+        F.max("o_orderkey").alias("o_orderkey")
+    )
+    out = asof_join(
+        e, latest,
+        left_key="user_id", right_key="o_custkey",
+        left_time="ts", right_time="o_orderdate",
+        right_values=["o_orderkey"],
+    )
+    return out.select("event_id", "o_orderkey")
+
+
+SQL_ASOF = """
+WITH latest AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, l.o_orderkey
+FROM events e
+ASOF LEFT JOIN latest l
+  ON e.user_id = l.o_custkey AND e.ts >= l.o_orderdate
+"""
+
+
+def q_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped bench query: selective dim filter -> fact join ->
+    agg -> top-k. Checks that the c_mktsegment filter prunes before the
+    join and the limit becomes TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_REVENUE = """
+SELECT o_orderkey, o_orderpriority,
+       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+SPECS = [
+    QuerySpec("flagship_revenue_by_nation", revenue_by_nation, FLAGSHIP_ORACLE_SQL, bench=True),
+    QuerySpec("join_broadcast_dim", q_join_broadcast_dim, SQL_BROADCAST),
+    QuerySpec("join_theta_tolerance", q_join_theta_tolerance, SQL_THETA),
+    QuerySpec("join_semi", q_join_semi, SQL_SEMI),
+    QuerySpec("join_anti", q_join_anti, SQL_ANTI),
+    QuerySpec("join_asof_nearest", q_join_asof, SQL_ASOF, bench=True),
+    QuerySpec("topk_revenue_orders", q_topk_revenue_orders, SQL_TOPK_REVENUE, bench=True),
+]
