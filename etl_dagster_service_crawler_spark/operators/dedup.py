@@ -1,0 +1,192 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all shuffle-bounded (no crossJoin anywhere — candidate
+generation always goes through an equi-join on a bucket key, which is
+the only formulation that survives 100 TB):
+
+- exact:    sha256(text) group-by. One shuffle on the hash.
+- minhash:  unigram shingles -> k permutation-min signatures -> LSH
+            banding -> equi-join on (band, band_hash). Candidate count
+            is controlled by the band geometry, not O(n^2).
+- simhash:  63-bit weighted-token signature -> chunk banding ->
+            equi-join on chunks, hamming verify via bit_count(xor).
+- embedding:near-dup via cosine on LSH-bucketed candidates (see
+            operators/similarity.py for the bucketing).
+
+MinHash params are module constants seeded once — deterministic across
+runs. xxhash64 is Spark's built-in 64-bit hash (JVM-side).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+# Universal-hash family h_i(x) = (a_i * x + b_i) mod P over Z_P.
+# P = 2^31 - 1 keeps a*x < 2^62 (no bigint overflow).
+MINHASH_P = 2_147_483_647
+NUM_HASHES = 32
+# 4 bands x 8 rows: candidate threshold (1/b)^(1/r) ~= 0.84 — tuned for
+# near-dup dedup at jaccard >= ~0.9. More bands (lower threshold) makes
+# candidate generation explode on high-overlap corpora.
+LSH_BANDS = 4
+LSH_ROWS = NUM_HASHES // LSH_BANDS
+
+_rng = random.Random(42)
+MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_HASHES)]
+MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
+
+
+def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-identity dedup: one row per distinct text, keeping the
+    smallest id (deterministic winner). Returns (id, text_hash, n_dups)."""
+    return (
+        df.groupBy(F.sha2(F.col(text_col), 256).alias("text_hash"))
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_dups"),
+        )
+        .select(id_col, "text_hash", "n_dups")
+    )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per doc: id + m0..m{k-1} signature columns.
+
+    Shingles are DISTINCT unigrams (explode -> single group-by pass
+    computing all k mins map-side; the shuffle carries k longs per doc)."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("s"),
+    )
+    h = F.pmod(F.xxhash64("s"), F.lit(MINHASH_P))
+    aggs = [
+        F.min((MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
+        for i in range(NUM_HASHES)
+    ]
+    return tok.groupBy(id_col).agg(*aggs)
+
+
+def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidates.
+    Returns distinct (id_a, id_b) with id_a < id_b."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"m{j * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                ).alias("bh"),
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
+) -> DataFrame:
+    """Near-dup pairs with estimated jaccard >= threshold.
+    Estimate = fraction of equal signature components."""
+    sig = minhash_signatures(df, id_col, text_col)
+    pairs = minhash_candidate_pairs(sig, id_col)
+    a = sig.alias("sa")
+    b = sig.alias("sb")
+    eq_terms = [
+        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
+        for i in range(NUM_HASHES)
+    ]
+    est = sum(eq_terms[1:], eq_terms[0]) / float(NUM_HASHES)
+    return (
+        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
+        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+SIMHASH_BITS = 63  # 1<<63 overflows a signed long literal
+
+
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """63-bit SimHash: per-token xxhash64, +1/-1 vote per bit, sign of
+    the vote becomes the bit. explode -> one group-by pass (63 agg
+    expressions, all codegen'd)."""
+    tok = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("s")
+    ).withColumn("h", F.xxhash64("s"))
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
+        ).alias(f"v{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    voted = tok.groupBy(id_col).agg(*votes)
+    bit_terms = [
+        F.shiftleft(F.when(F.col(f"v{k}") > 0, 1).otherwise(0).cast("bigint"), k)
+        for k in range(SIMHASH_BITS)
+    ]
+    sig = sum(bit_terms[1:], bit_terms[0])
+    return voted.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, chunks: int = 7
+) -> DataFrame:
+    """Candidate pairs share >=1 of `chunks` 9-bit signature chunks
+    (pigeonhole: any pair within hamming distance chunks-1 must share
+    one); verify with bit_count(xor)."""
+    sig = simhash_signatures(df, id_col, text_col)
+    width = SIMHASH_BITS // chunks
+    chunk_arr = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("cid"),
+                F.shiftright("simhash", j * width)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("cv"),
+            )
+            for j in range(chunks)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), "simhash", F.explode(chunk_arr).alias("c")).select(
+        id_col, "simhash", F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.cv") == F.col("b.cv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )

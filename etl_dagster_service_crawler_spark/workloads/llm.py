@@ -1,0 +1,327 @@
+"""LLM-data-pipeline operator surface (BASELINE.json north-star:
+dedup, similarity search, multimodal columns, text analysis).
+
+Oracle-checkable entries verify exact semantics against DuckDB;
+approximate/bucketed ops (MinHash LSH, SimHash, IVF) are rows-only by
+nature — their exact counterparts (ngram jaccard, brute-force top-k)
+ARE oracle-checked, so the approximation layers sit on verified math.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.functions.text import (
+    BPE_ISH_PATTERN,
+    LANG_STOPWORDS,
+    fingerprint_md5,
+    fingerprint_rolling,
+    lang_id,
+    quality_score,
+    token_count_bpe_ish,
+    token_count_ws,
+    tokens_ws,
+    word_ngrams,
+)
+from etl_dagster_service_crawler_spark.functions.vectors import cosine
+from etl_dagster_service_crawler_spark.io.tables import load_table
+from etl_dagster_service_crawler_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+from etl_dagster_service_crawler_spark.operators.multimodal import (
+    build_multimodal,
+    extract_features,
+)
+from etl_dagster_service_crawler_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+)
+
+# --- text analysis -----------------------------------------------------------
+
+
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count_ws(F.col("text")).alias("n_ws"),
+        token_count_bpe_ish(F.col("text")).alias("n_bpe"),
+    )
+
+
+SQL_TOKEN_COUNT = rf"""
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+       CAST(len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS INT) AS n_bpe
+FROM documents
+"""
+
+
+def q_text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(tokens_ws(F.col("text")), 3)
+    return d.where(F.col("doc_id") < 50).select(
+        "doc_id", F.explode(grams).alias("ng")
+    )
+
+
+SQL_NGRAMS = """
+SELECT doc_id,
+       unnest([array_to_string(t[i:i+2], ' ') FOR i IN range(1, greatest(len(t)-1, 1))]) AS ng
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents WHERE doc_id < 50)
+"""
+
+
+def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id(F.col("text")).alias("lang_guess"))
+
+
+def _lang_id_sql() -> str:
+    langs = list(LANG_STOPWORDS)
+    hits = {
+        lang: (
+            "len(list_filter(string_split(text,' '), x -> list_contains(["
+            + ", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in langs
+    }
+    whens = []
+    for lang in langs:
+        conds = [f"h_{lang} >= h_{other}" for other in langs if other != lang]
+        conds.append(f"h_{lang} > 0")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+SELECT doc_id, CASE {' '.join(whens)} ELSE 'und' END AS lang_guess
+FROM (SELECT doc_id, {hit_cols} FROM documents)
+"""
+
+
+def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", quality_score(F.col("text"), F.col("n_chars")).alias("score")
+    )
+
+
+_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+SQL_QUALITY_SCORE = f"""
+SELECT doc_id,
+       0.5 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+     + 0.5 * (CAST(len(list_filter(t, x -> list_contains([{_EN}], x))) AS DOUBLE)
+              / CAST(len(t) AS DOUBLE)) AS score
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp_md5"),
+        fingerprint_rolling(F.col("text")).alias("fp_roll"),
+    )
+
+
+SQL_FINGERPRINT = """
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+                      list_transform(string_split_regex(text, ''),
+                                     c -> CAST(ascii(c) AS BIGINT))),
+         (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+FROM documents
+"""
+
+
+# --- dedup -------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup_exact(d, "doc_id", "text")
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, sha256(text) AS text_hash, count(*) AS n_dups
+FROM documents
+GROUP BY sha256(text)
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: approximate by design;
+    the exact-jaccard twin below is the oracle-checked ground truth)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set jaccard over adjacent doc pairs (linear pair set:
+    this checks the MATH; the all-pairs candidate problem is what
+    MinHash solves above)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_distinct(tokens_ws(F.col("text"))).alias("t"))
+    a, b = toks.alias("a"), toks.alias("b")
+    ni = F.size(F.array_intersect(F.col("a.t"), F.col("b.t")))
+    na, nb = F.size(F.col("a.t")), F.size(F.col("b.t"))
+    jac = ni.cast("double") / (na + nb - ni).cast("double")
+    return (
+        a.join(b, F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            jac.alias("jaccard"),
+            (jac >= 0.9).alias("is_neardup"),
+        )
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS t FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE) AS jaccard,
+       (CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+         / CAST(len(a.t) + len(b.t) - len(list_intersect(a.t, b.t)) AS DOUBLE)) >= 0.9 AS is_neardup
+FROM tok a JOIN tok b ON b.doc_id = a.doc_id + 1
+"""
+
+
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup on adjacent pairs (exact math check;
+    the bucketed all-pairs path is similarity_topk_ivf's bucketing)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a, b = e.alias("a"), e.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1)
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos"),
+            (cos >= 0.4).alias("is_neardup"),
+        )
+    )
+
+
+_COS_AB = (
+    "list_sum(list_transform(list_zip(a.embedding, b.embedding),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+SQL_EMBEDDING_COSINE = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       {_COS_AB} AS cos,
+       ({_COS_AB}) >= 0.4 AS is_neardup
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+"""
+
+
+# --- similarity search --------------------------------------------------------
+
+TOPK_QUERY_IDS = list(range(8))
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(e, TOPK_QUERY_IDS, k=5)
+
+
+_COS_QN = (
+    "list_sum(list_transform(list_zip(q.embedding, n.embedding),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(n.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+SQL_TOPK = f"""
+SELECT qid, nid, cos, rn FROM (
+  SELECT q.vec_id AS qid, n.vec_id AS nid, {_COS_QN} AS cos,
+         CAST(row_number() OVER (PARTITION BY q.vec_id
+                                 ORDER BY {_COS_QN} DESC, n.vec_id) AS INT) AS rn
+  FROM embeddings q, embeddings n
+  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id
+)
+WHERE rn <= 5
+"""
+
+
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (rows-only: recall < 1 by design)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e, TOPK_QUERY_IDS, k=5).orderBy("qid", "rn")
+
+
+# --- multimodal ----------------------------------------------------------------
+
+
+def q_multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary payload + typed metadata struct; length/meta projection is
+    oracle-checkable (payload bytes == utf-8 text bytes)."""
+    mm = build_multimodal(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        "modality",
+        F.length("payload").alias("payload_len"),
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars").alias("n_chars"),
+    )
+
+
+SQL_MULTIMODAL = """
+SELECT doc_id, 'text' AS modality,
+       CAST(octet_length(encode(text)) AS INT) AS payload_len,
+       lang, n_chars
+FROM documents
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas feature extraction over binary payloads (rows-only:
+    the fake extractor is deterministic but not SQL-expressible)."""
+    mm = build_multimodal(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(mm)
+    return feats.select(
+        "doc_id",
+        "modality",
+        "payload_len",
+        F.size("feat").alias("feat_dim"),
+        F.col("feat")[0].alias("feat0"),
+    )
+
+
+SPECS = [
+    QuerySpec("text_token_count", q_text_token_count, SQL_TOKEN_COUNT),
+    QuerySpec("text_ngrams", q_text_ngrams, SQL_NGRAMS),
+    QuerySpec("text_lang_id", q_text_lang_id, _lang_id_sql()),
+    QuerySpec("text_quality_score", q_text_quality_score, SQL_QUALITY_SCORE),
+    QuerySpec("doc_fingerprint", q_doc_fingerprint, SQL_FINGERPRINT),
+    QuerySpec("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, bench=True),
+    QuerySpec("dedup_minhash_lsh", q_dedup_minhash, None, bench=True),
+    QuerySpec("dedup_simhash", q_dedup_simhash, None),
+    QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
+    QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, SQL_EMBEDDING_COSINE),
+    QuerySpec("similarity_topk", q_similarity_topk, SQL_TOPK, bench=True),
+    QuerySpec("similarity_topk_ivf", q_similarity_topk_ivf, None),
+    QuerySpec("multimodal_columns", q_multimodal_columns, SQL_MULTIMODAL),
+    QuerySpec("multimodal_features", q_multimodal_features, None),
+]

@@ -1,0 +1,90 @@
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.operators.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    simhash_near_pairs,
+)
+from etl_dagster_service_crawler_spark.operators.multimodal import (
+    build_multimodal,
+    extract_features,
+)
+from etl_dagster_service_crawler_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    ivf_topk,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = _docs(spark, [(1, "aa bb"), (2, "aa bb"), (3, "cc dd")])
+    out = {r["doc_id"]: r["n_dups"] for r in dedup_exact(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_minhash_finds_permuted_duplicate(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    permuted = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    other = "one two three four five six seven eight nine ten"
+    df = _docs(spark, [(1, base), (2, permuted), (3, other)])
+    pairs = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.7).collect()
+    assert [(p.id_a, p.id_b) for p in pairs] == [(1, 2)]
+    assert pairs[0].est_jaccard == 1.0  # identical token sets
+
+
+def test_simhash_near_identical_docs_pair_up(spark):
+    a = " ".join(f"tok{i}" for i in range(50))
+    b = " ".join(f"tok{i}" for i in range(49)) + " other"
+    c = " ".join(f"zzz{i}" for i in range(50))
+    df = _docs(spark, [(1, a), (2, b), (3, c)])
+    pairs = {(p.id_a, p.id_b) for p in
+             simhash_near_pairs(df, "doc_id", "text", max_hamming=8).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_bruteforce_topk_orders_by_cosine(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # closest to 0
+        (2, [0.0, 1.0]),   # orthogonal
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = cosine_topk_bruteforce(df, [0], k=3).orderBy("rn").collect()
+    assert [r.nid for r in out] == [1, 2, 3]
+
+
+def test_ivf_topk_returns_k_and_matches_bruteforce_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r.qid, r.rn): r.nid
+        for r in cosine_topk_bruteforce(emb, [0, 1], k=1).collect()
+    }
+    approx = ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=8).collect()
+    by_q = {}
+    for r in approx:
+        by_q.setdefault(r.qid, []).append(r)
+    for q in (0, 1):
+        assert len(by_q[q]) == 5
+        # nprobe == n_centroids means full coverage: top-1 must match exact
+        top1 = min(by_q[q], key=lambda r: r.rn)
+        assert top1.nid == exact[(q, 1)]
+
+
+def test_multimodal_features_deterministic_and_typed(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    mm = build_multimodal(docs)
+    assert dict(mm.dtypes)["payload"] == "binary"
+    f1 = {r.doc_id: (r.payload_len, tuple(r.feat)) for r in extract_features(mm).collect()}
+    f2 = {r.doc_id: (r.payload_len, tuple(r.feat)) for r in extract_features(mm).collect()}
+    assert f1 == f2 and len(f1) == 20
+    n_chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    for doc_id, (plen, feat) in f1.items():
+        assert plen == n_chars[doc_id]  # ascii text: bytes == chars
+        assert len(feat) == 8
