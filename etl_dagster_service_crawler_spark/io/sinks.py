@@ -1,0 +1,59 @@
+"""Sinks (reference K1-K3, SURVEY.md §2.A).
+
+The reference's JSON append-merge (test.py:93-128) reads the old file,
+concatenates, and rewrites — not crash-safe (a partial write loses the
+file) and O(total) per append. Spark's append mode writes NEW files
+under the directory with a commit protocol, so "merge" is free and
+atomic; the timestamped filenames (test.py:103) become ingest-date
+partitions, which also gives partition pruning on read.
+
+At scale: partition by a low-cardinality time column (ingest_date),
+never by a high-cardinality key; target file sizes via coalesce before
+single-sink writes of small dimension outputs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sink_json_append(df: DataFrame, path: str) -> None:
+    """K1: append-mode JSON files (no read-merge-rewrite)."""
+    df.write.mode("append").json(path)
+
+
+def sink_partitioned_parquet(
+    df: DataFrame, path: str, partition_col: str = "ingest_date"
+) -> None:
+    """K1 with ingest-date partitioning replacing filename timestamps."""
+    out = df
+    if partition_col not in df.columns:
+        out = df.withColumn(partition_col, F.current_date())
+    out.write.mode("append").partitionBy(partition_col).parquet(path)
+
+
+def sink_table(df: DataFrame, name: str) -> None:
+    """K2: the SQL-queryable 'jobs'-style table (README.md:64-69 in the
+    reference); downstream query surface is spark.sql."""
+    df.write.mode("append").format("parquet").saveAsTable(name)
+
+
+def dual_sink_foreach_batch(
+    main_path: str, side_path: str, side_cols: list[str]
+) -> Callable[[DataFrame, int], None]:
+    """K1+K3: the reference writes the full records AND a 1-column
+    company-url side table per run (test.py:577-580). In streaming this
+    is one foreachBatch writing both sinks per micro-batch."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode("append").json(main_path)
+            batch_df.select(*side_cols).write.mode("append").json(side_path)
+        finally:
+            batch_df.unpersist()
+
+    return write

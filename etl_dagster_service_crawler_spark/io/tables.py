@@ -91,6 +91,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table with its schema validated against TABLES."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {sorted(TABLES)}")
+    # date_format/date_trunc/window render timestamps in the session TZ;
+    # the oracle (DuckDB) is TZ-naive. Pin UTC here so results don't
+    # depend on which session the driver built (runtime-settable conf).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # ts is TIMESTAMP(NANOS) in parquet — Spark has no nanos type,
         # so scan it as epoch-nanos bigint and convert. The conf is

@@ -1,0 +1,100 @@
+"""The reference's end-to-end dataflow, reproduced Spark-first.
+
+Reference shape (SURVEY.md §3.2):
+  keywords -> fetch(listing) -> explode(cards) -> fetch(detail)
+    -> select(25 exprs) -> fetch(analysis) -> select(struct of maps)
+    -> quality gate -> dual sinks
+
+On fixtures the fetch stages are stand-ins (events rows play the raw
+records); everything between them is the same operator sequence the
+reference runs per job posting: field extraction (P1/P2), conditional
+encode (P4), defaults (P6), nested struct assembly (P10), distribution
+map (P8), quality gate (Q1), dual sinks (K1/K3).
+
+The whole transform is a single narrow projection + one aggregation —
+on a cluster the enrich stage is a mapInPandas fetch against the
+source system and everything else stays in codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.functions.cleaning import (
+    encode_bool_cn,
+)
+from etl_dagster_service_crawler_spark.functions.compat import fround
+from etl_dagster_service_crawler_spark.io.tables import load_table
+
+
+def crawl_shaped_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events -> reference-shaped enriched records.
+
+    Maps each crawl-record transform to its fixture stand-in:
+    P1 project, json 'detail page' extraction, P4 encode, P6 default,
+    P10 struct assembly, Q1 quality flags.
+    """
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    record = e.select(
+        "event_id",
+        "user_id",
+        F.col("event_type").alias("category"),
+        encode_bool_cn(F.col("event_type"), "purchase").alias("is_conversion"),
+        F.coalesce(k, F.lit(-1)).alias("detail_k"),
+        fround(F.col("value"), 2).alias("amount"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ingest_date"),
+    )
+    info = F.struct(
+        F.col("category").alias("category"),
+        F.col("detail_k").alias("detail_k"),
+        F.col("amount").alias("amount"),
+    )
+    n_bad = (
+        F.when(F.col("detail_k") < 0, 1).otherwise(0)
+        + F.when(F.col("amount") <= 0, 1).otherwise(0)
+    )
+    return record.withColumn("info", info).withColumn("n_bad", n_bad)
+
+
+def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The queryable end of the pipeline: quality-gated records rolled
+    into per-day per-category distributions (the 應徵分析 map shape,
+    reference test.py:423-524), exploded to rows for the oracle."""
+    rec = crawl_shaped_records(spark, sf_dir)
+    gated = rec.where(F.col("n_bad") == 0)
+    cnt = gated.groupBy("ingest_date", "category").agg(
+        F.count("*").alias("cnt"), fround(F.sum("amount"), 2).alias("amount_sum")
+    )
+    w = Window.partitionBy("ingest_date")
+    return cnt.select(
+        "ingest_date",
+        "category",
+        "cnt",
+        "amount_sum",
+        fround(F.lit(100.0) * F.col("cnt") / F.sum("cnt").over(w), 2).alias("pct"),
+    )
+
+
+PIPELINE_SUMMARY_SQL = """
+WITH rec AS (
+  SELECT event_id,
+         event_type AS category,
+         coalesce(CAST(json_extract_string(props, '$.k') AS INT), -1) AS detail_k,
+         floor((value) * 100.0 + 0.5) / 100.0 AS amount,
+         strftime(ts, '%Y-%m-%d') AS ingest_date
+  FROM events
+), gated AS (
+  SELECT * FROM rec
+  WHERE (CASE WHEN detail_k < 0 THEN 1 ELSE 0 END
+       + CASE WHEN amount <= 0 THEN 1 ELSE 0 END) = 0
+), cnt AS (
+  SELECT ingest_date, category, count(*) AS cnt,
+         floor((sum(amount)) * 100.0 + 0.5) / 100.0 AS amount_sum
+  FROM gated GROUP BY 1, 2
+)
+SELECT ingest_date, category, cnt, amount_sum,
+       floor((100.0 * cnt / sum(cnt) OVER (PARTITION BY ingest_date)) * 100.0 + 0.5) / 100.0 AS pct
+FROM cnt
+"""

@@ -1,0 +1,84 @@
+"""Streaming sources + the availableNow->memory harness.
+
+The reference's scheduled incremental crawl (definitions.py:32-37 cron
+*/2min + test.py:151-170 scroll loop) maps to a file-source stream:
+each micro-batch is "one scheduled run", rate control via
+maxFilesPerTrigger replaces time.sleep politeness (test.py:135,178),
+and the empty micro-batch replaces the no-new-rows early exit
+(test.py:562-565).
+
+For tests/driver checks we run with trigger(availableNow=True) into a
+memory sink and hand back the materialized table — a streaming query's
+batch-equivalent result (same plan Catalyst would run in batch).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_memory_names = itertools.count()
+
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) scanned as epoch nanos
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Spark's file source requires a DIRECTORY; the fixture is a single
+    read-only file. Stage a symlink dir under /tmp (per sf_dir)."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/spark_graft_streams/{tag}/events"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the events fixture."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    raw = reader.parquet(_stream_dir(sf_dir))
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_available_now(
+    stream_df: DataFrame, output_mode: str = "append", timeout_s: int = 300
+) -> DataFrame:
+    """Drain the stream into a memory sink (availableNow) and return the
+    result as a batch DataFrame. Memory sink is for tests/driver checks
+    only — production sinks live in io/sinks.py (foreachBatch)."""
+    name = f"stream_out_{next(_memory_names)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:
+            q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)

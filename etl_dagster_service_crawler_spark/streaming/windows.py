@@ -1,0 +1,74 @@
+"""Streaming window aggregations (tumbling / sliding / session).
+
+These are the streaming counterparts of the reference's per-2-minute
+crawl-rate telemetry (definitions.py:35) — windowed counts/sums over
+the event-time column with watermarked late-data handling.
+
+Each builder takes the (streaming or batch) events frame; the same
+code path serves both because window()/session_window() are plan
+nodes, not stream-only features — that is what makes the
+batch-equivalence oracle checks valid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.functions.compat import fround
+
+
+def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
+    """Per-window, per-type count + value sum."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), fround(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame, width: str = "2 hours", slide: str = "1 hour"
+) -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "cnt",
+        )
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based): start, #events."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "cnt",
+        )
+    )
+
+
+def watermarked_tumbling(events: DataFrame, width: str = "1 hour",
+                         late: str = "30 minutes") -> DataFrame:
+    """Tumbling counts with a watermark — append-mode capable: state for
+    a window is dropped once event time passes window end + late."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )

@@ -12,9 +12,17 @@ def registry() -> dict[str, QuerySpec]:
         relational,
     )
 
+    from etl_dagster_service_crawler_spark.plans.pipeline import (
+        PIPELINE_SUMMARY_SQL,
+        pipeline_summary,
+    )
+
     specs: list[QuerySpec] = []
     specs += relational.SPECS
     specs += joins_wl.SPECS
+    specs.append(
+        QuerySpec("pipeline_crawl_summary", pipeline_summary, PIPELINE_SUMMARY_SQL, bench=True)
+    )
     for mod_name in ("llm", "streaming_wl"):
         try:
             mod = __import__(

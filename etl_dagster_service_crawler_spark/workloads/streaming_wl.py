@@ -1,0 +1,129 @@
+"""Streaming operator surface (SURVEY.md §2.B stream_* rows).
+
+Every entry actually RUNS a Structured Streaming query
+(availableNow -> memory sink) and returns the drained result. Window
+aggregations are oracle-checked via batch equivalence: a complete-mode
+availableNow stream produces exactly the batch result, so plain SQL
+over events is a valid oracle. Stateful ops (watermark dedup,
+applyInPandasWithState budget) are rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.streaming.ingest import (
+    run_available_now,
+    stream_events,
+)
+from etl_dagster_service_crawler_spark.streaming.state import (
+    dedup_within_watermark,
+    error_budget_counter,
+)
+from etl_dagster_service_crawler_spark.streaming.windows import (
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+
+def q_stream_ingest_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-scan -> filter -> project, drained append-mode. Row-level
+    ops commute with streaming, so the batch oracle is exact."""
+    s = stream_events(spark, sf_dir)
+    out = s.where(F.col("value") > 100.0).select("event_id", "event_type", "value")
+    return run_available_now(out, "append")
+
+
+SQL_STREAM_PROJECT = """
+SELECT event_id, event_type, value FROM events WHERE value > 100.0
+"""
+
+
+def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = stream_events(spark, sf_dir)
+    return run_available_now(tumbling_counts(s), "complete")
+
+
+SQL_STREAM_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def q_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = stream_events(spark, sf_dir)
+    return run_available_now(sliding_counts(s), "complete")
+
+
+# a 2h-wide/1h-slide window with start S contains ts iff
+# S in {trunc(ts,'hour') - 1h, trunc(ts,'hour')}
+SQL_STREAM_SLIDING = """
+SELECT strftime(date_trunc('hour', ts) - to_hours(o.off), '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS cnt
+FROM events
+CROSS JOIN (VALUES (0), (1)) AS o(off)
+GROUP BY 1
+"""
+
+
+def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = stream_events(spark, sf_dir)
+    return run_available_now(session_counts(s), "complete")
+
+
+# gaps-and-islands: a new session starts when the gap from the previous
+# event of the same user exceeds 10 minutes
+SQL_STREAM_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   <= INTERVAL 10 MINUTE THEN 0 ELSE 1 END AS new_s
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS cnt
+FROM numbered
+GROUP BY user_id, sid
+"""
+
+
+def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate the stream (union with itself) then
+    dropDuplicatesWithinWatermark — exactly-once record identity."""
+    a = stream_events(spark, sf_dir)
+    b = stream_events(spark, sf_dir)
+    doubled = a.unionByName(b)
+    deduped = dedup_within_watermark(doubled, ["event_id"])
+    out = deduped.select("event_id", "event_type")
+    return run_available_now(out, "append").orderBy("event_id")
+
+
+def q_stream_stateful_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running error budget via applyInPandasWithState
+    (reference max_errors=3 abort, test.py:129-144)."""
+    s = stream_events(spark, sf_dir)
+    out = error_budget_counter(s, max_errors=3)
+    return run_available_now(out, "append").orderBy("user_id")
+
+
+SPECS = [
+    QuerySpec("stream_ingest_project", q_stream_ingest_project, SQL_STREAM_PROJECT),
+    QuerySpec("stream_window_tumbling", q_stream_window_tumbling, SQL_STREAM_TUMBLING, bench=True),
+    QuerySpec("stream_window_sliding", q_stream_window_sliding, SQL_STREAM_SLIDING),
+    QuerySpec("stream_window_session", q_stream_window_session, SQL_STREAM_SESSION),
+    QuerySpec("stream_dedup_watermark", q_stream_dedup_watermark, None),
+    QuerySpec("stream_stateful_error_budget", q_stream_stateful_error_budget, None),
+]

@@ -1,0 +1,82 @@
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.io.sinks import dual_sink_foreach_batch
+from etl_dagster_service_crawler_spark.io.tables import load_table
+from etl_dagster_service_crawler_spark.streaming.ingest import (
+    run_available_now,
+    stream_events,
+)
+from etl_dagster_service_crawler_spark.streaming.state import (
+    dedup_within_watermark,
+    error_budget_counter,
+)
+from etl_dagster_service_crawler_spark.streaming.windows import (
+    tumbling_counts,
+    watermarked_tumbling,
+)
+
+
+def test_stream_batch_equivalence_tumbling(spark, sf_dir):
+    batch = load_table(spark, sf_dir, "events")
+    stream_result = {
+        tuple(r) for r in run_available_now(
+            tumbling_counts(stream_events(spark, sf_dir)), "complete"
+        ).collect()
+    }
+    batch_result = {tuple(r) for r in tumbling_counts(batch).collect()}
+    assert stream_result == batch_result and len(batch_result) > 0
+
+
+def test_watermarked_append_mode_emits_closed_windows(spark, sf_dir):
+    out = run_available_now(
+        watermarked_tumbling(stream_events(spark, sf_dir)), "append"
+    )
+    # availableNow processes everything then the watermark advances past
+    # the max event time; every window except possibly the last closes.
+    assert out.count() > 0
+
+
+def test_stream_dedup_exactly_once(spark, sf_dir):
+    a = stream_events(spark, sf_dir)
+    b = stream_events(spark, sf_dir)
+    deduped = dedup_within_watermark(a.unionByName(b), ["event_id"])
+    n = run_available_now(deduped.select("event_id"), "append").count()
+    expected = load_table(spark, sf_dir, "events").count()
+    assert n == expected
+
+
+def test_error_budget_trips_once_per_user(spark, sf_dir):
+    out = run_available_now(
+        error_budget_counter(stream_events(spark, sf_dir), max_errors=3), "append"
+    )
+    rows = out.collect()
+    users = [r.user_id for r in rows]
+    assert len(users) == len(set(users))  # one trip per user
+    assert all(r.n_errors >= 3 for r in rows)
+
+
+def test_dual_sink_writes_main_and_side(spark, sf_dir):
+    with tempfile.TemporaryDirectory() as tmp:
+        main, side = os.path.join(tmp, "main"), os.path.join(tmp, "side")
+        s = stream_events(spark, sf_dir).select(
+            "event_id", "event_type", F.col("user_id").cast("string").alias("side_key")
+        )
+        q = (
+            s.writeStream.foreachBatch(
+                dual_sink_foreach_batch(main, side, ["side_key"])
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        q.awaitTermination(120)
+        n_events = load_table(spark, sf_dir, "events").count()
+        assert spark.read.json(main).count() == n_events
+        side_df = spark.read.json(side)
+        assert side_df.columns == ["side_key"]
+        assert side_df.count() == n_events
