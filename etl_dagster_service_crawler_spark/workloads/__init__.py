@@ -8,8 +8,10 @@ from etl_dagster_service_crawler_spark.core import QuerySpec
 
 def registry() -> dict[str, QuerySpec]:
     from etl_dagster_service_crawler_spark.workloads import (
+        io_wl,
         joins_wl,
         relational,
+        udf_wl,
     )
 
     from etl_dagster_service_crawler_spark.plans.pipeline import (
@@ -20,6 +22,8 @@ def registry() -> dict[str, QuerySpec]:
     specs: list[QuerySpec] = []
     specs += relational.SPECS
     specs += joins_wl.SPECS
+    specs += io_wl.SPECS
+    specs += udf_wl.SPECS
     specs.append(
         QuerySpec("pipeline_crawl_summary", pipeline_summary, PIPELINE_SUMMARY_SQL, bench=True)
     )

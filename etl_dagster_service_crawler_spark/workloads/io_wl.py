@@ -1,0 +1,168 @@
+"""Source/sink operator surface (SURVEY.md §2.B rows scan_parquet,
+scan_json, sink_json_append, sink_table, sink_partitioned; reference
+S1/K1-K3).
+
+Sinks are verified round-trip: write with the engine's sink, read back,
+and oracle-check the read-back against the original parquet — a
+stronger guarantee than rows-only. Sink paths live under /tmp keyed by
+sf_dir so runs are deterministic and the read-only fixtures are never
+touched.
+
+At 100 TB: every sink here is an append of NEW files under a commit
+protocol (no read-merge-rewrite like the reference's save_to_json,
+test.py:115-120, which is O(total) per append and not crash-safe).
+Partitioned sinks use a low-cardinality date-derived key so readers get
+partition pruning; writers avoid the many-small-files problem because
+the partition count is bounded by the calendar, not by the data.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.io.sinks import (
+    sink_json_append,
+    sink_partitioned_parquet,
+)
+from etl_dagster_service_crawler_spark.io.tables import TABLES, load_table
+
+
+def _scratch(sf_dir: str, leaf: str) -> str:
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_sinks/{tag}/{leaf}"
+
+
+# --- scans -------------------------------------------------------------------
+
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: batch scan of every fixture table with pinned schema; one
+    (table, row-count) row each. Exercises load_table's schema gate."""
+    counts = [
+        load_table(spark, sf_dir, name).groupBy(F.lit(name).alias("table_name")).count()
+        for name in TABLES
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.withColumnRenamed("count", "cnt")
+
+
+SQL_SCAN_PARQUET = "\nUNION ALL\n".join(
+    f"SELECT '{t}' AS table_name, count(*) AS cnt FROM {t}" for t in TABLES
+)
+
+
+def q_scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan over JSON files with an explicit schema (SURVEY §1.2: inferred
+    schema only at the raw edge, pinned immediately). The fixture set has
+    no JSON files, so stage them once via the engine's own JSON writer —
+    the query then proves a lossless JSON round-trip of unicode text."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch(sf_dir, "scan_json/documents")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return back.select("doc_id", "text", "lang", "n_chars")
+
+
+SQL_SCAN_JSON = "SELECT doc_id, text, lang, n_chars FROM documents"
+
+
+# --- sinks (round-trip verified) ----------------------------------------------
+
+def q_sink_json_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1: append = new files under the dir, not read-merge-rewrite.
+    Two appends (en docs, then the rest) must read back as the union."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    path = _scratch(sf_dir, "sink_json_append/documents")
+    shutil.rmtree(path, ignore_errors=True)
+    sink_json_append(docs.where(F.col("lang") == "en"), path)
+    sink_json_append(docs.where(F.col("lang") != "en"), path)
+    return spark.read.schema(docs.schema).json(path)
+
+
+SQL_SINK_JSON_APPEND = "SELECT doc_id, lang, source FROM documents"
+
+
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 partitioned: ingest-date partitions replace the reference's
+    timestamped filenames (test.py:103). Read-back filters on the
+    partition key so the scan prunes to one directory."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = _scratch(sf_dir, "sink_partitioned/orders")
+    shutil.rmtree(path, ignore_errors=True)
+    sink_partitioned_parquet(orders, path, "order_month")
+    back = spark.read.parquet(path)
+    return (
+        back.where(F.col("order_month") == "1995-03")
+        .select("o_orderkey", "o_totalprice", F.col("order_month").cast("string"))
+    )
+
+
+SQL_SINK_PARTITIONED = """
+SELECT o_orderkey, o_totalprice, strftime(o_orderdate, '%Y-%m') AS order_month
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
+"""
+
+
+def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2: the SQL-queryable 'jobs'-style table (reference README.md:64-69
+    — sqlite3 jobs.db; here saveAsTable + spark.sql as the query surface)."""
+    orders = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "sink_table/orders_tbl")
+    name = "spark_graft_orders_sink"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(path, ignore_errors=True)
+    orders.write.mode("overwrite").option("path", path).saveAsTable(name)
+    # 1e2 not 100.0: Spark SQL parses 100.0 as DECIMAL and the division
+    # would yield Decimal, hash-mismatching the oracle's double.
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, count(*) AS cnt,
+               floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS total
+        FROM {name}
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+SQL_SINK_TABLE = """
+SELECT o_orderstatus, count(*) AS cnt,
+       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_sink_side_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K3: the 1-column side table (reference com_url, test.py:535,578-580)
+    — a projection written to a second sink, read back deduplicated."""
+    docs = load_table(spark, sf_dir, "documents")
+    side = docs.select("source")
+    path = _scratch(sf_dir, "sink_side/source")
+    shutil.rmtree(path, ignore_errors=True)
+    sink_json_append(side, path)
+    back = spark.read.schema(side.schema).json(path)
+    return back.groupBy("source").count().withColumnRenamed("count", "cnt")
+
+
+SQL_SINK_SIDE = "SELECT source, count(*) AS cnt FROM documents GROUP BY source"
+
+
+SPECS = [
+    QuerySpec("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET),
+    QuerySpec("scan_json", q_scan_json, SQL_SCAN_JSON),
+    QuerySpec("sink_json_append", q_sink_json_append, SQL_SINK_JSON_APPEND),
+    QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
+    QuerySpec("sink_table", q_sink_table, SQL_SINK_TABLE),
+    QuerySpec("sink_side_projection", q_sink_side_projection, SQL_SINK_SIDE),
+]

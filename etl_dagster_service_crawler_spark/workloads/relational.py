@@ -333,6 +333,26 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grouping-sets cube over returnflag/linestatus with grouping_id to
+    tell subtotal NULLs from data NULLs (SURVEY §2.B agg_grouping_sets)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
+SQL_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+       CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_agg_map_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 應徵分析 distribution shape (P8, test.py:423-524):
     per-group label -> percentage map, built as a real MapType column and
@@ -662,6 +682,7 @@ SPECS = [
     QuerySpec("agg_hash_group", q_agg_hash_group, SQL_Q1, bench=True),
     QuerySpec("agg_distinct", q_agg_distinct, SQL_DISTINCT),
     QuerySpec("agg_rollup", q_agg_rollup, SQL_ROLLUP),
+    QuerySpec("agg_cube", q_agg_cube, SQL_CUBE),
     QuerySpec("agg_map_distribution", q_agg_map_distribution, SQL_MAP_DIST, bench=True),
     QuerySpec("window_rank_topk", q_window_rank_topk, SQL_TOPK, bench=True),
     QuerySpec("window_lag_lead", q_window_lag_lead, SQL_LAG),

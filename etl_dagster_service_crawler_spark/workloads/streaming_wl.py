@@ -26,6 +26,7 @@ from etl_dagster_service_crawler_spark.streaming.windows import (
     session_counts,
     sliding_counts,
     tumbling_counts,
+    watermarked_tumbling,
 )
 
 
@@ -100,6 +101,25 @@ GROUP BY user_id, sid
 """
 
 
+def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling agg in APPEND mode: only windows the
+    watermark has passed are emitted (finalized); the trailing windows
+    stay in state. With one availableNow batch the final watermark is
+    max(ts) - 30min, so the emitted set is exactly SQL-expressible."""
+    s = stream_events(spark, sf_dir)
+    return run_available_now(watermarked_tumbling(s), "append")
+
+
+SQL_STREAM_WATERMARK_LATE = """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, cnt
+FROM (
+  SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
+"""
+
+
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate the stream (union with itself) then
     dropDuplicatesWithinWatermark — exactly-once record identity."""
@@ -124,6 +144,7 @@ SPECS = [
     QuerySpec("stream_window_tumbling", q_stream_window_tumbling, SQL_STREAM_TUMBLING, bench=True),
     QuerySpec("stream_window_sliding", q_stream_window_sliding, SQL_STREAM_SLIDING),
     QuerySpec("stream_window_session", q_stream_window_session, SQL_STREAM_SESSION),
+    QuerySpec("stream_watermark_late", q_stream_watermark_late, SQL_STREAM_WATERMARK_LATE),
     QuerySpec("stream_dedup_watermark", q_stream_dedup_watermark, None),
     QuerySpec("stream_stateful_error_budget", q_stream_stateful_error_budget, None),
 ]
