@@ -52,7 +52,7 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """One row per doc: id + m0..m{k-1} signature columns.
+    """One row per doc: id + `sig` array<bigint> of k component minima.
 
     Shingles are DISTINCT unigrams (explode -> single group-by pass
     computing all k mins map-side; the shuffle carries k longs per doc)."""
@@ -65,18 +65,39 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.min((MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
         for i in range(NUM_HASHES)
     ]
-    return tok.groupBy(id_col).agg(*aggs)
+    grouped = tok.groupBy(id_col).agg(*aggs)
+    return grouped.select(
+        id_col, F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    )
 
 
-def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become candidates.
-    Returns distinct (id_a, id_b) with id_a < id_b."""
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
+) -> DataFrame:
+    """Near-dup pairs with estimated jaccard >= threshold.
+    Estimate = fraction of equal signature components.
+
+    Shuffle discipline: signatures are computed ONCE (persisted — k
+    longs per doc, tiny relative to the corpus); the bucket self-join
+    carries ONLY ids (a candidate occurring in several bands costs 16
+    bytes per occurrence, not two signature arrays); the jaccard
+    estimate is computed per DISTINCT pair by joining the signature
+    table back twice (auto-broadcast when small; sort-merge on id at
+    scale) and comparing components with zip_with."""
+    sig = minhash_signatures(df, id_col, text_col).persist()
+    # Eager: with a lazy cache, the self-join's two sides (plus the two
+    # estimate joins) race to fill it on first action and each computes
+    # the tokenize+agg subtree — measured 3x slower end-to-end.
+    sig.count()
     bands = F.array(
         *[
             F.struct(
                 F.lit(j).alias("band"),
                 F.xxhash64(
-                    *[F.col(f"m{j * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                    *[
+                        F.element_at("sig", j * LSH_ROWS + r + 1)
+                        for r in range(LSH_ROWS)
+                    ]
                 ).alias("bh"),
             )
             for j in range(LSH_BANDS)
@@ -85,9 +106,8 @@ def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
     buckets = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
         id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -99,27 +119,51 @@ def minhash_candidate_pairs(sig: DataFrame, id_col: str) -> DataFrame:
         )
         .distinct()
     )
-
-
-def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
-) -> DataFrame:
-    """Near-dup pairs with estimated jaccard >= threshold.
-    Estimate = fraction of equal signature components."""
-    sig = minhash_signatures(df, id_col, text_col)
-    pairs = minhash_candidate_pairs(sig, id_col)
-    a = sig.alias("sa")
-    b = sig.alias("sb")
-    eq_terms = [
-        F.when(F.col(f"sa.m{i}") == F.col(f"sb.m{i}"), 1).otherwise(0)
-        for i in range(NUM_HASHES)
-    ]
-    est = sum(eq_terms[1:], eq_terms[0]) / float(NUM_HASHES)
+    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    est = n_eq.cast("double") / float(NUM_HASHES)
     return (
-        pairs.join(a, pairs.id_a == F.col(f"sa.{id_col}"))
-        .join(b, pairs.id_b == F.col(f"sb.{id_col}"))
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .select("id_a", "id_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+def minhash_assign_representatives(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Scalable dedup ASSIGNMENT: each doc -> a cluster representative,
+    without ever enumerating pairs (pair output is O(cluster^2) — a
+    million-pair blowup on template-heavy corpora; assignment is O(n)).
+
+    rep = min id over all band buckets the doc belongs to (one-hop label
+    propagation over the LSH bucket graph — the standard first pass of
+    distributed near-dup dedup; iterate to a fixpoint for full connected
+    components). Two shuffles total: bucket min, then per-doc min."""
+    sig = minhash_signatures(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(j),
+                *[F.element_at("sig", j * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    buckets = sig.select(F.col(id_col), F.explode(bands).alias("bh"))
+    bucket_min = buckets.groupBy("bh").agg(F.min(id_col).alias("bucket_rep"))
+    return (
+        buckets.join(bucket_min, "bh")
+        .groupBy(id_col)
+        .agg(F.min("bucket_rep").alias("rep_id"))
+        .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
     )
 
 
@@ -154,7 +198,10 @@ def simhash_near_pairs(
     """Candidate pairs share >=1 of `chunks` 9-bit signature chunks
     (pigeonhole: any pair within hamming distance chunks-1 must share
     one); verify with bit_count(xor)."""
-    sig = simhash_signatures(df, id_col, text_col)
+    # persisted + eagerly materialized: the 63-agg vote pass would
+    # otherwise run once per self-join side (lazy caches race-fill)
+    sig = simhash_signatures(df, id_col, text_col).persist()
+    sig.count()
     width = SIMHASH_BITS // chunks
     chunk_arr = F.array(
         *[

@@ -29,6 +29,7 @@ from etl_dagster_service_crawler_spark.functions.vectors import cosine
 from etl_dagster_service_crawler_spark.io.tables import load_table
 from etl_dagster_service_crawler_spark.operators.dedup import (
     dedup_exact,
+    minhash_assign_representatives,
     minhash_dedup_pairs,
     simhash_near_pairs,
 )
@@ -163,6 +164,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9).orderBy(
         "id_a", "id_b"
     )
+
+
+def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc cluster-representative assignment — the O(n) form of
+    near-dup dedup that survives template-heavy corpora where pair
+    enumeration is O(cluster^2) (rows-only: approximate by design)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_assign_representatives(d, "doc_id", "text").orderBy("doc_id")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +326,7 @@ SPECS = [
     QuerySpec("doc_fingerprint", q_doc_fingerprint, SQL_FINGERPRINT),
     QuerySpec("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, bench=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash, None, bench=True),
+    QuerySpec("dedup_minhash_assign", q_dedup_minhash_assign, None, bench=True),
     QuerySpec("dedup_simhash", q_dedup_simhash, None),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, SQL_EMBEDDING_COSINE),
