@@ -48,11 +48,16 @@ def parse_date_tokenized(col: Column, strip: list[str], fmt: str = "yyyy/MM/dd")
 
 
 def parse_range(col: Column, sep: str = "~") -> tuple[Column, Column]:
-    """'lo~hi' -> (lo int, hi int) (reference test.py:196-204)."""
+    """'lo~hi' -> (lo int, hi int) (reference test.py:196-204).
+
+    try_element_at + try_cast, not element_at + cast: the reference
+    null-defaults unparseable fields (its try/except at
+    test.py:201-204); the ANSI-mode variants would instead fail the
+    whole job on one malformed row (missing separator or non-numeric)."""
     parts = F.split(col, sep)
     return (
-        F.element_at(parts, 1).cast("int"),
-        F.element_at(parts, 2).cast("int"),
+        F.try_element_at(parts, F.lit(1)).try_cast("int"),
+        F.try_element_at(parts, F.lit(2)).try_cast("int"),
     )
 
 

@@ -1,0 +1,81 @@
+"""Unit tests for the source/sink, UDF, grouping-sets, and dedup-assign
+operators added for SURVEY §2.B completeness."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.io.tables import load_table
+from etl_dagster_service_crawler_spark.operators.dedup import (
+    minhash_assign_representatives,
+)
+from etl_dagster_service_crawler_spark.workloads.io_wl import (
+    q_scan_json,
+    q_sink_json_append,
+    q_sink_partitioned,
+)
+from etl_dagster_service_crawler_spark.workloads.udf_wl import (
+    q_udaf_grouped,
+    q_udf_scalar,
+)
+
+
+def test_scan_json_roundtrip_is_lossless(spark, sf_dir):
+    src = load_table(spark, sf_dir, "documents")
+    back = q_scan_json(spark, sf_dir)
+    src_rows = {tuple(r) for r in src.select("doc_id", "text", "lang", "n_chars").collect()}
+    back_rows = {tuple(r) for r in back.collect()}
+    assert src_rows == back_rows
+
+
+def test_sink_json_append_unions_both_writes(spark, sf_dir):
+    src = load_table(spark, sf_dir, "documents")
+    assert q_sink_json_append(spark, sf_dir).count() == src.count()
+
+
+def test_sink_partitioned_prunes_on_partition_key(spark, sf_dir):
+    df = q_sink_partitioned(spark, sf_dir)
+    rows = df.collect()
+    assert all(r["order_month"] == "1995-03" for r in rows)
+    # partition filter must reach the file index, not a post-scan Filter
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+
+def test_udf_scalar_matches_builtin_arithmetic(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    expect = ev.select(
+        "event_id",
+        (F.col("value") * 0.7 + (F.col("user_id") % 10) * 3.5).alias("score"),
+    )
+    got = q_udf_scalar(spark, sf_dir)
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in expect.collect()}
+
+
+def test_udaf_grouped_counts_and_gaps(spark, sf_dir):
+    got = {r["user_id"]: r for r in q_udaf_grouped(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events")
+    counts = {r["user_id"]: r["cnt"] for r in ev.groupBy("user_id").count().withColumnRenamed("count", "cnt").collect()}
+    assert {u: r["cnt"] for u, r in got.items()} == counts
+    # single-event users have no gap
+    for u, r in got.items():
+        if counts[u] == 1:
+            assert r["max_gap_s"] is None
+        else:
+            assert r["max_gap_s"] >= 0.0
+
+
+def test_minhash_assign_matches_exact_dup_clusters(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=3, text="completely different content about spark engines"),
+            Row(doc_id=4, text="dog lazy the over jumps fox brown quick the"),
+        ]
+    )
+    rep = {r["doc_id"]: r["rep_id"] for r in minhash_assign_representatives(df, "doc_id", "text").collect()}
+    # identical and permuted (same token set) docs share a representative
+    assert rep[1] == 1 and rep[2] == 1 and rep[4] == 1
+    assert rep[3] == 3

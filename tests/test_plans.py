@@ -1,0 +1,45 @@
+"""Physical-plan shape assertions — the 100 TB guardrails.
+
+These pin the properties that make the engine scale: predicate pushdown
+into the parquet scan, column pruning, broadcast of dimension tables,
+and top-k via TakeOrderedAndProject instead of a full sort. A refactor
+that silently regresses any of these passes value-correctness tests but
+fails here.
+"""
+
+from __future__ import annotations
+
+from etl_dagster_service_crawler_spark.plans.flagship import revenue_by_nation
+from etl_dagster_service_crawler_spark.workloads import joins_wl, relational
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_flagship_pushes_shipdate_filter_to_scan(spark, sf_dir):
+    plan = _plan(revenue_by_nation(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+
+
+def test_flagship_prunes_lineitem_columns(spark, sf_dir):
+    plan = _plan(revenue_by_nation(spark, sf_dir))
+    # ReadSchema for lineitem must not include unused columns
+    read_schemas = [seg[:300] for seg in plan.split("ReadSchema:")[1:]]
+    lineitem = next(s for s in read_schemas if "l_orderkey" in s)
+    assert "l_comment" not in lineitem and "l_tax" not in lineitem
+
+
+def test_flagship_broadcasts_dimensions(spark, sf_dir):
+    assert "BroadcastHashJoin" in _plan(revenue_by_nation(spark, sf_dir))
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(joins_wl.q_topk_revenue_orders(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_agg_is_partial_before_exchange(spark, sf_dir):
+    plan = _plan(relational.q_agg_hash_group(spark, sf_dir))
+    # map-side combine: a partial_sum HashAggregate below the Exchange
+    assert "partial_sum" in plan
