@@ -27,7 +27,7 @@ def registry() -> dict[str, QuerySpec]:
     specs.append(
         QuerySpec("pipeline_crawl_summary", pipeline_summary, PIPELINE_SUMMARY_SQL, bench=True)
     )
-    for mod_name in ("llm", "streaming_wl"):
+    for mod_name in ("llm", "streaming_wl", "sources_wl"):
         try:
             mod = __import__(
                 f"etl_dagster_service_crawler_spark.workloads.{mod_name}",
