@@ -77,6 +77,70 @@ def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference dataflow on the registered crawl source:
+    S1 scan -> P7 url-key extraction -> P4 encode -> P6 default ->
+    Q1 empty-field gate -> K1 main JSON sink + K3 side sink ->
+    read-back -> per-(keyword, company) rollup.
+
+    Everything between source and sink is codegen'd column expressions;
+    the sinks are append-mode JSON dirs (crash-safe, no
+    read-merge-rewrite — unlike reference save_to_json test.py:115-120)."""
+    import hashlib
+    import shutil
+
+    from etl_dagster_service_crawler_spark.functions.cleaning import extract_url_key
+    from etl_dagster_service_crawler_spark.io.sinks import sink_json_append
+    from etl_dagster_service_crawler_spark.sources.crawl_source import register
+
+    register(spark)
+    raw = spark.read.format("crawl").load()
+    enriched = raw.select(
+        "keyword",
+        "job_id",
+        F.coalesce("title", F.lit("")).alias("title"),
+        encode_bool_cn(F.col("page"), 0).alias("is_first_page"),
+        extract_url_key(F.col("company_url")).alias("company_key"),
+        "company_url",
+    )
+    n_empty = sum(
+        F.when(F.col(c) == "", 1).otherwise(0)
+        for c in ("keyword", "title", "company_key")
+    )
+    gated = enriched.where(n_empty == 0)
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_sinks/{tag}/crawl_e2e"
+    shutil.rmtree(base, ignore_errors=True)
+    sink_json_append(gated, f"{base}/records")
+    sink_json_append(gated.select("company_url").distinct(), f"{base}/com_url")
+
+    back = spark.read.schema(gated.schema).json(f"{base}/records")
+    return back.groupBy("keyword", "company_key").agg(
+        F.count("*").alias("n_jobs"),
+        F.sum(F.when(F.col("is_first_page") == "是", 1).otherwise(0)).alias(
+            "n_first_page"
+        ),
+    )
+
+
+CRAWL_E2E_SQL = """
+WITH kw AS (
+  SELECT * FROM (VALUES ('spark', 0), ('etl', 1), ('data', 2)) AS t(keyword, kidx)
+), p AS (SELECT CAST(unnest(range(0, 3)) AS INT) AS page),
+   s AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS slot),
+   raw AS (
+  SELECT keyword, page,
+         CAST((kidx * 10000 + page * 100 + slot) % 37 AS VARCHAR) AS company_key
+  FROM kw, p, s
+)
+SELECT keyword, company_key, count(*) AS n_jobs,
+       sum(CASE WHEN page = 0 THEN 1 ELSE 0 END) AS n_first_page
+FROM raw
+GROUP BY keyword, company_key
+"""
+
+
 PIPELINE_SUMMARY_SQL = """
 WITH rec AS (
   SELECT event_id,

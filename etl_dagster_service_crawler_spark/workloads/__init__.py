@@ -15,7 +15,9 @@ def registry() -> dict[str, QuerySpec]:
     )
 
     from etl_dagster_service_crawler_spark.plans.pipeline import (
+        CRAWL_E2E_SQL,
         PIPELINE_SUMMARY_SQL,
+        crawl_e2e,
         pipeline_summary,
     )
 
@@ -27,6 +29,7 @@ def registry() -> dict[str, QuerySpec]:
     specs.append(
         QuerySpec("pipeline_crawl_summary", pipeline_summary, PIPELINE_SUMMARY_SQL, bench=True)
     )
+    specs.append(QuerySpec("pipeline_crawl_e2e", crawl_e2e, CRAWL_E2E_SQL))
     for mod_name in ("llm", "streaming_wl", "sources_wl"):
         try:
             mod = __import__(

@@ -333,6 +333,17 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct (rows-only: sketch estimates are
+    engine-specific; tests assert <=5% relative error vs exact). At
+    100 TB this is THE distinct: one pass, fixed memory per group,
+    no expand-shuffle like exact count(DISTINCT)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_uniq"),
+    )
+
+
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grouping-sets cube over returnflag/linestatus with grouping_id to
     tell subtotal NULLs from data NULLs (SURVEY §2.B agg_grouping_sets)."""
@@ -681,6 +692,7 @@ SPECS = [
     QuerySpec("parse_range", q_parse_range, SQL_PARSE_RANGE),
     QuerySpec("agg_hash_group", q_agg_hash_group, SQL_Q1, bench=True),
     QuerySpec("agg_distinct", q_agg_distinct, SQL_DISTINCT),
+    QuerySpec("agg_approx_distinct", q_agg_approx_distinct, None),
     QuerySpec("agg_rollup", q_agg_rollup, SQL_ROLLUP),
     QuerySpec("agg_cube", q_agg_cube, SQL_CUBE),
     QuerySpec("agg_map_distribution", q_agg_map_distribution, SQL_MAP_DIST, bench=True),

@@ -79,3 +79,16 @@ def test_minhash_assign_matches_exact_dup_clusters(spark):
     # identical and permuted (same token set) docs share a representative
     assert rep[1] == 1 and rep[2] == 1 and rep[4] == 1
     assert rep[3] == 3
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_agg_approx_distinct,
+        q_agg_distinct,
+    )
+
+    exact = {r["o_orderpriority"]: r["uniq_cust"] for r in q_agg_distinct(spark, sf_dir).collect()}
+    approx = {r["o_orderpriority"]: r["approx_uniq"] for r in q_agg_approx_distinct(spark, sf_dir).collect()}
+    assert set(exact) == set(approx)
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) <= max(1, 0.05 * ex)
