@@ -38,6 +38,32 @@ def theta_tolerance_join(
     return big.join(F.broadcast(small_dim), condition, how)
 
 
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Large-large equi join with manual key salting for skew.
+
+    The skewed side gets a uniform random salt in [0, n_salts); the
+    other side is replicated n_salts times; the join key becomes
+    (key, salt), splitting each hot key's rows across n_salts shuffle
+    partitions. The result SET is identical to a plain join — the salt
+    only changes partitioning. Salting is the fallback when AQE's
+    skew-join splitting can't help (single giant key within one
+    partition, or a non-AQE engine); broadcast remains the answer when
+    `other` is dim-sized. Replication costs n_salts x |other| shuffle
+    volume — size n_salts to the skew factor, not higher.
+    """
+    left = skewed.withColumn("_salt", (F.rand(42) * n_salts).cast("int"))
+    right = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return left.join(right, [on, "_salt"], how).drop("_salt")
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -61,6 +61,38 @@ def stream_events(
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+def run_processing_time(
+    stream_df: DataFrame,
+    interval: str = "2 minutes",
+    min_batches: int = 2,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a stream on a wall-clock ProcessingTime trigger — the
+    production shape of the reference's */2min cron (definitions.py:35;
+    tests pass a sub-second interval). Stops after min_batches have
+    committed and returns the drained memory-sink result."""
+    import time as _time
+
+    name = f"stream_out_{next(_memory_names)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(processingTime=interval)
+        .start()
+    )
+    try:
+        deadline = _time.time() + timeout_s
+        while _time.time() < deadline:
+            if len([p for p in q.recentProgress if p["numInputRows"] >= 0]) >= min_batches:
+                break
+            _time.sleep(0.2)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
 def run_available_now(
     stream_df: DataFrame, output_mode: str = "append", timeout_s: int = 300
 ) -> DataFrame:

@@ -16,6 +16,7 @@ from etl_dagster_service_crawler_spark.io.tables import load_table
 from etl_dagster_service_crawler_spark.operators.joins import (
     asof_join,
     broadcast_dim_join,
+    salted_join,
     theta_tolerance_join,
 )
 from etl_dagster_service_crawler_spark.plans.flagship import (
@@ -132,6 +133,29 @@ ASOF LEFT JOIN latest l
 """
 
 
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join via manual salting (hot-key splitting).
+    The salt only changes partitioning, so the plain-join SQL is an
+    exact oracle. Aggregated output keeps the result bounded."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderstatus"
+    )
+    joined = salted_join(li, o, on="l_orderkey", n_salts=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        fround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+SQL_SALTED = """
+SELECT o_orderstatus, count(*) AS cnt,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def q_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped bench query: selective dim filter -> fact join ->
     agg -> top-k. Checks that the c_mktsegment filter prunes before the
@@ -176,5 +200,6 @@ SPECS = [
     QuerySpec("join_semi", q_join_semi, SQL_SEMI),
     QuerySpec("join_anti", q_join_anti, SQL_ANTI),
     QuerySpec("join_asof_nearest", q_join_asof, SQL_ASOF, bench=True),
+    QuerySpec("join_salted_skew", q_join_salted_skew, SQL_SALTED),
     QuerySpec("topk_revenue_orders", q_topk_revenue_orders, SQL_TOPK_REVENUE, bench=True),
 ]

@@ -96,7 +96,37 @@ GROUP BY user_id
 """
 
 
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function): one input row -> many output rows,
+    registered and invoked via LATERAL — the P2 list-rows explode as a
+    user-defined table function rather than built-in explode. The UDTF
+    runs Arrow-batched per partition; no shuffle is introduced."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="i int")
+    class ExpandRange:
+        def eval(self, n):  # noqa: ANN001 - UDTF eval signature is positional
+            for i in range(int(n) + 1):
+                yield (i,)
+
+    spark.udtf.register("expand_range", ExpandRange)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, t.i
+        FROM part_v, LATERAL expand_range(p_size % 3) t
+        """
+    )
+
+
+SQL_UDTF_PYTHON = """
+SELECT p_partkey, CAST(unnest(range(0, p_size % 3 + 1)) AS INT) AS i
+FROM part
+"""
+
+
 SPECS = [
     QuerySpec("udf_scalar", q_udf_scalar, SQL_UDF_SCALAR),
     QuerySpec("udaf_grouped", q_udaf_grouped, SQL_UDAF_GROUPED),
+    QuerySpec("udtf_python", q_udtf_python, SQL_UDTF_PYTHON),
 ]

@@ -80,3 +80,18 @@ def test_dual_sink_writes_main_and_side(spark, sf_dir):
         side_df = spark.read.json(side)
         assert side_df.columns == ["side_key"]
         assert side_df.count() == n_events
+
+
+def test_processing_time_trigger_drains_source(spark, sf_dir):
+    """O1 parity: the 2-minute cron becomes a ProcessingTime trigger
+    (sub-second here); batches keep arriving until the source is dry."""
+    from etl_dagster_service_crawler_spark.streaming.ingest import (
+        run_processing_time,
+        stream_events,
+    )
+
+    s = stream_events(spark, sf_dir)
+    out = run_processing_time(
+        s.select("event_id"), interval="1 second", min_batches=1, timeout_s=120
+    )
+    assert out.count() > 0
