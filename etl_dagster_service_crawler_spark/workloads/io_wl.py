@@ -143,6 +143,45 @@ GROUP BY o_orderstatus
 """
 
 
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketing for co-located joins: both sides written bucketBy(8)
+    on the join key, so the join needs NO Exchange — each task reads
+    matching buckets (tests/test_plans.py asserts the exchange-free
+    plan). At 100 TB this is how repeated fact-fact joins amortize the
+    shuffle: pay it once at write time, never per query."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    base = _scratch(sf_dir, "bucketed")
+    for name, df, key in (
+        ("spark_graft_li_bkt", li, "l_orderkey"),
+        ("spark_graft_o_bkt", o, "o_orderkey"),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{base}/{name}", ignore_errors=True)
+        (
+            df.write.mode("overwrite")
+            .option("path", f"{base}/{name}")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .saveAsTable(name)
+        )
+    a = spark.table("spark_graft_li_bkt")
+    b = spark.table("spark_graft_o_bkt")
+    joined = a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
+    return joined.groupBy("o_orderstatus").agg(
+        F.count("*").alias("cnt"),
+        (F.floor(F.sum("l_extendedprice") * 1e2 + F.lit(0.5)) / 1e2).alias("sum_price"),
+    )
+
+
+SQL_BUCKETED_JOIN = """
+SELECT o_orderstatus, count(*) AS cnt,
+       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+"""
+
+
 def q_sink_side_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: the 1-column side table (reference com_url, test.py:535,578-580)
     — a projection written to a second sink, read back deduplicated."""
@@ -164,5 +203,6 @@ SPECS = [
     QuerySpec("sink_json_append", q_sink_json_append, SQL_SINK_JSON_APPEND),
     QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
     QuerySpec("sink_table", q_sink_table, SQL_SINK_TABLE),
+    QuerySpec("bucketed_colocated_join", q_bucketed_colocated_join, SQL_BUCKETED_JOIN),
     QuerySpec("sink_side_projection", q_sink_side_projection, SQL_SINK_SIDE),
 ]

@@ -43,3 +43,24 @@ def test_agg_is_partial_before_exchange(spark, sf_dir):
     plan = _plan(relational.q_agg_hash_group(spark, sf_dir))
     # map-side combine: a partial_sum HashAggregate below the Exchange
     assert "partial_sum" in plan
+
+
+def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
+    """Co-located bucketed join: with broadcast disabled, the sort-merge
+    join must read matching buckets directly — no Exchange on either
+    side (the shuffle was paid once at write time)."""
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        q_bucketed_colocated_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = q_bucketed_colocated_join(spark, sf_dir)
+        plan = _plan(df)
+        join_part = plan.split("HashAggregate", 1)[-1]
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(l_orderkey" not in join_part
+        assert "Exchange hashpartitioning(o_orderkey" not in join_part
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
