@@ -51,11 +51,24 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _spread(df: DataFrame, id_col: str) -> DataFrame:
+    """Signature hashing is CPU-bound; if the scan produced far fewer
+    partitions than cores (single-row-group files), fan the docs out
+    first. The shuffled payload is raw docs — tiny next to the token
+    stream the hash stage expands them into. No-op when the source is
+    already well-partitioned (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target, id_col)
+    return df
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per doc: id + `sig` array<bigint> of k component minima.
 
     Shingles are DISTINCT unigrams (explode -> single group-by pass
     computing all k mins map-side; the shuffle carries k longs per doc)."""
+    df = _spread(df, id_col)
     tok = df.select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("s"),
@@ -174,6 +187,7 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """63-bit SimHash: per-token xxhash64, +1/-1 vote per bit, sign of
     the vote becomes the bit. explode -> one group-by pass (63 agg
     expressions, all codegen'd)."""
+    df = _spread(df, id_col)
     tok = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("s")
     ).withColumn("h", F.xxhash64("s"))
