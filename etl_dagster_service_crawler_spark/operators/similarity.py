@@ -18,10 +18,10 @@ no collect.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_dagster_service_crawler_spark.functions.vectors import cosine
+from etl_dagster_service_crawler_spark.functions.vectors import cosine, dot, norm2
 
 
 def cosine_topk_bruteforce(
@@ -43,6 +43,91 @@ def cosine_topk_bruteforce(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("qid", "nid", "cos", "rn")
+    )
+
+
+def srp_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    dim: int = 64,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs embedding near-dup via signed-random-projection LSH —
+    the scale path for cosine near-dup (the exact adjacent-pair twin is
+    oracle-checked in workloads/llm.py).
+
+    Each of n_tables buckets is the sign pattern of bits_per_table
+    random-hyperplane projections (P[bit match] = 1 - angle/pi, so 4
+    tables x 8 bits gives ~0.9 recall at cos 0.95). Candidates come
+    from an equi-join on (table, bucket) — never a crossJoin — and are
+    verified with the exact cosine. Same shuffle discipline as MinHash:
+    id-only buckets, signatures persisted once, verify on distinct
+    pairs."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    spark = emb.sparkSession
+    # hyperplanes as a broadcast 32-row TABLE, not inline literals — a
+    # lit()-array per plane would put ~n_tables*bits*dim nodes into the
+    # expression tree and stall the analyzer/codegen.
+    planes = spark.createDataFrame(
+        [
+            (t, b, [rng.gauss(0.0, 1.0) for _ in range(dim)])
+            for t in range(n_tables)
+            for b in range(bits_per_table)
+        ],
+        "tbl int, bit int, plane array<double>",
+    )
+
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.select(
+        F.col(id_col), F.col(vec_col), F.sqrt(norm2(F.col(vec_col))).alias("nrm")
+    )
+    if base.rdd.getNumPartitions() < max(2, n_parts // 2):
+        # single-row-group sources scan as one task; the HOF folds
+        # below are CPU-bound, so fan out first
+        base = base.repartition(n_parts, id_col)
+    base = base.persist()
+    base.count()  # eager: read once, not once per self-join side
+    proj = base.join(F.broadcast(planes)).select(
+        id_col,
+        "tbl",
+        "bit",
+        (dot(F.col(vec_col), F.col("plane")) > 0).cast("bigint").alias("sign"),
+    )
+    buckets = proj.groupBy(id_col, "tbl").agg(
+        F.sum(F.col("sign") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).alias("bkt")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    vb = base.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    # norms precomputed in base: one fold per pair, not three
+    cos = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        pairs.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
     )
 
 

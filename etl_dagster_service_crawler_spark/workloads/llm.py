@@ -40,6 +40,7 @@ from etl_dagster_service_crawler_spark.operators.multimodal import (
 from etl_dagster_service_crawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
     ivf_topk,
+    srp_neardup_pairs,
 )
 
 # --- text analysis -----------------------------------------------------------
@@ -245,6 +246,19 @@ FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
 """
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs embedding near-dup via signed-random-projection LSH
+    (rows-only: recall < 1 by design; the exact adjacent-pair twin
+    dedup_embedding_cosine is oracle-checked). The fixture corpus has
+    no cos>=0.9 pairs at all, so this runs at 0.5 with short codes x
+    more tables (recall ~0.8 at that angle); production near-dup runs
+    >=0.9 with longer codes."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_neardup_pairs(
+        e, threshold=0.5, n_tables=8, bits_per_table=4
+    ).orderBy("id_a", "id_b")
+
+
 # --- similarity search --------------------------------------------------------
 
 TOPK_QUERY_IDS = list(range(8))
@@ -330,6 +344,7 @@ SPECS = [
     QuerySpec("dedup_simhash", q_dedup_simhash, None),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, SQL_EMBEDDING_COSINE),
+    QuerySpec("dedup_embedding_lsh", q_dedup_embedding_lsh, None),
     QuerySpec("similarity_topk", q_similarity_topk, SQL_TOPK, bench=True),
     QuerySpec("similarity_topk_ivf", q_similarity_topk_ivf, None),
     QuerySpec("multimodal_columns", q_multimodal_columns, SQL_MULTIMODAL),

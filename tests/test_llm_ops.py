@@ -88,3 +88,31 @@ def test_multimodal_features_deterministic_and_typed(spark, sf_dir):
     for doc_id, (plen, feat) in f1.items():
         assert plen == n_chars[doc_id]  # ascii text: bytes == chars
         assert len(feat) == 8
+
+
+def test_srp_lsh_finds_near_identical_vectors(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        srp_neardup_pairs,
+    )
+
+    dim = 8
+    base = [math.sin(i + 1) for i in range(dim)]
+    nearly = [x * 1.001 + 0.0005 for x in base]
+    opposite = [-x for x in base]
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=base),
+            Row(vec_id=2, embedding=nearly),
+            Row(vec_id=3, embedding=opposite),
+        ]
+    )
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in srp_neardup_pairs(df, threshold=0.99, dim=dim).collect()
+    }
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
