@@ -364,6 +364,74 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
 
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event_type with per-user counts. The value
+    list is pinned (no discovery pass — at scale an unpinned pivot
+    scans twice and can explode the schema)."""
+    e = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+SQL_PIVOT = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+FROM events
+GROUP BY user_id
+"""
+
+
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: sample stddev/variance, correlation,
+    covariance — one pass, map-side partials like any hash agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        fround(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        fround(F.var_samp("l_discount"), 6).alias("var_disc"),
+        fround(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        fround(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cov_qty_price"),
+    )
+
+
+SQL_STATS = """
+SELECT l_returnflag,
+       floor((stddev_samp(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS sd_qty,
+       floor((var_samp(l_discount)) * 1000000.0 + 0.5) / 1000000.0 AS var_disc,
+       floor((corr(l_quantity, l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS corr_qty_price,
+       floor((covar_samp(l_quantity, l_extendedprice)) * 100.0 + 0.5) / 100.0 AS cov_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont) plus the approx_percentile scale path is covered by
+    the tolerance-tested approx ops."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        fround(F.percentile("o_totalprice", 0.5), 2).alias("p50"),
+        fround(F.percentile("o_totalprice", 0.95), 2).alias("p95"),
+    )
+
+
+SQL_PERCENTILE = """
+SELECT o_orderstatus,
+       floor((quantile_cont(o_totalprice, 0.5)) * 100.0 + 0.5) / 100.0 AS p50,
+       floor((quantile_cont(o_totalprice, 0.95)) * 100.0 + 0.5) / 100.0 AS p95
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_agg_map_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 應徵分析 distribution shape (P8, test.py:423-524):
     per-group label -> percentage map, built as a real MapType column and
@@ -695,6 +763,9 @@ SPECS = [
     QuerySpec("agg_approx_distinct", q_agg_approx_distinct, None),
     QuerySpec("agg_rollup", q_agg_rollup, SQL_ROLLUP),
     QuerySpec("agg_cube", q_agg_cube, SQL_CUBE),
+    QuerySpec("agg_pivot", q_agg_pivot, SQL_PIVOT),
+    QuerySpec("agg_stats", q_agg_stats, SQL_STATS),
+    QuerySpec("agg_percentile", q_agg_percentile, SQL_PERCENTILE),
     QuerySpec("agg_map_distribution", q_agg_map_distribution, SQL_MAP_DIST, bench=True),
     QuerySpec("window_rank_topk", q_window_rank_topk, SQL_TOPK, bench=True),
     QuerySpec("window_lag_lead", q_window_lag_lead, SQL_LAG),
