@@ -537,6 +537,65 @@ FROM events
 
 # --- sort/limit & set ops ----------------------------------------------------
 
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions beyond rank/lag: first/last value over
+    a frame, ntile buckets, cumulative distribution."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+        F.ntile(4).over(w).alias("quartile"),
+        fround(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT o_orderkey, o_custkey,
+       first_value(o_orderkey) OVER w_full AS first_order,
+       last_value(o_orderkey) OVER w_full AS last_order,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       floor((cume_dist() OVER w) * 1000000.0 + 0.5) / 1000000.0 AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def q_date_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filling over a generated date spine: sequence() -> explode ->
+    left join daily counts -> zero-fill. The spine is generated from
+    min/max bounds (one tiny agg), never collected to the driver."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("d")).agg(F.count("*").alias("cnt"))
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    return (
+        spine.join(daily, "d", "left")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.coalesce("cnt", F.lit(0)).alias("cnt"),
+        )
+    )
+
+
+SQL_DATE_SPINE = """
+WITH b AS (SELECT CAST(min(ts) AS DATE) lo, CAST(max(ts) AS DATE) hi FROM events),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS cnt FROM events GROUP BY 1)
+SELECT strftime(spine.d, '%Y-%m-%d') AS day, coalesce(daily.cnt, 0) AS cnt
+FROM spine LEFT JOIN daily ON spine.d = daily.d
+"""
+
+
 def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORDER BY + LIMIT (TakeOrderedAndProject — no full sort/scan collect)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -770,6 +829,8 @@ SPECS = [
     QuerySpec("window_rank_topk", q_window_rank_topk, SQL_TOPK, bench=True),
     QuerySpec("window_lag_lead", q_window_lag_lead, SQL_LAG),
     QuerySpec("window_rolling", q_window_rolling, SQL_ROLLING),
+    QuerySpec("window_analytics", q_window_analytics, SQL_WINDOW_ANALYTICS),
+    QuerySpec("date_spine_gapfill", q_date_spine_gapfill, SQL_DATE_SPINE),
     QuerySpec("sort_limit", q_sort_limit, SQL_SORT_LIMIT),
     QuerySpec("set_union_dedup", q_set_union_dedup, SQL_UNION_DEDUP),
     QuerySpec("set_intersect", q_set_intersect, SQL_INTERSECT),
