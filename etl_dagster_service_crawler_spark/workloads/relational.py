@@ -785,6 +785,91 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide metric columns -> (metric, value) rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax")
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+SQL_UNPIVOT = """
+SELECT l_orderkey, l_linenumber, metric, val
+FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax FROM lineitem)
+UNPIVOT (val FOR metric IN (l_quantity, l_discount, l_tax))
+"""
+
+
+def q_hof_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / exists /
+    aggregate fold — all JVM-side lambda evaluation, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(F.transform(toks, lambda t: F.upper(t))).alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+        F.exists(toks, lambda t: t == F.lit("data")).alias("has_data"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("total_chars"),
+    )
+
+
+SQL_HOF = """
+SELECT doc_id,
+       CAST(len(list_transform(t, x -> upper(x))) AS INT) AS n_tokens,
+       CAST(len(list_filter(t, x -> len(x) > 5)) AS INT) AS n_long,
+       CAST(len(list_filter(t, x -> x = 'data')) > 0 AS BOOLEAN) AS has_data,
+       CAST(list_reduce(list_prepend(0, list_transform(t, x -> CAST(len(x) AS INT))),
+                        (acc, x) -> acc + x) AS INT) AS total_chars
+FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+def q_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions: build, keys/values, lookup, size, concat —
+    exploded back to rows for the oracle compare."""
+    n = load_table(spark, sf_dir, "nation")
+    m = F.map_from_entries(
+        F.array(
+            F.struct(F.lit("name").alias("k"), F.col("n_name").alias("v")),
+            F.struct(F.lit("region").alias("k"), F.col("n_regionkey").cast("string").alias("v")),
+        )
+    )
+    return n.select(
+        "n_nationkey",
+        F.map_concat(m, F.create_map(F.lit("kind"), F.lit("nation"))).alias("m"),
+    ).select(
+        "n_nationkey",
+        F.size("m").alias("m_size"),
+        F.element_at("m", "name").alias("name"),
+        F.array_join(F.array_sort(F.map_keys("m")), ",").alias("keys_sorted"),
+    )
+
+
+SQL_MAP_FNS = """
+SELECT n_nationkey,
+       CAST(3 AS INT) AS m_size,
+       n_name AS name,
+       'kind,name,region' AS keys_sorted
+FROM nation
+"""
+
+
+def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli sampling (rows-only: the sampled subset is seeded and
+    stable within Spark but engine-specific; the unit check is the
+    fraction bound). At scale: sample() pushes to the scan — no full
+    materialization of the population."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+
+
 SQL_JSON = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events
@@ -840,5 +925,9 @@ SPECS = [
     QuerySpec("scalar_date_fns", q_scalar_date_fns, SQL_DATE_FNS),
     QuerySpec("scalar_math_fns", q_scalar_math_fns, SQL_MATH_FNS),
     QuerySpec("json_extract", q_json_extract, SQL_JSON),
+    QuerySpec("unpivot", q_unpivot, SQL_UNPIVOT),
+    QuerySpec("hof_array_fns", q_hof_array_fns, SQL_HOF),
+    QuerySpec("map_fns", q_map_fns, SQL_MAP_FNS),
+    QuerySpec("sample_deterministic", q_sample_deterministic, None),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]

@@ -92,3 +92,15 @@ def test_approx_distinct_within_tolerance(spark, sf_dir):
     assert set(exact) == set(approx)
     for k, ex in exact.items():
         assert abs(approx[k] - ex) <= max(1, 0.05 * ex)
+
+
+def test_sample_fraction_within_bounds(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_sample_deterministic,
+    )
+
+    total = load_table(spark, sf_dir, "lineitem").count()
+    n = q_sample_deterministic(spark, sf_dir).count()
+    assert 0.05 * total < n < 0.15 * total
+    # seeded: stable across runs
+    assert n == q_sample_deterministic(spark, sf_dir).count()
