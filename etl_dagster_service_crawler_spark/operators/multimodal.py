@@ -61,6 +61,47 @@ def _fake_features(payload: bytes) -> list[float]:
     ]
 
 
+def decode_audio(payload: bytes) -> object:
+    """Real decoder — requires an audio library not in this container."""
+    raise NotImplementedError(
+        "audio decode requires soundfile/librosa; install on the cluster image"
+    )
+
+
+def resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """Real resize — requires an image library not in this container."""
+    raise NotImplementedError(
+        "image resize requires PIL; install pillow on the cluster image"
+    )
+
+
+def frame_sample(mm: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Frame sampling over binary payloads (the video path): emit one
+    row per sampled 'frame' via mapInPandas — one input row explodes to
+    variable output rows, the shape a real keyframe sampler has. The
+    framing here is deterministic byte-chunking (no codecs in this
+    container); payload stays on the executor, only offsets and tiny
+    frame digests come out."""
+    out_schema = "doc_id bigint, frame_no int, offset int, frame_sum int"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fnos, offs, sums = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                for i, off in enumerate(range(0, len(data), every_n_bytes)):
+                    chunk = data[off : off + every_n_bytes]
+                    ids.append(doc_id)
+                    fnos.append(i)
+                    offs.append(off)
+                    sums.append(sum(chunk) % 100_000)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": fnos, "offset": offs, "frame_sum": sums}
+            )
+
+    return mm.mapInPandas(batches, out_schema)
+
+
 def extract_features(mm: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over binary payloads.
 

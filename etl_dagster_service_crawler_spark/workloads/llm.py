@@ -36,6 +36,7 @@ from etl_dagster_service_crawler_spark.operators.dedup import (
 from etl_dagster_service_crawler_spark.operators.multimodal import (
     build_multimodal,
     extract_features,
+    frame_sample,
 )
 from etl_dagster_service_crawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
@@ -332,8 +333,17 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary payloads via mapInPandas (rows-only:
+    byte-chunk framing is the deterministic stand-in for a keyframe
+    sampler; unit-tested against a local recompute)."""
+    mm = build_multimodal(load_table(spark, sf_dir, "documents"))
+    return frame_sample(mm.where(F.col("doc_id") < 100))
+
+
 SPECS = [
     QuerySpec("text_token_count", q_text_token_count, SQL_TOKEN_COUNT),
+    QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, None),
     QuerySpec("text_ngrams", q_text_ngrams, SQL_NGRAMS),
     QuerySpec("text_lang_id", q_text_lang_id, _lang_id_sql()),
     QuerySpec("text_quality_score", q_text_quality_score, SQL_QUALITY_SCORE),

@@ -116,3 +116,43 @@ def test_srp_lsh_finds_near_identical_vectors(spark):
     }
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_frame_sample_matches_local_recompute(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.operators.multimodal import (
+        build_multimodal,
+        frame_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").where("doc_id < 5")
+    got = {
+        (r["doc_id"], r["frame_no"]): (r["offset"], r["frame_sum"])
+        for r in frame_sample(build_multimodal(docs), every_n_bytes=64).collect()
+    }
+    for row in docs.collect():
+        data = row["text"].encode("utf-8")
+        for i, off in enumerate(range(0, len(data), 64)):
+            chunk = data[off : off + 64]
+            assert got[(row["doc_id"], i)] == (off, sum(chunk) % 100_000)
+
+
+def test_dual_sink_foreach_batch_writes_both(spark, sf_dir, tmp_path):
+    import time
+
+    from etl_dagster_service_crawler_spark.io.sinks import dual_sink_foreach_batch
+    from etl_dagster_service_crawler_spark.streaming.ingest import stream_events
+
+    main, side = str(tmp_path / "main"), str(tmp_path / "side")
+    s = stream_events(spark, sf_dir).select("event_id", "event_type")
+    q = (
+        s.writeStream.foreachBatch(dual_sink_foreach_batch(main, side, ["event_type"]))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    main_df = spark.read.json(main)
+    side_df = spark.read.json(side)
+    n = main_df.count()
+    assert n > 0 and side_df.count() == n
+    assert side_df.columns == ["event_type"]
