@@ -95,3 +95,24 @@ def test_processing_time_trigger_drains_source(spark, sf_dir):
         s.select("event_id"), interval="1 second", min_batches=1, timeout_s=120
     )
     assert out.count() > 0
+
+
+def test_error_budget_tws_variant_matches(spark, sf_dir):
+    """transformWithStateInPandas where the runtime supports it,
+    applyInPandasWithState fallback otherwise — same rows either way."""
+    from etl_dagster_service_crawler_spark.streaming.ingest import (
+        run_available_now,
+        stream_events,
+    )
+    from etl_dagster_service_crawler_spark.streaming.state import (
+        error_budget_counter,
+        error_budget_counter_tws,
+    )
+
+    a = run_available_now(
+        error_budget_counter(stream_events(spark, sf_dir), 3), "append"
+    )
+    b = run_available_now(
+        error_budget_counter_tws(stream_events(spark, sf_dir), 3), "append"
+    )
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
