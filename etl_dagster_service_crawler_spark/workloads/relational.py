@@ -785,6 +785,60 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS (TPC-H Q4 shape) through the spark.sql surface
+    — Catalyst decorrelates it to a left-semi join, so it scales like
+    any equi join (no per-row re-execution)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS cnt
+        FROM orders_v
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem_v
+          WHERE l_orderkey = o_orderkey
+            AND l_shipdate > o_orderdate + INTERVAL 30 DAYS
+        )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+SQL_SUBQUERY_EXISTS = """
+SELECT o_orderpriority, count(*) AS cnt
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND l_shipdate > o_orderdate + INTERVAL 30 DAY
+)
+GROUP BY o_orderpriority
+"""
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts priced above the corpus
+    average — one extra tiny agg job feeding a literal into the filter."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name,
+               floor(p_retailprice * 1e2 + 0.5) / 1e2 AS price
+        FROM part_v
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v)
+        """
+    )
+
+
+SQL_SUBQUERY_SCALAR = """
+SELECT p_partkey, p_name,
+       floor(p_retailprice * 100.0 + 0.5) / 100.0 AS price
+FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+"""
+
+
 def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT/melt: wide metric columns -> (metric, value) rows."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -926,6 +980,8 @@ SPECS = [
     QuerySpec("scalar_math_fns", q_scalar_math_fns, SQL_MATH_FNS),
     QuerySpec("json_extract", q_json_extract, SQL_JSON),
     QuerySpec("unpivot", q_unpivot, SQL_UNPIVOT),
+    QuerySpec("subquery_exists", q_subquery_exists, SQL_SUBQUERY_EXISTS),
+    QuerySpec("subquery_scalar", q_subquery_scalar, SQL_SUBQUERY_SCALAR),
     QuerySpec("hof_array_fns", q_hof_array_fns, SQL_HOF),
     QuerySpec("map_fns", q_map_fns, SQL_MAP_FNS),
     QuerySpec("sample_deterministic", q_sample_deterministic, None),
