@@ -34,9 +34,22 @@ def main() -> None:
     if bench_names is None:
         bench_names = list(qs)
 
+    # Steady-state warm-up: run each benched plan once at the smallest
+    # SF so the timed pass measures execution, not first-run JIT/codegen
+    # compilation of each operator family.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR", "/root/testdata/sf0.001")
+    if warm_dir:
+        for name in bench_names:
+            try:
+                qs[name](spark, warm_dir).count()
+            except Exception as e:  # noqa: BLE001 - warm-up is best-effort
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in bench_names:
         fn = qs[name]
+        # isolate queries: drop caches persisted by earlier ones
+        spark.catalog.clearCache()
         t0 = time.time()
         df = fn(spark, sf_dir)
         # Force full execution without driver-side materialization of
