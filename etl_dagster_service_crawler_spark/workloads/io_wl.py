@@ -76,6 +76,22 @@ SQL_SCAN_JSON = "SELECT doc_id, text, lang, n_chars FROM documents"
 
 # --- sinks (round-trip verified) ----------------------------------------------
 
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with explicit schema + header, staged via the engine's
+    own CSV writer (fixtures are parquet-only) — covers the third
+    batch format alongside parquet and JSON."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _scratch(sf_dir, "scan_csv/orders")
+    shutil.rmtree(path, ignore_errors=True)
+    orders.write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(orders.schema).option("header", True).csv(path)
+
+
+SQL_SCAN_CSV = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
+
+
 def q_sink_json_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1: append = new files under the dir, not read-merge-rewrite.
     Two appends (en docs, then the rest) must read back as the union."""
@@ -200,6 +216,7 @@ SQL_SINK_SIDE = "SELECT source, count(*) AS cnt FROM documents GROUP BY source"
 SPECS = [
     QuerySpec("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET),
     QuerySpec("scan_json", q_scan_json, SQL_SCAN_JSON),
+    QuerySpec("scan_csv", q_scan_csv, SQL_SCAN_CSV),
     QuerySpec("sink_json_append", q_sink_json_append, SQL_SINK_JSON_APPEND),
     QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
     QuerySpec("sink_table", q_sink_table, SQL_SINK_TABLE),

@@ -133,6 +133,38 @@ ASOF LEFT JOIN latest l
 """
 
 
+def q_join_range_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/banding join: value BETWEEN band lo AND hi against a small
+    banded dim (broadcast nested loop — same physical story as the
+    theta join; at scale, a banded dim is derived so the join becomes
+    an equi join on floor(value/width) when bands are uniform)."""
+    e = load_table(spark, sf_dir, "events")
+    bands = load_table(spark, sf_dir, "region").select(
+        "r_name",
+        (F.col("r_regionkey") * 60.0).alias("lo"),
+        (F.col("r_regionkey") * 60.0 + 59.999).alias("hi"),
+    )
+    joined = theta_tolerance_join(
+        e, bands, F.col("value").between(F.col("lo"), F.col("hi"))
+    )
+    return joined.groupBy("r_name").agg(
+        F.count("*").alias("cnt"), fround(F.min("value"), 2).alias("min_v"),
+        fround(F.max("value"), 2).alias("max_v"),
+    )
+
+
+SQL_RANGE_BAND = """
+SELECT r_name, count(*) AS cnt,
+       floor((min(value)) * 100.0 + 0.5) / 100.0 AS min_v,
+       floor((max(value)) * 100.0 + 0.5) / 100.0 AS max_v
+FROM events
+JOIN (SELECT r_name, r_regionkey * 60.0 AS lo, r_regionkey * 60.0 + 59.999 AS hi
+      FROM region) bands
+  ON value BETWEEN lo AND hi
+GROUP BY r_name
+"""
+
+
 def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Large-large equi join via manual salting (hot-key splitting).
     The salt only changes partitioning, so the plain-join SQL is an
@@ -201,5 +233,6 @@ SPECS = [
     QuerySpec("join_anti", q_join_anti, SQL_ANTI),
     QuerySpec("join_asof_nearest", q_join_asof, SQL_ASOF, bench=True),
     QuerySpec("join_salted_skew", q_join_salted_skew, SQL_SALTED),
+    QuerySpec("join_range_band", q_join_range_band, SQL_RANGE_BAND),
     QuerySpec("topk_revenue_orders", q_topk_revenue_orders, SQL_TOPK_REVENUE, bench=True),
 ]

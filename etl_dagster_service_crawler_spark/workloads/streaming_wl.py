@@ -139,8 +139,37 @@ def q_stream_stateful_error_budget(spark: SparkSession, sf_dir: str) -> DataFram
     return run_available_now(out, "append").orderBy("user_id")
 
 
+def q_stream_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1+K3 in streaming: one foreachBatch writes the full records AND
+    the side projection per micro-batch (reference test.py:577-580);
+    the read-back of the main sink oracle-checks the whole path."""
+    import hashlib
+    import shutil
+
+    from etl_dagster_service_crawler_spark.io.sinks import dual_sink_foreach_batch
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/dual_sink"
+    shutil.rmtree(base, ignore_errors=True)
+    main, side = f"{base}/main", f"{base}/side"
+    s = stream_events(spark, sf_dir).select("event_id", "event_type")
+    q = (
+        s.writeStream.foreachBatch(
+            dual_sink_foreach_batch(main, side, ["event_type"])
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.schema("event_id bigint, event_type string").json(main)
+
+
+SQL_STREAM_DUAL_SINK = "SELECT event_id, event_type FROM events"
+
+
 SPECS = [
     QuerySpec("stream_ingest_project", q_stream_ingest_project, SQL_STREAM_PROJECT),
+    QuerySpec("stream_dual_sink", q_stream_dual_sink, SQL_STREAM_DUAL_SINK),
     QuerySpec("stream_window_tumbling", q_stream_window_tumbling, SQL_STREAM_TUMBLING, bench=True),
     QuerySpec("stream_window_sliding", q_stream_window_sliding, SQL_STREAM_SLIDING),
     QuerySpec("stream_window_session", q_stream_window_session, SQL_STREAM_SESSION),
