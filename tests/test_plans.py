@@ -64,3 +64,15 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
         assert "Exchange hashpartitioning(o_orderkey" not in join_part
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
+    """Catalyst must rewrite the correlated EXISTS into a (left semi)
+    join — a nested-loop per-row subquery would never survive scale."""
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_subquery_exists,
+    )
+
+    plan = _plan(q_subquery_exists(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
