@@ -180,6 +180,63 @@ def minhash_assign_representatives(
     )
 
 
+def minhash_cluster_cc(
+    df: DataFrame, id_col: str, text_col: str, max_iters: int = 10
+) -> DataFrame:
+    """FULL near-dup clustering: connected components over the LSH
+    bucket graph by iterative label propagation to a fixpoint.
+
+    One-hop assignment (minhash_assign_representatives) can split a
+    chain A~B~C where A and C share buckets only with B; propagating
+    bucket-min labels until no label changes merges such chains. Each
+    iteration is two shuffles (bucket-min, doc-min); label-count
+    convergence is checked with one tiny count per iteration. Docs with
+    no co-bucketed neighbor keep their own id as label.
+
+    At 100 TB: iterations are label-only frames (id, label — 16 bytes a
+    row); the text/token stream is touched exactly once to build
+    buckets. Near-dup graphs have tiny diameters (dup clusters are
+    dense), so this converges in 2-4 iterations in practice."""
+    sig = minhash_signatures(df, id_col, text_col)
+    bands = F.array(
+        *[
+            F.xxhash64(
+                F.lit(j),
+                *[F.element_at("sig", j * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
+            )
+            for j in range(LSH_BANDS)
+        ]
+    )
+    # (id, bucket) edges — built once, reused every iteration
+    buckets = sig.select(F.col(id_col), F.explode(bands).alias("bh")).persist()
+    buckets.count()
+
+    labels = (
+        buckets.select(id_col).distinct().withColumn("label", F.col(id_col)).persist()
+    )
+    prev_distinct = -1
+    for _ in range(max_iters):
+        # bucket label = min label of members; doc label = min over buckets
+        bucket_min = (
+            buckets.join(labels, id_col)
+            .groupBy("bh")
+            .agg(F.min("label").alias("bucket_label"))
+        )
+        new_labels = (
+            buckets.join(bucket_min, "bh")
+            .groupBy(id_col)
+            .agg(F.min("bucket_label").alias("label"))
+            .persist()
+        )
+        n_distinct = new_labels.select("label").distinct().count()
+        labels.unpersist()
+        labels = new_labels
+        if n_distinct == prev_distinct:
+            break
+        prev_distinct = n_distinct
+    return labels.withColumn("is_dup", F.col(id_col) != F.col("label"))
+
+
 SIMHASH_BITS = 63  # 1<<63 overflows a signed long literal
 
 

@@ -30,6 +30,7 @@ from etl_dagster_service_crawler_spark.io.tables import load_table
 from etl_dagster_service_crawler_spark.operators.dedup import (
     dedup_exact,
     minhash_assign_representatives,
+    minhash_cluster_cc,
     minhash_dedup_pairs,
     simhash_near_pairs,
 )
@@ -174,6 +175,13 @@ def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration is O(cluster^2) (rows-only: approximate by design)."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_assign_representatives(d, "doc_id", "text").orderBy("doc_id")
+
+
+def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full connected-components near-dup clustering (rows-only:
+    iterative, not SQL-expressible; unit-tested chain merging)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_cluster_cc(d, "doc_id", "text").orderBy("doc_id")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +359,7 @@ SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, bench=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash, None, bench=True),
     QuerySpec("dedup_minhash_assign", q_dedup_minhash_assign, None, bench=True),
+    QuerySpec("dedup_minhash_cc", q_dedup_minhash_cc, None),
     QuerySpec("dedup_simhash", q_dedup_simhash, None),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, SQL_EMBEDDING_COSINE),

@@ -156,3 +156,27 @@ def test_dual_sink_foreach_batch_writes_both(spark, sf_dir, tmp_path):
     n = main_df.count()
     assert n > 0 and side_df.count() == n
     assert side_df.columns == ["event_type"]
+
+
+def test_cc_merges_chains_one_hop_cannot(spark):
+    """A~B and B~C overlap (share LSH buckets) but A and C don't; full
+    connected components must put all three in one cluster."""
+    from pyspark.sql import Row
+
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        minhash_cluster_cc,
+    )
+
+    # jaccard(a, mid) = jaccard(mid, c) ~ 0.94 — above the ~0.84
+    # banding threshold; a and c differ at both ends
+    mid = " ".join(f"w{i}" for i in range(30))
+    a = " ".join(f"w{i}" for i in range(0, 29)) + " onlyA"
+    c = " ".join(f"w{i}" for i in range(1, 30)) + " onlyC"
+    other = "entirely different text about benchmarks and clusters"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=mid),
+         Row(doc_id=3, text=c), Row(doc_id=4, text=other)]
+    )
+    lab = {r["doc_id"]: r["label"] for r in minhash_cluster_cc(df, "doc_id", "text").collect()}
+    assert lab[1] == lab[2] == lab[3]
+    assert lab[4] != lab[1]
