@@ -58,6 +58,41 @@ def session_counts(events: DataFrame, gap: str = "10 minutes") -> DataFrame:
     )
 
 
+def stream_stream_join(
+    purchases: DataFrame, errors: DataFrame, within: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase joined to error events of
+    the same user within [purchase_ts, purchase_ts + within). Both sides
+    carry watermarks so join state is bounded — Spark buffers only rows
+    younger than the watermark horizon on each side.
+
+    Time-bound + equality predicate is mandatory: without the time
+    range, state would grow forever; without the key, it's a stateful
+    cross join."""
+    p = (
+        purchases.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    e = (
+        errors.withWatermark("ts", "30 minutes")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("event_id").alias("error_id"),
+            F.col("ts").alias("e_ts"),
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("e_user"))
+        & (F.col("e_ts") >= F.col("p_ts"))
+        & (F.col("e_ts") < F.col("p_ts") + F.expr(f"INTERVAL {within}"))
+    )
+    return p.join(e, cond).select("purchase_id", "error_id", "p_user")
+
+
 def watermarked_tumbling(events: DataFrame, width: str = "1 hour",
                          late: str = "30 minutes") -> DataFrame:
     """Tumbling counts with a watermark — append-mode capable: state for

@@ -25,6 +25,7 @@ from etl_dagster_service_crawler_spark.streaming.state import (
 from etl_dagster_service_crawler_spark.streaming.windows import (
     session_counts,
     sliding_counts,
+    stream_stream_join,
     tumbling_counts,
     watermarked_tumbling,
 )
@@ -101,6 +102,24 @@ GROUP BY user_id, sid
 """
 
 
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (purchase -> error of the
+    same user within 1h). A single availableNow batch sees all rows, so
+    the emitted set equals the batch join — exact SQL oracle."""
+    p = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    e = stream_events(spark, sf_dir).where(F.col("event_type") == "error")
+    return run_available_now(stream_stream_join(p, e), "append")
+
+
+SQL_STREAM_STREAM_JOIN = """
+SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id AS p_user
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'error') e
+  ON p.user_id = e.user_id
+ AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 1 HOUR
+"""
+
+
 def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling agg in APPEND mode: only windows the
     watermark has passed are emitted (finalized); the trailing windows
@@ -173,6 +192,7 @@ SPECS = [
     QuerySpec("stream_window_tumbling", q_stream_window_tumbling, SQL_STREAM_TUMBLING, bench=True),
     QuerySpec("stream_window_sliding", q_stream_window_sliding, SQL_STREAM_SLIDING),
     QuerySpec("stream_window_session", q_stream_window_session, SQL_STREAM_SESSION),
+    QuerySpec("stream_stream_join", q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     QuerySpec("stream_watermark_late", q_stream_watermark_late, SQL_STREAM_WATERMARK_LATE),
     QuerySpec("stream_dedup_watermark", q_stream_dedup_watermark, None),
     QuerySpec("stream_stateful_error_budget", q_stream_stateful_error_budget, None),
