@@ -20,12 +20,16 @@ from pyspark.sql import functions as F
 
 
 def clean_tokens(col: Column, tokens: list[str]) -> Column:
-    """Trim whitespace and strip literal tokens anywhere in the string."""
+    """Trim whitespace and strip literal tokens anywhere in the string.
+
+    Trims UNICODE whitespace (\\p{Z} covers U+00A0 etc.), matching the
+    reference's Python str.strip() semantics — Spark's trim() only
+    strips ASCII space."""
     out = col
     for t in tokens:
         # re-escape: tokens are literals, not patterns
         out = F.regexp_replace(out, F.lit(t), F.lit(""))
-    return F.trim(out)
+    return F.regexp_replace(out, F.lit(r"^[\s\p{Z}]+|[\s\p{Z}]+$"), F.lit(""))
 
 
 def conditional_encode(col: Column, mapping: dict[str, str], default: str) -> Column:
