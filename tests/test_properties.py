@@ -69,3 +69,42 @@ def test_clean_tokens_strips_all_occurrences(spark, body):
     ).first()
     assert "更新" not in row["c"]
     assert row["c"] == row["c"].strip()
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),                      # user bucket
+            st.integers(0, 6 * 3600),               # seconds offset
+            st.sampled_from(["click", "purchase", "error"]),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_stream_tumbling_equals_batch(spark, rows):
+    """Batch-stream equivalence: an availableNow complete-mode drain of
+    the windowed agg must equal the same plan run in batch."""
+    import datetime as dt
+
+    from etl_dagster_service_crawler_spark.streaming.ingest import run_available_now
+    from etl_dagster_service_crawler_spark.streaming.windows import tumbling_counts
+
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (i, base + dt.timedelta(seconds=off), u, et, float(i))
+        for i, (u, off, et) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double"
+    )
+    batch = {tuple(r) for r in tumbling_counts(df).collect()}
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        s = spark.readStream.schema(df.schema).parquet(d)
+        streamed = {tuple(r) for r in run_available_now(tumbling_counts(s), "complete").collect()}
+    assert streamed == batch
