@@ -109,10 +109,21 @@ def crawl_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     gated = enriched.where(n_empty == 0)
 
+    # K4/Q1: metrics ride the sink write (no extra pass); the write
+    # below is an action, so the observation is live right after it
+    from etl_dagster_service_crawler_spark.io.observability import observe_quality
+
+    gated, obs = observe_quality(gated, ["keyword", "title", "company_key"])
+
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     base = f"/tmp/spark_graft_sinks/{tag}/crawl_e2e"
     shutil.rmtree(base, ignore_errors=True)
     sink_json_append(gated, f"{base}/records")
+    import logging
+
+    logging.getLogger("spark_graft.pipeline").info(
+        "crawl_e2e quality: %s", obs.get
+    )
     sink_json_append(gated.select("company_url").distinct(), f"{base}/com_url")
 
     back = spark.read.schema(gated.schema).json(f"{base}/records")
