@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import os
 import sys
 import time
 
@@ -65,9 +66,22 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entrymod
-    from etl_dagster_service_crawler_spark.session import get_spark
 
-    spark = get_spark(app_name="verify-local")
+    if os.environ.get("SPARK_GRAFT_PLAIN"):
+        # closest mimic of the driver: a bare session with none of
+        # get_spark()'s confs — loaders must set what they need
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.ui.enabled", "false")
+            .appName("verify-local-plain")
+            .getOrCreate()
+        )
+    else:
+        from etl_dagster_service_crawler_spark.session import get_spark
+
+        spark = get_spark(app_name="verify-local")
 
     con = duckdb.connect()
     for t in TABLES:
