@@ -188,6 +188,68 @@ GROUP BY o_orderstatus
 """
 
 
+def q_histogram_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: LEFT join so zero-order customers count, then a
+    second aggregation builds the distribution of order counts."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_HISTOGRAM = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_min_within_group_joinback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per-group minimum then join back to recover the
+    full row(s) at that minimum — the argmin pattern without a window
+    over the whole fact (two small shuffles instead of one big sort)."""
+    p = load_table(spark, sf_dir, "part").alias("p")
+    mins = (
+        load_table(spark, sf_dir, "part")
+        .groupBy(F.col("p_type").alias("m_type"))
+        .agg(F.min("p_retailprice").alias("min_price"))
+    )
+    return (
+        p.join(
+            mins,
+            (F.col("p.p_type") == F.col("m_type"))
+            & (F.col("p.p_retailprice") == F.col("min_price")),
+        )
+        .select(
+            F.col("p.p_type").alias("p_type"),
+            "p_partkey",
+            (F.floor(F.col("p.p_retailprice") * 1e2 + F.lit(0.5)) / 1e2).alias("price"),
+        )
+    )
+
+
+SQL_MIN_JOINBACK = """
+SELECT p.p_type, p_partkey,
+       floor(p_retailprice * 100.0 + 0.5) / 100.0 AS price
+FROM part p
+JOIN (SELECT p_type, min(p_retailprice) AS min_price FROM part GROUP BY p_type) m
+  ON p.p_type = m.p_type AND p.p_retailprice = m.min_price
+"""
+
+
 def q_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-shaped bench query: selective dim filter -> fact join ->
     agg -> top-k. Checks that the c_mktsegment filter prunes before the
@@ -234,5 +296,7 @@ SPECS = [
     QuerySpec("join_asof_nearest", q_join_asof, SQL_ASOF, bench=True),
     QuerySpec("join_salted_skew", q_join_salted_skew, SQL_SALTED),
     QuerySpec("join_range_band", q_join_range_band, SQL_RANGE_BAND),
+    QuerySpec("histogram_orders_per_customer", q_histogram_orders_per_customer, SQL_HISTOGRAM),
+    QuerySpec("min_within_group_joinback", q_min_within_group_joinback, SQL_MIN_JOINBACK),
     QuerySpec("topk_revenue_orders", q_topk_revenue_orders, SQL_TOPK_REVENUE, bench=True),
 ]
