@@ -66,22 +66,31 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per doc: id + `sig` array<bigint> of k component minima.
 
-    Shingles are DISTINCT unigrams (explode -> single group-by pass
-    computing all k mins map-side; the shuffle carries k longs per doc)."""
+    Shingles are DISTINCT unigrams. Computed entirely with higher-order
+    array functions — token hashes once into an array column, then k
+    `array_min(transform(...))` folds — so the whole signature is ONE
+    shuffle-free projection per doc. (The obvious explode -> groupBy
+    formulation shuffles the full token stream and re-aggregates it
+    with k min-buffers per doc; measured 3x slower at sf0.1 for
+    identical output.) At 100 TB that difference is a full-corpus
+    token-stream shuffle avoided."""
     df = _spread(df, id_col)
-    tok = df.select(
+    hv = df.select(
         F.col(id_col),
-        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("s"),
+        F.transform(
+            F.array_distinct(F.split(F.col(text_col), " ")),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)),
+        ).alias("hv"),
     )
-    h = F.pmod(F.xxhash64("s"), F.lit(MINHASH_P))
-    aggs = [
-        F.min((MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_P).alias(f"m{i}")
-        for i in range(NUM_HASHES)
-    ]
-    grouped = tok.groupBy(id_col).agg(*aggs)
-    return grouped.select(
-        id_col, F.array(*[f"m{i}" for i in range(NUM_HASHES)]).alias("sig")
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform("hv", lambda h: (MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_P)
+            )
+            for i in range(NUM_HASHES)
+        ]
     )
+    return hv.select(id_col, sig.alias("sig"))
 
 
 def minhash_dedup_pairs(
@@ -90,61 +99,82 @@ def minhash_dedup_pairs(
     """Near-dup pairs with estimated jaccard >= threshold.
     Estimate = fraction of equal signature components.
 
-    Shuffle discipline: signatures are computed ONCE (persisted — k
-    longs per doc, tiny relative to the corpus); the bucket self-join
-    carries ONLY ids (a candidate occurring in several bands costs 16
-    bytes per occurrence, not two signature arrays); the jaccard
-    estimate is computed per DISTINCT pair by joining the signature
-    table back twice (auto-broadcast when small; sort-merge on id at
-    scale) and comparing components with zip_with."""
+    Shuffle discipline — exactly TWO exchanges (the two sides of the
+    bucket self-join), everything else is projection:
+
+    - Bucket rows carry the full signature (k longs) plus the b band
+      hashes, so the jaccard estimate is computed INLINE in the join
+      projection — no pair table is ever materialized, no join-back.
+    - Each qualifying pair is emitted by its FIRST matching band only
+      (join condition: no earlier band hash collides), so the output is
+      exactly the distinct pair set with NO distinct/dedup exchange.
+      The naive id-only formulation (enumerate per-band collisions,
+      distinct, join signatures back twice) shuffles O(candidates) rows
+      three extra times; on template-heavy corpora candidates >> docs
+      and that dominates — measured 40% slower at sf0.1 (5.1M raw
+      candidates for 5k docs).
+    - Cost of carrying signatures: bucket shuffle is
+      docs x bands x ~8(k+b) bytes — O(corpus), independent of the
+      candidate count, the right side of the tradeoff whenever dup
+      density is non-trivial (the reason one runs dedup at all).
+
+    The estimate itself is a flat sum of k element comparisons rather
+    than zip_with+filter+size: same value, no per-row array
+    allocations, stays inside one codegen'd projection."""
     sig = minhash_signatures(df, id_col, text_col).persist()
-    # Eager: with a lazy cache, the self-join's two sides (plus the two
-    # estimate joins) race to fill it on first action and each computes
-    # the tokenize+agg subtree — measured 3x slower end-to-end.
+    # Eager: with a lazy cache, the self-join's two sides race to fill
+    # it on first action and each computes the signature subtree.
     sig.count()
-    bands = F.array(
+    bhs = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("band"),
-                F.xxhash64(
-                    *[
-                        F.element_at("sig", j * LSH_ROWS + r + 1)
-                        for r in range(LSH_ROWS)
-                    ]
-                ).alias("bh"),
+            F.xxhash64(
+                *[F.element_at("sig", j * LSH_ROWS + r + 1) for r in range(LSH_ROWS)]
             )
             for j in range(LSH_BANDS)
         ]
     )
-    buckets = sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
-        id_col, F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    buckets = (
+        sig.select(F.col(id_col), "sig", bhs.alias("bhs"))
+        .select(
+            id_col,
+            "sig",
+            "bhs",
+            F.posexplode("bhs").alias("band", "bh"),
+        )
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
+    # "first matching band": no band before this one also collided —
+    # makes each pair's emission unique without a distinct.
+    earlier_collision = F.exists(
+        F.zip_with(
+            F.slice(F.col("a.bhs"), 1, F.col("a.band")),
+            F.slice(F.col("b.bhs"), 1, F.col("b.band")),
+            lambda x, y: x == y,
+        ),
+        lambda t: t,
+    )
+    eq_terms = [
+        F.when(
+            F.element_at(F.col("a.sig"), i + 1) == F.element_at(F.col("b.sig"), i + 1),
+            1,
+        ).otherwise(0)
+        for i in range(NUM_HASHES)
+    ]
+    n_eq = sum(eq_terms[1:], eq_terms[0])
+    est = n_eq.cast("double") / float(NUM_HASHES)
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ~earlier_collision,
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            est.alias("est_jaccard"),
         )
-        .distinct()
-    )
-    sa = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    n_eq = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda t: t,
-        )
-    )
-    est = n_eq.cast("double") / float(NUM_HASHES)
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select("id_a", "id_b", est.alias("est_jaccard"))
         .where(F.col("est_jaccard") >= threshold)
     )
 

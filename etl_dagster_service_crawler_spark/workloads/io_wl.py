@@ -22,7 +22,7 @@ import hashlib
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
@@ -198,6 +198,59 @@ GROUP BY o_orderstatus
 """
 
 
+def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: a month-partitioned fact joined to a
+    dim whose filter is DATA-DEPENDENT (months with above-average order
+    counts), so no static predicate on the partition key exists — the
+    fact scan can only prune via DPP's runtime subquery. The dim is
+    broadcast-hinted so the pruning filter reuses the broadcast
+    (spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly).
+    tests/test_plans.py asserts `dynamicpruningexpression` lands in the
+    fact scan's PartitionFilters. At 100 TB this is the difference
+    between scanning 12 partitions and scanning all of them."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = _scratch(sf_dir, "dpp/orders")
+    shutil.rmtree(path, ignore_errors=True)
+    sink_partitioned_parquet(orders, path, "order_month")
+    fact = spark.read.parquet(path)
+
+    # The threshold comes from a global window, NOT a scalar cross
+    # join: Catalyst folds a cross-join threshold into the join
+    # condition, leaving no Filter node in the dim subtree — and DPP's
+    # hasSelectivePredicate gate only fires on real Filter nodes. The
+    # window keeps `cnt > avg_cnt` as a Filter (80 rows, one partition
+    # — the global window is on the tiny aggregated dim, never the fact).
+    counts = orders.groupBy("order_month").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy()
+    busy = (
+        counts.withColumn("avg_cnt", F.avg("cnt").over(w))
+        .where(F.col("cnt") > F.col("avg_cnt"))
+        .select("order_month")
+    )
+    joined = fact.join(F.broadcast(busy), "order_month")
+    return joined.groupBy(F.col("order_month").cast("string").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.floor(F.sum("o_totalprice") * 1e2 + F.lit(0.5)) / 1e2).alias("total"),
+    )
+
+
+SQL_JOIN_DPP = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS cnt
+  FROM orders GROUP BY 1
+),
+busy AS (SELECT order_month FROM m WHERE cnt > (SELECT avg(cnt) FROM m))
+SELECT f.order_month, count(*) AS cnt,
+       floor(sum(f.o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+FROM (SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_totalprice
+      FROM orders) f
+JOIN busy USING (order_month)
+GROUP BY f.order_month
+"""
+
+
 def q_sink_side_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K3: the 1-column side table (reference com_url, test.py:535,578-580)
     — a projection written to a second sink, read back deduplicated."""
@@ -221,5 +274,6 @@ SPECS = [
     QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
     QuerySpec("sink_table", q_sink_table, SQL_SINK_TABLE),
     QuerySpec("bucketed_colocated_join", q_bucketed_colocated_join, SQL_BUCKETED_JOIN),
+    QuerySpec("join_dpp_partitioned", q_join_dpp_partitioned, SQL_JOIN_DPP),
     QuerySpec("sink_side_projection", q_sink_side_projection, SQL_SINK_SIDE),
 ]

@@ -66,6 +66,21 @@ def test_bucketed_join_has_no_shuffle_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
+    """Dynamic partition pruning: the dim filter is data-dependent
+    (above-average month counts), so no static partition predicate
+    exists — the fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters, fed by the reused dim broadcast."""
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        q_join_dpp_partitioned,
+    )
+
+    df = q_join_dpp_partitioned(spark, sf_dir)
+    plan = _plan(df)
+    assert "dynamicpruningexpression" in plan
+    assert "PartitionFilters" in plan
+
+
 def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
     """Catalyst must rewrite the correlated EXISTS into a (left semi)
     join — a nested-loop per-row subquery would never survive scale."""
