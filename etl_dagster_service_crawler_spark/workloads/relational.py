@@ -668,6 +668,51 @@ SELECT o_custkey AS key FROM orders
 """
 
 
+def q_set_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE/upsert done relationally: a full outer join of
+    snapshot and update batch on the key, update winning per column via
+    coalesce — rows only in the snapshot survive, overlapping keys take
+    the update's values, new keys insert. This generalizes the
+    reference's read-old-concat-new JSON merge (K1, test.py:115-120)
+    to keyed upsert semantics. At 100 TB: one shuffle per side on the
+    key (sort-merge); with both tables bucketed on the key it is
+    exchange-free like q_bucketed_colocated_join."""
+    o = load_table(spark, sf_dir, "orders")
+    cutoff_old = F.lit("1996-01-01").cast("date")
+    cutoff_new = F.lit("1995-01-01").cast("date")
+    snap = o.where(F.to_date("o_orderdate") < cutoff_old).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    upd = o.where(F.to_date("o_orderdate") >= cutoff_new).select(
+        "o_orderkey",
+        F.lit("R").alias("o_orderstatus"),
+        fround(F.col("o_totalprice") * 1.05).alias("o_totalprice"),
+    )
+    merged = snap.alias("s").join(upd.alias("n"), "o_orderkey", "full_outer")
+    return merged.select(
+        "o_orderkey",
+        F.coalesce(F.col("n.o_orderstatus"), F.col("s.o_orderstatus")).alias("status"),
+        F.coalesce(F.col("n.o_totalprice"), F.col("s.o_totalprice")).alias("price"),
+    )
+
+
+SQL_UPSERT_MERGE = """
+WITH snap AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+),
+upd AS (
+  SELECT o_orderkey, 'R' AS o_orderstatus,
+         floor((o_totalprice * 1.05) * 100.0 + 0.5) / 100.0 AS o_totalprice
+  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+)
+SELECT coalesce(n.o_orderkey, s.o_orderkey) AS o_orderkey,
+       coalesce(n.o_orderstatus, s.o_orderstatus) AS status,
+       coalesce(n.o_totalprice, s.o_totalprice) AS price
+FROM snap s FULL JOIN upd n ON s.o_orderkey = n.o_orderkey
+"""
+
+
 # --- quality gate -------------------------------------------------------------
 
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -974,6 +1019,7 @@ SPECS = [
     QuerySpec("set_union_dedup", q_set_union_dedup, SQL_UNION_DEDUP),
     QuerySpec("set_intersect", q_set_intersect, SQL_INTERSECT),
     QuerySpec("set_except", q_set_except, SQL_EXCEPT),
+    QuerySpec("set_upsert_merge", q_set_upsert_merge, SQL_UPSERT_MERGE),
     QuerySpec("quality_gate", q_quality_gate, SQL_QUALITY),
     QuerySpec("scalar_string_fns", q_scalar_string_fns, SQL_STRING_FNS),
     QuerySpec("scalar_date_fns", q_scalar_date_fns, SQL_DATE_FNS),
