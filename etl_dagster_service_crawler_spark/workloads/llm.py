@@ -9,7 +9,7 @@ ARE oracle-checked, so the approximation layers sit on verified math.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
@@ -141,6 +141,69 @@ SELECT doc_id,
                       list_transform(string_split_regex(text, ''),
                                      c -> CAST(ascii(c) AS BIGINT))),
          (acc, x) -> (acc * 31 + x) % 1000000007) AS fp_roll
+FROM documents
+"""
+
+
+def q_split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split by hashing the DOC ID, not by
+    random(): reproducible across runs/engines, stable under
+    repartitioning, and new documents never reshuffle old assignments
+    — the properties a training pipeline needs from a split. md5 is
+    the hash because Spark and DuckDB agree on it bit-for-bit (the
+    oracle check is exactly the cross-engine-reproducibility claim).
+    First hex nibble <= 'c' -> train (13/16 = 81.25%)."""
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.select(
+        "doc_id",
+        F.when(nib <= "c", "train").otherwise("holdout").alias("split"),
+    )
+
+
+SQL_SPLIT_TRAIN_HOLDOUT = """
+SELECT doc_id,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c'
+            THEN 'train' ELSE 'holdout' END AS split
+FROM documents
+"""
+
+
+PACK_BUDGET_TOKENS = 2048
+
+
+def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign docs to contiguous ~2048-token packs
+    per source (running token sum over a per-source window; a doc
+    lands in pack floor(tokens_before/budget)). One shuffle on the
+    pack partition key (source). At 100 TB the window key must bound
+    partition size — pack within (source, shard) rather than a global
+    ORDER BY, which is exactly how this is written."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.col("text"), " ")).cast("int")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(n_tok).over(w)
+    pack = F.floor((cum - n_tok) / float(PACK_BUDGET_TOKENS)).cast("int")
+    return d.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        pack.alias("pack_id"),
+    )
+
+
+SQL_PACK_TOKEN_BUDGET = f"""
+SELECT source, doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
+       CAST(floor((sum(len(string_split(text, ' ')))
+                     OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - len(string_split(text, ' '))) / {float(PACK_BUDGET_TOKENS)}) AS INT)
+         AS pack_id
 FROM documents
 """
 
@@ -356,6 +419,8 @@ SPECS = [
     QuerySpec("text_lang_id", q_text_lang_id, _lang_id_sql()),
     QuerySpec("text_quality_score", q_text_quality_score, SQL_QUALITY_SCORE),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, SQL_FINGERPRINT),
+    QuerySpec("split_train_holdout", q_split_train_holdout, SQL_SPLIT_TRAIN_HOLDOUT),
+    QuerySpec("pack_token_budget", q_pack_token_budget, SQL_PACK_TOKEN_BUDGET),
     QuerySpec("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, bench=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash, None, bench=True),
     QuerySpec("dedup_minhash_assign", q_dedup_minhash_assign, None, bench=True),

@@ -333,6 +333,29 @@ GROUP BY ROLLUP (r_name, n_name)
 """
 
 
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not the rollup/cube lattices): per-status,
+    per-priority, and grand-total aggregates in one pass — Spark expands
+    the sets with a single Expand node over one scan, not three scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderstatus"], ["o_orderpriority"], []],
+        "o_orderstatus",
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        fround(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
 def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct (rows-only: sketch estimates are
     engine-specific; tests assert <=5% relative error vs exact). At
@@ -1005,6 +1028,7 @@ SPECS = [
     QuerySpec("agg_distinct", q_agg_distinct, SQL_DISTINCT),
     QuerySpec("agg_approx_distinct", q_agg_approx_distinct, None),
     QuerySpec("agg_rollup", q_agg_rollup, SQL_ROLLUP),
+    QuerySpec("agg_grouping_sets", q_agg_grouping_sets, SQL_GROUPING_SETS),
     QuerySpec("agg_cube", q_agg_cube, SQL_CUBE),
     QuerySpec("agg_pivot", q_agg_pivot, SQL_PIVOT),
     QuerySpec("agg_stats", q_agg_stats, SQL_STATS),
