@@ -37,6 +37,101 @@ def test_minhash_finds_permuted_duplicate(spark):
     assert pairs[0].est_jaccard == 1.0  # identical token sets
 
 
+def test_minhash_firstband_pairs_equal_naive_distinct(spark, sf_dir):
+    """The first-matching-band emission must produce EXACTLY the pair
+    set the naive formulation gets from enumerate-all-bands + distinct
+    — same ids, same estimates — on real fixture docs."""
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    fast = minhash_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+
+    sig = D.minhash_signatures(docs, "doc_id", "text")
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band"),
+                F.xxhash64(
+                    *[
+                        F.element_at("sig", j * D.LSH_ROWS + r + 1)
+                        for r in range(D.LSH_ROWS)
+                    ]
+                ).alias("bh"),
+            )
+            for j in range(D.LSH_BANDS)
+        ]
+    )
+    buckets = sig.select(F.col("doc_id"), F.explode(bands).alias("b")).select(
+        "doc_id", F.col("b.band").alias("band"), F.col("b.bh").alias("bh")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    naive_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    n_eq = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda t: t,
+        )
+    )
+    naive = (
+        naive_pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (n_eq.cast("double") / float(D.NUM_HASHES)).alias("est_jaccard"),
+        )
+        .where(F.col("est_jaccard") >= 0.5)
+    )
+    got = {(r.id_a, r.id_b, r.est_jaccard) for r in fast.collect()}
+    want = {(r.id_a, r.id_b, r.est_jaccard) for r in naive.collect()}
+    assert got == want and len(want) > 0
+
+
+def test_split_train_holdout_deterministic_fraction(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_split_train_holdout,
+    )
+
+    out = q_split_train_holdout(spark, sf_dir).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in out}
+    total = sum(counts.values())
+    # 13/16 expected in train; generous tolerance for small fixtures
+    assert 0.70 <= counts["train"] / total <= 0.92
+    again = q_split_train_holdout(spark, sf_dir).groupBy("split").count().collect()
+    assert {r["split"]: r["count"] for r in again} == counts
+
+
+def test_pack_token_budget_assignment_matches_local_recompute(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        PACK_BUDGET_TOKENS,
+        q_pack_token_budget,
+    )
+
+    rows = q_pack_token_budget(spark, sf_dir).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1
+    for docs in by_source.values():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in docs:
+            assert r.pack_id == cum // PACK_BUDGET_TOKENS
+            cum += r.n_tok
+
+
 def test_simhash_near_identical_docs_pair_up(spark):
     a = " ".join(f"tok{i}" for i in range(50))
     b = " ".join(f"tok{i}" for i in range(49)) + " other"
