@@ -5,9 +5,10 @@ generation always goes through an equi-join on a bucket key, which is
 the only formulation that survives 100 TB):
 
 - exact:    sha256(text) group-by. One shuffle on the hash.
-- minhash:  unigram shingles -> k permutation-min signatures -> LSH
-            banding -> equi-join on (band, band_hash). Candidate count
-            is controlled by the band geometry, not O(n^2).
+- minhash:  token n-gram shingles (width configurable; default
+            unigram) -> k permutation-min signatures -> LSH banding ->
+            equi-join on (band, band_hash). Candidate count is
+            controlled by the band geometry, not O(n^2).
 - simhash:  63-bit weighted-token signature -> chunk banding ->
             equi-join on chunks, hamming verify via bit_count(xor).
 - embedding:near-dup via cosine on LSH-bucketed candidates (see
@@ -63,22 +64,43 @@ def _spread(df: DataFrame, id_col: str) -> DataFrame:
     return df
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, shingle: int = 1
+) -> DataFrame:
     """One row per doc: id + `sig` array<bigint> of k component minima.
 
-    Shingles are DISTINCT unigrams. Computed entirely with higher-order
-    array functions — token hashes once into an array column, then k
-    `array_min(transform(...))` folds — so the whole signature is ONE
-    shuffle-free projection per doc. (The obvious explode -> groupBy
-    formulation shuffles the full token stream and re-aggregates it
-    with k min-buffers per doc; measured 3x slower at sf0.1 for
-    identical output.) At 100 TB that difference is a full-corpus
-    token-stream shuffle avoided."""
+    Shingles are DISTINCT token n-grams (`shingle` tokens wide; 1 =
+    unigram token set, 3+ = w-shingling, which is order-sensitive and
+    the usual choice for near-dup detection of prose). Computed
+    entirely with higher-order array functions — shingle hashes once
+    into an array column, then k `array_min(transform(...))` folds —
+    so the whole signature is ONE shuffle-free projection per doc.
+    (The obvious explode -> groupBy formulation shuffles the full
+    token stream and re-aggregates it with k min-buffers per doc;
+    measured 3x slower at sf0.1 for identical output.) At 100 TB that
+    difference is a full-corpus token-stream shuffle avoided."""
     df = _spread(df, id_col)
+    toks = F.split(F.col(text_col), " ")
+    if shingle <= 1:
+        grams = toks
+    else:
+        # w-shingles as slices of the token array, joined with a
+        # separator no tokenizer emits (US control char) so adjacent
+        # tokens can't alias across shingle boundaries. Guarded: Spark
+        # sequence(1, n) DESCENDS when n < 1, so docs shorter than one
+        # shingle must get an explicit empty array.
+        n = F.size(toks) - shingle + 1
+        grams = F.when(
+            n >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws("\x1f", F.slice(toks, i, shingle)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
     hv = df.select(
         F.col(id_col),
         F.transform(
-            F.array_distinct(F.split(F.col(text_col), " ")),
+            F.array_distinct(grams),
             lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)),
         ).alias("hv"),
     )

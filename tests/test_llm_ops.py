@@ -132,6 +132,28 @@ def test_pack_token_budget_assignment_matches_local_recompute(spark, sf_dir):
             cum += r.n_tok
 
 
+def test_minhash_shingles_are_order_sensitive(spark):
+    """Unigram signatures see a token permutation as identical
+    (same token set); 3-gram w-shingles must not. Also: docs shorter
+    than one shingle get an empty gram set, not a crash (Spark's
+    sequence(1, n) descends when n < 1)."""
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    permuted = "kappa iota theta eta zeta epsilon delta gamma beta alpha"
+    df = _docs(spark, [(1, base), (2, permuted), (3, "xy")])
+    uni = {r.doc_id: r.sig for r in minhash_signatures(df, "doc_id", "text").collect()}
+    assert uni[1] == uni[2]
+    tri = {
+        r.doc_id: r.sig
+        for r in minhash_signatures(df, "doc_id", "text", shingle=3).collect()
+    }
+    assert tri[1] != tri[2]
+    assert all(v is None for v in tri[3])  # shorter than one shingle
+
+
 def test_simhash_near_identical_docs_pair_up(spark):
     a = " ".join(f"tok{i}" for i in range(50))
     b = " ".join(f"tok{i}" for i in range(49)) + " other"
