@@ -35,6 +35,29 @@ def sink_partitioned_parquet(
     out.write.mode("append").partitionBy(partition_col).parquet(path)
 
 
+def sink_compacted_parquet(
+    df: DataFrame,
+    path: str,
+    partition_col: str,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Small-files-safe partitioned write: repartition on the partition
+    key first so each partition directory receives ONE shuffle task's
+    output (one file, not one file per upstream task — an unmanaged
+    partitionBy from T tasks over P partitions writes up to T*P tiny
+    files), then cap file size with maxRecordsPerFile so a hot
+    partition splits instead of producing a multi-GB file. At 100 TB
+    the file count is what keeps the table's metadata and scan
+    planning usable."""
+    (
+        df.repartition(F.col(partition_col))
+        .write.mode("append")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def sink_table(df: DataFrame, name: str) -> None:
     """K2: the SQL-queryable 'jobs'-style table (README.md:64-69 in the
     reference); downstream query surface is spark.sql."""

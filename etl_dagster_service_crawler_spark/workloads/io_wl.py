@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
 from etl_dagster_service_crawler_spark.io.sinks import (
+    sink_compacted_parquet,
     sink_json_append,
     sink_partitioned_parquet,
 )
@@ -198,6 +199,33 @@ GROUP BY o_orderstatus
 """
 
 
+def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 partitioned + small-files control: repartition on the
+    partition key before partitionBy so each partition dir gets one
+    file (tests/test_io_udf.py counts them), maxRecordsPerFile splits
+    hot partitions. Read-back aggregate is the oracle-checked
+    round-trip."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "order_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    path = _scratch(sf_dir, "sink_compacted/orders")
+    shutil.rmtree(path, ignore_errors=True)
+    sink_compacted_parquet(orders, path, "order_month")
+    back = spark.read.parquet(path)
+    return back.groupBy(F.col("order_month").cast("string").alias("order_month")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (F.floor(F.sum("o_totalprice") * 1e2 + F.lit(0.5)) / 1e2).alias("total"),
+    )
+
+
+SQL_SINK_COMPACTED = """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS cnt,
+       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+GROUP BY 1
+"""
+
+
 def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: a month-partitioned fact joined to a
     dim whose filter is DATA-DEPENDENT (months with above-average order
@@ -272,6 +300,7 @@ SPECS = [
     QuerySpec("scan_csv", q_scan_csv, SQL_SCAN_CSV),
     QuerySpec("sink_json_append", q_sink_json_append, SQL_SINK_JSON_APPEND),
     QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
+    QuerySpec("sink_compacted", q_sink_compacted, SQL_SINK_COMPACTED),
     QuerySpec("sink_table", q_sink_table, SQL_SINK_TABLE),
     QuerySpec("bucketed_colocated_join", q_bucketed_colocated_join, SQL_BUCKETED_JOIN),
     QuerySpec("join_dpp_partitioned", q_join_dpp_partitioned, SQL_JOIN_DPP),

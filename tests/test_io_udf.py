@@ -43,6 +43,27 @@ def test_sink_partitioned_prunes_on_partition_key(spark, sf_dir):
     assert "PartitionFilters" in plan
 
 
+def test_sink_compacted_writes_one_file_per_partition(spark, sf_dir):
+    """The point of the compacted sink is the file count: repartition
+    on the partition key must leave exactly one parquet file per
+    partition dir (records per month are far below maxRecordsPerFile),
+    where an unmanaged partitionBy writes one per upstream task."""
+    import glob
+
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        _scratch,
+        q_sink_compacted,
+    )
+
+    q_sink_compacted(spark, sf_dir).count()
+    base = _scratch(sf_dir, "sink_compacted/orders")
+    part_dirs = glob.glob(f"{base}/order_month=*")
+    assert len(part_dirs) > 10
+    for d in part_dirs:
+        files = glob.glob(f"{d}/*.parquet")
+        assert len(files) == 1, f"{d} has {len(files)} files"
+
+
 def test_udf_scalar_matches_builtin_arithmetic(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     expect = ev.select(
