@@ -94,23 +94,41 @@ def run_processing_time(
 
 
 def run_available_now(
-    stream_df: DataFrame, output_mode: str = "append", timeout_s: int = 300
+    stream_df: DataFrame,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Drain the stream into a memory sink (availableNow) and return the
     result as a batch DataFrame. Memory sink is for tests/driver checks
-    only — production sinks live in io/sinks.py (foreachBatch)."""
+    only — production sinks live in io/sinks.py (foreachBatch).
+
+    `state_partitions` sizes the stateful operator's state-store count
+    (= shuffle partitions, fixed at query start and immutable for the
+    checkpoint's lifetime): every state store pays per-batch open/
+    commit/snapshot overhead, so it should track the STATE volume (key
+    count), not the batch shuffle default — a few thousand keys want a
+    handful of partitions, a billion-key dedup wants thousands. The
+    conf is restored after start; values are identical either way."""
+    spark = stream_df.sparkSession
     name = f"stream_out_{next(_memory_names)}"
-    q = (
+    writer = (
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
-        .start()
     )
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = writer.start()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     try:
         q.awaitTermination(timeout_s)
     finally:
         if q.isActive:
             q.stop()
-    spark = stream_df.sparkSession
     return spark.table(name)

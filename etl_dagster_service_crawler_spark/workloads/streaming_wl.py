@@ -46,7 +46,10 @@ SELECT event_id, event_type, value FROM events WHERE value > 100.0
 
 def q_stream_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_events(spark, sf_dir)
-    return run_available_now(tumbling_counts(s), "complete")
+    # state keyspace is (hour-window x event_type) ~ a few thousand keys
+    # -> 8 state stores, not the batch shuffle default (see
+    # run_available_now's state_partitions note)
+    return run_available_now(tumbling_counts(s), "complete", state_partitions=8)
 
 
 SQL_STREAM_TUMBLING = """
