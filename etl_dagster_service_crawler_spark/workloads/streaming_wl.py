@@ -64,7 +64,9 @@ GROUP BY 1, 2
 
 def q_stream_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_events(spark, sf_dir)
-    return run_available_now(sliding_counts(s), "complete")
+    # hour-grain window keyspaces are small; see run_available_now's
+    # state_partitions note
+    return run_available_now(sliding_counts(s), "complete", state_partitions=8)
 
 
 # a 2h-wide/1h-slide window with start S contains ts iff
@@ -80,7 +82,7 @@ GROUP BY 1
 
 def q_stream_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_events(spark, sf_dir)
-    return run_available_now(session_counts(s), "complete")
+    return run_available_now(session_counts(s), "complete", state_partitions=8)
 
 
 # gaps-and-islands: a new session starts when the gap from the previous
@@ -129,7 +131,7 @@ def q_stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in state. With one availableNow batch the final watermark is
     max(ts) - 30min, so the emitted set is exactly SQL-expressible."""
     s = stream_events(spark, sf_dir)
-    return run_available_now(watermarked_tumbling(s), "append")
+    return run_available_now(watermarked_tumbling(s), "append", state_partitions=8)
 
 
 SQL_STREAM_WATERMARK_LATE = """
