@@ -222,6 +222,10 @@ def minhash_assign_representatives(
             for j in range(LSH_BANDS)
         ]
     )
+    # No persist needed although buckets feed two consumers: both sit
+    # above the same groupBy/join exchange, and exchange reuse shares
+    # the shuffled signature subtree (measured: a persist+count here is
+    # wash-to-slower).
     buckets = sig.select(F.col(id_col), F.explode(bands).alias("bh"))
     bucket_min = buckets.groupBy("bh").agg(F.min(id_col).alias("bucket_rep"))
     return (
