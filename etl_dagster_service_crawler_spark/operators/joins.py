@@ -27,6 +27,24 @@ def broadcast_dim_join(
     return fact.join(F.broadcast(dim), on, how)
 
 
+def upsert_merge(
+    snapshot: DataFrame, updates: DataFrame, key: str, cols: list[str]
+) -> DataFrame:
+    """Keyed MERGE/upsert: full outer join on `key`, update wins per
+    column via coalesce — snapshot-only rows survive, overlapping keys
+    take the update's values, update-only keys insert. Output columns:
+    key + cols. One shuffle per side on the key (sort-merge); bucket
+    both tables on the key to make it exchange-free."""
+    merged = snapshot.alias("s").join(updates.alias("n"), key, "full_outer")
+    return merged.select(
+        key,
+        *[
+            F.coalesce(F.col(f"n.{c}"), F.col(f"s.{c}")).alias(c)
+            for c in cols
+        ],
+    )
+
+
 def theta_tolerance_join(
     big: DataFrame, small_dim: DataFrame, condition: Column, how: str = "inner"
 ) -> DataFrame:

@@ -36,6 +36,7 @@ from etl_dagster_service_crawler_spark.functions.collections import (
     map_build,
 )
 from etl_dagster_service_crawler_spark.io.tables import load_table
+from etl_dagster_service_crawler_spark.operators.joins import upsert_merge
 
 
 # --- projections & filters -------------------------------------------------
@@ -711,11 +712,11 @@ def q_set_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("R").alias("o_orderstatus"),
         fround(F.col("o_totalprice") * 1.05).alias("o_totalprice"),
     )
-    merged = snap.alias("s").join(upd.alias("n"), "o_orderkey", "full_outer")
+    merged = upsert_merge(snap, upd, "o_orderkey", ["o_orderstatus", "o_totalprice"])
     return merged.select(
         "o_orderkey",
-        F.coalesce(F.col("n.o_orderstatus"), F.col("s.o_orderstatus")).alias("status"),
-        F.coalesce(F.col("n.o_totalprice"), F.col("s.o_totalprice")).alias("price"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
     )
 
 

@@ -30,6 +30,24 @@ def test_parse_range_roundtrips_ints(spark, lo, hi):
 
 
 @_slow
+@given(
+    snap=st.dictionaries(st.integers(0, 30), st.integers(-100, 100), max_size=12),
+    upd=st.dictionaries(st.integers(0, 30), st.integers(-100, 100), max_size=12),
+)
+def test_upsert_merge_is_dict_merge(spark, snap, upd):
+    """upsert_merge(snapshot, updates) must equal Python's
+    {**snap, **upd}: snapshot-only keys survive, overlaps take the
+    update, update-only keys insert."""
+    from etl_dagster_service_crawler_spark.operators.joins import upsert_merge
+
+    schema = "k int, v int"
+    sdf = spark.createDataFrame(list(snap.items()) or [], schema)
+    udf_ = spark.createDataFrame(list(upd.items()) or [], schema)
+    got = {r["k"]: r["v"] for r in upsert_merge(sdf, udf_, "k", ["v"]).collect()}
+    assert got == {**snap, **upd}
+
+
+@_slow
 @given(s=st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40))
 def test_parse_range_never_raises_on_garbage(spark, s):
     df = spark.createDataFrame([Row(s=s)])
