@@ -27,8 +27,9 @@ def clean_tokens(col: Column, tokens: list[str]) -> Column:
     strips ASCII space."""
     out = col
     for t in tokens:
-        # re-escape: tokens are literals, not patterns
-        out = F.regexp_replace(out, F.lit(t), F.lit(""))
+        # tokens are literals, not patterns: quote them so regex
+        # metacharacters ('C++', '(人)', '0~5?') can't corrupt the match
+        out = F.regexp_replace(out, F.lit("\\Q" + t + "\\E"), F.lit(""))
     return F.regexp_replace(out, F.lit(r"^[\s\p{Z}]+|[\s\p{Z}]+$"), F.lit(""))
 
 

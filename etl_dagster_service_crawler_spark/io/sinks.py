@@ -64,6 +64,58 @@ def sink_table(df: DataFrame, name: str) -> None:
     df.write.mode("append").format("parquet").saveAsTable(name)
 
 
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def derby_url(db_dir: str) -> str:
+    """Embedded-Derby JDBC URL (the in-container stand-in for the
+    reference's SQLite jobs.db; Derby ships in Spark's jars/)."""
+    return f"jdbc:derby:{db_dir};create=true"
+
+
+def sink_jdbc(
+    df: DataFrame,
+    url: str,
+    table: str,
+    mode: str = "overwrite",
+    driver: str = DERBY_DRIVER,
+    num_partitions: int = 8,
+    batchsize: int = 10_000,
+) -> None:
+    """K2's literal shape (reference README.md:64-69 — the sqlite3
+    jobs.db table users query directly): push rows to an external
+    RDBMS over JDBC.
+
+    At scale the knobs that matter are numPartitions (caps concurrent
+    connections — an unthrottled 1000-task write is a DDoS on the
+    database) and batchsize (rows per INSERT round-trip). Truncate-
+    overwrite keeps the table's grants/indexes; the overwrite here
+    recreates the schema, which is what a first-deploy looks like."""
+    (
+        df.write.mode(mode)
+        .format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .option("numPartitions", str(num_partitions))
+        .option("batchsize", str(batchsize))
+        .save()
+    )
+
+
+def read_jdbc(spark, url: str, table: str, driver: str = DERBY_DRIVER) -> DataFrame:
+    """Read a JDBC table back (single-partition read: the queryable
+    sink is small by design; partitioned reads would add
+    partitionColumn/bounds)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", table)
+        .option("driver", driver)
+        .load()
+    )
+
+
 def dual_sink_foreach_batch(
     main_path: str, side_path: str, side_cols: list[str]
 ) -> Callable[[DataFrame, int], None]:

@@ -327,47 +327,67 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_near_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, chunks: int = 7
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int | None = None,
+    chunks: int = 7
 ) -> DataFrame:
     """Candidate pairs share >=1 of `chunks` 9-bit signature chunks
     (pigeonhole: any pair within hamming distance chunks-1 must share
-    one); verify with bit_count(xor)."""
+    one); verify with bit_count(xor).
+
+    Recall is complete only for max_hamming <= chunks-1: a pair at
+    distance chunks (or more) can differ in every chunk and never
+    collide. Default is therefore chunks-1; asking for more raises
+    rather than silently returning a partial pair set.
+
+    Like minhash_dedup_pairs, each pair is emitted from its FIRST
+    matching chunk only (join condition: no earlier chunk equal), so
+    the output is the distinct pair set with no distinct exchange —
+    two shuffles total (the self-join's two sides)."""
+    if max_hamming is None:
+        max_hamming = chunks - 1
+    if max_hamming > chunks - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the chunk-banding recall "
+            f"bound chunks-1={chunks - 1}; raise chunks or lower the "
+            "threshold (pairs beyond the bound can differ in every chunk "
+            "and would be silently missed)"
+        )
     # persisted + eagerly materialized: the 63-agg vote pass would
     # otherwise run once per self-join side (lazy caches race-fill)
     sig = simhash_signatures(df, id_col, text_col).persist()
     sig.count()
     width = SIMHASH_BITS // chunks
-    chunk_arr = F.array(
+    cvs = F.array(
         *[
-            F.struct(
-                F.lit(j).alias("cid"),
-                F.shiftright("simhash", j * width)
-                .bitwiseAND(F.lit((1 << width) - 1))
-                .alias("cv"),
-            )
+            F.shiftright("simhash", j * width).bitwiseAND(F.lit((1 << width) - 1))
             for j in range(chunks)
         ]
     )
-    buckets = sig.select(F.col(id_col), "simhash", F.explode(chunk_arr).alias("c")).select(
-        id_col, "simhash", F.col("c.cid").alias("cid"), F.col("c.cv").alias("cv")
-    )
+    buckets = sig.select(
+        F.col(id_col), "simhash", cvs.alias("cvs")
+    ).select(id_col, "simhash", "cvs", F.posexplode("cvs").alias("cid", "cv"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
+    earlier_collision = F.exists(
+        F.zip_with(
+            F.slice(F.col("a.cvs"), 1, F.col("a.cid")),
+            F.slice(F.col("b.cvs"), 1, F.col("b.cid")),
+            lambda x, y: x == y,
+        ),
+        lambda t: t,
+    )
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.cv") == F.col("b.cv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ~earlier_collision,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
+            hamming.alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
+        .where(F.col("hamming") <= max_hamming)
     )

@@ -31,7 +31,14 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
-    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_term")
+    # Money sums in DECIMAL, not double: double summation is
+    # order-dependent across partitionings/engines, so an exact fixed-
+    # point sum is the only hash-stable (and audit-stable) choice. The
+    # final cast back to double happens on an already-exact scalar.
+    dec = "decimal(18,4)"
+    revenue = (
+        F.col("l_extendedprice").cast(dec) * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
+    ).alias("rev_term")
 
     return (
         lineitem.where(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -43,14 +50,15 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(fround(F.sum("rev_term"), 2).alias("revenue"))
+        .agg(fround(F.sum("rev_term").cast("double"), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
 FLAGSHIP_ORACLE_SQL = """
 SELECT n_name,
-       floor(sum(l_extendedprice * (1 - l_discount)) * 100.0 + 0.5) / 100.0 AS revenue
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from etl_dagster_service_crawler_spark.functions.cleaning import (
     encode_bool_cn,
 )
-from etl_dagster_service_crawler_spark.functions.compat import fround
+from etl_dagster_service_crawler_spark.functions.compat import dsum, fround, sql_dsum
 from etl_dagster_service_crawler_spark.io.tables import load_table
 
 
@@ -65,7 +65,7 @@ def pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     rec = crawl_shaped_records(spark, sf_dir)
     gated = rec.where(F.col("n_bad") == 0)
     cnt = gated.groupBy("ingest_date", "category").agg(
-        F.count("*").alias("cnt"), fround(F.sum("amount"), 2).alias("amount_sum")
+        F.count("*").alias("cnt"), dsum(F.col("amount"), 2).alias("amount_sum")
     )
     w = Window.partitionBy("ingest_date")
     return cnt.select(
@@ -146,7 +146,7 @@ WITH kw AS (
   FROM kw, p, s
 )
 SELECT keyword, company_key, count(*) AS n_jobs,
-       sum(CASE WHEN page = 0 THEN 1 ELSE 0 END) AS n_first_page
+       CAST(sum(CASE WHEN page = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_first_page
 FROM raw
 GROUP BY keyword, company_key
 """
@@ -166,7 +166,7 @@ WITH rec AS (
        + CASE WHEN amount <= 0 THEN 1 ELSE 0 END) = 0
 ), cnt AS (
   SELECT ingest_date, category, count(*) AS cnt,
-         floor((sum(amount)) * 100.0 + 0.5) / 100.0 AS amount_sum
+         floor(CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS amount_sum
   FROM gated GROUP BY 1, 2
 )
 SELECT ingest_date, category, cnt, amount_sum,

@@ -30,13 +30,20 @@ def get_spark(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    tz: str = "UTC",
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     local-mode knobs come from env so the bench driver can steer them:
     SPARK_GRAFT_CPUS (default 32) sets local parallelism and shuffle
     partitions.
-    """
+
+    `tz` sets spark.sql.session.timeZone — the reference pins
+    Asia/Taipei (definitions.py:36 in the reference); a deployment
+    reproducing its local-midnight date bucketing passes
+    tz="Asia/Taipei". Default stays UTC (the oracle contract). It is a
+    runtime conf, so it is applied to the session even when getOrCreate
+    returns an existing one."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
@@ -50,7 +57,7 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.session.timeZone", tz)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
@@ -67,5 +74,8 @@ def get_spark(
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate ignores builder confs on an existing session; tz is a
+    # runtime conf so it can (and must) be applied after the fact
+    spark.conf.set("spark.sql.session.timeZone", tz)
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -15,14 +15,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_dagster_service_crawler_spark.functions.compat import fround
+from etl_dagster_service_crawler_spark.functions.compat import dsum, fround
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Per-window, per-type count + value sum."""
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), fround(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), dsum(F.col("value"), 2).alias("sum_value"))
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",

@@ -27,7 +27,10 @@ from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
 from etl_dagster_service_crawler_spark.io.sinks import (
+    derby_url,
+    read_jdbc,
     sink_compacted_parquet,
+    sink_jdbc,
     sink_json_append,
     sink_partitioned_parquet,
 )
@@ -145,7 +148,7 @@ def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderstatus, count(*) AS cnt,
-               floor(sum(o_totalprice) * 1e2 + 0.5) / 1e2 AS total
+               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
         FROM {name}
         GROUP BY o_orderstatus
         """
@@ -154,7 +157,7 @@ def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SINK_TABLE = """
 SELECT o_orderstatus, count(*) AS cnt,
-       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -187,13 +190,13 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"),
-        (F.floor(F.sum("l_extendedprice") * 1e2 + F.lit(0.5)) / 1e2).alias("sum_price"),
+        (F.floor(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") * 1e2 + F.lit(0.5)) / 1e2).alias("sum_price"),
     )
 
 
 SQL_BUCKETED_JOIN = """
 SELECT o_orderstatus, count(*) AS cnt,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
@@ -214,13 +217,13 @@ def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy(F.col("order_month").cast("string").alias("order_month")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        (F.floor(F.sum("o_totalprice") * 1e2 + F.lit(0.5)) / 1e2).alias("total"),
+        (F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") * 1e2 + F.lit(0.5)) / 1e2).alias("total"),
     )
 
 
 SQL_SINK_COMPACTED = """
 SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS cnt,
-       floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
 FROM orders
 GROUP BY 1
 """
@@ -260,7 +263,7 @@ def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(F.broadcast(busy), "order_month")
     return joined.groupBy(F.col("order_month").cast("string").alias("order_month")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        (F.floor(F.sum("o_totalprice") * 1e2 + F.lit(0.5)) / 1e2).alias("total"),
+        (F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") * 1e2 + F.lit(0.5)) / 1e2).alias("total"),
     )
 
 
@@ -271,7 +274,7 @@ WITH m AS (
 ),
 busy AS (SELECT order_month FROM m WHERE cnt > (SELECT avg(cnt) FROM m))
 SELECT f.order_month, count(*) AS cnt,
-       floor(sum(f.o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+       floor(CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
 FROM (SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_totalprice
       FROM orders) f
 JOIN busy USING (order_month)
@@ -294,7 +297,39 @@ def q_sink_side_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SINK_SIDE = "SELECT source, count(*) AS cnt FROM documents GROUP BY source"
 
 
+def q_sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 literal: push the 'jobs table' to an RDBMS over JDBC
+    (embedded Derby standing in for the reference's SQLite jobs.db,
+    README.md:64-69), read it back over JDBC, and oracle-check the
+    round-trip aggregate against the original parquet."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    url = derby_url(_scratch(sf_dir, "jdbc/ordersdb"))
+    sink_jdbc(orders, url, "orders_sink")
+    back = read_jdbc(spark, url, "orders_sink")
+    return back.groupBy(F.col("o_orderstatus").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        (
+            F.floor(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") * 1e2
+                + F.lit(0.5)
+            )
+            / 1e2
+        ).alias("total"),
+    )
+
+
+SQL_SINK_JDBC = """
+SELECT o_orderstatus, count(*) AS cnt,
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 SPECS = [
+    QuerySpec("sink_jdbc", q_sink_jdbc, SQL_SINK_JDBC),
     QuerySpec("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET),
     QuerySpec("scan_json", q_scan_json, SQL_SCAN_JSON),
     QuerySpec("scan_csv", q_scan_csv, SQL_SCAN_CSV),

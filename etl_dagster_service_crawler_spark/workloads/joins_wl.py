@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
-from etl_dagster_service_crawler_spark.functions.compat import fround
+from etl_dagster_service_crawler_spark.functions.compat import davg, dsum, fround, sql_davg, sql_dsum
 from etl_dagster_service_crawler_spark.io.tables import load_table
 from etl_dagster_service_crawler_spark.operators.joins import (
     asof_join,
@@ -36,12 +36,12 @@ def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_regionkey") == F.col("r_regionkey"),
     )
     return joined.groupBy("r_name").agg(
-        F.count("*").alias("cnt"), fround(F.avg("c_acctbal"), 2).alias("avg_bal")
+        F.count("*").alias("cnt"), davg(F.col("c_acctbal"), 2).alias("avg_bal")
     )
 
 
 SQL_BROADCAST = """
-SELECT r_name, count(*) AS cnt, floor((avg(c_acctbal)) * 100.0 + 0.5) / 100.0 AS avg_bal
+SELECT r_name, count(*) AS cnt, floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal) * 1e2 + 0.5) / 1e2 AS avg_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -60,12 +60,12 @@ def q_join_theta_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, legend, F.abs(F.col("value") - F.col("center")) <= 5.0
     )
     return joined.groupBy("r_name").agg(
-        F.count("*").alias("cnt"), fround(F.avg("value"), 2).alias("avg_value")
+        F.count("*").alias("cnt"), davg(F.col("value"), 2).alias("avg_value")
     )
 
 
 SQL_THETA = """
-SELECT r_name, count(*) AS cnt, floor((avg(value)) * 100.0 + 0.5) / 100.0 AS avg_value
+SELECT r_name, count(*) AS cnt, floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) * 1e2 + 0.5) / 1e2 AS avg_value
 FROM events
 JOIN (SELECT r_name, CAST(r_regionkey * 40 AS DOUBLE) AS center FROM region) legend
   ON abs(value - center) <= 5.0
@@ -176,13 +176,13 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, o, on="l_orderkey", n_salts=8)
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"),
-        fround(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
     )
 
 
 SQL_SALTED = """
 SELECT o_orderstatus, count(*) AS cnt,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_price
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
@@ -265,9 +265,19 @@ def q_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
-            fround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            # exact decimal on the factors (not a double-product cast:
+            # scaled double products can tie at .00005 and the engines'
+            # tie rules differ — see q_agg_hash_group)
+            fround(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (
+                        F.lit(1).cast("decimal(3,2)")
+                        - F.col("l_discount").cast("decimal(3,2)")
+                    )
+                ).cast("double"),
+                2,
+            ).alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
@@ -276,7 +286,7 @@ def q_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOPK_REVENUE = """
 SELECT o_orderkey, o_orderpriority,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS revenue
+       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -170,37 +170,40 @@ FROM documents
 
 
 PACK_BUDGET_TOKENS = 2048
+PACK_SHARDS = 16
 
 
 def q_pack_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: assign docs to contiguous ~2048-token packs
-    per source (running token sum over a per-source window; a doc
-    lands in pack floor(tokens_before/budget)). One shuffle on the
-    pack partition key (source). At 100 TB the window key must bound
-    partition size — pack within (source, shard) rather than a global
-    ORDER BY, which is exactly how this is written."""
+    (running token sum; a doc lands in pack floor(tokens_before/budget)
+    of its shard). The window key is (source, shard) — doc_id mod
+    PACK_SHARDS — never source alone: at 100 TB one hot source would
+    otherwise become a single unbounded sorted window partition. The
+    shard key is arithmetic on the id (not an engine hash) so the
+    oracle computes the identical shards; pack identity is
+    (source, shard, pack_id). One shuffle on the window key."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " ")).cast("int")
+    shard = F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).cast("int")
+    sized = d.select(
+        "source", "doc_id", shard.alias("shard"), n_tok.alias("n_tok")
+    )
     w = (
-        Window.partitionBy("source")
+        Window.partitionBy("source", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cum = F.sum(n_tok).over(w)
-    pack = F.floor((cum - n_tok) / float(PACK_BUDGET_TOKENS)).cast("int")
-    return d.select(
-        "source",
-        "doc_id",
-        n_tok.alias("n_tok"),
-        pack.alias("pack_id"),
-    )
+    cum = F.sum("n_tok").over(w)
+    pack = F.floor((cum - F.col("n_tok")) / float(PACK_BUDGET_TOKENS)).cast("int")
+    return sized.select("source", "doc_id", "shard", "n_tok", pack.alias("pack_id"))
 
 
 SQL_PACK_TOKEN_BUDGET = f"""
 SELECT source, doc_id,
+       CAST(doc_id % {PACK_SHARDS} AS INT) AS shard,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tok,
        CAST(floor((sum(len(string_split(text, ' ')))
-                     OVER (PARTITION BY source ORDER BY doc_id
+                     OVER (PARTITION BY source, doc_id % {PACK_SHARDS} ORDER BY doc_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    - len(string_split(text, ' '))) / {float(PACK_BUDGET_TOKENS)}) AS INT)
          AS pack_id
@@ -249,9 +252,7 @@ def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text", max_hamming=8).orderBy(
-        "id_a", "id_b"
-    )
+    return simhash_near_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:

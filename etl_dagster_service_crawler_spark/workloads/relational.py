@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
-from etl_dagster_service_crawler_spark.functions.compat import fround
+from etl_dagster_service_crawler_spark.functions.compat import davg, dsum, fround, sql_davg, sql_dsum
 from etl_dagster_service_crawler_spark.functions.cleaning import (
     clean_tokens,
     conditional_encode,
@@ -261,31 +261,45 @@ def q_agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: partial (map-side) agg means the
     shuffle carries one row per (task, flag, status), not per lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # Products in exact decimal arithmetic on the FACTORS — casting the
+    # computed double product to decimal is tie-prone (the scaled double
+    # can land exactly on .00005, where Spark HALF_UP and DuckDB
+    # half-even split); the factors themselves are tidy 2-dp values
+    # whose decimal casts never tie.
+    one = F.lit(1).cast("decimal(3,2)")
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_price = price_d * (one - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            fround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            fround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            fround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            fround(F.sum(charge), 2).alias("sum_charge"),
-            fround(F.avg("l_quantity"), 2).alias("avg_qty"),
-            fround(F.avg("l_discount"), 4).alias("avg_disc"),
+            dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            fround(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
+            fround(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            davg(F.col("l_quantity"), 2).alias("avg_qty"),
+            davg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
 
 
-SQL_Q1 = """
+_DISC_PRICE_DEC = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
+)
+
+SQL_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
-       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
-       floor((sum(l_extendedprice)) * 100.0 + 0.5) / 100.0 AS sum_base_price,
-       floor((sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0 AS sum_disc_price,
-       floor((sum(l_extendedprice * (1 - l_discount) * (1 + l_tax))) * 100.0 + 0.5) / 100.0 AS sum_charge,
-       floor((avg(l_quantity)) * 100.0 + 0.5) / 100.0 AS avg_qty,
-       floor((avg(l_discount)) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
+       {sql_dsum("l_quantity", 2)} AS sum_qty,
+       {sql_dsum("l_extendedprice", 2)} AS sum_base_price,
+       floor(CAST(sum({_DISC_PRICE_DEC}) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+       floor(CAST(sum({_DISC_PRICE_DEC}
+                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
+             * 1e2 + 0.5) / 1e2 AS sum_charge,
+       {sql_davg("l_quantity", 2)} AS avg_qty,
+       {sql_davg("l_discount", 4)} AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2000-01-01'
@@ -321,12 +335,12 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.rollup("r_name", "n_name").agg(
         F.count("*").alias("cnt"),
-        fround(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        davg(F.col("c_acctbal"), 2).alias("avg_bal"),
     )
 
 
 SQL_ROLLUP = """
-SELECT r_name, n_name, count(*) AS cnt, floor((avg(c_acctbal)) * 100.0 + 0.5) / 100.0 AS avg_bal
+SELECT r_name, n_name, count(*) AS cnt, floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal) * 1e2 + 0.5) / 1e2 AS avg_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -345,13 +359,13 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
     ).agg(
         F.count(F.lit(1)).alias("cnt"),
-        fround(F.sum("o_totalprice"), 2).alias("total"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
 
 SQL_GROUPING_SETS = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-       floor((sum(o_totalprice)) * 100.0 + 0.5) / 100.0 AS total
+       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -374,14 +388,14 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("cnt"),
-        fround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        dsum(F.col("l_quantity"), 2).alias("sum_qty"),
         F.grouping_id().cast("int").alias("gid"),
     )
 
 
 SQL_CUBE = """
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       floor((sum(l_quantity)) * 100.0 + 0.5) / 100.0 AS sum_qty,
+       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_qty,
        CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -404,10 +418,10 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_PIVOT = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events
 GROUP BY user_id
 """
@@ -546,15 +560,21 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
+    # decimal inside the frame: windowed double sums are engine-order
+    # dependent (DuckDB uses segment trees, Spark sequential scans)
     return e.select(
-        "event_id", fround(F.sum("value").over(w), 2).alias("roll_sum")
+        "event_id",
+        fround(
+            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 2
+        ).alias("roll_sum"),
     )
 
 
 SQL_ROLLING = """
 SELECT event_id,
-       floor((sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 100.0 + 0.5) / 100.0 AS roll_sum
+       floor(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS roll_sum
 FROM events
 """
 

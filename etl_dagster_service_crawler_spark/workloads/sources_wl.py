@@ -71,7 +71,44 @@ def q_source_crawl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(CRAWL_SCHEMA).parquet(out_dir)
 
 
+def q_pipeline_crawl_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4 production shape: scan -> per-row detail fetch
+    (mapInPandas http_enrich: per-partition rate limit, bounded retry,
+    deterministic md5 transport) -> error-budget observation. The fake
+    transport is md5-derived, so even the FETCHED payload is
+    oracle-checked — the operator contract (row fan-through, status
+    columns, no dropped rows) is verified end to end."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.observability import observe_quality
+    from etl_dagster_service_crawler_spark.operators.enrich import http_enrich
+
+    register(spark)
+    raw = spark.read.format("crawl").load()
+    enriched = http_enrich(raw, "company_url", rate_limit_per_sec=None)
+    gated, _obs = observe_quality(
+        enriched.withColumn(
+            "payload", F.coalesce(F.col("payload"), F.lit(""))
+        ),
+        ["payload"],
+    )
+    return gated.where(F.col("fetch_status") == "ok").select(
+        "keyword", "job_id", "payload", "fetch_status", "n_attempts"
+    )
+
+
+_ORACLE_ENRICHED = f"""
+WITH base AS ({_ORACLE_BASE})
+SELECT keyword, job_id,
+       'd-' || substr(md5(company_url), 1, 8) AS payload,
+       'ok' AS fetch_status,
+       CAST(1 AS INT) AS n_attempts
+FROM base
+"""
+
+
 SPECS = [
+    QuerySpec("pipeline_crawl_enriched", q_pipeline_crawl_enriched, _ORACLE_ENRICHED),
     QuerySpec("source_crawl_scan", q_source_crawl_scan, _ORACLE_BASE),
     QuerySpec("source_crawl_stream", q_source_crawl_stream, _ORACLE_BASE),
 ]

@@ -56,7 +56,7 @@ SQL_STREAM_TUMBLING = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS cnt,
-       floor((sum(value)) * 100.0 + 0.5) / 100.0 AS sum_value
+       floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_value
 FROM events
 GROUP BY 1, 2
 """

@@ -70,8 +70,17 @@ def _user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "user_id": [int(pdf["user_id"].iloc[0])],
             "cnt": [len(pdf)],
-            # floor(x*100+0.5)/100 matches fround()/sql_fround()
-            "sum_value": [(pdf["value"].sum() * 100.0 + 0.5) // 1 / 100.0],
+            # exact fixed-point sum: float sums depend on row arrival
+            # order inside the group; 4-dp cents are order-independent.
+            # Then floor(x*100+0.5)/100 matches fround()/sql_fround().
+            "sum_value": [
+                (
+                    (pdf["value"] * 1e4).round().astype("int64").sum() / 1e4 * 100.0
+                    + 0.5
+                )
+                // 1
+                / 100.0
+            ],
             "max_gap_s": [None if len(pdf) < 2 else float(gaps.max())],
         }
     )
@@ -85,7 +94,7 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_UDAF_GROUPED = """
 SELECT user_id,
        count(*) AS cnt,
-       floor(sum(value) * 100.0 + 0.5) / 100.0 AS sum_value,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_value,
        max(date_diff('microsecond', prev_ts, ts)) / 1e6 AS max_gap_s
 FROM (
   SELECT user_id, ts, value,

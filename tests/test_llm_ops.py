@@ -120,16 +120,30 @@ def test_pack_token_budget_assignment_matches_local_recompute(spark, sf_dir):
     )
 
     rows = q_pack_token_budget(spark, sf_dir).collect()
-    by_source: dict[str, list] = {}
+    by_shard: dict[tuple, list] = {}
     for r in rows:
-        by_source.setdefault(r.source, []).append(r)
-    assert len(by_source) > 1
-    for docs in by_source.values():
+        by_shard.setdefault((r.source, r.shard), []).append(r)
+    assert len({s for s, _ in by_shard}) > 1
+    packs: dict[tuple, int] = {}
+    for (source, shard), docs in by_shard.items():
         docs.sort(key=lambda r: r.doc_id)
         cum = 0
         for r in docs:
+            assert r.shard == r.doc_id % 16
             assert r.pack_id == cum // PACK_BUDGET_TOKENS
             cum += r.n_tok
+            packs[(source, shard, r.pack_id)] = (
+                packs.get((source, shard, r.pack_id), 0) + r.n_tok
+            )
+    # budget invariant: a pack only exceeds the budget via its LAST doc
+    # (greedy running-sum packing) — so pack_tokens < budget + max_doc,
+    # and any pack >= budget must contain a doc that straddles the edge
+    for (source, shard, pid), tot in packs.items():
+        members = [
+            r for r in by_shard[(source, shard)] if r.pack_id == pid
+        ]
+        biggest = max(r.n_tok for r in members)
+        assert tot < PACK_BUDGET_TOKENS + biggest
 
 
 def test_minhash_shingles_are_order_sensitive(spark):
@@ -160,9 +174,14 @@ def test_simhash_near_identical_docs_pair_up(spark):
     c = " ".join(f"zzz{i}" for i in range(50))
     df = _docs(spark, [(1, a), (2, b), (3, c)])
     pairs = {(p.id_a, p.id_b) for p in
-             simhash_near_pairs(df, "doc_id", "text", max_hamming=8).collect()}
+             simhash_near_pairs(df, "doc_id", "text").collect()}
     assert (1, 2) in pairs
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    import pytest
+
+    with pytest.raises(ValueError, match="recall"):
+        simhash_near_pairs(df, "doc_id", "text", max_hamming=8)
 
 
 def test_bruteforce_topk_orders_by_cosine(spark):

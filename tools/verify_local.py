@@ -42,8 +42,10 @@ def _norm_cell(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # stabilize float formatting across engines
-        return f"{v:.6g}" if v == v else "NaN"
+        # full round-trip precision: the driver hashes exact values, so
+        # the pre-flight must too (the r01 %.6g norm let two driver
+        # hash-misses pass locally)
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
