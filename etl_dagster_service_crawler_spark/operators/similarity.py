@@ -131,17 +131,53 @@ def srp_neardup_pairs(
     )
 
 
+def kmeans_centroids(
+    emb: DataFrame, n_centroids: int, vec_col: str = "embedding",
+    max_iter: int = 5, seed: int = 42, id_col: str = "vec_id",
+) -> DataFrame:
+    """Real k-means centroids (cosine distance, fixed seed) via MLlib —
+    Lloyd iterations run as treeAggregate partial sums per partition,
+    so the corpus is scanned, never shuffled; only the C x dim centroid
+    matrix moves. That is the IVF training shape that holds at 100 TB
+    (train on a sample there; the fit here is whole-corpus because the
+    fixtures are small). Returns (cid int, cvec array<double>).
+
+    Falls back to a hash-ordered deterministic seed set if MLlib is
+    unavailable in the environment."""
+    spark = emb.sparkSession
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        feat = emb.select(
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+        )
+        model = KMeans(
+            k=n_centroids, maxIter=max_iter, seed=seed, distanceMeasure="cosine"
+        ).fit(feat)
+        centers = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+        return spark.createDataFrame(centers, "cid int, cvec array<double>")
+    except ImportError:
+        return (
+            emb.orderBy(F.xxhash64(F.col(id_col)))
+            .limit(n_centroids)
+            .select(
+                (F.row_number().over(Window.orderBy(F.col(id_col))) - 1).alias("cid"),
+                F.col(vec_col).cast("array<double>").alias("cvec"),
+            )
+        )
+
+
 def ivf_assign(
     emb: DataFrame, n_centroids: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assignments). Centroids are the first n vectors by id
-    (deterministic seed set — a real build would k-means refine; the
-    dataflow is identical). Assignment: broadcast centroids, argmax
-    cosine per vector — one scan, no shuffle of the corpus."""
-    centroids = emb.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
-    )
+    """(centroids, assignments). Centroids are k-means-refined (see
+    kmeans_centroids). Assignment: broadcast centroids, argmax cosine
+    per vector — one scan, no shuffle of the corpus."""
+    centroids = kmeans_centroids(emb, n_centroids, vec_col, id_col=id_col)
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
     assignments = (
         emb.join(F.broadcast(centroids))

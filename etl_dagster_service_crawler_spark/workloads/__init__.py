@@ -78,9 +78,13 @@ def registry() -> dict[str, QuerySpec]:
                 e,
             )
     out: dict[str, QuerySpec] = {}
-    ordered = [s for s in specs if s.name not in _R01_VERIFIED] + [
-        s for s in specs if s.name in _R01_VERIFIED
-    ]
+    # Within the unverified block, oracle-backed queries go before
+    # rows-only ones: the driver caps at 50 and a hash verdict is worth
+    # more than a row count. Python sort is stable, so original SPECS
+    # order is preserved within each tier.
+    unverified = [s for s in specs if s.name not in _R01_VERIFIED]
+    unverified.sort(key=lambda s: s.oracle is None)
+    ordered = unverified + [s for s in specs if s.name in _R01_VERIFIED]
     for s in ordered:
         if s.name in out:
             raise ValueError(f"duplicate query name {s.name}")

@@ -211,6 +211,154 @@ FROM documents
 """
 
 
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d[\d -]{7,}\d"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the pre-training hygiene pass: strip emails and
+    phone-number-shaped digit runs before anything else sees the text.
+    Pure regexp_replace chain (JVM-side, codegen). The fixtures carry
+    no PII, so the query INJECTS a deterministic email+phone per doc
+    and asserts the scrubber removes exactly those — the oracle check
+    covers both the match and the non-match (body text untouched)."""
+    d = load_table(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555 010"),
+        F.col("doc_id").cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(dirty, PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("clean_text"),
+        (F.length(dirty) - F.length(scrubbed)).cast("int").alias("n_redacted_chars"),
+    )
+
+
+SQL_PII_SCRUB = f"""
+WITH dirty AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1 555 010' || CAST(doc_id AS VARCHAR) AS d
+  FROM documents
+), s AS (
+  SELECT doc_id, d,
+         regexp_replace(regexp_replace(d, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                        '{PII_PHONE}', '<PHONE>', 'g') AS clean_text
+  FROM dirty
+)
+SELECT doc_id, clean_text,
+       CAST(length(d) - length(clean_text) AS INT) AS n_redacted_chars
+FROM s
+"""
+
+
+STRATIFIED_RATE = 0.1
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: ceil(rate * |stratum|) docs from EVERY
+    source, chosen by md5-hash order — deterministic across runs,
+    engines, and repartitioning (unlike rand()-based sample), and no
+    stratum is ever empty, which is the guarantee a global hash sample
+    can't give. One shuffle (the per-source window); at 100 TB the
+    stratum key keeps window partitions bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wc).alias("n_stratum"),
+        )
+        .where(F.col("rn") <= F.ceil(F.lit(STRATIFIED_RATE) * F.col("n_stratum")))
+        .select("doc_id", "source")
+    )
+
+
+SQL_SAMPLE_STRATIFIED = f"""
+SELECT doc_id, source
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS n_stratum
+  FROM documents
+)
+WHERE rn <= ceil({STRATIFIED_RATE} * n_stratum)
+"""
+
+
+def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 normalization — the prep step every cosine index assumes.
+    Expression-based fold (no UDF); emitted exploded to (vec_id, pos,
+    val) scalars so the oracle hashes element values exactly. The fold
+    order matches DuckDB's list_sum, so values are bit-identical."""
+    from etl_dagster_service_crawler_spark.functions.vectors import norm2
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    nrm = F.sqrt(norm2(F.col("embedding")))
+    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
+    return emb.select("vec_id", F.posexplode(unit).alias("pos", "val"))
+
+
+SQL_EMBEDDING_NORMALIZE = """
+SELECT vec_id,
+       CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS pos,
+       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)
+              / sqrt(list_aggregate(list_transform(embedding,
+                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')))) AS val
+FROM embeddings
+WHERE vec_id < 100
+"""
+
+
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (q = round(x * 127/max|x|)): the
+    4x storage/bandwidth cut an embedding index takes before sharding.
+    floor(x+0.5) instead of round() so both engines agree at .5; scale
+    is per-vector (one fold), quantized values exploded for the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
+    absmax = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.lit(127.0) / absmax
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.posexplode(q).alias("pos", "qval"),
+    )
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         127.0 / list_aggregate(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+  FROM embeddings
+  WHERE vec_id < 100
+)
+SELECT vec_id,
+       CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS pos,
+       CAST(floor(CAST(unnest(embedding) AS DOUBLE) * scale + 0.5) AS INT) AS qval
+FROM s
+"""
+
+
 # --- dedup -------------------------------------------------------------------
 
 
@@ -414,6 +562,10 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec("text_pii_scrub", q_text_pii_scrub, SQL_PII_SCRUB),
+    QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),
+    QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),
+    QuerySpec("embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     QuerySpec("text_token_count", q_text_token_count, SQL_TOKEN_COUNT),
     QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, None),
     QuerySpec("text_ngrams", q_text_ngrams, SQL_NGRAMS),
