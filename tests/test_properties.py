@@ -126,3 +126,41 @@ def test_stream_tumbling_equals_batch(spark, rows):
         s = spark.readStream.schema(df.schema).parquet(d)
         streamed = {tuple(r) for r in run_available_now(tumbling_counts(s), "complete").collect()}
     assert streamed == batch
+
+
+def test_money_sums_invariant_under_partitioning(spark, sf_dir):
+    """The r01 driver hash-miss class: a double sum's last ulp depends
+    on partition layout, so fround could land either side of a cent
+    boundary. The decimal-sum formulation must yield bit-identical
+    results under any shuffle partitioning."""
+    from etl_dagster_service_crawler_spark.plans.flagship import revenue_by_nation
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_agg_hash_group,
+    )
+
+    def run(q):
+        return sorted(map(tuple, q(spark, sf_dir).collect()))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        flag2, q1_2 = run(revenue_by_nation), run(q_agg_hash_group)
+        spark.conf.set("spark.sql.shuffle.partitions", "29")
+        flag29, q1_29 = run(revenue_by_nation), run(q_agg_hash_group)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert flag2 == flag29
+    assert q1_2 == q1_29
+
+
+def test_clean_tokens_treats_metacharacters_as_literals(spark):
+    """ADVICE r01: tokens like 'C++' or '0~5?' must strip as literals,
+    not corrupt output as regex patterns."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame([Row(s="skill C++ and (人) and 0~5? left")])
+    out = df.select(
+        clean_tokens(F.col("s"), ["C++", "(人)", "0~5?"]).alias("c")
+    ).first()["c"]
+    assert "C++" not in out and "(人)" not in out and "0~5?" not in out
+    assert out.startswith("skill") and out.endswith("left")
