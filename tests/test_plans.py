@@ -91,3 +91,45 @@ def test_exists_subquery_decorrelates_to_semi_join(spark, sf_dir):
     plan = _plan(q_subquery_exists(spark, sf_dir))
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stratified_sample_shares_one_window_exchange(spark, sf_dir):
+    """Both window functions (row_number + per-stratum count) partition
+    by the same key, so the plan must contain exactly ONE shuffle —
+    a second exchange would double the cost of the dominant stage."""
+    from etl_dagster_service_crawler_spark.workloads.llm import q_sample_stratified
+
+    plan = _plan(q_sample_stratified(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_pack_token_budget_partitions_by_source_and_shard(spark, sf_dir):
+    """The r01 skew fix: the packing window's exchange must hash on
+    (source, shard), never source alone — one hot source must not
+    become a single unbounded sorted partition."""
+    from etl_dagster_service_crawler_spark.workloads.llm import q_pack_token_budget
+
+    plan = _plan(q_pack_token_budget(spark, sf_dir))
+    part = plan.split("Exchange hashpartitioning", 1)[1][:120]
+    assert "source" in part and "shard" in part
+
+
+def test_embedding_ops_are_shuffle_free(spark, sf_dir):
+    """normalize/quantize are per-row folds — any Exchange means a
+    planning regression (at 100 TB these run as pure scan+project)."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_embedding_normalize,
+        q_embedding_quantize,
+    )
+
+    for q in (q_embedding_normalize, q_embedding_quantize):
+        assert "Exchange" not in _plan(q(spark, sf_dir))
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads.llm import q_text_pii_scrub
+
+    plan = _plan(q_text_pii_scrub(spark, sf_dir))
+    assert "Exchange" not in plan
+    # '*(n)' prefixes mark WholeStageCodegen stages in executedPlan strings
+    assert "*(1) Project" in plan
