@@ -307,18 +307,27 @@ def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") < 100)
     nrm = F.sqrt(norm2(F.col("embedding")))
-    unit = F.transform(F.col("embedding"), lambda x: x.cast("double") / nrm)
+    # zero-vector guard: 0/0 is NaN in Spark but NULL in DuckDB — make
+    # the zero-norm case explicitly NULL on both engines
+    unit = F.transform(
+        F.col("embedding"), lambda x: F.when(nrm > 0, x.cast("double") / nrm)
+    )
     return emb.select("vec_id", F.posexplode(unit).alias("pos", "val"))
 
 
 SQL_EMBEDDING_NORMALIZE = """
+WITH n AS (
+  SELECT vec_id, embedding,
+         sqrt(list_aggregate(list_transform(embedding,
+              y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')) AS nrm
+  FROM embeddings
+  WHERE vec_id < 100
+)
 SELECT vec_id,
        CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS pos,
-       unnest(list_transform(embedding, x -> CAST(x AS DOUBLE)
-              / sqrt(list_aggregate(list_transform(embedding,
-                      y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)), 'sum')))) AS val
-FROM embeddings
-WHERE vec_id < 100
+       unnest(list_transform(embedding,
+              x -> CASE WHEN nrm > 0 THEN CAST(x AS DOUBLE) / nrm END)) AS val
+FROM n
 """
 
 
@@ -333,7 +342,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
     )
-    scale = F.lit(127.0) / absmax
+    # zero-vector guard: scale 0 quantizes a zero vector to zeros
+    # instead of tripping ANSI on a NaN->int cast
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
     q = F.transform(
         F.col("embedding"),
         lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
@@ -347,8 +358,11 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EMBEDDING_QUANTIZE = """
 WITH s AS (
   SELECT vec_id, embedding,
-         127.0 / list_aggregate(list_transform(embedding,
-                   x -> abs(CAST(x AS DOUBLE))), 'max') AS scale
+         CASE WHEN list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max') > 0
+              THEN 127.0 / list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max')
+              ELSE 0.0 END AS scale
   FROM embeddings
   WHERE vec_id < 100
 )

@@ -470,6 +470,55 @@ GROUP BY o_orderstatus
 """
 
 
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters over the token stream: terms with >2x the
+    mean term frequency — the hot-vocabulary pre-pass a dedup/quality
+    pipeline runs to spot template storms (the fixture corpus is
+    template-heavy, so this is non-trivially populated). Shape: explode
+    -> per-token counts (map-side partials absorb the token stream),
+    then the threshold is a global window over the SMALL aggregated
+    frame (one row per distinct token) — the corpus is never globally
+    windowed or scanned twice."""
+    e = load_table(spark, sf_dir, "events")
+    # the fixtures are uniform by construction, so derive a
+    # deterministically SKEWED key (exponential bucket sizes:
+    # bucket 2^j holds ~2^j of every 1024 rows) — the stand-in for the
+    # Zipf-distributed keys real corpora have
+    bucket = F.pow(
+        F.lit(2.0), F.floor(F.log2(1 + F.col("event_id") % 1024))
+    ).cast("bigint")
+    counts = e.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy()
+    return (
+        counts.withColumn("avg_cnt", F.avg("cnt").over(w))
+        .where(F.col("cnt") > 2 * F.col("avg_cnt"))
+        .select("bucket", "cnt")
+    )
+
+
+SQL_HEAVY_HITTERS = """
+WITH g AS (
+  SELECT CAST(pow(2, floor(log2(1 + event_id % 1024))) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM events GROUP BY 1
+)
+SELECT bucket, cnt FROM g WHERE cnt > 2 * (SELECT avg(cnt) FROM g)
+"""
+
+
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantiles (rows-only: estimates are engine-
+    specific; the unit test bounds error vs the exact twin
+    agg_percentile). At 100 TB this IS the percentile: one pass,
+    bounded memory per group, mergeable partials — exact
+    percentile_cont needs a per-group sort of the full column."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", 0.5, 1000).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", 0.95, 1000).alias("p95_approx"),
+    )
+
+
 def q_agg_map_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's 應徵分析 distribution shape (P8, test.py:423-524):
     per-group label -> percentage map, built as a real MapType column and
@@ -1054,6 +1103,8 @@ SPECS = [
     QuerySpec("agg_pivot", q_agg_pivot, SQL_PIVOT),
     QuerySpec("agg_stats", q_agg_stats, SQL_STATS),
     QuerySpec("agg_percentile", q_agg_percentile, SQL_PERCENTILE),
+    QuerySpec("agg_heavy_hitters", q_agg_heavy_hitters, SQL_HEAVY_HITTERS),
+    QuerySpec("agg_approx_percentile", q_agg_approx_percentile, None),
     QuerySpec("agg_map_distribution", q_agg_map_distribution, SQL_MAP_DIST, bench=True),
     QuerySpec("window_rank_topk", q_window_rank_topk, SQL_TOPK, bench=True),
     QuerySpec("window_lag_lead", q_window_lag_lead, SQL_LAG),

@@ -125,3 +125,44 @@ def test_sample_fraction_within_bounds(spark, sf_dir):
     assert 0.05 * total < n < 0.15 * total
     # seeded: stable across runs
     assert n == q_sample_deterministic(spark, sf_dir).count()
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """Sketch quantiles must land within 5% relative error of the exact
+    interpolated percentile (generous for small fixture groups)."""
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_agg_approx_percentile,
+        q_agg_percentile,
+    )
+
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p95"])
+        for r in q_agg_percentile(spark, sf_dir).collect()
+    }
+    approx = {
+        r["o_orderstatus"]: (r["p50_approx"], r["p95_approx"])
+        for r in q_agg_approx_percentile(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (p50, p95) in exact.items():
+        a50, a95 = approx[k]
+        assert abs(a50 - p50) <= 0.05 * p50
+        assert abs(a95 - p95) <= 0.05 * p95
+
+
+def test_heavy_hitters_matches_local_recompute(spark, sf_dir):
+    """Exact heavy hitters == brute-force recompute of the same
+    threshold over collected counts."""
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_agg_heavy_hitters,
+    )
+
+    ids = [r.event_id for r in load_table(spark, sf_dir, "events").select("event_id").collect()]
+    counts = Counter(2 ** ((1 + i % 1024).bit_length() - 1) for i in ids)
+    avg = sum(counts.values()) / len(counts)
+    expected = {(b, c) for b, c in counts.items() if c > 2 * avg}
+    got = {(r.bucket, r.cnt) for r in q_agg_heavy_hitters(spark, sf_dir).collect()}
+    assert got == expected and got
