@@ -1,0 +1,89 @@
+"""Continuous aggregate (materialized rollup) — the hypertable-rollup
+shape: each micro-batch's partial aggregate is merged ADDITIVELY into a
+persistent rollup table via foreachBatch.
+
+This is the streaming twin of a materialized view, and the scale story
+is the point: the stream never holds aggregate state in the state store
+(no ever-growing complete-mode state), the rollup table is the state —
+bounded by the window keyspace, not the event count. Counts and sums
+are mergeable partials, so per-file exactly-once (Spark's file-source
+guarantee) + additive merge means the final rollup equals the batch
+aggregate over all input — which is exactly what the driver's oracle
+checks.
+
+Money partials stay exact DECIMAL in the rollup (never pre-rounded:
+rounding partial sums is not mergeable); rounding happens once at read
+time. The read-merge-rewrite here is the parquet stand-in for a real
+deployment's Delta/Iceberg MERGE INTO; the swap is atomic (write to a
+temp dir, rename over).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_DEC = "decimal(28,4)"
+
+
+def rollup_merge_batch(rollup_dir: str, merge_partitions: int = 8):
+    """foreachBatch body: aggregate the micro-batch to (window_start,
+    event_type) partials and merge them additively into rollup_dir.
+
+    The merge is union + re-aggregate, not a full-outer join: partials
+    are mergeable, so (old rollup UNION batch partials) re-aggregated
+    on the key IS the merge — one shuffle, no join, and the explicit
+    repartition on the key pins the task count to the (small) rollup
+    keyspace instead of the session's shuffle default (a bare driver
+    session uses 200 — 200 tasks for a few thousand rows is pure
+    scheduling overhead, every merge cycle)."""
+
+    def merge(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_df.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "value",
+        )
+        # repartition on the exact group keys: the aggregate's required
+        # distribution is already satisfied, so no second exchange
+        agg = (
+            keyed.repartition(merge_partitions, "window_start", "event_type")
+            .groupBy("window_start", "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.col("value").cast("decimal(18,4)")).cast(_DEC).alias("sum_dec"),
+            )
+        )
+        if os.path.exists(rollup_dir):
+            cur = spark.read.parquet(rollup_dir)
+            merged = (
+                cur.unionByName(agg)
+                .repartition(merge_partitions, "window_start", "event_type")
+                .groupBy("window_start", "event_type")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    F.sum("sum_dec").cast(_DEC).alias("sum_dec"),
+                )
+            )
+        else:
+            merged = agg
+        # materialize BEFORE touching the target: the plan reads the
+        # directory we are about to replace
+        merged = merged.persist()
+        merged.count()
+        tmp = rollup_dir + "_tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        # the rollup is keyspace-sized (small); one file per rewrite
+        # keeps reads cheap across merge cycles
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        merged.unpersist()
+        shutil.rmtree(rollup_dir, ignore_errors=True)
+        os.rename(tmp, rollup_dir)
+
+    return merge

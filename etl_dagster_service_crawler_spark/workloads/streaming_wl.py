@@ -191,7 +191,63 @@ def q_stream_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_STREAM_DUAL_SINK = "SELECT event_id, event_type FROM events"
 
 
+def q_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous aggregate: the events fixture split into 4 files,
+    streamed one file per micro-batch, each batch's partial aggregate
+    merged additively into a persistent rollup (streaming/rollup.py).
+    4 real merge cycles; the final rollup must equal the batch
+    aggregate — the oracle is the same SQL as stream_window_tumbling.
+    State lives in the rollup table (bounded by window keyspace), not
+    the state store."""
+    import hashlib
+    import shutil
+
+    from etl_dagster_service_crawler_spark.functions.compat import fround
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.rollup import rollup_merge_batch
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/rollup"
+    shutil.rmtree(base, ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    ev.repartition(4, "event_id").write.parquet(f"{base}/in")
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    rollup_dir = f"{base}/tbl"
+    q = (
+        stream.writeStream.foreachBatch(rollup_merge_batch(rollup_dir))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    back = spark.read.parquet(rollup_dir)
+    return back.select(
+        "window_start",
+        "event_type",
+        "cnt",
+        fround(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
+    )
+
+
+SQL_STREAM_ROLLUP = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       count(*) AS cnt,
+       floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
 SPECS = [
+    QuerySpec("stream_rollup_upsert", q_stream_rollup_upsert, SQL_STREAM_ROLLUP),
     QuerySpec("stream_ingest_project", q_stream_ingest_project, SQL_STREAM_PROJECT),
     QuerySpec("stream_dual_sink", q_stream_dual_sink, SQL_STREAM_DUAL_SINK),
     QuerySpec("stream_window_tumbling", q_stream_window_tumbling, SQL_STREAM_TUMBLING, bench=True),
