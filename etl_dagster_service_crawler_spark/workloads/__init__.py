@@ -82,8 +82,12 @@ def registry() -> dict[str, QuerySpec]:
     # rows-only ones: the driver caps at 50 and a hash verdict is worth
     # more than a row count. Python sort is stable, so original SPECS
     # order is preserved within each tier.
+    # Twins/extras whose semantics are already covered by a verified
+    # sibling (scan_csv ~ scan_json, json_variant ~ json_extract) yield
+    # their window slot to first-class §2.A entries (the crawl source).
+    defer = {"scan_csv", "json_variant"}
     unverified = [s for s in specs if s.name not in _R01_VERIFIED]
-    unverified.sort(key=lambda s: s.oracle is None)
+    unverified.sort(key=lambda s: (s.oracle is None, s.name in defer))
     ordered = unverified + [s for s in specs if s.name in _R01_VERIFIED]
     for s in ordered:
         if s.name in out:

@@ -328,7 +328,39 @@ GROUP BY o_orderstatus
 """
 
 
+def q_sink_custom_push(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1/K2 production shape: a custom Python DataSource WRITER with
+    the two-phase commit protocol (tasks stage to temp files, commit
+    publishes by rename) — the crash-safe push the reference's
+    save_to_json read-merge-rewrite is not (test.py:93-128). Round-trip
+    oracle-checked: write documents through the sink, read back,
+    aggregate vs the original parquet."""
+    from etl_dagster_service_crawler_spark.sources.push_sink import (
+        register as register_push,
+    )
+
+    register_push(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _scratch(sf_dir, "push/docs")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.format("crawlpush").option("path", path).mode("append").save()
+    back = spark.read.schema("doc_id bigint, source string, n_chars bigint").json(path)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_SINK_CUSTOM_PUSH = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+GROUP BY source
+"""
+
+
 SPECS = [
+    QuerySpec("sink_custom_push", q_sink_custom_push, SQL_SINK_CUSTOM_PUSH),
     QuerySpec("sink_jdbc", q_sink_jdbc, SQL_SINK_JDBC),
     QuerySpec("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET),
     QuerySpec("scan_json", q_scan_json, SQL_SCAN_JSON),

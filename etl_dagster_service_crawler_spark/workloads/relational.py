@@ -923,6 +923,29 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT twin of json_extract: parse the JSON ONCE into
+    the binary variant encoding, then do typed path gets. At scale this
+    replaces N get_json_object calls that each re-parse the string —
+    variant parses once and every extraction is a binary lookup.
+    schema_of_variant documents the inferred shape per row."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "int").alias("k"),
+        F.schema_of_variant(v).alias("vschema"),
+    )
+
+
+SQL_JSON_VARIANT = """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS INT) AS k,
+       'OBJECT<k: BIGINT>' AS vschema
+FROM events
+"""
+
+
 def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated EXISTS (TPC-H Q4 shape) through the spark.sql surface
     — Catalyst decorrelates it to a left-semi join, so it scales like
@@ -1121,6 +1144,7 @@ SPECS = [
     QuerySpec("scalar_date_fns", q_scalar_date_fns, SQL_DATE_FNS),
     QuerySpec("scalar_math_fns", q_scalar_math_fns, SQL_MATH_FNS),
     QuerySpec("json_extract", q_json_extract, SQL_JSON),
+    QuerySpec("json_variant", q_json_variant, SQL_JSON_VARIANT),
     QuerySpec("unpivot", q_unpivot, SQL_UNPIVOT),
     QuerySpec("subquery_exists", q_subquery_exists, SQL_SUBQUERY_EXISTS),
     QuerySpec("subquery_scalar", q_subquery_scalar, SQL_SUBQUERY_SCALAR),
