@@ -1,38 +1,174 @@
 """Declared engine capability surface: every SURVEY.md §2 operator as a
-QuerySpec (PySpark query + DuckDB oracle). Assembled by registry()."""
+QuerySpec (PySpark query + DuckDB oracle). Assembled by registry().
+
+The driver checks the FIRST 50 registry entries per round, so registry()
+orders queries to rotate coverage: never-driver-checked first, then
+queries whose code changed since their last green verdict, then verified
+queries stalest-first.  The verified set is DERIVED — from the
+``CORRECTNESS_r*.json`` files the driver drops in the repo root, minus a
+git-touched filter — so rotation cannot be forgotten by hand (the
+round-2 failure mode: a hand-frozen ``_R01_VERIFIED`` set kept rewritten
+queries out of the check window).
+"""
 
 from __future__ import annotations
 
+import json
 import logging
+import re
+import subprocess
+from functools import lru_cache
+from pathlib import Path
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
 
 _log = logging.getLogger("spark_graft.registry")
 
-# Queries the round-1 driver already verified (CORRECTNESS_r01.json).
-# The driver checks the FIRST 50 registry entries per round, so
-# registry() lists queries WITHOUT a driver verdict first — rotating
-# coverage until every query has been driver-checked at least once.
-# The two r01 hash-fails (agg_pivot, flagship_revenue_by_nation) are
-# excluded from this set so their fixes get re-verified this round.
-_R01_VERIFIED = frozenset(
-    {
-        "project_columns", "filter_predicate", "clean_trim_replace",
-        "conditional_encode", "split_extract", "array_join_ws", "kv_lookup",
-        "map_build", "nested_struct", "parse_date_cn", "parse_range",
-        "agg_hash_group", "agg_distinct", "agg_approx_distinct", "agg_rollup",
-        "agg_grouping_sets", "agg_cube", "agg_stats", "agg_percentile",
-        "agg_map_distribution", "window_rank_topk", "window_lag_lead",
-        "window_rolling", "window_analytics", "date_spine_gapfill",
-        "sort_limit", "set_union_dedup", "set_intersect", "set_except",
-        "set_upsert_merge", "quality_gate", "scalar_string_fns",
-        "scalar_date_fns", "scalar_math_fns", "json_extract", "unpivot",
-        "subquery_exists", "subquery_scalar", "hof_array_fns", "map_fns",
-        "sample_deterministic", "udtf_explode_kv", "join_broadcast_dim",
-        "join_theta_tolerance", "join_semi", "join_anti", "join_asof_nearest",
-        "join_salted_skew",
-    }
-)
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+_PKG_DIR = "etl_dagster_service_crawler_spark"
+
+
+def _driver_verdicts(
+    root: Path,
+) -> tuple[dict[str, int], dict[str, int], dict[int, str]]:
+    """Parse CORRECTNESS_r*.json files into per-query verdict rounds.
+
+    Returns ``(hash_green, rows_checked)``: for each query name, the
+    latest round in which the driver (a) fully verified it — rows,
+    schema, and value hash all matched with no error — and (b) at least
+    recorded a row count (the weaker rows-only check used for queries
+    without an oracle).
+    """
+    hash_green: dict[str, int] = {}
+    rows_checked: dict[str, int] = {}
+    round_files: dict[int, str] = {}
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        round_files[rnd] = p.name
+        try:
+            data = json.loads(p.read_text())
+        except (OSError, ValueError) as e:
+            _log.warning("unreadable %s: %s", p.name, e)
+            continue
+        for name, rec in data.items():
+            if not isinstance(rec, dict):
+                continue
+            err = rec.get("err")
+            if (
+                not err
+                and rec.get("rows_match") is True
+                and rec.get("schema_match") is True
+                and rec.get("hash_match") is True
+            ):
+                hash_green[name] = max(hash_green.get(name, 0), rnd)
+            if rec.get("spark_rows") is not None and err in (None, "no_oracle"):
+                rows_checked[name] = max(rows_checked.get(name, 0), rnd)
+    return hash_green, rows_checked, round_files
+
+
+def _git(root: Path, *args: str) -> str:
+    return subprocess.run(
+        ["git", *args],
+        cwd=root,
+        capture_output=True,
+        text=True,
+        timeout=30,
+        check=True,
+    ).stdout
+
+
+def _touched_since(root: Path, round_files: dict[int, str]) -> dict[int, set[str]]:
+    """For each verdict round, package files changed since that round ran.
+
+    The anchor for round N is the commit that last touched
+    ``CORRECTNESS_rN.json`` (the driver commits results against the code
+    it just checked).  The diff is taken against the WORKING TREE so
+    uncommitted edits also invalidate verdicts.  Best-effort: if git is
+    unavailable the filter degrades to "nothing touched" with a warning
+    (the correctness-file derivation still rotates never-checked
+    queries first).
+    """
+    out: dict[int, set[str]] = {}
+    for rnd, fname in round_files.items():
+        try:
+            anchor = _git(root, "log", "-n1", "--format=%H", "--", fname).strip()
+            if not anchor:
+                raise ValueError(f"no commit touches {fname}")
+            changed = _git(root, "diff", "--name-only", anchor, "--", _PKG_DIR)
+            out[rnd] = {f for f in changed.splitlines() if f.strip()}
+        except (OSError, ValueError, subprocess.SubprocessError) as e:
+            _log.warning("git-touched filter disabled for round %s: %s", rnd, e)
+            out[rnd] = set()
+    return out
+
+
+def _spec_file(spec: QuerySpec) -> str | None:
+    """Repo-relative source file declaring this spec's query fn."""
+    mod = getattr(spec.fn, "__module__", None)
+    if not mod or not mod.startswith(_PKG_DIR):
+        return None
+    return mod.replace(".", "/") + ".py"
+
+
+def order_specs(
+    specs: list[QuerySpec],
+    hash_green: dict[str, int],
+    rows_checked: dict[str, int],
+    touched: dict[int, set[str]],
+) -> list[QuerySpec]:
+    """Rotation policy, pure so tests can drive it directly.
+
+    Tiers (earlier = closer to the driver's 50-entry window):
+      0. never driver-checked   — oracle-backed before rows-only
+      1. checked, but this spec's code may have changed since (its own
+         module file changed, or shared non-workload package code did)
+      2. checked and untouched  — stalest verdict first
+
+    A spec with an oracle needs a full hash-green verdict to leave tier
+    0; a rows-only spec only needs a recorded row count.  Within a tier
+    the sort is stable, preserving declaration order.
+    """
+    spec_files = {_spec_file(s) for s in specs} - {None}
+
+    def verdict_round(s: QuerySpec) -> int:
+        if s.oracle is not None:
+            return hash_green.get(s.name, 0)
+        return rows_checked.get(s.name, 0)
+
+    def is_touched(s: QuerySpec, rnd: int) -> bool:
+        changed = touched.get(rnd, set())
+        if not changed:
+            return False
+        f = _spec_file(s)
+        if f is None or f in changed:
+            return True
+        # Changes to shared package code (operators/, functions/, io/,
+        # streaming/, sources/, session, core — anything that is not
+        # itself a spec-declaring module) can affect any query, so they
+        # conservatively invalidate every verdict older than the change.
+        # The registry module itself only ORDERS specs and is exempt.
+        registry_file = f"{_PKG_DIR}/workloads/__init__.py"
+        return any(c not in spec_files and c != registry_file for c in changed)
+
+    def key(s: QuerySpec) -> tuple[int, int, int]:
+        rnd = verdict_round(s)
+        if rnd == 0:
+            return (0, 0 if s.oracle is not None else 1, 0)
+        if is_touched(s, rnd):
+            return (1, 0 if s.oracle is not None else 1, rnd)
+        return (2, rnd, 0)
+
+    return sorted(specs, key=key)
+
+
+@lru_cache(maxsize=1)
+def _rotation_state() -> tuple[dict[str, int], dict[str, int], tuple]:
+    hash_green, rows_checked, round_files = _driver_verdicts(_REPO_ROOT)
+    touched = _touched_since(_REPO_ROOT, round_files)
+    return hash_green, rows_checked, tuple(sorted(touched.items()))
 
 
 def registry() -> dict[str, QuerySpec]:
@@ -77,18 +213,11 @@ def registry() -> dict[str, QuerySpec]:
                 type(e).__name__,
                 e,
             )
+    hash_green, rows_checked, touched_items = _rotation_state()
+    ordered = order_specs(
+        specs, hash_green, rows_checked, {r: set(fs) for r, fs in touched_items}
+    )
     out: dict[str, QuerySpec] = {}
-    # Within the unverified block, oracle-backed queries go before
-    # rows-only ones: the driver caps at 50 and a hash verdict is worth
-    # more than a row count. Python sort is stable, so original SPECS
-    # order is preserved within each tier.
-    # Twins/extras whose semantics are already covered by a verified
-    # sibling (scan_csv ~ scan_json, json_variant ~ json_extract) yield
-    # their window slot to first-class §2.A entries (the crawl source).
-    defer = {"scan_csv", "json_variant"}
-    unverified = [s for s in specs if s.name not in _R01_VERIFIED]
-    unverified.sort(key=lambda s: (s.oracle is None, s.name in defer))
-    ordered = unverified + [s for s in specs if s.name in _R01_VERIFIED]
     for s in ordered:
         if s.name in out:
             raise ValueError(f"duplicate query name {s.name}")

@@ -1,0 +1,95 @@
+"""Rotation policy: the driver checks the first 50 registry entries, so
+ordering IS coverage.  These tests pin the derived-verified-set policy
+(VERDICT.md r2 items 1/9): never-checked first, touched-since-verified
+second, verified stalest-first — with no hand-frozen sets anywhere."""
+
+from __future__ import annotations
+
+from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.workloads import (
+    _driver_verdicts,
+    _REPO_ROOT,
+    order_specs,
+    registry,
+)
+
+
+def _spec(name, module="etl_dagster_service_crawler_spark.workloads.relational",
+          oracle="SELECT 1"):
+    def fn(spark, sf_dir):  # pragma: no cover - never executed
+        raise AssertionError
+    fn.__module__ = module
+    return QuerySpec(name, fn, oracle)
+
+
+def test_never_checked_precede_verified():
+    specs = [_spec("verified"), _spec("fresh"), _spec("fresh_rows_only", oracle=None)]
+    out = order_specs(specs, {"verified": 2}, {"verified": 2}, {2: set()})
+    # oracle-backed fresh first, rows-only fresh second, verified last
+    assert [s.name for s in out] == ["fresh", "fresh_rows_only", "verified"]
+
+
+def test_rows_only_verdict_does_not_satisfy_oracle_spec():
+    # a query promoted from rows-only to oracle-backed must be re-checked:
+    # its old 'no_oracle' row-count record is not a hash verdict
+    specs = [_spec("promoted"), _spec("other")]
+    out = order_specs(specs, {"other": 1}, {"promoted": 1, "other": 1}, {1: set()})
+    assert [s.name for s in out] == ["promoted", "other"]
+
+
+def test_touched_module_invalidates_its_specs_only():
+    rel = "etl_dagster_service_crawler_spark.workloads.relational"
+    io = "etl_dagster_service_crawler_spark.workloads.io_wl"
+    specs = [_spec("a", module=rel), _spec("b", module=io)]
+    touched = {1: {"etl_dagster_service_crawler_spark/workloads/relational.py"}}
+    out = order_specs(specs, {"a": 1, "b": 1}, {}, touched)
+    # a's file changed since its verdict -> tier 1; b untouched -> tier 2
+    assert [s.name for s in out] == ["a", "b"]
+
+
+def test_shared_code_change_invalidates_everything():
+    specs = [_spec("a"), _spec("b", module="etl_dagster_service_crawler_spark.workloads.io_wl")]
+    touched = {1: {"etl_dagster_service_crawler_spark/functions/compat.py"}}
+    out = order_specs(specs, {"a": 1, "b": 1}, {}, touched)
+    assert all(
+        s.name in ("a", "b") for s in out
+    )
+    # both drop to tier 1 (re-check); relative declaration order kept
+    assert [s.name for s in out] == ["a", "b"]
+    # ...but a registry-ordering-only change is exempt
+    touched = {1: {"etl_dagster_service_crawler_spark/workloads/__init__.py"}}
+    out2 = order_specs(specs, {"a": 1, "b": 1}, {}, touched)
+    assert [s.name for s in out2] == ["a", "b"]
+
+
+def test_verified_sorted_stalest_first():
+    specs = [_spec("new"), _spec("old")]
+    out = order_specs(specs, {"new": 3, "old": 1}, {}, {1: set(), 3: set()})
+    assert [s.name for s in out] == ["old", "new"]
+
+
+def test_real_repo_derivation_matches_driver_files():
+    hash_green, rows_checked, round_files = _driver_verdicts(_REPO_ROOT)
+    # the two r01 hash-fails were re-verified green in r02
+    assert hash_green.get("agg_pivot") == 2
+    assert hash_green.get("flagship_revenue_by_nation") == 2
+    # rows-only records count as checked but never as hash-green
+    assert "agg_approx_distinct" in rows_checked
+    assert "agg_approx_distinct" not in hash_green
+    assert round_files  # at least one CORRECTNESS file parsed
+
+
+def test_registry_orders_never_checked_into_window():
+    names = list(registry())
+    window = set(names[:50])
+    hash_green, rows_checked, _ = _driver_verdicts(_REPO_ROOT)
+    reg = registry()
+    never_checked = {
+        n
+        for n, s in reg.items()
+        if (hash_green.get(n, 0) if s.oracle is not None else rows_checked.get(n, 0))
+        == 0
+    }
+    missing = never_checked - window
+    assert len(never_checked) <= 50, "never-checked set exceeds the driver window"
+    assert not missing, f"never-checked queries outside the 50-window: {missing}"
