@@ -127,8 +127,13 @@ def run_available_now(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old_sp)
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
     finally:
         if q.isActive:
             q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"availableNow drain still running after {timeout_s}s — the memory "
+            "sink holds a partial result"
+        )
     return spark.table(name)

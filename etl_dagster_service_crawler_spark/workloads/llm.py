@@ -554,8 +554,12 @@ FROM documents
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature extraction over binary payloads (rows-only:
-    the fake extractor is deterministic but not SQL-expressible)."""
+    """mapInPandas feature extraction over binary payloads.
+
+    Oracle-checked: the fake extractor is pure byte arithmetic
+    (feat[0] = payload[0]/255), and the documents fixture is pure ASCII
+    at every scale factor, so utf-8 byte 0 == codepoint of char 1 and
+    DuckDB's ord(substr(text,1,1)) reproduces it exactly."""
     mm = build_multimodal(load_table(spark, sf_dir, "documents"))
     feats = extract_features(mm)
     return feats.select(
@@ -567,12 +571,35 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_MM_FEATURES = """
+SELECT doc_id,
+       'text' AS modality,
+       CAST(octet_length(encode(text)) AS INT) AS payload_len,
+       8 AS feat_dim,
+       ord(substr(text, 1, 1)) / CAST(255 AS DOUBLE) AS feat0
+FROM documents
+"""
+
+
 def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame sampling over binary payloads via mapInPandas (rows-only:
-    byte-chunk framing is the deterministic stand-in for a keyframe
-    sampler; unit-tested against a local recompute)."""
+    """Frame sampling over binary payloads via mapInPandas: one input
+    row explodes to one row per 64-byte 'frame', the shape a real
+    keyframe sampler has. Oracle-checked: the framing is deterministic
+    byte-chunking and the ASCII fixture makes per-byte sums expressible
+    as ord() over generate_series in DuckDB."""
     mm = build_multimodal(load_table(spark, sf_dir, "documents"))
     return frame_sample(mm.where(F.col("doc_id") < 100))
+
+
+SQL_FRAME_SAMPLE = """
+SELECT d.doc_id,
+       CAST((p - 1) // 64 AS INT) AS frame_no,
+       CAST(((p - 1) // 64) * 64 AS INT) AS offset,
+       CAST(sum(ord(substr(d.text, CAST(p AS INT), 1))) % 100000 AS INT) AS frame_sum
+FROM documents d, unnest(generate_series(1, length(d.text))) AS t(p)
+WHERE d.doc_id < 100
+GROUP BY d.doc_id, (p - 1) // 64
+"""
 
 
 SPECS = [
@@ -581,7 +608,7 @@ SPECS = [
     QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),
     QuerySpec("embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     QuerySpec("text_token_count", q_text_token_count, SQL_TOKEN_COUNT),
-    QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, None),
+    QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, SQL_FRAME_SAMPLE),
     QuerySpec("text_ngrams", q_text_ngrams, SQL_NGRAMS),
     QuerySpec("text_lang_id", q_text_lang_id, _lang_id_sql()),
     QuerySpec("text_quality_score", q_text_quality_score, SQL_QUALITY_SCORE),
@@ -599,5 +626,5 @@ SPECS = [
     QuerySpec("similarity_topk", q_similarity_topk, SQL_TOPK, bench=True),
     QuerySpec("similarity_topk_ivf", q_similarity_topk_ivf, None),
     QuerySpec("multimodal_columns", q_multimodal_columns, SQL_MULTIMODAL),
-    QuerySpec("multimodal_features", q_multimodal_features, None),
+    QuerySpec("multimodal_features", q_multimodal_features, SQL_MM_FEATURES),
 ]

@@ -941,7 +941,11 @@ def q_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_JSON_VARIANT = """
 SELECT event_id,
        CAST(json_extract(props, '$.k') AS INT) AS k,
-       'OBJECT<k: BIGINT>' AS vschema
+       CASE
+         WHEN props IS NULL THEN NULL
+         WHEN json_structure(props) = '{"k":"UBIGINT"}' THEN 'OBJECT<k: BIGINT>'
+         ELSE 'unmapped json shape: ' || json_structure(props)
+       END AS vschema
 FROM events
 """
 

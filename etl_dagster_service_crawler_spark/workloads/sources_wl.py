@@ -67,7 +67,9 @@ def q_source_crawl_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("crawl stream drain still running after 120s")
     return spark.read.schema(CRAWL_SCHEMA).parquet(out_dir)
 
 

@@ -146,7 +146,12 @@ WHERE ws + INTERVAL 1 HOUR <= (SELECT max(ts) - INTERVAL 30 MINUTE FROM events)
 
 def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate the stream (union with itself) then
-    dropDuplicatesWithinWatermark — exactly-once record identity."""
+    dropDuplicatesWithinWatermark — exactly-once record identity.
+
+    Deterministic, so oracle-checked: every duplicate pair shares a
+    timestamp and therefore sits inside the watermark horizon, so
+    exactly one copy survives — the output IS the distinct
+    (event_id, event_type) set of `events`."""
     a = stream_events(spark, sf_dir)
     b = stream_events(spark, sf_dir)
     doubled = a.unionByName(b)
@@ -155,12 +160,30 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(out, "append").orderBy("event_id")
 
 
+SQL_STREAM_DEDUP = "SELECT DISTINCT event_id, event_type FROM events"
+
+
 def q_stream_stateful_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running error budget via applyInPandasWithState
-    (reference max_errors=3 abort, test.py:129-144)."""
+    (reference max_errors=3 abort, test.py:129-144).
+
+    Deterministic, so oracle-checked: the fixture is a single parquet
+    file and stream_events sets no per-trigger cap, so availableNow
+    drains it in ONE micro-batch — each user's whole history reaches
+    the state update together, and the count emitted at the crossing is
+    the user's TOTAL error count (SQL: HAVING count >= budget)."""
     s = stream_events(spark, sf_dir)
     out = error_budget_counter(s, max_errors=3)
     return run_available_now(out, "append").orderBy("user_id")
+
+
+SQL_STREAM_BUDGET = """
+SELECT user_id, count(*) AS n_errors
+FROM events
+WHERE event_type = 'error'
+GROUP BY user_id
+HAVING count(*) >= 3
+"""
 
 
 def q_stream_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,7 +207,10 @@ def q_stream_dual_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("dual-sink stream still running after 300s — refusing "
+                           "to return a partially-written sink")
     return spark.read.schema("event_id bigint, event_type string").json(main)
 
 
@@ -226,7 +252,10 @@ def q_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError("rollup stream still running after 180s — the rollup "
+                           "table is only partially merged")
     back = spark.read.parquet(rollup_dir)
     return back.select(
         "window_start",
@@ -255,6 +284,8 @@ SPECS = [
     QuerySpec("stream_window_session", q_stream_window_session, SQL_STREAM_SESSION),
     QuerySpec("stream_stream_join", q_stream_stream_join, SQL_STREAM_STREAM_JOIN),
     QuerySpec("stream_watermark_late", q_stream_watermark_late, SQL_STREAM_WATERMARK_LATE),
-    QuerySpec("stream_dedup_watermark", q_stream_dedup_watermark, None),
-    QuerySpec("stream_stateful_error_budget", q_stream_stateful_error_budget, None),
+    QuerySpec("stream_dedup_watermark", q_stream_dedup_watermark, SQL_STREAM_DEDUP),
+    QuerySpec(
+        "stream_stateful_error_budget", q_stream_stateful_error_budget, SQL_STREAM_BUDGET
+    ),
 ]
