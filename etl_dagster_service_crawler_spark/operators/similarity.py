@@ -7,8 +7,10 @@
 - ivf_topk: IVF-style approximate top-k — assign corpus vectors to
   nearest of C centroids (broadcast centroids), probe the nprobe
   nearest centroid buckets per query. Candidate set shrinks by
-  ~C/nprobe; at scale the bucket assignment is the only full pass and
-  buckets can be written partitioned-by-centroid for reuse.
+  ~C/nprobe; at scale the bucket assignment is the only full pass.
+- ivf_build / ivf_search: the persisted form — assignments written
+  partitioned by centroid id once, searches statically prune to the
+  probed partitions. This is the serving shape for repeated queries.
 - embedding near-dup pairs ride the same bucketing (same-bucket
   equi-join) — see workloads/llm.py.
 
@@ -191,13 +193,101 @@ def ivf_assign(
     return centroids, assignments
 
 
+def ivf_build(
+    emb: DataFrame, index_dir: str, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """Build the PERSISTED IVF index: centroids as a tiny parquet table,
+    assignments written PARTITIONED BY centroid id. This is the ANN
+    shape that serves repeated query batches at 100 TB — the expensive
+    full-corpus pass (train + assign) happens once, and every search
+    after it reads only the probed centroid partitions (static partition
+    pruning on `cid=`), not the corpus.
+
+    Publish is atomic: the index is staged under a temp name and
+    os.rename'd into place, so a concurrent reader sees either no index
+    or a complete one; on a build race the first publisher wins and the
+    loser's staging is discarded.
+
+    Returns index_dir.
+    """
+    import os
+    import shutil
+    import uuid
+
+    centroids, assignments = ivf_assign(emb, n_centroids, id_col, vec_col)
+    parent = os.path.dirname(index_dir.rstrip("/"))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    stage = f"{index_dir.rstrip('/')}.stage-{uuid.uuid4().hex[:8]}"
+    centroids.write.parquet(f"{stage}/centroids")
+    # repartition by cid first so each cid= directory gets ONE file
+    # (without it every write task emits a sliver into every partition)
+    (
+        assignments.repartition(n_centroids, "cid")
+        .write.partitionBy("cid")
+        .parquet(f"{stage}/assignments")
+    )
+    try:
+        os.rename(stage, index_dir)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not os.path.isdir(index_dir):
+            raise
+    return index_dir
+
+
+def ivf_search(
+    spark, index_dir: str, queries: DataFrame, k: int = 5, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index (see ivf_build) for the top-k
+    cosine neighbors of each query row (qid, qvec).
+
+    The probed centroid ids are collected to the driver — bounded
+    planning metadata, at most |queries| * nprobe ints — and applied as
+    a LITERAL IN-filter on the cid-partitioned assignments scan, so the
+    file source prunes every unprobed partition before reading a byte
+    (tests pin this via inputFiles). Self-matches (nid == qid) are
+    excluded for parity with ivf_topk/bruteforce."""
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "qid", "qvec", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("qcos")
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "qvec", "cid")
+    )
+    probe_cids = sorted(
+        int(r["cid"]) for r in probes.select("cid").distinct().collect()
+    )
+    assignments = (
+        spark.read.parquet(f"{index_dir}/assignments")
+        .where(F.col("cid").isin(probe_cids))
+        .withColumnRenamed(id_col, "nid")
+        .withColumnRenamed(vec_col, "nvec")
+    )
+    cand = probes.join(assignments, "cid").where(F.col("nid") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.select("qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", "cos", "rn")
+    )
+
+
 def ivf_topk(
     emb: DataFrame, query_ids: list[int], k: int = 5,
     n_centroids: int = 16, nprobe: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Approximate top-k: search only the nprobe closest centroid
-    buckets per query."""
+    buckets per query. One-shot form (trains per call) — repeated query
+    batches should ivf_build once and ivf_search the persisted index."""
     centroids, assignments = ivf_assign(emb, n_centroids, id_col, vec_col)
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")

@@ -213,6 +213,59 @@ def test_ivf_topk_returns_k_and_matches_bruteforce_top1(spark, sf_dir):
         assert top1.nid == exact[(q, 1)]
 
 
+def test_ivf_persisted_index_matches_one_shot_and_prunes_partitions(
+    spark, sf_dir, tmp_path
+):
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        ivf_build,
+        ivf_search,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(tmp_path / "ivf")
+    ivf_build(emb, index_dir, n_centroids=8)
+
+    q = emb.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    searched = ivf_search(spark, index_dir, q, k=5, nprobe=2)
+    one_shot = ivf_topk(emb, [0, 1], k=5, n_centroids=8, nprobe=2)
+    got = {(r.qid, r.rn, r.nid) for r in searched.collect()}
+    want = {(r.qid, r.rn, r.nid) for r in one_shot.collect()}
+    # same seed -> same centroids -> identical results from the
+    # persisted index and the in-memory one-shot
+    assert got == want
+
+    # the search scan must read ONLY probed cid= partitions: the literal
+    # IN-filter lands in the scan's PartitionFilters, and with nprobe=2
+    # and 2 queries the pruned file source keeps at most 4 of 8
+    # partitions (inputFiles() ignores pushed filters, so inspect the
+    # executed plan's scan node instead)
+    import re as _re
+
+    fmt = spark._jvm.PythonSQLUtils.explainString(
+        searched._jdf.queryExecution(), "formatted"
+    )
+    in_filters = [
+        m.group(1)
+        for ln in fmt.splitlines()
+        if "PartitionFilters" in ln
+        for m in [_re.search(r"cid#\d+ IN \(([\d,]+)\)", ln)]
+        if m
+    ]
+    assert in_filters, f"no static partition IN-filter on the assignments scan:\n{fmt}"
+    probed = {int(c) for c in in_filters[0].split(",")}
+    assert len(probed) <= 4, f"more partitions probed than nprobe allows: {probed}"
+
+    # atomic publish: a second build over an existing index either wins
+    # by rename or cleanly discards its staging — never a partial dir
+    ivf_build(emb, index_dir, n_centroids=8)
+    import os
+
+    assert sorted(os.listdir(index_dir)) == ["assignments", "centroids"]
+    assert not [d for d in os.listdir(tmp_path) if "stage" in d]
+
+
 def test_multimodal_features_deterministic_and_typed(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
     mm = build_multimodal(docs)
