@@ -53,9 +53,10 @@ def main() -> None:
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in bench_names:
         fn = qs[name]
-        best = None
+        runs: list[float] = []
         n = 0
         for _ in range(n_runs):
             # isolate queries: drop caches persisted by earlier ones
@@ -66,10 +67,17 @@ def main() -> None:
             # Force full execution without driver-side materialization
             # of wide results: count() runs the whole plan.
             n = df.count()
-            elapsed = time.time() - t0
-            best = elapsed if best is None or elapsed < best else best
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows, min of {n_runs})", file=sys.stderr)
+            runs.append(time.time() - t0)
+        runs.sort()
+        timings[name] = round(runs[0], 3)
+        # keep every observation so a regression (min creeping up) is
+        # distinguishable from one noisy neighbor-I/O run (max spiking)
+        spread[name] = [round(t, 3) for t in runs]
+        print(
+            f"# {name}: {timings[name]}s ({n} rows, min of {n_runs}, "
+            f"runs={spread[name]})",
+            file=sys.stderr,
+        )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -81,6 +89,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "runs": spread,
         "sf": sf_val,
     }
     print(json.dumps(out))

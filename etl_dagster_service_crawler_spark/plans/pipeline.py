@@ -166,7 +166,7 @@ WITH rec AS (
        + CASE WHEN amount <= 0 THEN 1 ELSE 0 END) = 0
 ), cnt AS (
   SELECT ingest_date, category, count(*) AS cnt,
-         floor(CAST(sum(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS amount_sum
+         floor((CAST(sum(CAST(floor(amount * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) * 100.0 + 0.5) / 100.0 AS amount_sum
   FROM gated GROUP BY 1, 2
 )
 SELECT ingest_date, category, cnt, amount_sum,

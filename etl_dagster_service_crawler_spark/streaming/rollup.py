@@ -6,16 +6,23 @@ This is the streaming twin of a materialized view, and the scale story
 is the point: the stream never holds aggregate state in the state store
 (no ever-growing complete-mode state), the rollup table is the state —
 bounded by the window keyspace, not the event count. Counts and sums
-are mergeable partials, so per-file exactly-once (Spark's file-source
-guarantee) + additive merge means the final rollup equals the batch
-aggregate over all input — which is exactly what the driver's oracle
-checks.
+are mergeable partials, so exactly-once merging means the final rollup
+equals the batch aggregate over all input — which is exactly what the
+driver's oracle checks.
 
-Money partials stay exact DECIMAL in the rollup (never pre-rounded:
-rounding partial sums is not mergeable); rounding happens once at read
-time. The read-merge-rewrite here is the parquet stand-in for a real
-deployment's Delta/Iceberg MERGE INTO; the swap is atomic (write to a
-temp dir, rename over).
+Exactly-once is earned, not assumed: foreachBatch is AT-LEAST-once (a
+restart after the rollup publish but before the checkpoint commits the
+offset re-delivers the batch), so the merge records each applied
+epoch_id in an `_applied_epochs` marker that is published ATOMICALLY
+with the data (same temp-dir rename); a re-delivered epoch is detected
+and skipped instead of double-added. The underscore prefix keeps the
+marker invisible to parquet readers.
+
+Money partials stay exact BIGINT fixed-point units in the rollup (never
+pre-rounded: rounding partial sums is not mergeable); rounding happens
+once at read time. The read-merge-rewrite here is the parquet stand-in
+for a real deployment's Delta/Iceberg MERGE INTO; the swap is atomic
+(write to a temp dir, rename over).
 """
 
 from __future__ import annotations
@@ -26,12 +33,23 @@ import shutil
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_DEC = "decimal(28,4)"
+from etl_dagster_service_crawler_spark.functions.compat import to_cents
+
+_EPOCH_MARKER = "_applied_epochs"
+
+
+def applied_epochs(rollup_dir: str) -> set[int]:
+    p = os.path.join(rollup_dir, _EPOCH_MARKER)
+    if not os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return {int(tok) for tok in f.read().split()}
 
 
 def rollup_merge_batch(rollup_dir: str, merge_partitions: int = 8):
     """foreachBatch body: aggregate the micro-batch to (window_start,
-    event_type) partials and merge them additively into rollup_dir.
+    event_type) partials and merge them additively into rollup_dir,
+    idempotently per epoch.
 
     The merge is union + re-aggregate, not a full-outer join: partials
     are mergeable, so (old rollup UNION batch partials) re-aggregated
@@ -43,6 +61,9 @@ def rollup_merge_batch(rollup_dir: str, merge_partitions: int = 8):
 
     def merge(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        seen = applied_epochs(rollup_dir)
+        if int(epoch_id) in seen:
+            return  # re-delivered batch after a publish+crash: already merged
         keyed = batch_df.select(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
                 "window_start"
@@ -57,7 +78,7 @@ def rollup_merge_batch(rollup_dir: str, merge_partitions: int = 8):
             .groupBy("window_start", "event_type")
             .agg(
                 F.count(F.lit(1)).alias("cnt"),
-                F.sum(F.col("value").cast("decimal(18,4)")).cast(_DEC).alias("sum_dec"),
+                F.sum(to_cents(F.col("value"))).alias("sum_units"),
             )
         )
         if os.path.exists(rollup_dir):
@@ -68,7 +89,7 @@ def rollup_merge_batch(rollup_dir: str, merge_partitions: int = 8):
                 .groupBy("window_start", "event_type")
                 .agg(
                     F.sum("cnt").alias("cnt"),
-                    F.sum("sum_dec").cast(_DEC).alias("sum_dec"),
+                    F.sum("sum_units").alias("sum_units"),
                 )
             )
         else:
@@ -83,6 +104,11 @@ def rollup_merge_batch(rollup_dir: str, merge_partitions: int = 8):
         # keeps reads cheap across merge cycles
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
         merged.unpersist()
+        # epoch marker rides the same rename as the data: the publish is
+        # atomic for both, so a crash can never record an epoch without
+        # its data (or vice versa)
+        with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
+            f.write(" ".join(str(e) for e in sorted(seen | {int(epoch_id)})))
         shutil.rmtree(rollup_dir, ignore_errors=True)
         os.rename(tmp, rollup_dir)
 

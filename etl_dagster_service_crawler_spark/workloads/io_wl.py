@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.functions.compat import dsum
 from etl_dagster_service_crawler_spark.io.sinks import (
     derby_url,
     read_jdbc,
@@ -148,7 +149,7 @@ def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         SELECT o_orderstatus, count(*) AS cnt,
-               floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
+               floor(CAST(sum(CAST(floor(o_totalprice * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 1e2 + 0.5) / 1e2 AS total
         FROM {name}
         GROUP BY o_orderstatus
         """
@@ -157,7 +158,7 @@ def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SINK_TABLE = """
 SELECT o_orderstatus, count(*) AS cnt,
-       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
+       floor(CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 100.0 + 0.5) / 100.0 AS total
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -190,13 +191,13 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = a.join(b, F.col("l_orderkey") == F.col("o_orderkey"))
     return joined.groupBy("o_orderstatus").agg(
         F.count("*").alias("cnt"),
-        (F.floor(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double") * 1e2 + F.lit(0.5)) / 1e2).alias("sum_price"),
+        dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
     )
 
 
 SQL_BUCKETED_JOIN = """
 SELECT o_orderstatus, count(*) AS cnt,
-       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_price
+       floor(CAST(sum(CAST(floor((l_extendedprice) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 100.0 + 0.5) / 100.0 AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
@@ -217,13 +218,13 @@ def q_sink_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.parquet(path)
     return back.groupBy(F.col("order_month").cast("string").alias("order_month")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        (F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") * 1e2 + F.lit(0.5)) / 1e2).alias("total"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
 
 SQL_SINK_COMPACTED = """
 SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS cnt,
-       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
+       floor(CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 100.0 + 0.5) / 100.0 AS total
 FROM orders
 GROUP BY 1
 """
@@ -263,7 +264,7 @@ def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(F.broadcast(busy), "order_month")
     return joined.groupBy(F.col("order_month").cast("string").alias("order_month")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        (F.floor(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") * 1e2 + F.lit(0.5)) / 1e2).alias("total"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
 
@@ -274,7 +275,7 @@ WITH m AS (
 ),
 busy AS (SELECT order_month FROM m WHERE cnt > (SELECT avg(cnt) FROM m))
 SELECT f.order_month, count(*) AS cnt,
-       floor(CAST(sum(CAST(f.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
+       floor(CAST(sum(CAST(floor((f.o_totalprice) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 100.0 + 0.5) / 100.0 AS total
 FROM (SELECT strftime(o_orderdate, '%Y-%m') AS order_month, o_totalprice
       FROM orders) f
 JOIN busy USING (order_month)
@@ -310,19 +311,13 @@ def q_sink_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = read_jdbc(spark, url, "orders_sink")
     return back.groupBy(F.col("o_orderstatus").alias("o_orderstatus")).agg(
         F.count(F.lit(1)).alias("cnt"),
-        (
-            F.floor(
-                F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double") * 1e2
-                + F.lit(0.5)
-            )
-            / 1e2
-        ).alias("total"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
     )
 
 
 SQL_SINK_JDBC = """
 SELECT o_orderstatus, count(*) AS cnt,
-       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
+       floor(CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 100.0 + 0.5) / 100.0 AS total
 FROM orders
 GROUP BY o_orderstatus
 """
@@ -336,6 +331,7 @@ def q_sink_custom_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checked: write documents through the sink, read back,
     aggregate vs the original parquet."""
     from etl_dagster_service_crawler_spark.sources.push_sink import (
+        read_committed,
         register as register_push,
     )
 
@@ -344,7 +340,8 @@ def q_sink_custom_push(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _scratch(sf_dir, "push/docs")
     shutil.rmtree(path, ignore_errors=True)
     docs.write.format("crawlpush").option("path", path).mode("append").save()
-    back = spark.read.schema("doc_id bigint, source string, n_chars bigint").json(path)
+    # manifest-keyed read: only files the commit published atomically
+    back = read_committed(spark, path, "doc_id bigint, source string, n_chars bigint")
     return back.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),

@@ -40,8 +40,8 @@ def q_join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_BROADCAST = """
-SELECT r_name, count(*) AS cnt, floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal) * 1e2 + 0.5) / 1e2 AS avg_bal
+SQL_BROADCAST = f"""
+SELECT r_name, count(*) AS cnt, {sql_davg("c_acctbal", 2)} AS avg_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -64,8 +64,8 @@ def q_join_theta_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_THETA = """
-SELECT r_name, count(*) AS cnt, floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) * 1e2 + 0.5) / 1e2 AS avg_value
+SQL_THETA = f"""
+SELECT r_name, count(*) AS cnt, {sql_davg("value", 2)} AS avg_value
 FROM events
 JOIN (SELECT r_name, CAST(r_regionkey * 40 AS DOUBLE) AS center FROM region) legend
   ON abs(value - center) <= 5.0
@@ -180,9 +180,9 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SALTED = """
+SQL_SALTED = f"""
 SELECT o_orderstatus, count(*) AS cnt,
-       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_price
+       {sql_dsum("l_extendedprice", 2)} AS sum_price
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderstatus
 """
@@ -265,17 +265,17 @@ def q_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(
-            # exact decimal on the factors (not a double-product cast:
-            # scaled double products can tie at .00005 and the engines'
-            # tie rules differ — see q_agg_hash_group)
+            # integer fixed-point on the FACTORS (not a double-product
+            # snap: scaled double products can tie at .00005 and the
+            # engines' tie rules differ). floor(x*1e2+0.5) is the same
+            # IEEE sequence in both engines; BIGINT products/sums are
+            # exact — see functions/compat.py for the overflow bound.
             fround(
                 F.sum(
-                    F.col("l_extendedprice").cast("decimal(12,2)")
-                    * (
-                        F.lit(1).cast("decimal(3,2)")
-                        - F.col("l_discount").cast("decimal(3,2)")
-                    )
-                ).cast("double"),
+                    F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5))
+                    * (F.lit(100) - F.floor(F.col("l_discount") * F.lit(1e2) + F.lit(0.5)))
+                ).cast("double")
+                / F.lit(1e4),
                 2,
             ).alias("revenue")
         )
@@ -286,7 +286,9 @@ def q_topk_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TOPK_REVENUE = """
 SELECT o_orderkey, o_orderpriority,
-       floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS revenue
+       floor((CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+                       * CAST(100 - floor(l_discount * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4)
+             * 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey

@@ -637,7 +637,10 @@ SPECS = [
     QuerySpec("dedup_exact", q_dedup_exact, SQL_DEDUP_EXACT, bench=True),
     QuerySpec("dedup_minhash_lsh", q_dedup_minhash, None, bench=True),
     QuerySpec("dedup_minhash_assign", q_dedup_minhash_assign, None, bench=True),
-    QuerySpec("dedup_minhash_cc", q_dedup_minhash_cc, None),
+    # bench: the O(n) connected-components labeling is the dedup path
+    # you'd actually run at 100 TB (pair enumeration is output-bound),
+    # so its cost curve is tracked alongside the pair query's
+    QuerySpec("dedup_minhash_cc", q_dedup_minhash_cc, None, bench=True),
     QuerySpec("dedup_simhash", q_dedup_simhash, None),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, SQL_EMBEDDING_COSINE),

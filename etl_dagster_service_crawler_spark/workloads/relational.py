@@ -20,7 +20,16 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
-from etl_dagster_service_crawler_spark.functions.compat import davg, dsum, fround, sql_davg, sql_dsum
+from etl_dagster_service_crawler_spark.functions.compat import (
+    davg,
+    dsum,
+    fround,
+    sql_davg,
+    sql_dsum,
+    sql_fround,
+    sql_to_cents,
+    to_cents,
+)
 from etl_dagster_service_crawler_spark.functions.cleaning import (
     clean_tokens,
     conditional_encode,
@@ -261,23 +270,30 @@ def q_agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: partial (map-side) agg means the
     shuffle carries one row per (task, flag, status), not per lineitem."""
     li = load_table(spark, sf_dir, "lineitem")
-    # Products in exact decimal arithmetic on the FACTORS — casting the
-    # computed double product to decimal is tie-prone (the scaled double
-    # can land exactly on .00005, where Spark HALF_UP and DuckDB
-    # half-even split); the factors themselves are tidy 2-dp values
-    # whose decimal casts never tie.
-    one = F.lit(1).cast("decimal(3,2)")
-    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
-    disc_price = price_d * (one - F.col("l_discount").cast("decimal(3,2)"))
-    charge = disc_price * (one + F.col("l_tax").cast("decimal(3,2)"))
+    # Products in integer fixed-point on the FACTORS — snapping the
+    # computed double product is tie-prone (the scaled double can land
+    # exactly on .00005, where engine tie rules differ); the factors
+    # themselves are tidy 2-dp values whose floor(x*1e2+0.5) snap is the
+    # identical IEEE sequence in both engines. disc_price terms are
+    # 1e-4 units, charge terms 1e-6 units; see functions/compat.py for
+    # the int64 group-size bound and the decimal(38,0) escape hatch.
+    price_c = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5))
+    disc_f = F.lit(100) - F.floor(F.col("l_discount") * F.lit(1e2) + F.lit(0.5))
+    tax_f = F.lit(100) + F.floor(F.col("l_tax") * F.lit(1e2) + F.lit(0.5))
+    disc_price_units = price_c * disc_f
+    charge_units = price_c * disc_f * tax_f
     return (
         li.where(F.col("l_shipdate") <= F.lit("2000-01-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             dsum(F.col("l_quantity"), 2).alias("sum_qty"),
             dsum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
-            fround(F.sum(disc_price).cast("double"), 2).alias("sum_disc_price"),
-            fround(F.sum(charge).cast("double"), 2).alias("sum_charge"),
+            fround(F.sum(disc_price_units).cast("double") / F.lit(1e4), 2).alias(
+                "sum_disc_price"
+            ),
+            fround(F.sum(charge_units).cast("double") / F.lit(1e6), 2).alias(
+                "sum_charge"
+            ),
             davg(F.col("l_quantity"), 2).alias("avg_qty"),
             davg(F.col("l_discount"), 4).alias("avg_disc"),
             F.count("*").alias("count_order"),
@@ -285,19 +301,16 @@ def q_agg_hash_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DISC_PRICE_DEC = (
-    "CAST(l_extendedprice AS DECIMAL(12,2))"
-    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(3,2)))"
-)
+_PRICE_C = "CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)"
+_DISC_F = "CAST(100 - floor(l_discount * 1e2 + 0.5) AS BIGINT)"
+_TAX_F = "CAST(100 + floor(l_tax * 1e2 + 0.5) AS BIGINT)"
 
 SQL_Q1 = f"""
 SELECT l_returnflag, l_linestatus,
        {sql_dsum("l_quantity", 2)} AS sum_qty,
        {sql_dsum("l_extendedprice", 2)} AS sum_base_price,
-       floor(CAST(sum({_DISC_PRICE_DEC}) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
-       floor(CAST(sum({_DISC_PRICE_DEC}
-                      * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE)
-             * 1e2 + 0.5) / 1e2 AS sum_charge,
+       {sql_fround(f"CAST(sum({_PRICE_C} * {_DISC_F}) AS DOUBLE) / 1e4", 2)} AS sum_disc_price,
+       {sql_fround(f"CAST(sum({_PRICE_C} * {_DISC_F} * {_TAX_F}) AS DOUBLE) / 1e6", 2)} AS sum_charge,
        {sql_davg("l_quantity", 2)} AS avg_qty,
        {sql_davg("l_discount", 4)} AS avg_disc,
        count(*) AS count_order
@@ -339,8 +352,8 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_ROLLUP = """
-SELECT r_name, n_name, count(*) AS cnt, floor(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(c_acctbal) * 1e2 + 0.5) / 1e2 AS avg_bal
+SQL_ROLLUP = f"""
+SELECT r_name, n_name, count(*) AS cnt, {sql_davg("c_acctbal", 2)} AS avg_bal
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
@@ -363,9 +376,9 @@ def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_GROUPING_SETS = """
+SQL_GROUPING_SETS = f"""
 SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
-       floor(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS total
+       {sql_dsum("o_totalprice", 2)} AS total
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """
@@ -393,9 +406,9 @@ def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CUBE = """
+SQL_CUBE = f"""
 SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-       floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_qty,
+       {sql_dsum("l_quantity", 2)} AS sum_qty,
        CAST(grouping(l_returnflag, l_linestatus) AS INT) AS gid
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -609,21 +622,22 @@ def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-2, Window.currentRow)
     )
-    # decimal inside the frame: windowed double sums are engine-order
-    # dependent (DuckDB uses segment trees, Spark sequential scans)
+    # fixed-point inside the frame: windowed double sums are engine-order
+    # dependent (DuckDB uses segment trees, Spark sequential scans);
+    # BIGINT unit sums are exact under any evaluation order
     return e.select(
         "event_id",
-        fround(
-            F.sum(F.col("value").cast("decimal(18,4)")).over(w).cast("double"), 2
-        ).alias("roll_sum"),
+        fround(F.sum(to_cents(F.col("value"))).over(w).cast("double") / 1e4, 2).alias(
+            "roll_sum"
+        ),
     )
 
 
-SQL_ROLLING = """
+SQL_ROLLING = f"""
 SELECT event_id,
-       floor(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+       {sql_fround(f'''CAST(sum({sql_to_cents("value")}) OVER (
                  PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS roll_sum
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e4''', 2)} AS roll_sum
 FROM events
 """
 

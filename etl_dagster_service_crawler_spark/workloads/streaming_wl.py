@@ -56,7 +56,7 @@ SQL_STREAM_TUMBLING = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS cnt,
-       floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_value
+       floor((CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) * 100.0 + 0.5) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -261,7 +261,7 @@ def q_stream_rollup_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         "window_start",
         "event_type",
         "cnt",
-        fround(F.col("sum_dec").cast("double"), 2).alias("sum_value"),
+        fround(F.col("sum_units").cast("double") / 1e4, 2).alias("sum_value"),
     )
 
 
@@ -269,7 +269,7 @@ SQL_STREAM_ROLLUP = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        count(*) AS cnt,
-       floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_value
+       floor((CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) * 100.0 + 0.5) / 100.0 AS sum_value
 FROM events
 GROUP BY 1, 2
 """

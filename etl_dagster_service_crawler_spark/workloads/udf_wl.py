@@ -18,6 +18,7 @@ executor memory — both hold for per-user event histories.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -72,10 +73,14 @@ def _user_stats(pdf: pd.DataFrame) -> pd.DataFrame:
             "cnt": [len(pdf)],
             # exact fixed-point sum: float sums depend on row arrival
             # order inside the group; 4-dp cents are order-independent.
-            # Then floor(x*100+0.5)/100 matches fround()/sql_fround().
+            # floor(x*1e4+0.5) is the same per-term snap the engine-side
+            # to_cents()/sql_to_cents() use, and floor(x*100+0.5)/100
+            # matches fround()/sql_fround().
             "sum_value": [
                 (
-                    (pdf["value"] * 1e4).round().astype("int64").sum() / 1e4 * 100.0
+                    np.floor(pdf["value"] * 1e4 + 0.5).astype("int64").sum()
+                    / 1e4
+                    * 100.0
                     + 0.5
                 )
                 // 1
@@ -94,7 +99,7 @@ def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_UDAF_GROUPED = """
 SELECT user_id,
        count(*) AS cnt,
-       floor(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) * 1e2 + 0.5) / 1e2 AS sum_value,
+       floor((CAST(sum(CAST(floor(value * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) * 100.0 + 0.5) / 100.0 AS sum_value,
        max(date_diff('microsecond', prev_ts, ts)) / 1e6 AS max_gap_s
 FROM (
   SELECT user_id, ts, value,

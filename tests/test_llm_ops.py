@@ -369,3 +369,43 @@ def test_cc_merges_chains_one_hop_cannot(spark):
     lab = {r["doc_id"]: r["label"] for r in minhash_cluster_cc(df, "doc_id", "text").collect()}
     assert lab[1] == lab[2] == lab[3]
     assert lab[4] != lab[1]
+
+
+def test_image_decode_and_resize_with_pillow():
+    """Runs green where pillow is installed; SKIPS (not stubs) where it
+    isn't — the decode body is real either way."""
+    import pytest
+
+    PIL_Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from etl_dagster_service_crawler_spark.operators.multimodal import (
+        decode_image,
+        resize_image,
+    )
+
+    buf = io.BytesIO()
+    PIL_Image.new("RGB", (8, 6), color=(10, 20, 30)).save(buf, format="PNG")
+    payload = buf.getvalue()
+
+    arr = decode_image(payload)
+    assert arr.shape == (6, 8, 3)
+    assert (arr[0, 0] == [10, 20, 30]).all()
+
+    small = resize_image(payload, 4, 3)
+    assert decode_image(small).shape == (3, 4, 3)
+
+
+def test_image_decode_raises_cleanly_without_pillow():
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("pillow installed: the guarded error path is unreachable")
+    except ImportError:
+        pass
+    from etl_dagster_service_crawler_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="pillow"):
+        decode_image(b"not-an-image")

@@ -116,3 +116,36 @@ def test_error_budget_tws_variant_matches(spark, sf_dir):
         error_budget_counter_tws(stream_events(spark, sf_dir), 3), "append"
     )
     assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_rollup_merge_is_idempotent_per_epoch(spark, tmp_path):
+    """foreachBatch is at-least-once: a re-delivered epoch (restart
+    after publish, before checkpoint commit) must not double-add."""
+    import datetime
+
+    from etl_dagster_service_crawler_spark.streaming.rollup import (
+        applied_epochs,
+        rollup_merge_batch,
+    )
+
+    rollup_dir = str(tmp_path / "rollup")
+    merge = rollup_merge_batch(rollup_dir, merge_partitions=2)
+    ts = datetime.datetime(2024, 1, 1, 10, 30)
+    batch = spark.createDataFrame(
+        [(1, ts, "click", 10.0), (2, ts, "click", 5.0)],
+        "event_id bigint, ts timestamp, event_type string, value double",
+    )
+
+    merge(batch, 0)
+    first = {tuple(r) for r in spark.read.parquet(rollup_dir).collect()}
+    merge(batch, 0)  # re-delivery of the SAME epoch: no-op
+    assert {tuple(r) for r in spark.read.parquet(rollup_dir).collect()} == first
+    assert applied_epochs(rollup_dir) == {0}
+
+    merge(batch, 1)  # a NEW epoch merges additively
+    rows = {
+        (r.event_type, r.cnt, r.sum_units)
+        for r in spark.read.parquet(rollup_dir).collect()
+    }
+    assert rows == {("click", 4, 300000)}  # 2x(10+5) in 1e-4 units
+    assert applied_epochs(rollup_dir) == {0, 1}
