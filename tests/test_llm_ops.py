@@ -165,7 +165,11 @@ def test_minhash_shingles_are_order_sensitive(spark):
         for r in minhash_signatures(df, "doc_id", "text", shingle=3).collect()
     }
     assert tri[1] != tri[2]
-    assert all(v is None for v in tri[3])  # shorter than one shingle
+    # shorter than one shingle -> the all-P sentinel signature (shared
+    # by every empty doc, unreachable by any real shingle set)
+    from etl_dagster_service_crawler_spark.operators.dedup import MINHASH_P
+
+    assert all(v == MINHASH_P for v in tri[3])
 
 
 def test_simhash_near_identical_docs_pair_up(spark):
