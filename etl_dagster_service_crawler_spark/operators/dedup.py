@@ -290,7 +290,17 @@ def minhash_cluster_cc(
     docs x bands x 16 bytes — noise next to the corpus). The label sum
     is accumulated in DECIMAL(38,0) so row-count x id-magnitude cannot
     overflow. Near-dup graphs have tiny diameters (dup clusters are
-    dense), so this converges in a handful of iterations."""
+    dense), so this converges in a handful of iterations.
+
+    The loop's shuffle width is sized to the EDGE COUNT, not the
+    session default (~250k edge rows per task, floor 8, cap at the
+    session conf): a plain 200-partition session otherwise schedules
+    200 near-empty tasks per exchange per iteration and the fixpoint
+    loop becomes pure task-launch latency (measured 35% of CC wall
+    time at sf0.1). Same lesson as the streaming state stores — width
+    must track keyspace. At 100 TB the edge count drives the width
+    back up to the cluster default and the clamp is a no-op. The conf
+    is set only while the loop runs and restored after."""
     sig = minhash_signatures(df, id_col, text_col)
     bands = F.array(
         *[
@@ -301,47 +311,63 @@ def minhash_cluster_cc(
             for j in range(LSH_BANDS)
         ]
     )
-    # (id, bucket) edges — built once, reused every iteration, one
-    # partition-aligned copy per join key
+    # (id, bucket) edges — built once, reused every iteration through
+    # one partition-aligned persisted copy per join key. Width is sized
+    # from the input row count (a parquet-metadata-only count on the
+    # usual scan input — no data pass) times the band fan-out.
     edges = sig.select(F.col(id_col), F.explode(bands).alias("bh"))
-    by_id = edges.repartition(F.col(id_col)).persist()
-    by_bh = by_id.repartition(F.col("bh")).persist()
-    by_bh.count()
+
+    spark = df.sparkSession
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_edges = df.count() * LSH_BANDS
+    width = max(8, min(default_width, n_edges // 250_000 + 1))
 
     def _sum(lab: DataFrame):
         return lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
 
-    labels: DataFrame | None = None
-    prev_sum = None
-    for it in range(max_iters):
-        if it == 0:
-            bucket_min = by_bh.groupBy("bh").agg(F.min(id_col).alias("bucket_label"))
-        else:
-            bucket_min = (
-                by_id.join(labels, id_col)
-                .groupBy("bh")
-                .agg(F.min("label").alias("bucket_label"))
+    spark.conf.set("spark.sql.shuffle.partitions", str(width))
+    try:
+        by_id = edges.repartition(width, F.col(id_col)).persist()
+        by_bh = by_id.repartition(width, F.col("bh")).persist()
+        by_bh.count()
+
+        labels: DataFrame | None = None
+        prev_sum = None
+        for it in range(max_iters):
+            if it == 0:
+                bucket_min = by_bh.groupBy("bh").agg(
+                    F.min(id_col).alias("bucket_label")
+                )
+            else:
+                bucket_min = (
+                    by_id.join(labels, id_col)
+                    .groupBy("bh")
+                    .agg(F.min("label").alias("bucket_label"))
+                )
+            hop = (
+                by_bh.join(bucket_min, "bh")
+                .groupBy(id_col)
+                .agg(F.min("bucket_label").alias("label"))
             )
-        hop = (
-            by_bh.join(bucket_min, "bh")
-            .groupBy(id_col)
-            .agg(F.min("bucket_label").alias("label"))
-        )
-        # pointer jump: follow the label one more step through the hop
-        # frame itself (labels are doc ids, so label2 = hop[label])
-        lmap = hop.select(F.col(id_col).alias("label"), F.col("label").alias("label2"))
-        new_labels = (
-            hop.join(lmap, "label", "left")
-            .select(F.col(id_col), F.coalesce("label2", "label").alias("label"))
-            .persist()
-        )
-        new_sum = _sum(new_labels)
-        if labels is not None:
-            labels.unpersist()
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+            # pointer jump: follow the label one more step through the hop
+            # frame itself (labels are doc ids, so label2 = hop[label])
+            lmap = hop.select(
+                F.col(id_col).alias("label"), F.col("label").alias("label2")
+            )
+            new_labels = (
+                hop.join(lmap, "label", "left")
+                .select(F.col(id_col), F.coalesce("label2", "label").alias("label"))
+                .persist()
+            )
+            new_sum = _sum(new_labels)
+            if labels is not None:
+                labels.unpersist()
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(default_width))
     return labels.withColumn("is_dup", F.col(id_col) != F.col("label"))
 
 
