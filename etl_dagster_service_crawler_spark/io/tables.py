@@ -96,19 +96,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # depend on which session the driver built (runtime-settable conf).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in parquet — Spark has no nanos type,
-        # so scan it as epoch-nanos bigint and convert. The conf is
-        # runtime-settable and must be set BEFORE the read (schema
-        # resolution is eager), including under sessions not built by
-        # our get_spark().
+        # ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+        # across fixture generations — Spark has no nanos type, so a
+        # nanos file is scanned as epoch-nanos bigint and converted. The
+        # conf is runtime-settable and must be set BEFORE the read
+        # (schema resolution is eager), including under sessions not
+        # built by our get_spark(); it is a no-op for micros files.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # integer div, not /1000.0: epoch-nanos (~1.7e18) exceeds double's
-        # 53-bit exact-integer range, float division would corrupt micros.
-        # Truncation to micros is exact for this data and matches DuckDB's
-        # ns->us cast.
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # integer div, not /1000.0: epoch-nanos (~1.7e18) exceeds
+            # double's 53-bit exact-integer range, float division would
+            # corrupt micros. Truncation to micros is exact for this
+            # data and matches DuckDB's ns->us cast.
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_type == "timestamp_ntz":
+            # micros file: NTZ wall clock == the oracle's naive reading;
+            # cast to LTZ under the UTC session tz pinned above (same
+            # instant) so downstream windows/watermarks see one type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         df = df.select([c for c, _ in TABLES[name]])
     expected = [c for c, _ in TABLES[name]]
     if df.columns != expected:

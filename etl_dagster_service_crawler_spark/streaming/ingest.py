@@ -24,16 +24,28 @@ from pyspark.sql import types as T
 
 _memory_names = itertools.count()
 
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) scanned as epoch nanos
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(ts_nanos: bool) -> T.StructType:
+    # ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    # across fixture generations; a nanos file must be scanned as
+    # epoch-nanos bigint (Spark has no nanos type), a micros file as NTZ.
+    ts_type: T.DataType = T.LongType() if ts_nanos else T.TimestampNTZType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def _events_ts_is_nanos(sf_dir: str) -> bool:
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    return str(t) == "timestamp[ns]"
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -54,11 +66,16 @@ def stream_events(
     """File-source stream over the events fixture."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    ts_nanos = _events_ts_is_nanos(sf_dir)
+    reader = spark.readStream.schema(_events_raw_schema(ts_nanos))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     raw = reader.parquet(_stream_dir(sf_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_nanos:
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    # micros file: NTZ wall clock -> LTZ under the UTC session tz pinned
+    # above (same instant) so windows/watermarks see one type either way.
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_processing_time(
