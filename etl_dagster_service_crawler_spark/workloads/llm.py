@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.functions.compat import fround
 from etl_dagster_service_crawler_spark.functions.text import (
     BPE_ISH_PATTERN,
     LANG_STOPWORDS,
@@ -621,8 +622,206 @@ GROUP BY d.doc_id, (p - 1) // 64
 """
 
 
+# --- corpus hygiene: repetition, contamination, mixture ----------------------
+
+
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals — the filter that catches boiler-
+    plate and looping generations before training: per doc, the
+    duplicate-word fraction and the share of bigrams taken by the single
+    most frequent bigram. Pure higher-order-function expressions
+    (split/zip_with/transform/filter), JVM-side, map-only — per-doc cost
+    is O(L^2) in DISTINCT bigrams but L is document length, bounded and
+    independent of corpus size, so the op stays a narrow scan at 100 TB.
+    Fractions are IEEE double divisions of identical integers on both
+    engines, rounded to 4dp — hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    bg_len = F.greatest(n - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, bg_len),
+        F.slice(w, 2, bg_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bg = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    n_words = n.cast("int").alias("n_words")
+    n_distinct = F.size(F.array_distinct(w)).cast("int").alias("n_distinct")
+    n_bigrams = F.size(bg).cast("int").alias("n_bigrams")
+    return d.select(
+        "doc_id",
+        n_words,
+        n_distinct,
+        n_bigrams,
+        top_bg.cast("int").alias("top_bigram_n"),
+        fround(
+            (n - F.size(F.array_distinct(w))).cast("double") / n.cast("double"), 4
+        ).alias("dup_word_frac"),
+        fround(
+            top_bg.cast("double")
+            / F.greatest(F.size(bg), F.lit(1)).cast("double"),
+            4,
+        ).alias("top_bigram_frac"),
+    )
+
+
+SQL_REPETITION_SCORE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), b AS (
+  SELECT doc_id, w,
+         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+  FROM t
+), m AS (
+  SELECT doc_id, w, bg,
+         coalesce(list_max(list_transform(list_distinct(bg),
+                                          x -> len(list_filter(bg, y -> y = x)))),
+                  0) AS top_bg
+  FROM b
+)
+SELECT doc_id,
+       CAST(len(w) AS INT) AS n_words,
+       CAST(len(list_distinct(w)) AS INT) AS n_distinct,
+       CAST(len(bg) AS INT) AS n_bigrams,
+       CAST(top_bg AS INT) AS top_bigram_n,
+       round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE), 4) AS dup_word_frac,
+       round(CAST(top_bg AS DOUBLE)
+               / CAST(greatest(len(bg), 1) AS DOUBLE), 4) AS top_bigram_frac
+FROM m
+"""
+
+
+CONTAM_NGRAM_N = 8
+CONTAM_PROBE_MOD = 97
+CONTAM_LEAK_MOD = 13
+# exactly CONTAM_NGRAM_N words: appended to probe docs and to the
+# "leaked" corpus docs so the fixture has true positives AND true
+# negatives (the raw word-salad corpus shares no organic 8-grams)
+CONTAM_PHRASE = "bench mark probe eval suite heldout secret phrase"
+
+
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — flag every training doc sharing any
+    8-gram with the held-out probe set (here: doc_id % 97 == 0 stands
+    in for the benchmark, and a constant benchmark phrase is injected
+    into probes plus doc_id % 13 == 0 'leaked' docs so the oracle
+    verifies both the hit and the miss path). Plan shape for 100 TB:
+    the probe set's n-grams aggregate to ONE array row (benchmarks are
+    small by definition — even a 100k-example suite is ~10 MB of
+    grams), which broadcasts; the corpus is then a narrow map with
+    arrays_overlap — never shuffled, never exploded. If the probe side
+    ever outgrew a broadcast array, the fallback is the exploded
+    broadcast semi-join (one corpus shuffle on doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    leaked = (F.col("doc_id") % CONTAM_LEAK_MOD == 0) | (
+        F.col("doc_id") % CONTAM_PROBE_MOD == 0
+    )
+    text = F.when(
+        leaked, F.concat(F.col("text"), F.lit(" " + CONTAM_PHRASE))
+    ).otherwise(F.col("text"))
+    w = F.split(text, " ")
+    n = F.size(w)
+    grams = F.when(
+        n >= CONTAM_NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), n - (CONTAM_NGRAM_N - 1)),
+            lambda i: F.concat_ws(" ", F.slice(w, i, CONTAM_NGRAM_N)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    docs_g = d.select("doc_id", grams.alias("grams"))
+    probe = (
+        docs_g.where(F.col("doc_id") % CONTAM_PROBE_MOD == 0)
+        .select(F.explode("grams").alias("g"))
+        .agg(F.array_sort(F.collect_set("g")).alias("pg"))
+        .select(F.lit(1).alias("j"), "pg")
+    )
+    return (
+        docs_g.withColumn("j", F.lit(1))
+        .join(F.broadcast(probe), "j")
+        .select(
+            "doc_id",
+            (F.col("doc_id") % CONTAM_PROBE_MOD == 0).cast("int").alias("is_probe"),
+            F.coalesce(F.arrays_overlap("grams", "pg"), F.lit(False))
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+SQL_DECONTAMINATE = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split(CASE WHEN doc_id % {CONTAM_LEAK_MOD} = 0
+                             OR doc_id % {CONTAM_PROBE_MOD} = 0
+                           THEN text || ' {CONTAM_PHRASE}'
+                           ELSE text END, ' ') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {CONTAM_NGRAM_N}
+              THEN list_transform(range(1, len(w) - {CONTAM_NGRAM_N - 2}),
+                                  i -> array_to_string(w[i:i+{CONTAM_NGRAM_N - 1}], ' '))
+              ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM t
+), pg AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % {CONTAM_PROBE_MOD} = 0
+), pl AS (
+  SELECT list(gram) AS pgl FROM pg
+)
+SELECT g.doc_id,
+       CAST(g.doc_id % {CONTAM_PROBE_MOD} = 0 AS INT) AS is_probe,
+       CAST(coalesce(list_has_any(g.grams, pl.pgl), FALSE) AS INT) AS contaminated
+FROM g, pl
+"""
+
+
+def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling — downweight sources to a target mix
+    (the pretraining recipe step: wiki x1.0, crawl x0.25, ...). Weights
+    here are (src % 4 + 1)/4 in sixteenths; a doc survives iff the
+    first md5 nibble of its id clears the source's threshold — the same
+    cross-engine-reproducible hash-split as split_train_holdout, so the
+    sample is stable under reruns, repartitioning, and appends. Pure
+    filter: no shuffle, no rand(), trivially parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    idx = F.pmod(src_num, F.lit(4))
+    # thresholds per weight tier: 4/16, 8/16, 12/16, 16/16 ('g' > 'f'
+    # admits every nibble)
+    thr = F.element_at(F.array(F.lit("4"), F.lit("8"), F.lit("c"), F.lit("g")), idx + 1)
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.where(nib < thr).select(
+        "doc_id",
+        "source",
+        ((idx + 1) * 4).cast("int").alias("weight_16"),
+    )
+
+
+SQL_MIX_WEIGHTED_SAMPLE = r"""
+SELECT doc_id, source,
+       CAST((CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4 + 1) * 4 AS INT)
+         AS weight_16
+FROM documents
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+      CASE CAST(regexp_extract(source, '(\d+)', 1) AS INT) % 4
+        WHEN 0 THEN '4' WHEN 1 THEN '8' WHEN 2 THEN 'c' ELSE 'g' END
+"""
+
+
 SPECS = [
     QuerySpec("text_pii_scrub", q_text_pii_scrub, SQL_PII_SCRUB),
+    QuerySpec("text_repetition_score", q_text_repetition_score, SQL_REPETITION_SCORE),
+    QuerySpec("decontaminate_ngram", q_decontaminate_ngram, SQL_DECONTAMINATE),
+    QuerySpec("mix_weighted_sample", q_mix_weighted_sample, SQL_MIX_WEIGHTED_SAMPLE),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),
     QuerySpec("embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
