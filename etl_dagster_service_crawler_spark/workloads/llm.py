@@ -817,9 +817,123 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
 """
 
 
+CLEAN_QUALITY_MIN = 0.2
+CLEAN_REP_MAX = 0.65
+CLEAN_PACK_BUDGET = 2048
+CLEAN_PACK_SHARDS = 16
+
+
+def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pretraining-corpus clean — the composed query a
+    100 TB pipeline actually runs, chaining the hygiene operators in
+    their production order:
+
+      1. language consistency: lexicon lang_id must agree with the
+         lang metadata column (drops mislabeled docs)       [narrow]
+      2. quality gate: score >= 0.2                          [narrow]
+      3. repetition gate: dup-word fraction <= 0.65          [narrow]
+      4. exact dedup: smallest doc_id per md5(text) wins   [shuffle 1]
+      5. sequence packing: ~2048-token packs per (source,
+         doc_id % 16) shard                                [shuffle 2]
+
+    Plan shape: all three filters are narrow map stages fused into the
+    scan-side stage, so the expensive exchanges only ever see the
+    SURVIVING rows; dedup and packing are the only two shuffles. At
+    100 TB the filters typically drop 30-60% of the corpus before the
+    first byte is exchanged — filter placement IS the optimization."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    dup_frac = (n - F.size(F.array_distinct(w))).cast("double") / n.cast("double")
+    survivors = d.where(
+        (lang_id(F.col("text")) == F.col("lang"))
+        & (quality_score(F.col("text"), F.col("n_chars")) >= CLEAN_QUALITY_MIN)
+        & (dup_frac <= CLEAN_REP_MAX)
+    )
+    wdup = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    wcnt = Window.partitionBy(F.md5(F.col("text")))
+    deduped = (
+        survivors.select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("int").alias("n_tok"),
+            F.row_number().over(wdup).alias("rn"),
+            F.count(F.lit(1)).over(wcnt).cast("int").alias("n_dups"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    shard = F.pmod(F.col("doc_id"), F.lit(CLEAN_PACK_SHARDS)).cast("int")
+    wpack = (
+        Window.partitionBy("source", shard)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tok").over(wpack)
+    return deduped.select(
+        "doc_id",
+        "source",
+        shard.alias("shard"),
+        "n_tok",
+        "n_dups",
+        F.floor((cum - F.col("n_tok")) / float(CLEAN_PACK_BUDGET))
+        .cast("int")
+        .alias("pack_id"),
+    )
+
+
+def _corpus_clean_sql() -> str:
+    langs = list(LANG_STOPWORDS)
+    hits = {
+        lang: (
+            "len(list_filter(w, x -> list_contains(["
+            + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in langs
+    }
+    whens = []
+    for lang in langs:
+        conds = [f"h_{lang} >= h_{other}" for other in langs if other != lang]
+        conds.append(f"h_{lang} > 0")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, string_split(text, ' ') AS w FROM documents
+), h AS (
+  SELECT *, {hit_cols} FROM t
+), f AS (
+  SELECT doc_id, text, source, len(w) AS n_tok FROM h
+  WHERE (CASE {' '.join(whens)} ELSE 'und' END) = lang
+    AND 0.5 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+      + 0.5 * (CAST(h_en AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        >= {CLEAN_QUALITY_MIN}
+    AND CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        <= {CLEAN_REP_MAX}
+), d AS (
+  SELECT doc_id, source, n_tok,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS n_dups
+  FROM f
+)
+SELECT doc_id, source,
+       CAST(doc_id % {CLEAN_PACK_SHARDS} AS INT) AS shard,
+       CAST(n_tok AS INT) AS n_tok,
+       CAST(n_dups AS INT) AS n_dups,
+       CAST(floor((sum(n_tok) OVER (PARTITION BY source, doc_id % {CLEAN_PACK_SHARDS}
+                                    ORDER BY doc_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n_tok) / {float(CLEAN_PACK_BUDGET)}) AS INT) AS pack_id
+FROM d
+WHERE rn = 1
+"""
+
+
 SPECS = [
     QuerySpec("text_pii_scrub", q_text_pii_scrub, SQL_PII_SCRUB),
     QuerySpec("text_repetition_score", q_text_repetition_score, SQL_REPETITION_SCORE),
+    QuerySpec("pipeline_corpus_clean", q_pipeline_corpus_clean, _corpus_clean_sql(), bench=True),
     QuerySpec("decontaminate_ngram", q_decontaminate_ngram, SQL_DECONTAMINATE),
     QuerySpec("mix_weighted_sample", q_mix_weighted_sample, SQL_MIX_WEIGHTED_SAMPLE),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),

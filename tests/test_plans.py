@@ -133,3 +133,52 @@ def test_pii_scrub_is_shuffle_free_codegen(spark, sf_dir):
     assert "Exchange" not in plan
     # '*(n)' prefixes mark WholeStageCodegen stages in executedPlan strings
     assert "*(1) Project" in plan
+
+
+def test_corpus_clean_filters_fused_before_two_exchanges(spark, sf_dir):
+    """The composed corpus-clean must keep all three hygiene gates in
+    the scan-side narrow stage (BEFORE the first exchange) and pay
+    exactly two shuffles: md5(text) dedup, (source, shard) packing. A
+    third exchange or a filter migrating above an exchange is a
+    regression — at 100 TB the gates drop a large corpus fraction
+    before anything is exchanged."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_pipeline_corpus_clean,
+    )
+
+    plan = _plan(q_pipeline_corpus_clean(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    scan_side = plan.split("Exchange hashpartitioning")[-1]
+    # the last (bottom-most) segment holds the scan: the lang/quality/
+    # repetition predicates must all sit there
+    assert "Scan parquet" in scan_side
+    assert "Filter" in scan_side
+
+
+def test_repetition_and_mix_are_shuffle_free(spark, sf_dir):
+    """Repetition scoring and mixture sampling are per-row expressions
+    — any Exchange is a planning regression."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_mix_weighted_sample,
+        q_text_repetition_score,
+    )
+
+    for q in (q_text_repetition_score, q_mix_weighted_sample):
+        assert "Exchange" not in _plan(q(spark, sf_dir))
+
+
+def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
+    """The corpus side of decontamination must reach the broadcast join
+    without an exchange: probe grams fold to one broadcast row, the
+    corpus is a narrow map. The only exchanges allowed are on the
+    (tiny) probe aggregation side, never hash-partitioning the corpus
+    by doc."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_decontaminate_ngram,
+    )
+
+    plan = _plan(q_decontaminate_ngram(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # no exchange may partition on the corpus doc id
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        assert not seg.startswith("(doc_id"), seg[:80]
