@@ -97,6 +97,30 @@ def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_SCAN_CSV = "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders"
 
 
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC scan (fourth batch format: parquet, JSON, CSV, ORC), staged
+    via the engine's own ORC writer. ORC carries the same columnar
+    pushdown/pruning machinery as parquet in Spark — the read-back
+    projects a subset so column pruning is exercised, and the oracle
+    reads the parquet original (byte-identical values round-trip)."""
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    path = _scratch(sf_dir, "scan_orc/lineitem")
+    shutil.rmtree(path, ignore_errors=True)
+    lineitem.write.mode("overwrite").orc(path)
+    back = spark.read.schema(lineitem.schema).orc(path)
+    return back.where(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+
+
+SQL_SCAN_ORC = """
+SELECT l_orderkey, l_linenumber, l_quantity
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 def q_sink_json_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1: append = new files under the dir, not read-merge-rewrite.
     Two appends (en docs, then the rest) must read back as the union."""
@@ -362,6 +386,7 @@ SPECS = [
     QuerySpec("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET),
     QuerySpec("scan_json", q_scan_json, SQL_SCAN_JSON),
     QuerySpec("scan_csv", q_scan_csv, SQL_SCAN_CSV),
+    QuerySpec("scan_orc", q_scan_orc, SQL_SCAN_ORC),
     QuerySpec("sink_json_append", q_sink_json_append, SQL_SINK_JSON_APPEND),
     QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
     QuerySpec("sink_compacted", q_sink_compacted, SQL_SINK_COMPACTED),

@@ -395,6 +395,38 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — the 100 TB distinct-count pattern:
+    sketch ONCE at the fine grain (distinct customers per nation,
+    hll_sketch_agg = Apache DataSketches HLL), then merge the binary
+    sketches upward (hll_union_agg to region) without touching the
+    fact table again. In production the nation-level sketch column is
+    a persisted daily artifact; every coarser rollup (region, global,
+    arbitrary date spans) is a cheap union over sketches — no second
+    scan, no expand-shuffle. Rows-only: sketch estimates are
+    engine-specific; the unit test pins merge-vs-direct equality and
+    <=2% error vs exact."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", 14).alias("sk")
+    )
+    dim = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+            "n_nationkey", "r_name"
+        )
+    )
+    return (
+        per_nation.join(dim, per_nation.c_nationkey == dim.n_nationkey)
+        .groupBy("r_name")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers")
+        )
+        .orderBy("r_name")
+    )
+
+
 def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """grouping-sets cube over returnflag/linestatus with grouping_id to
     tell subtotal NULLs from data NULLs (SURVEY §2.B agg_grouping_sets)."""
@@ -1138,6 +1170,7 @@ SPECS = [
     QuerySpec("agg_hash_group", q_agg_hash_group, SQL_Q1, bench=True),
     QuerySpec("agg_distinct", q_agg_distinct, SQL_DISTINCT),
     QuerySpec("agg_approx_distinct", q_agg_approx_distinct, None),
+    QuerySpec("agg_hll_sketch_rollup", q_agg_hll_sketch_rollup, None),
     QuerySpec("agg_rollup", q_agg_rollup, SQL_ROLLUP),
     QuerySpec("agg_grouping_sets", q_agg_grouping_sets, SQL_GROUPING_SETS),
     QuerySpec("agg_cube", q_agg_cube, SQL_CUBE),

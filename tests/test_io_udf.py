@@ -166,3 +166,45 @@ def test_heavy_hitters_matches_local_recompute(spark, sf_dir):
     expected = {(b, c) for b, c in counts.items() if c > 2 * avg}
     got = {(r.bucket, r.cnt) for r in q_agg_heavy_hitters(spark, sf_dir).collect()}
     assert got == expected and got
+
+
+def test_hll_sketch_rollup_merge_equals_direct_and_near_exact(spark, sf_dir):
+    """The mergeable-sketch contract: estimating the UNION of per-nation
+    sketches must equal sketching the region directly (associativity —
+    what makes the persisted-sketch rollup sound), and both must sit
+    within 2% of the exact distinct."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_agg_hll_sketch_rollup,
+    )
+
+    merged = {
+        r["r_name"]: r["approx_customers"]
+        for r in q_agg_hll_sketch_rollup(spark, sf_dir).collect()
+    }
+
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(reg, n.n_regionkey == reg.r_regionkey)
+    )
+    direct = {
+        r["r_name"]: r["d"]
+        for r in joined.groupBy("r_name")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey", 14)).alias("d"))
+        .collect()
+    }
+    exact = {
+        r["r_name"]: r["e"]
+        for r in joined.groupBy("r_name")
+        .agg(F.countDistinct("c_custkey").alias("e"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for k, ex in exact.items():
+        assert merged[k] == direct[k], (k, merged[k], direct[k])
+        assert abs(merged[k] - ex) <= max(1, 0.02 * ex), (k, merged[k], ex)
