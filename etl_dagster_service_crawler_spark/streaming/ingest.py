@@ -110,6 +110,35 @@ def run_processing_time(
     return stream_df.sparkSession.table(name)
 
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream over the documents fixture — the continuous-
+    ingest shape of a training corpus (each micro-batch = one crawl
+    drop landing in the lake)."""
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/spark_graft_streams/{tag}/documents"
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/documents.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/documents.parquet", link)
+    reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(d)
+
+
 def run_available_now(
     stream_df: DataFrame,
     output_mode: str = "append",

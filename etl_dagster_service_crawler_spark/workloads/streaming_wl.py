@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from etl_dagster_service_crawler_spark.core import QuerySpec
 from etl_dagster_service_crawler_spark.streaming.ingest import (
     run_available_now,
+    stream_documents,
     stream_events,
 )
 from etl_dagster_service_crawler_spark.streaming.state import (
@@ -275,8 +276,90 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch corpus-clean flagship: documents
+    arrive as micro-batches, the three hygiene gates run as narrow
+    row-level ops inside each batch (they commute with streaming), and
+    exact dedup is a streaming aggregation min(doc_id)/count per
+    md5(text) — deterministic regardless of batch slicing, so the
+    batch oracle is exact. State keyspace = distinct surviving texts;
+    state_partitions tracks it (a billion-doc corpus wants thousands —
+    see run_available_now)."""
+    from etl_dagster_service_crawler_spark.functions.text import (
+        lang_id,
+        quality_score,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        CLEAN_QUALITY_MIN,
+        CLEAN_REP_MAX,
+    )
+
+    s = stream_documents(spark, sf_dir)
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    dup_frac = (n - F.size(F.array_distinct(w))).cast("double") / n.cast("double")
+    survivors = s.where(
+        (lang_id(F.col("text")) == F.col("lang"))
+        & (quality_score(F.col("text"), F.col("n_chars")) >= CLEAN_QUALITY_MIN)
+        & (dup_frac <= CLEAN_REP_MAX)
+    )
+    cleaned = (
+        survivors.groupBy(F.md5(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).cast("int").alias("n_dups"),
+        )
+    )
+    return run_available_now(cleaned, "complete", state_partitions=8)
+
+
+def _stream_corpus_clean_sql() -> str:
+    from etl_dagster_service_crawler_spark.functions.text import LANG_STOPWORDS
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        CLEAN_QUALITY_MIN,
+        CLEAN_REP_MAX,
+    )
+
+    langs = list(LANG_STOPWORDS)
+    hits = {
+        lang: (
+            "len(list_filter(w, x -> list_contains(["
+            + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in langs
+    }
+    whens = []
+    for lang in langs:
+        conds = [f"h_{lang} >= h_{other}" for other in langs if other != lang]
+        conds.append(f"h_{lang} > 0")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang, string_split(text, ' ') AS w FROM documents
+), h AS (
+  SELECT *, {hit_cols} FROM t
+), f AS (
+  SELECT doc_id, text FROM h
+  WHERE (CASE {' '.join(whens)} ELSE 'und' END) = lang
+    AND 0.5 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+      + 0.5 * (CAST(h_en AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        >= {CLEAN_QUALITY_MIN}
+    AND CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        <= {CLEAN_REP_MAX}
+)
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS doc_id,
+       CAST(count(*) AS INT) AS n_dups
+FROM f
+GROUP BY md5(text)
+"""
+
+
 SPECS = [
     QuerySpec("stream_rollup_upsert", q_stream_rollup_upsert, SQL_STREAM_ROLLUP),
+    QuerySpec("stream_corpus_clean", q_stream_corpus_clean, _stream_corpus_clean_sql()),
     QuerySpec("stream_ingest_project", q_stream_ingest_project, SQL_STREAM_PROJECT),
     QuerySpec("stream_dual_sink", q_stream_dual_sink, SQL_STREAM_DUAL_SINK),
     QuerySpec("stream_window_tumbling", q_stream_window_tumbling, SQL_STREAM_TUMBLING, bench=True),

@@ -149,3 +149,24 @@ def test_rollup_merge_is_idempotent_per_epoch(spark, tmp_path):
     }
     assert rows == {("click", 4, 300000)}  # 2x(10+5) in 1e-4 units
     assert applied_epochs(rollup_dir) == {0, 1}
+
+
+def test_stream_corpus_clean_matches_batch_survivors(spark, sf_dir):
+    """The streaming corpus-clean must keep exactly the docs the batch
+    flagship keeps (same gates, same min-id-per-hash winner), with the
+    same duplicate counts — batch/stream equivalence for the composed
+    pipeline, not just single operators."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_pipeline_corpus_clean,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_corpus_clean,
+    )
+
+    batch = {
+        r.doc_id: r.n_dups for r in q_pipeline_corpus_clean(spark, sf_dir).collect()
+    }
+    stream = {
+        r.doc_id: r.n_dups for r in q_stream_corpus_clean(spark, sf_dir).collect()
+    }
+    assert stream == batch
