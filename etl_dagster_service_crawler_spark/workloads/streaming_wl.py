@@ -158,7 +158,11 @@ def q_stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = a.unionByName(b)
     deduped = dedup_within_watermark(doubled, ["event_id"])
     out = deduped.select("event_id", "event_type")
-    return run_available_now(out, "append").orderBy("event_id")
+    # state keyspace = one entry per event id within the horizon (1M at
+    # sf0.1); 32 stores, not the plain-session default of 200 — a bare
+    # driver session otherwise pays 200 store open/commit cycles per
+    # batch for a keyspace that fits in a handful
+    return run_available_now(out, "append", state_partitions=32).orderBy("event_id")
 
 
 SQL_STREAM_DEDUP = "SELECT DISTINCT event_id, event_type FROM events"
@@ -175,7 +179,8 @@ def q_stream_stateful_error_budget(spark: SparkSession, sf_dir: str) -> DataFram
     the user's TOTAL error count (SQL: HAVING count >= budget)."""
     s = stream_events(spark, sf_dir)
     out = error_budget_counter(s, max_errors=3)
-    return run_available_now(out, "append").orderBy("user_id")
+    # state keyspace = one counter per user (hundreds) -> 8 stores
+    return run_available_now(out, "append", state_partitions=8).orderBy("user_id")
 
 
 SQL_STREAM_BUDGET = """
