@@ -299,7 +299,60 @@ LIMIT 10
 """
 
 
+FUZZY_MAX_DIST = 2
+
+
+def q_join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy name matching — the entity-resolution staple: near-equal
+    strings joined on edit distance <= 2. NEVER an all-pairs cross: the
+    name domain is deduplicated first (dimension-sized, not fact-sized)
+    and the self-join is bucketed on the last word, so candidates are
+    bounded per bucket and Levenshtein runs only inside buckets. At
+    100 TB the fact table contributes one distinct-names shuffle; the
+    quadratic piece touches only the (tiny) distinct-name domain — if
+    THAT domain were huge, the bucket key graduates to an n-gram/LSH
+    blocking key (same plan shape, dedup_minhash_lsh's trick)."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select(F.col("p_name").alias("name")).distinct()
+    bucketed = names.select(
+        "name", F.element_at(F.split("name", " "), -1).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.name") < F.col("b.name"))
+            & (F.levenshtein(F.col("a.name"), F.col("b.name")) <= FUZZY_MAX_DIST),
+        )
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name"))
+            .cast("int")
+            .alias("dist"),
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+SQL_FUZZY = f"""
+WITH names AS (
+  SELECT DISTINCT p_name AS name FROM part
+), b AS (
+  SELECT name, string_split(name, ' ')[-1] AS bucket FROM names
+)
+SELECT a.name AS name_a, b.name AS name_b,
+       CAST(levenshtein(a.name, b.name) AS INT) AS dist
+FROM b a JOIN b b ON a.bucket = b.bucket
+ AND a.name < b.name
+ AND levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+ORDER BY name_a, name_b
+"""
+
+
 SPECS = [
+    QuerySpec("join_fuzzy_levenshtein", q_join_fuzzy_levenshtein, SQL_FUZZY),
     QuerySpec("flagship_revenue_by_nation", revenue_by_nation, FLAGSHIP_ORACLE_SQL, bench=True),
     QuerySpec("join_broadcast_dim", q_join_broadcast_dim, SQL_BROADCAST),
     QuerySpec("join_theta_tolerance", q_join_theta_tolerance, SQL_THETA),

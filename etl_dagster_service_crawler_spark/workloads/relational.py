@@ -646,6 +646,64 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+SESSION_GAP_MIN = 60
+
+
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization — the classic gap-based session id (twin of
+    the streaming session window, stream_window_session): a new session
+    starts when a user's inter-event gap exceeds 60 minutes; the
+    session id is the running count of session starts. Both windows
+    partition on user_id, so the whole query is ONE exchange; at 100 TB
+    the per-user partitions stay bounded by per-user event counts, the
+    scale axis (users) is the parallelism axis."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # exact integer micros on both engines (unix_micros ≙ epoch_us) —
+    # second-truncating casts can disagree on sub-second gaps
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_sess).over(wcum).cast("int").alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+    )
+
+
+SQL_SESSIONIZE = f"""
+WITH g AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                   > {SESSION_GAP_MIN * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS INT) AS session_id
+  FROM g
+)
+SELECT user_id, session_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       CAST(count(*) AS INT) AS n_events
+FROM s
+GROUP BY user_id, session_id
+"""
+
+
 def q_window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """rolling 3-row sum per user."""
     e = load_table(spark, sf_dir, "events")
@@ -1182,6 +1240,7 @@ SPECS = [
     QuerySpec("agg_map_distribution", q_agg_map_distribution, SQL_MAP_DIST, bench=True),
     QuerySpec("window_rank_topk", q_window_rank_topk, SQL_TOPK, bench=True),
     QuerySpec("window_lag_lead", q_window_lag_lead, SQL_LAG),
+    QuerySpec("sessionize_events", q_sessionize_events, SQL_SESSIONIZE),
     QuerySpec("window_rolling", q_window_rolling, SQL_ROLLING),
     QuerySpec("window_analytics", q_window_analytics, SQL_WINDOW_ANALYTICS),
     QuerySpec("date_spine_gapfill", q_date_spine_gapfill, SQL_DATE_SPINE),

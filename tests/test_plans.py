@@ -182,3 +182,30 @@ def test_decontaminate_corpus_side_never_shuffles(spark, sf_dir):
     # no exchange may partition on the corpus doc id
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         assert not seg.startswith("(doc_id"), seg[:80]
+
+
+def test_sessionize_single_exchange(spark, sf_dir):
+    """Both windows and the final (user_id, session_id) aggregation
+    cluster on user_id, so the whole sessionization must pay ONE
+    exchange — Catalyst reuses the user_id hash partitioning for the
+    superset grouping key."""
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_sessionize_events,
+    )
+
+    plan = _plan(q_sessionize_events(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_fuzzy_join_never_crosses_and_dedups_first(spark, sf_dir):
+    """The fuzzy join must be an equi-join on the bucket key (never a
+    cartesian/BNLJ) over the DISTINCT name domain — the quadratic
+    piece may only see dimension-sized input."""
+    from etl_dagster_service_crawler_spark.workloads.joins_wl import (
+        q_join_fuzzy_levenshtein,
+    )
+
+    plan = _plan(q_join_fuzzy_levenshtein(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
