@@ -299,6 +299,156 @@ LIMIT 10
 """
 
 
+def q_market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-shaped: NATION_3's supplier share of revenue earned from
+    ASIA customers, per order year. Five joins, but only lineitem and
+    orders are fact-sized — every dimension (customer-keys-in-region,
+    supplier-nation flags, nation/region) broadcasts, so the plan pays
+    exactly the two fact shuffles of the lineitem-orders join + agg.
+    Share = ratio of two exact BIGINT cent-sums; one double division
+    rounded 4dp (same IEEE op both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia_cust = F.broadcast(
+        c.join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).where(
+                    F.col("r_name") == "ASIA"
+                )
+            ),
+            c.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp = F.broadcast(
+        s.join(F.broadcast(n.select("n_nationkey", "n_name")),
+               s.s_nationkey == F.col("n_nationkey"))
+        .select("s_suppkey", (F.col("n_name") == "NATION_3").alias("is_target"))
+    )
+    rev_units = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5)) * (
+        F.lit(100) - F.floor(F.col("l_discount") * F.lit(1e2) + F.lit(0.5))
+    )
+    joined = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(asia_cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            rev_units.alias("rev_units"),
+            F.col("is_target"),
+        )
+    )
+    total = F.sum("rev_units")
+    target = F.sum(F.when(F.col("is_target"), F.col("rev_units")).otherwise(F.lit(0)))
+    return (
+        joined.groupBy("o_year")
+        .agg(fround(target.cast("double") / total.cast("double"), 4).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+SQL_MARKET_SHARE = """
+WITH j AS (
+  SELECT CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(floor(l.l_extendedprice * 1e2 + 0.5) AS BIGINT)
+           * (100 - CAST(floor(l.l_discount * 1e2 + 0.5) AS BIGINT)) AS rev_units,
+         (sn.n_name = 'NATION_3') AS is_target
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN region r ON cn.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+)
+SELECT o_year,
+       floor((CAST(sum(CASE WHEN is_target THEN rev_units ELSE 0 END) AS DOUBLE)
+                / CAST(sum(rev_units) AS DOUBLE)) * 1e4 + 0.5) / 1e4 AS mkt_share
+FROM j
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+def q_returned_revenue_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped: revenue lost to returns per customer, top 20.
+    The returnflag filter prunes the fact scan (pushed to parquet);
+    nation broadcasts; limit folds to TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev_units = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5)) * (
+        F.lit(100) - F.floor(F.col("l_discount") * F.lit(1e2) + F.lit(0.5))
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            fround(F.sum(rev_units).cast("double") / F.lit(1e4), 2).alias(
+                "lost_revenue"
+            )
+        )
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_RETURNED_REVENUE = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       floor((CAST(sum(CAST(floor(l.l_extendedprice * 1e2 + 0.5) AS BIGINT)
+                       * (100 - CAST(floor(l.l_discount * 1e2 + 0.5) AS BIGINT))) AS DOUBLE)
+              / 1e4) * 1e2 + 0.5) / 1e2 AS lost_revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c.c_custkey
+LIMIT 20
+"""
+
+
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12-shaped: shipments later than 60 days after order date,
+    split into urgent vs other priority counts per ship year. The
+    lateness predicate is a pure column comparison (no join condition
+    inflation); one fact-fact join + one small agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .where(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).cast("int").alias("urgent_late"),
+            F.sum(F.when(urgent, 0).otherwise(1)).cast("int").alias("other_late"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+SQL_LATE_SHIPMENT = """
+SELECT CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS INT) AS urgent_late,
+       CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS INT) AS other_late
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+GROUP BY year(l.l_shipdate)
+ORDER BY ship_year
+"""
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -353,6 +503,9 @@ ORDER BY name_a, name_b
 
 SPECS = [
     QuerySpec("join_fuzzy_levenshtein", q_join_fuzzy_levenshtein, SQL_FUZZY),
+    QuerySpec("market_share_by_year", q_market_share_by_year, SQL_MARKET_SHARE),
+    QuerySpec("returned_revenue_topk", q_returned_revenue_topk, SQL_RETURNED_REVENUE),
+    QuerySpec("late_shipment_priority", q_late_shipment_priority, SQL_LATE_SHIPMENT),
     QuerySpec("flagship_revenue_by_nation", revenue_by_nation, FLAGSHIP_ORACLE_SQL, bench=True),
     QuerySpec("join_broadcast_dim", q_join_broadcast_dim, SQL_BROADCAST),
     QuerySpec("join_theta_tolerance", q_join_theta_tolerance, SQL_THETA),

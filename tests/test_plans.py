@@ -209,3 +209,28 @@ def test_fuzzy_join_never_crosses_and_dedups_first(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "levenshtein" in plan
+
+
+def test_market_share_broadcasts_all_dims(spark, sf_dir):
+    """Q8-shape: five joins but only lineitem-orders may shuffle —
+    every dimension side must broadcast."""
+    from etl_dagster_service_crawler_spark.workloads.joins_wl import (
+        q_market_share_by_year,
+    )
+
+    plan = _plan(q_market_share_by_year(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    # fact-fact join + final agg = the only hash exchanges
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_returned_revenue_pushes_flag_and_takeordered(spark, sf_dir):
+    """Q10-shape: the returnflag filter must reach the parquet scan and
+    the limit must fold to TakeOrderedAndProject (never a global sort)."""
+    from etl_dagster_service_crawler_spark.workloads.joins_wl import (
+        q_returned_revenue_topk,
+    )
+
+    plan = _plan(q_returned_revenue_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
