@@ -208,3 +208,35 @@ def test_hll_sketch_rollup_merge_equals_direct_and_near_exact(spark, sf_dir):
     for k, ex in exact.items():
         assert merged[k] == direct[k], (k, merged[k], direct[k])
         assert abs(merged[k] - ex) <= max(1, 0.02 * ex), (k, merged[k], ex)
+
+
+def test_sql_surface_registers_and_queries(spark, sf_dir):
+    """spark.sql over registered views must produce the same result as
+    the DataFrame API (same plan space), and the derived clean_corpus
+    view must be SQL-queryable."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.sql import (
+        register_clean_corpus,
+        register_tables,
+        sql,
+    )
+
+    names = register_tables(spark, sf_dir)
+    assert "lineitem" in names and "documents" in names
+    via_sql = sql(
+        spark, sf_dir, "SELECT count(*) AS n FROM lineitem WHERE l_returnflag = 'R'"
+    ).collect()[0]["n"]
+    via_df = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_returnflag") == "R")
+        .count()
+    )
+    assert via_sql == via_df
+
+    register_clean_corpus(spark, sf_dir)
+    rows = spark.sql(
+        "SELECT source, count(*) AS n FROM clean_corpus GROUP BY source"
+    ).collect()
+    assert sum(r["n"] for r in rows) > 0
