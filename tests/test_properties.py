@@ -164,3 +164,108 @@ def test_clean_tokens_treats_metacharacters_as_literals(spark):
     ).first()["c"]
     assert "C++" not in out and "(人)" not in out and "0~5?" not in out
     assert out.startswith("skill") and out.endswith("left")
+
+
+@_slow
+@given(
+    gaps=st.lists(st.integers(1, 7200), min_size=1, max_size=20),
+)
+def test_sessionize_gap_invariants(spark, gaps):
+    """For ONE user with arbitrary inter-event gaps (seconds): within a
+    session every gap <= 60 min, across a session boundary > 60 min,
+    session ids start at 1 and increase by exactly 1, and the per-
+    session event counts sum to the event count — recomputed
+    independently in Python."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        SESSION_GAP_MIN,
+    )
+
+    t0 = datetime.datetime(2024, 1, 1)
+    ts, cur = [], t0
+    for g in gaps:
+        cur = cur + datetime.timedelta(seconds=g)
+        ts.append(cur)
+    rows = [
+        Row(event_id=i, ts=t, user_id=1, event_type="x", value=1.0, props="{}")
+        for i, t in enumerate([t0] + ts)
+    ]
+    df = spark.createDataFrame(rows)
+
+    # expected sessions recomputed independently
+    expected, n = [], 0
+    for g in [None] + gaps:
+        if g is None or g > SESSION_GAP_MIN * 60:
+            if n:
+                expected.append(n)
+            n = 1
+        else:
+            n += 1
+    expected.append(n)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    new_sess = F.when(
+        gap_us.isNull() | (gap_us > SESSION_GAP_MIN * 60 * 1_000_000), 1
+    ).otherwise(0)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = (
+        df.select(
+            "user_id",
+            F.sum(new_sess).over(wcum).cast("int").alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .count()
+        .orderBy("session_id")
+        .collect()
+    )
+    assert [r["session_id"] for r in out] == list(range(1, len(expected) + 1))
+    assert [r["count"] for r in out] == expected
+
+
+@_slow
+@given(words=st.lists(st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=30))
+def test_repetition_score_bounds_and_exactness(spark, words):
+    """0 <= dup_word_frac < 1; dup_word_frac == 0 iff all words
+    distinct; top_bigram_n recomputed independently in Python."""
+    from collections import Counter
+
+    from pyspark.sql import Row
+
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text, lang="en", source="src0", n_chars=len(text))]
+    )
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    bg_len = F.greatest(n - 1, F.lit(0))
+    bg = F.zip_with(
+        F.slice(w, 1, bg_len), F.slice(w, 2, bg_len),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bg = F.coalesce(
+        F.array_max(
+            F.transform(
+                F.array_distinct(bg),
+                lambda x: F.size(F.filter(bg, lambda y: y == x)),
+            )
+        ),
+        F.lit(0),
+    )
+    row = df.select(
+        (n - F.size(F.array_distinct(w))).cast("double").alias("dups"),
+        n.cast("double").alias("n"),
+        top_bg.alias("top_bg"),
+    ).first()
+    frac = row["dups"] / row["n"]
+    assert 0.0 <= frac < 1.0
+    assert (frac == 0.0) == (len(set(words)) == len(words))
+    bigrams = Counter(
+        " ".join(p) for p in zip(words, words[1:])
+    )
+    assert row["top_bg"] == (max(bigrams.values()) if bigrams else 0)
