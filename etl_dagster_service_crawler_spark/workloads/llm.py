@@ -784,6 +784,33 @@ FROM g, pl
 """
 
 
+def q_cluster_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering for data curation — discover the corpus's
+    domain structure by k-means over embeddings (the step behind
+    cluster-balanced sampling and domain-weighted mixtures). Reuses the
+    IVF training path: centroids via MLlib treeAggregate (corpus
+    scanned, never shuffled), assignment by broadcast-argmax. Output is
+    per-cluster size + cohesion (mean cosine to own centroid) — the
+    curation signals. Rows-only: k-means is seed-deterministic within
+    Spark but not reproducible in DuckDB; the recall/consistency unit
+    tests live with the IVF family."""
+    from etl_dagster_service_crawler_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assignments = ivf_assign(emb, n_centroids=8)
+    scored = assignments.join(F.broadcast(centroids), "cid").select(
+        "cid", cosine(F.col("embedding"), F.col("cvec")).alias("ccos")
+    )
+    return (
+        scored.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            fround(F.avg("ccos"), 4).alias("cohesion"),
+        )
+        .orderBy("cid")
+    )
+
+
 def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling — downweight sources to a target mix
     (the pretraining recipe step: wiki x1.0, crawl x0.25, ...). Weights
@@ -936,6 +963,7 @@ SPECS = [
     QuerySpec("pipeline_corpus_clean", q_pipeline_corpus_clean, _corpus_clean_sql(), bench=True),
     QuerySpec("decontaminate_ngram", q_decontaminate_ngram, SQL_DECONTAMINATE),
     QuerySpec("mix_weighted_sample", q_mix_weighted_sample, SQL_MIX_WEIGHTED_SAMPLE),
+    QuerySpec("cluster_semantic_kmeans", q_cluster_semantic_kmeans, None),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),
     QuerySpec("embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),

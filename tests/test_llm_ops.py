@@ -512,3 +512,21 @@ def test_mix_weighted_sample_matches_md5_rates(spark, sf_dir):
         assert (doc_id in kept) == expect_kept, (doc_id, source, nib)
         if expect_kept:
             assert kept[doc_id].weight_16 == (w + 1) * 4
+
+
+def test_cluster_semantic_kmeans_partitions_corpus(spark, sf_dir):
+    """Cluster sizes must sum to the corpus, every cluster non-empty at
+    fixture scale, cohesion within [-1, 1], and the output must be
+    deterministic across invocations (fixed k-means seed)."""
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_cluster_semantic_kmeans,
+    )
+
+    total = load_table(spark, sf_dir, "embeddings").count()
+    a = q_cluster_semantic_kmeans(spark, sf_dir).collect()
+    assert sum(r.n_members for r in a) == total
+    assert all(r.n_members > 0 for r in a)
+    assert all(-1.0 <= r.cohesion <= 1.0 for r in a)
+    b = q_cluster_semantic_kmeans(spark, sf_dir).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
