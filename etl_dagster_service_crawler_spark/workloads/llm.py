@@ -909,6 +909,117 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLEAN_INCR_SPLIT_FRAC = 0.7
+
+
+def q_corpus_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DAILY shape of the corpus clean: an existing cleaned corpus
+    (docs below the split point stand in for yesterday's output) plus a
+    new arrival batch — today's docs UNION a simulated re-crawl (every
+    7th existing doc arrives again under a fresh id, the way a crawler
+    re-fetches unchanged pages). The new batch runs the same hygiene
+    gates, then drops every doc whose text-hash already exists in the
+    cleaned corpus (LEFT ANTI join on md5 — the reference's
+    incremental-skip, Q2, at corpus scale; provably exercised: all
+    re-crawls must vanish), then dedups within itself. At 100 TB the
+    anti-join probes yesterday's hash index (hash, 16 bytes/row — a
+    fraction of corpus size, bucketable by hash prefix); today's text
+    is touched once and never joined against yesterday's TEXT."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    split_id = int(n_docs * CLEAN_INCR_SPLIT_FRAC)
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    dup_frac = (n - F.size(F.array_distinct(w))).cast("double") / n.cast("double")
+    gates = (
+        (lang_id(F.col("text")) == F.col("lang"))
+        & (quality_score(F.col("text"), F.col("n_chars")) >= CLEAN_QUALITY_MIN)
+        & (dup_frac <= CLEAN_REP_MAX)
+    )
+    existing = d.where(F.col("doc_id") < split_id).where(gates)
+    existing_hashes = existing.select(
+        F.md5(F.col("text")).alias("text_hash")
+    ).distinct()
+    recrawl = existing.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(n_docs)
+    )
+    new_batch = (
+        d.where(F.col("doc_id") >= split_id).where(gates).unionByName(recrawl)
+    )
+    fresh = new_batch.join(
+        existing_hashes,
+        F.md5(new_batch["text"]) == existing_hashes["text_hash"],
+        "left_anti",
+    )
+    wdup = Window.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    return (
+        fresh.select(
+            "doc_id",
+            "source",
+            F.md5(F.col("text")).alias("text_hash"),
+            F.row_number().over(wdup).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_clean_incremental_sql() -> str:
+    langs = list(LANG_STOPWORDS)
+    hits = {
+        lang: (
+            "len(list_filter(w, x -> list_contains(["
+            + ", ".join(f"'{s}'" for s in LANG_STOPWORDS[lang])
+            + "], x)))"
+        )
+        for lang in langs
+    }
+    whens = []
+    for lang in langs:
+        conds = [f"h_{lang} >= h_{other}" for other in langs if other != lang]
+        conds.append(f"h_{lang} > 0")
+        whens.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    hit_cols = ", ".join(f"{expr} AS h_{lang}" for lang, expr in hits.items())
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, lang, source, string_split(text, ' ') AS w FROM documents
+), h AS (
+  SELECT *, {hit_cols} FROM t
+), f AS (
+  SELECT doc_id, text, source FROM h
+  WHERE (CASE {' '.join(whens)} ELSE 'und' END) = lang
+    AND 0.5 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+      + 0.5 * (CAST(h_en AS DOUBLE) / CAST(len(w) AS DOUBLE))
+        >= {CLEAN_QUALITY_MIN}
+    AND CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
+        <= {CLEAN_REP_MAX}
+), split AS (
+  SELECT CAST(floor(count(*) * {CLEAN_INCR_SPLIT_FRAC}) AS BIGINT) AS sid,
+         count(*) AS n_docs
+  FROM documents
+), batch AS (
+  SELECT f.doc_id, f.text, f.source FROM f, split WHERE f.doc_id >= split.sid
+  UNION ALL
+  SELECT f.doc_id + split.n_docs AS doc_id, f.text, f.source
+  FROM f, split WHERE f.doc_id < split.sid AND f.doc_id % 7 = 0
+), nw AS (
+  SELECT b.* FROM batch b, split
+  WHERE md5(b.text) NOT IN (
+      SELECT md5(e.text) FROM f e, split WHERE e.doc_id < split.sid
+    )
+)
+SELECT doc_id, source, md5(text) AS text_hash
+FROM (
+  SELECT doc_id, source, text,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM nw
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
 def _corpus_clean_sql() -> str:
     langs = list(LANG_STOPWORDS)
     hits = {
@@ -961,6 +1072,11 @@ SPECS = [
     QuerySpec("text_pii_scrub", q_text_pii_scrub, SQL_PII_SCRUB),
     QuerySpec("text_repetition_score", q_text_repetition_score, SQL_REPETITION_SCORE),
     QuerySpec("pipeline_corpus_clean", q_pipeline_corpus_clean, _corpus_clean_sql(), bench=True),
+    QuerySpec(
+        "corpus_clean_incremental",
+        q_corpus_clean_incremental,
+        _corpus_clean_incremental_sql(),
+    ),
     QuerySpec("decontaminate_ngram", q_decontaminate_ngram, SQL_DECONTAMINATE),
     QuerySpec("mix_weighted_sample", q_mix_weighted_sample, SQL_MIX_WEIGHTED_SAMPLE),
     QuerySpec("cluster_semantic_kmeans", q_cluster_semantic_kmeans, None),

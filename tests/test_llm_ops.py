@@ -530,3 +530,53 @@ def test_cluster_semantic_kmeans_partitions_corpus(spark, sf_dir):
     assert all(-1.0 <= r.cohesion <= 1.0 for r in a)
     b = q_cluster_semantic_kmeans(spark, sf_dir).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_corpus_clean_incremental_skips_seen_hashes(spark, sf_dir):
+    """Incremental clean must (a) never emit a text whose hash exists in
+    the cleaned existing corpus, (b) dedup within the new batch, and
+    (c) actually exercise the skip path (fixture has cross-boundary
+    duplicates)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.functions.text import (
+        lang_id,
+        quality_score,
+    )
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        CLEAN_INCR_SPLIT_FRAC,
+        CLEAN_QUALITY_MIN,
+        CLEAN_REP_MAX,
+        q_corpus_clean_incremental,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    split_id = int(d.count() * CLEAN_INCR_SPLIT_FRAC)
+    w = F.split(F.col("text"), " ")
+    n = F.size(w)
+    dup_frac = (n - F.size(F.array_distinct(w))).cast("double") / n.cast("double")
+    gated = d.where(
+        (lang_id(F.col("text")) == F.col("lang"))
+        & (quality_score(F.col("text"), F.col("n_chars")) >= CLEAN_QUALITY_MIN)
+        & (dup_frac <= CLEAN_REP_MAX)
+    )
+    rows = gated.select("doc_id", "text").collect()
+    md5 = lambda t: hashlib.md5(t.encode()).hexdigest()  # noqa: E731
+    existing = {md5(r.text) for r in rows if r.doc_id < split_id}
+    new_gated = [(r.doc_id, md5(r.text)) for r in rows if r.doc_id >= split_id]
+
+    out = q_corpus_clean_incremental(spark, sf_dir).collect()
+    out_hashes = [r.text_hash for r in out]
+    assert not (set(out_hashes) & existing)          # (a) seen hashes skipped
+    assert len(out_hashes) == len(set(out_hashes))   # (b) in-batch dedup
+    # (c) the skip path is provably exercised: the query injects a
+    # re-crawl (every 7th existing doc arrives again) and ALL of those
+    # hashes are in `existing`, so they must be absent from the output
+    recrawls = [r for r in rows if r.doc_id < split_id and r.doc_id % 7 == 0]
+    assert recrawls
+    assert all(md5(r.text) not in out_hashes for r in recrawls)
+    # completeness: every unseen new hash appears exactly once
+    assert set(out_hashes) == {h for _, h in new_gated} - existing
