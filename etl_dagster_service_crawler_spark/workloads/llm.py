@@ -300,6 +300,61 @@ WHERE rn <= ceil({STRATIFIED_RATE} * n_stratum)
 """
 
 
+EMB_EXPECTED_DIM = 64
+
+
+def q_embedding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene — the gate every ANN index needs upstream: flag
+    wrong-dimension, NaN/null-element, and zero-norm vectors (each
+    silently poisons cosine math downstream: zero vectors make cosine
+    undefined, NaNs propagate through every dot product). Pure HOF
+    expressions, map-only, shuffle-free at any scale. The fixture is
+    clean, so the query INJECTS one of each defect deterministically
+    (the pii_scrub pattern) — the oracle verifies flag AND pass paths."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # deterministic defect injection on three known ids
+    v = F.col("embedding")
+    v = F.when(F.col("vec_id") == 1, F.slice(v, 1, 7)).otherwise(v)  # bad dim
+    v = F.when(
+        F.col("vec_id") == 2,
+        F.transform(v, lambda x: x * F.lit(0.0)),  # zero norm
+    ).otherwise(v)
+    v = F.when(
+        F.col("vec_id") == 3,
+        F.transform(v, lambda x: F.lit(float("nan")).cast("float")),  # NaN elements
+    ).otherwise(v)
+    dim_ok = F.size(v) == EMB_EXPECTED_DIM
+    finite = F.size(F.filter(v, lambda x: x.isNull() | F.isnan(x))) == 0
+    nonzero = F.size(F.filter(v, lambda x: x != 0.0)) > 0
+    return emb.select(
+        "vec_id",
+        dim_ok.cast("int").alias("dim_ok"),
+        finite.cast("int").alias("finite_ok"),
+        nonzero.cast("int").alias("nonzero_ok"),
+        (dim_ok & finite & nonzero).cast("int").alias("usable"),
+    )
+
+
+SQL_EMB_QUALITY_GATE = f"""
+WITH inj AS (
+  SELECT vec_id,
+         CASE WHEN vec_id = 1 THEN embedding[1:7]
+              WHEN vec_id = 2 THEN list_transform(embedding, x -> x * 0.0)
+              WHEN vec_id = 3 THEN list_transform(embedding, x -> CAST('nan' AS FLOAT))
+              ELSE embedding END AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       CAST(len(v) = {EMB_EXPECTED_DIM} AS INT) AS dim_ok,
+       CAST(len(list_filter(v, x -> x IS NULL OR isnan(x))) = 0 AS INT) AS finite_ok,
+       CAST(len(list_filter(v, x -> x <> 0.0)) > 0 AS INT) AS nonzero_ok,
+       CAST(len(v) = {EMB_EXPECTED_DIM}
+            AND len(list_filter(v, x -> x IS NULL OR isnan(x))) = 0
+            AND len(list_filter(v, x -> x <> 0.0)) > 0 AS INT) AS usable
+FROM inj
+"""
+
+
 def q_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2 normalization — the prep step every cosine index assumes.
     Expression-based fold (no UDF); emitted exploded to (vec_id, pos,
@@ -1082,6 +1137,7 @@ SPECS = [
     QuerySpec("cluster_semantic_kmeans", q_cluster_semantic_kmeans, None),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),
+    QuerySpec("embedding_quality_gate", q_embedding_quality_gate, SQL_EMB_QUALITY_GATE),
     QuerySpec("embedding_quantize", q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
     QuerySpec("text_token_count", q_text_token_count, SQL_TOKEN_COUNT),
     QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, SQL_FRAME_SAMPLE),

@@ -580,3 +580,16 @@ def test_corpus_clean_incremental_skips_seen_hashes(spark, sf_dir):
     assert all(md5(r.text) not in out_hashes for r in recrawls)
     # completeness: every unseen new hash appears exactly once
     assert set(out_hashes) == {h for _, h in new_gated} - existing
+
+
+def test_embedding_quality_gate_flags_injected_defects(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_embedding_quality_gate,
+    )
+
+    rows = {r.vec_id: r for r in q_embedding_quality_gate(spark, sf_dir).collect()}
+    assert rows[1].dim_ok == 0 and rows[1].usable == 0        # truncated
+    assert rows[2].nonzero_ok == 0 and rows[2].usable == 0    # zero norm
+    assert rows[3].finite_ok == 0 and rows[3].usable == 0     # NaN
+    clean = [r for v, r in rows.items() if v not in (1, 2, 3)]
+    assert clean and all(r.usable == 1 for r in clean)
