@@ -66,9 +66,28 @@ def srp_neardup_pairs(
     random-hyperplane projections (P[bit match] = 1 - angle/pi, so 4
     tables x 8 bits gives ~0.9 recall at cos 0.95). Candidates come
     from an equi-join on (table, bucket) — never a crossJoin — and are
-    verified with the exact cosine. Same shuffle discipline as MinHash:
-    id-only buckets, signatures persisted once, verify on distinct
-    pairs."""
+    verified with the exact cosine.
+
+    Same shuffle discipline as minhash_dedup_pairs/simhash_near_pairs
+    (operators/dedup.py): each bucket row carries the doc's FULL bucket
+    array plus its vector and norm, the join condition requires that NO
+    earlier table also collided ("first matching table"), and the
+    cosine verify is computed INLINE in the join projection. So the
+    output is exactly the distinct qualifying pair set with
+
+    - no `.distinct()` on the candidate set (the old formulation paid
+      an O(candidates) aggregation exchange there — on a dup-heavy
+      corpus the largest shuffle in the query), and
+    - no join-back to fetch vectors (two more candidate-sized shuffles
+      eliminated).
+
+    Exchanges: one corpus-sized groupBy(id) to fold the plane signs
+    into the bucket array, plus the two sides of the bucket self-join
+    — all O(corpus · n_tables), independent of candidate count. Cost
+    of carrying the vector: bucket shuffle rows are ~n_tables · dim · 8
+    bytes per doc — the right side of the tradeoff whenever dup density
+    is non-trivial (the reason one runs near-dup at all). Pinned by
+    tests/test_plans.py (no Exchange/HashAggregate above the self-join)."""
     import random as _random
 
     rng = _random.Random(seed)
@@ -93,42 +112,67 @@ def srp_neardup_pairs(
         # single-row-group sources scan as one task; the HOF folds
         # below are CPU-bound, so fan out first
         base = base.repartition(n_parts, id_col)
-    base = base.persist()
-    base.count()  # eager: read once, not once per self-join side
     proj = base.join(F.broadcast(planes)).select(
         id_col,
+        vec_col,
+        "nrm",
         "tbl",
         "bit",
         (dot(F.col(vec_col), F.col("plane")) > 0).cast("bigint").alias("sign"),
     )
-    buckets = proj.groupBy(id_col, "tbl").agg(
-        F.sum(F.col("sign") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")).alias("bkt")
+    # ONE groupBy(id) folds all n_tables bucket values into an array —
+    # the per-(id, tbl) formulation needed a second exchange to gather
+    # the array. first(vec/nrm) is deterministic: every fanned plane
+    # row of an id carries the same vector.
+    sig = proj.groupBy(id_col).agg(
+        F.first(vec_col).alias(vec_col),
+        F.first("nrm").alias("nrm"),
+        F.array(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("tbl") == t,
+                        F.col("sign") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint"),
+                    ).otherwise(F.lit(0).cast("bigint"))
+                )
+                for t in range(n_tables)
+            ]
+        ).alias("bkts"),
+    ).persist()
+    # Eager: with a lazy cache, the self-join's two sides race to fill
+    # it on first action and each computes the signature subtree.
+    sig.count()
+    buckets = sig.select(
+        id_col, vec_col, "nrm", "bkts", F.posexplode("bkts").alias("tbl", "bkt")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
+    # "first matching table": no table before this one also collided —
+    # makes each pair's emission unique without a distinct.
+    earlier_collision = F.exists(
+        F.zip_with(
+            F.slice(F.col("a.bkts"), 1, F.col("a.tbl")),
+            F.slice(F.col("b.bkts"), 1, F.col("b.tbl")),
+            lambda x, y: x == y,
+        ),
+        lambda t: t,
+    )
+    # norms precomputed in base: one fold per pair, not three
+    cos = dot(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    return (
         a.join(
             b,
             (F.col("a.tbl") == F.col("b.tbl"))
             & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            & ~earlier_collision,
         )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
-    va = base.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"),
-        F.col("nrm").alias("nrm_a"),
-    )
-    vb = base.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"),
-        F.col("nrm").alias("nrm_b"),
-    )
-    # norms precomputed in base: one fold per pair, not three
-    cos = dot(F.col("vec_a"), F.col("vec_b")) / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        pairs.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", cos.alias("cos"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            cos.alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 

@@ -234,3 +234,22 @@ def test_returned_revenue_pushes_flag_and_takeordered(spark, sf_dir):
     plan = _plan(q_returned_revenue_topk(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
     assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_srp_pairs_no_distinct_exchange_above_bucket_join(spark, sf_dir):
+    """The r3 verdict's one scale-killer: srp_neardup_pairs paid a
+    `.distinct()` aggregation exchange on the O(candidates) pair set.
+    With the first-matching-table join condition each pair is emitted
+    exactly once, so everything ABOVE the bucket self-join must be pure
+    filter/project — no Exchange, no HashAggregate."""
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        srp_neardup_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(srp_neardup_pairs(e, threshold=0.5, n_tables=8, bits_per_table=4))
+    above_join = plan.split("Join", 1)[0]
+    assert "Exchange" not in above_join
+    assert "HashAggregate" not in above_join
+    assert "CartesianProduct" not in plan
