@@ -249,10 +249,21 @@ def minhash_assign_representatives(
 
 
 def minhash_cluster_cc(
-    df: DataFrame, id_col: str, text_col: str, max_iters: int = 10
+    df: DataFrame, id_col: str, text_col: str, max_iters: int = 10,
+    exact: bool = False,
 ) -> DataFrame:
     """FULL near-dup clustering: connected components over the LSH
     bucket graph by iterative label propagation to a fixpoint.
+
+    exact=True swaps the LSH band buckets for ONE bucket per doc,
+    sha2(text) — the bucket graph then IS the exact-duplicate relation,
+    so the fixpoint labels provably equal min(id) per verbatim-text
+    group: `min(id) OVER (PARTITION BY text)` in ANSI SQL. That makes
+    the label-propagation machinery (the iteration loop, both exchange
+    alignments, the pointer jump) oracle-checkable end-to-end by the
+    driver's DuckDB differential, while the approximate default keeps
+    its unit tests (recall/chain-merge). Same loop, same shuffles —
+    only the edge construction changes.
 
     One-hop assignment (minhash_assign_representatives) can split a
     chain A~B~C where A and C share buckets only with B; propagating
@@ -301,25 +312,29 @@ def minhash_cluster_cc(
     must track keyspace. At 100 TB the edge count drives the width
     back up to the cluster default and the clamp is a no-op. The conf
     is set only while the loop runs and restored after."""
-    sig = minhash_signatures(df, id_col, text_col)
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(j),
-                *[F.element_at("sig", j * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
-            )
-            for j in range(LSH_BANDS)
-        ]
-    )
     # (id, bucket) edges — built once, reused every iteration through
     # one partition-aligned persisted copy per join key. Width is sized
     # from the input row count (a parquet-metadata-only count on the
     # usual scan input — no data pass) times the band fan-out.
-    edges = sig.select(F.col(id_col), F.explode(bands).alias("bh"))
+    bands_per_doc = 1 if exact else LSH_BANDS
+    if exact:
+        edges = df.select(F.col(id_col), F.sha2(F.col(text_col), 256).alias("bh"))
+    else:
+        sig = minhash_signatures(df, id_col, text_col)
+        bands = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(j),
+                    *[F.element_at("sig", j * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
+                )
+                for j in range(LSH_BANDS)
+            ]
+        )
+        edges = sig.select(F.col(id_col), F.explode(bands).alias("bh"))
 
     spark = df.sparkSession
     default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    n_edges = df.count() * LSH_BANDS
+    n_edges = df.count() * bands_per_doc
     width = max(8, min(default_width, n_edges // 250_000 + 1))
 
     def _sum(lab: DataFrame):

@@ -469,6 +469,35 @@ def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_cluster_cc(d, "doc_id", "text").orderBy("doc_id")
 
 
+def q_dedup_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connected-components loop under an EXACT oracle: sha2(text)
+    buckets degenerate the LSH graph to the verbatim-duplicate
+    relation, so labels provably equal min(doc_id) per text group
+    (DuckDB-expressible). Verbatim duplicates are injected (every 10th
+    doc re-crawled under a shifted id) so is_dup exercises both
+    branches. This drives the SAME loop — label join, bucket-min,
+    pointer jump, fixpoint — that the approximate 100 TB path runs."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    aug = d.unionByName(dups)
+    return minhash_cluster_cc(aug, "doc_id", "text", exact=True).orderBy("doc_id")
+
+
+SQL_DEDUP_CC_EXACT = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY text) AS label,
+       doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
+FROM aug
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return simhash_near_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
@@ -1154,6 +1183,9 @@ SPECS = [
     # you'd actually run at 100 TB (pair enumeration is output-bound),
     # so its cost curve is tracked alongside the pair query's
     QuerySpec("dedup_minhash_cc", q_dedup_minhash_cc, None, bench=True),
+    # exact-mode twin: the same CC loop, sha2(text) buckets, full
+    # DuckDB oracle — the 100 TB labeling machinery's correctness gate
+    QuerySpec("dedup_cc_exact", q_dedup_cc_exact, SQL_DEDUP_CC_EXACT),
     QuerySpec("dedup_simhash", q_dedup_simhash, None),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
     QuerySpec("dedup_embedding_cosine", q_dedup_embedding_cosine, SQL_EMBEDDING_COSINE),
