@@ -9,15 +9,20 @@ Specs live in etl_dagster_service_crawler_spark/workloads/.
 
 from __future__ import annotations
 
-import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, "/root/repo")
+try:
+    from etl_dagster_service_crawler_spark.plans.flagship import revenue_by_nation
+    from etl_dagster_service_crawler_spark.workloads import registry
+except ModuleNotFoundError:  # not pip-installed: resolve next to this file
+    import os
+    import sys
 
-from etl_dagster_service_crawler_spark.plans.flagship import revenue_by_nation  # noqa: E402
-from etl_dagster_service_crawler_spark.workloads import registry  # noqa: E402
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from etl_dagster_service_crawler_spark.plans.flagship import revenue_by_nation
+    from etl_dagster_service_crawler_spark.workloads import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:

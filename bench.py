@@ -21,12 +21,14 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    import __spark_entry__ as entrymod
+    try:
+        import __spark_entry__ as entrymod
+    except ModuleNotFoundError:  # not pip-installed: resolve next to this file
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import __spark_entry__ as entrymod
     from etl_dagster_service_crawler_spark.session import get_spark
 
     spark = get_spark(app_name="bench")

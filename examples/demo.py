@@ -6,9 +6,10 @@ a streaming drain — the three capability families in ~40 lines.
 
 from __future__ import annotations
 
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import etl_dagster_service_crawler_spark as eng
 

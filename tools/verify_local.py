@@ -20,7 +20,9 @@ import time
 import duckdb
 import pandas as pd
 
-sys.path.insert(0, "/root/repo")
+# __spark_entry__ lives at the repo root (this file's parent dir); the
+# package itself resolves installed-first via __spark_entry__'s fallback
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = [
     "region",
