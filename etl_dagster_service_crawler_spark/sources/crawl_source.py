@@ -15,16 +15,32 @@ Here that becomes a `spark.dataSource.register`-able source:
            the reader task — rate limiting lives in the source, not
            the query plan.
 
-No network: the fetcher is a deterministic fake (this is the test/CI
-configuration; a real deployment swaps `_fetch_page` for an HTTP call
-— the Spark plumbing is identical). Field derivation is pure
-arithmetic so the whole source is DuckDB-oracle-checkable.
+The TRANSPORT — the thing that fetches one listing page — is a
+pluggable seam: `option("transport", "my_module:fetch")` names a
+callable `(kidx, keyword, page, slots) -> iterable[tuple]` resolved by
+dotted path INSIDE the reader (worker-side), so a real HTTP fetcher
+drops in via a packaged module or `sc.addPyFile` without editing this
+file. The default is a deterministic fake (the no-network test/CI
+configuration; field derivation is pure arithmetic so the whole source
+is DuckDB-oracle-checkable).
+
+Resilience wraps the transport, mirroring the reference's per-fetch
+try/except + give-up counter (test.py:129-144):
+
+- option("fetch_retries", default 2): attempts per page = retries + 1.
+- option("error_budget", default 0): pages allowed to fail ALL their
+  attempts before the reader raises; a budgeted failure yields no rows
+  (the page is skipped, like the reference logging-and-continuing).
+  The budget is per reader instance: per input partition in batch
+  (one page each, so >0 means "tolerate this page"), cumulative across
+  micro-batches in the stream (the reader lives on the driver for the
+  whole run — the reference's sequential crawl-loop semantics).
 """
 
 from __future__ import annotations
 
 import time
-from collections.abc import Iterator
+from collections.abc import Callable, Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -43,13 +59,9 @@ DEFAULT_PAGES = 3
 DEFAULT_SLOTS = 10
 
 
-def _fetch_page(
-    kidx: int, keyword: str, page: int, slots: int, delay_ms: int
-) -> list[tuple]:
+def _fetch_page(kidx: int, keyword: str, page: int, slots: int) -> list[tuple]:
     """Deterministic fake of one listing-page fetch (the reference's
-    driver.get + card scan, test.py:135,160). Swap for HTTP in prod."""
-    if delay_ms:
-        time.sleep(delay_ms / 1000.0)
+    driver.get + card scan, test.py:135,160) — the default transport."""
     rows = []
     for slot in range(slots):
         job_id = kidx * 10_000 + page * 100 + slot
@@ -66,6 +78,21 @@ def _fetch_page(
     return rows
 
 
+def _resolve_transport(spec: str | None) -> Callable[[int, str, int, int], list]:
+    """Dotted-path lookup: "pkg.mod:fn" (or "pkg.mod.fn"). Imported at
+    first fetch, in the process that fetches — workers for batch, the
+    driver for the simple stream reader — so addPyFile-shipped modules
+    resolve."""
+    if not spec:
+        return _fetch_page
+    import importlib
+
+    mod, _, attr = spec.partition(":")
+    if not attr:
+        mod, _, attr = spec.rpartition(".")
+    return getattr(importlib.import_module(mod), attr)
+
+
 class _Options:
     def __init__(self, options: dict):
         self.keywords = [
@@ -74,6 +101,41 @@ class _Options:
         self.pages = int(options.get("pages", DEFAULT_PAGES))
         self.slots = int(options.get("slots", DEFAULT_SLOTS))
         self.delay_ms = int(options.get("page_delay_ms", 0))
+        self.transport = options.get("transport") or None
+        self.retries = int(options.get("fetch_retries", 2))
+        self.error_budget = int(options.get("error_budget", 0))
+
+
+class _Fetcher:
+    """Transport + politeness + retry + error budget, shared by both
+    readers. One instance per reader object — its failure count IS the
+    budget scope (see module docstring)."""
+
+    def __init__(self, opts: _Options):
+        self.opts = opts
+        self.failed = 0
+        self._fn: Callable | None = None
+
+    def fetch(self, kidx: int, keyword: str, page: int) -> list[tuple]:
+        if self._fn is None:
+            self._fn = _resolve_transport(self.opts.transport)
+        if self.opts.delay_ms:
+            time.sleep(self.opts.delay_ms / 1000.0)
+        last: Exception | None = None
+        for _attempt in range(self.opts.retries + 1):
+            try:
+                return list(self._fn(kidx, keyword, page, self.opts.slots))
+            except Exception as exc:  # transport errors only — policy decides
+                last = exc
+        self.failed += 1
+        if self.failed > self.opts.error_budget:
+            raise RuntimeError(
+                f"crawl error budget exhausted: {self.failed} page(s) failed "
+                f"all {self.opts.retries + 1} attempts "
+                f"(budget {self.opts.error_budget}); last page "
+                f"({keyword!r}, {page})"
+            ) from last
+        return []
 
 
 class CrawlBatchReader(DataSourceReader):
@@ -93,7 +155,9 @@ class CrawlBatchReader(DataSourceReader):
 
     def read(self, partition: InputPartition) -> Iterator[tuple]:
         kidx, keyword, page = partition.value
-        yield from _fetch_page(kidx, keyword, page, self.opts.slots, self.opts.delay_ms)
+        # fresh fetcher per partition: the error budget scopes to the
+        # task, and the transport import happens worker-side
+        yield from _Fetcher(self.opts).fetch(kidx, keyword, page)
 
 
 class CrawlStreamReader(SimpleDataSourceStreamReader):
@@ -102,6 +166,10 @@ class CrawlStreamReader(SimpleDataSourceStreamReader):
 
     def __init__(self, options: dict):
         self.opts = _Options(options)
+        # one fetcher for the reader's whole life (driver-side): the
+        # error budget accumulates across micro-batches, like the
+        # reference's sequential crawl loop's give-up counter
+        self.fetcher = _Fetcher(self.opts)
 
     def initialOffset(self) -> dict:
         return {"page": 0}
@@ -112,18 +180,14 @@ class CrawlStreamReader(SimpleDataSourceStreamReader):
             return iter([]), start  # no new rows: empty batch, offset holds
         rows: list[tuple] = []
         for kidx, kw in enumerate(self.opts.keywords):
-            rows.extend(
-                _fetch_page(kidx, kw, page, self.opts.slots, self.opts.delay_ms)
-            )
+            rows.extend(self.fetcher.fetch(kidx, kw, page))
         return iter(rows), {"page": page + 1}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         rows: list[tuple] = []
         for page in range(start["page"], end["page"]):
             for kidx, kw in enumerate(self.opts.keywords):
-                rows.extend(
-                    _fetch_page(kidx, kw, page, self.opts.slots, self.opts.delay_ms)
-                )
+                rows.extend(self.fetcher.fetch(kidx, kw, page))
         return iter(rows)
 
 

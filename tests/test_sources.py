@@ -26,3 +26,123 @@ def test_stream_drain_equals_batch_scan(spark, sf_dir):
     batch = {tuple(r) for r in q_source_crawl_scan(spark, sf_dir).collect()}
     streamed = {tuple(r) for r in q_source_crawl_stream(spark, sf_dir).collect()}
     assert streamed == batch and len(batch) > 0
+
+
+_FLAKY_SRC = '''
+"""Injected test transports (shipped to workers via addPyFile)."""
+CALLS = {}
+
+def marked(kidx, keyword, page, slots):
+    return [(keyword, page, s, kidx * 10_000 + page * 100 + s,
+             f"CUSTOM-{keyword}-{page}-{s}", "https://example.com/x")
+            for s in range(slots)]
+
+def fail_first_attempt(kidx, keyword, page, slots):
+    key = (keyword, page)
+    CALLS[key] = CALLS.get(key, 0) + 1
+    if CALLS[key] == 1:
+        raise ConnectionError(f"injected transient failure for {key}")
+    return marked(kidx, keyword, page, slots)
+
+def always_fail_etl(kidx, keyword, page, slots):
+    if keyword == "etl":
+        raise ConnectionError("injected permanent failure for etl")
+    return marked(kidx, keyword, page, slots)
+'''
+
+
+def _write_transport_module(tmp_path):
+    mod = tmp_path / "crawl_test_transport.py"
+    mod.write_text(_FLAKY_SRC)
+    return mod
+
+
+def test_batch_transport_plugs_in_by_dotted_path(spark, tmp_path):
+    """A custom transport named by option('transport') must be resolved
+    on the WORKER (addPyFile-shipped module) — the deployment seam the
+    reference fills with driver.get (test.py:135)."""
+    mod = _write_transport_module(tmp_path)
+    spark.sparkContext.addPyFile(str(mod))
+    register(spark)
+    df = (
+        spark.read.format("crawl")
+        .option("keywords", "a,b")
+        .option("pages", "2")
+        .option("slots", "2")
+        .option("transport", "crawl_test_transport:marked")
+        .load()
+    )
+    titles = [r.title for r in df.collect()]
+    assert len(titles) == 2 * 2 * 2
+    assert all(t.startswith("CUSTOM-") for t in titles)
+
+
+def test_transport_retry_recovers_transient_failures(spark, tmp_path):
+    """One transient failure per page must be absorbed by fetch_retries
+    — the reference's per-fetch try/except (test.py:129-144)."""
+    import sys
+
+    from etl_dagster_service_crawler_spark.sources.crawl_source import (
+        CrawlStreamReader,
+    )
+
+    _write_transport_module(tmp_path)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        reader = CrawlStreamReader(
+            {
+                "keywords": "a,b",
+                "pages": "2",
+                "slots": "2",
+                "transport": "crawl_test_transport:fail_first_attempt",
+                "fetch_retries": "1",
+            }
+        )
+        rows, off = reader.read(reader.initialOffset())
+        rows = list(rows)
+        assert off == {"page": 1}
+        assert len(rows) == 2 * 2  # both keywords recovered on attempt 2
+        assert all(r[4].startswith("CUSTOM-") for r in rows)
+    finally:
+        sys.path.remove(str(tmp_path))
+
+
+def test_transport_error_budget_skips_then_trips(spark, tmp_path):
+    """A permanently failing keyword consumes one budget unit per page
+    (rows skipped); once failures exceed the budget the reader raises —
+    the reference's give-up counter (test.py:129-144)."""
+    import sys
+
+    import pytest
+
+    from etl_dagster_service_crawler_spark.sources.crawl_source import (
+        CrawlStreamReader,
+    )
+
+    _write_transport_module(tmp_path)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        opts = {
+            "keywords": "a,etl,b",
+            "pages": "2",
+            "slots": "2",
+            "transport": "crawl_test_transport:always_fail_etl",
+            "fetch_retries": "0",
+            "error_budget": "1",
+        }
+        reader = CrawlStreamReader(opts)
+        rows, _ = reader.read(reader.initialOffset())
+        rows = list(rows)
+        # page 0: 'etl' failed within budget -> skipped, others fetched
+        assert len(rows) == 2 * 2
+        assert {r[0] for r in rows} == {"a", "b"}
+        # page 1: second failure exceeds budget=1 -> raises
+        with pytest.raises(RuntimeError, match="error budget exhausted"):
+            list(reader.read({"page": 1})[0])
+
+        # budget 0: the very first failure trips
+        strict = CrawlStreamReader({**opts, "error_budget": "0"})
+        with pytest.raises(RuntimeError, match="error budget exhausted"):
+            list(strict.read(strict.initialOffset())[0])
+    finally:
+        sys.path.remove(str(tmp_path))
