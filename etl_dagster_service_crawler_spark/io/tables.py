@@ -117,6 +117,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # cast to LTZ under the UTC session tz pinned above (same
             # instant) so downstream windows/watermarks see one type.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        elif ts_type != "timestamp":
+            # a third fixture generation must fail HERE, at load time,
+            # not as a downstream oracle mismatch ('timestamp' itself —
+            # tz-adjusted micros — already matches what the branches
+            # above normalize to, so it passes through)
+            raise ValueError(
+                f"unexpected physical type {ts_type!r} for events.ts; "
+                "expected bigint (nanos), timestamp_ntz (micros), or "
+                "timestamp"
+            )
         df = df.select([c for c, _ in TABLES[name]])
     expected = [c for c, _ in TABLES[name]]
     if df.columns != expected:

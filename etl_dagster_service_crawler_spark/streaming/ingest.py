@@ -48,15 +48,22 @@ def _events_ts_is_nanos(sf_dir: str) -> bool:
     return str(t) == "timestamp[ns]"
 
 
-def _stream_dir(sf_dir: str) -> str:
+def _stream_dir(sf_dir: str, name: str) -> str:
     """Spark's file source requires a DIRECTORY; the fixture is a single
-    read-only file. Stage a symlink dir under /tmp (per sf_dir)."""
+    read-only file. Stage a symlink dir under /tmp (per sf_dir/table).
+
+    lexists, not exists: exists() is False for a BROKEN symlink (e.g.
+    the fixture dir was recreated), and os.symlink would then raise
+    FileExistsError — a dangling link is unlinked and re-created."""
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    d = f"/tmp/spark_graft_streams/{tag}/events"
+    d = f"/tmp/spark_graft_streams/{tag}/{name}"
     os.makedirs(d, exist_ok=True)
-    link = f"{d}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    link = f"{d}/{name}.parquet"
+    target = f"{sf_dir}/{name}.parquet"
+    if os.path.lexists(link) and not os.path.exists(link):
+        os.unlink(link)
+    if not os.path.lexists(link):
+        os.symlink(target, link)
     return d
 
 
@@ -70,7 +77,7 @@ def stream_events(
     reader = spark.readStream.schema(_events_raw_schema(ts_nanos))
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    raw = reader.parquet(_stream_dir(sf_dir))
+    raw = reader.parquet(_stream_dir(sf_dir, "events"))
     if ts_nanos:
         return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     # micros file: NTZ wall clock -> LTZ under the UTC session tz pinned
@@ -127,16 +134,10 @@ def stream_documents(
     """File-source stream over the documents fixture — the continuous-
     ingest shape of a training corpus (each micro-batch = one crawl
     drop landing in the lake)."""
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    d = f"/tmp/spark_graft_streams/{tag}/documents"
-    os.makedirs(d, exist_ok=True)
-    link = f"{d}/documents.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/documents.parquet", link)
     reader = spark.readStream.schema(DOCUMENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    return reader.parquet(d)
+    return reader.parquet(_stream_dir(sf_dir, "documents"))
 
 
 def run_available_now(

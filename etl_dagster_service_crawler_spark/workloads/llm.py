@@ -1008,10 +1008,20 @@ def q_corpus_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-crawls must vanish), then dedups within itself. At 100 TB the
     anti-join probes yesterday's hash index (hash, 16 bytes/row — a
     fraction of corpus size, bucketable by hash prefix); today's text
-    is touched once and never joined against yesterday's TEXT."""
+    is touched once and never joined against yesterday's TEXT.
+
+    The split point (what counts as "yesterday") is computed IN-PLAN:
+    a single-row count aggregate broadcast-crossed onto the scan —
+    mirroring the SQL's `split` CTE — so building this DataFrame stays
+    lazy and the scan isn't paid once for a driver-side count and again
+    for the query (the broadcast join adds no exchange to the
+    doc-sized side)."""
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()
-    split_id = int(n_docs * CLEAN_INCR_SPLIT_FRAC)
+    split = d.agg(
+        F.floor(F.count("*") * CLEAN_INCR_SPLIT_FRAC).cast("bigint").alias("sid"),
+        F.count("*").alias("n_docs"),
+    )
+    d = d.crossJoin(F.broadcast(split))
     w = F.split(F.col("text"), " ")
     n = F.size(w)
     dup_frac = (n - F.size(F.array_distinct(w))).cast("double") / n.cast("double")
@@ -1020,15 +1030,15 @@ def q_corpus_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (quality_score(F.col("text"), F.col("n_chars")) >= CLEAN_QUALITY_MIN)
         & (dup_frac <= CLEAN_REP_MAX)
     )
-    existing = d.where(F.col("doc_id") < split_id).where(gates)
+    existing = d.where(F.col("doc_id") < F.col("sid")).where(gates)
     existing_hashes = existing.select(
         F.md5(F.col("text")).alias("text_hash")
     ).distinct()
     recrawl = existing.where(F.col("doc_id") % 7 == 0).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(n_docs)
+        "doc_id", F.col("doc_id") + F.col("n_docs")
     )
     new_batch = (
-        d.where(F.col("doc_id") >= split_id).where(gates).unionByName(recrawl)
+        d.where(F.col("doc_id") >= F.col("sid")).where(gates).unionByName(recrawl)
     )
     fresh = new_batch.join(
         existing_hashes,

@@ -31,12 +31,17 @@ def _queries(doc: dict) -> dict[str, float]:
 
 def load_rounds(extra: list[str]) -> dict[str, dict[str, float]]:
     rounds: dict[str, dict[str, float]] = {}
-    for p in sorted(REPO.glob("BENCH_r*.json")):
+    # sort by the ROUND NUMBER, not the filename: lexicographically an
+    # unpadded BENCH_r2.json would sort after BENCH_r10.json and be
+    # treated as newer
+    numbered = []
+    for p in REPO.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
-        if not m:
-            continue
+        if m:
+            numbered.append((int(m.group(1)), p))
+    for n, p in sorted(numbered):
         try:
-            rounds[f"r{int(m.group(1)):02d}"] = _queries(json.loads(p.read_text()))
+            rounds[f"r{n:02d}"] = _queries(json.loads(p.read_text()))
         except (OSError, ValueError, KeyError) as e:
             print(f"# skipping {p.name}: {e}", file=sys.stderr)
     for i, arg in enumerate(extra):
@@ -62,15 +67,22 @@ def main() -> None:
     width = max(len(n) for n in names)
     print(f"{'query'.ljust(width)}  " + "  ".join(t.rjust(7) for t in tags) + "  flag")
     flagged = []
+    latest = tags[-1]
     for n in names:
         vals = [rounds[t].get(n) for t in tags]
         known = [v for v in vals if v is not None]
-        newest = known[-1]
-        best_prior = min(known[:-1]) if len(known) > 1 else None
+        # only a query PRESENT in the true latest round can regress;
+        # a last-known value from an older round says nothing about now
+        newest = rounds[latest].get(n)
         flag = ""
-        if best_prior is not None and newest > 1.5 * best_prior:
-            flag = f"REGRESSION {newest / best_prior:.1f}x vs best"
-            flagged.append(n)
+        if newest is None:
+            flag = "absent in latest"
+        else:
+            prior = [v for t in tags[:-1] if (v := rounds[t].get(n)) is not None]
+            best_prior = min(prior) if prior else None
+            if best_prior is not None and newest > 1.5 * best_prior:
+                flag = f"REGRESSION {newest / best_prior:.1f}x vs best"
+                flagged.append(n)
         cells = "  ".join(
             (f"{v:7.3f}" if v is not None else "      -") for v in vals
         )
