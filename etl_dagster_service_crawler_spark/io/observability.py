@@ -70,26 +70,39 @@ class ErrorBudgetListener(StreamingQueryListener):
     the reference's max_errors=3 keyword abort (test.py:129-144).
 
     Attach with spark.streams.addListener(listener); pair with a
-    metric named `metric_name` emitted via observe_stream_quality."""
+    metric named `metric_name` emitted via observe_stream_quality.
+    max_errors=None disables the abort (pure telemetry: batch/row/bad
+    counters still accumulate — the run-status half of the reference's
+    logging). `query_name` scopes the listener to one named query;
+    listeners are session-global, so an unscoped listener also counts
+    any OTHER stream the session runs concurrently."""
 
     def __init__(
         self,
         spark: SparkSession,
-        max_errors: int = 3,
+        max_errors: int | None = 3,
         metric_name: str = "quality",
         field: str = "n_empty_fields",
+        query_name: str | None = None,
     ):
         self._spark = spark
         self.max_errors = max_errors
         self.metric_name = metric_name
         self.field = field
+        self.query_name = query_name
         self.total = 0
+        self.batches = 0
+        self.rows = 0
         self.tripped = False
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
         log.info("stream %s started", event.id)
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
+        if self.query_name is not None and event.progress.name != self.query_name:
+            return
+        self.batches += 1
+        self.rows += event.progress.numInputRows or 0
         om = event.progress.observedMetrics.get(self.metric_name)
         if om is None:
             return
@@ -102,7 +115,11 @@ class ErrorBudgetListener(StreamingQueryListener):
             om[self.field],
             self.total,
         )
-        if self.total >= self.max_errors and not self.tripped:
+        if (
+            self.max_errors is not None
+            and self.total >= self.max_errors
+            and not self.tripped
+        ):
             self.tripped = True
             log.error("error budget exhausted (%s); stopping", self.total)
             for q in self._spark.streams.active:

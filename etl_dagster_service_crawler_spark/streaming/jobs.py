@@ -1,0 +1,225 @@
+"""Named schedulable jobs: pipeline + trigger + error budget + telemetry.
+
+The reference binds its crawl into a NAMED job with a */2-minute cron
+schedule and run-status logging (definitions.py:27-37: `crawler_job`,
+`ScheduleDefinition(cron_schedule="*/2 * * * *")`, a run-logging
+wrapper). The engine equivalent is `ScheduledPipeline`: it binds a
+streaming-pipeline builder to a trigger cadence, a quality error
+budget (O2), and observed metrics (K4), and exposes the two run modes
+
+- run_scheduled: wall-clock ProcessingTime trigger — the cron. Each
+  trigger tick is one scheduled run; the error budget accumulates
+  across ticks and aborts the query when exhausted, exactly the
+  reference's give-up counter applied to the stream.
+- run_once: availableNow — catch-up/backfill of everything pending,
+  the shape a missed schedule window recovers with.
+
+Both return a RunStatus (the reference's run-status log line, as data):
+batches seen, rows, bad rows, whether the budget tripped, and the
+drained result.
+
+A module registry maps job names to pipelines — the reference's
+Definitions object — so operational tooling can look jobs up by name.
+"""
+
+from __future__ import annotations
+
+import itertools
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_dagster_service_crawler_spark.io.observability import (
+    ErrorBudgetListener,
+    observe_stream_quality,
+)
+
+_job_runs = itertools.count()
+
+
+@dataclass
+class RunStatus:
+    """One run's outcome — the reference's run-status logging as data."""
+
+    job: str
+    n_batches: int
+    n_rows: int
+    n_bad: int
+    budget_tripped: bool
+    result: DataFrame
+
+    @property
+    def ok(self) -> bool:
+        return not self.budget_tripped
+
+
+@dataclass
+class ScheduledPipeline:
+    """A pipeline bound to a schedule, an error budget, and telemetry.
+
+    build(spark, source) must return a STREAMING DataFrame (the
+    pipeline's full transform over its readStream source). If
+    observe_cols is set, an empty-field quality metric (Q1's gauge) is
+    attached and budget-checked; max_errors=None means no abort."""
+
+    name: str
+    build: Callable[[SparkSession, str], DataFrame]
+    interval: str = "2 minutes"  # the reference's */2min cron cadence
+    observe_cols: list[str] | None = None
+    max_errors: int | None = None
+    output_mode: str = "append"
+    state_partitions: int | None = None
+    metric_field: str = "n_empty_fields"
+    _last: RunStatus | None = field(default=None, repr=False)
+
+    def _observed(self, spark: SparkSession, source: str) -> DataFrame:
+        df = self.build(spark, source)
+        if not df.isStreaming:
+            raise TypeError(
+                f"job {self.name!r}: build() must return a streaming "
+                "DataFrame (got a batch frame)"
+            )
+        if self.observe_cols:
+            df = observe_stream_quality(
+                df, self.observe_cols, name=f"{self.name}_quality"
+            )
+        return df
+
+    def _run(
+        self,
+        spark: SparkSession,
+        source: str,
+        *,
+        available_now: bool,
+        min_batches: int,
+        timeout_s: float,
+    ) -> RunStatus:
+        sink = f"job_{self.name}_{next(_job_runs)}"
+        listener = ErrorBudgetListener(
+            spark,
+            max_errors=self.max_errors,
+            metric_name=f"{self.name}_quality",
+            field=self.metric_field,
+            query_name=sink,
+        )
+        spark.streams.addListener(listener)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        if self.state_partitions is not None:
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(self.state_partitions)
+            )
+        try:
+            writer = (
+                self._observed(spark, source)
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode(self.output_mode)
+            )
+            writer = (
+                writer.trigger(availableNow=True)
+                if available_now
+                else writer.trigger(processingTime=self.interval)
+            )
+            q = writer.start()
+        finally:
+            if self.state_partitions is not None:
+                spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        try:
+            deadline = time.time() + timeout_s
+            if available_now:
+                q.awaitTermination(timeout_s)
+            else:
+                while time.time() < deadline and q.isActive:
+                    if listener.batches >= min_batches:
+                        break
+                    time.sleep(0.2)
+        finally:
+            if q.isActive:
+                q.stop()
+        # listener events are delivered async: give the trailing
+        # progress/trip event a moment to land before reading counters
+        settle = time.time() + 5
+        expect = max(min_batches, 1)
+        while time.time() < settle:
+            if listener.tripped or listener.batches >= expect:
+                break
+            time.sleep(0.1)
+        time.sleep(0.2)
+        spark.streams.removeListener(listener)
+        status = RunStatus(
+            job=self.name,
+            n_batches=listener.batches,
+            n_rows=listener.rows,
+            n_bad=listener.total,
+            budget_tripped=listener.tripped,
+            result=spark.table(sink),
+        )
+        self._last = status
+        return status
+
+    def run_once(
+        self, spark: SparkSession, source: str, timeout_s: float = 300
+    ) -> RunStatus:
+        """availableNow catch-up: drain everything pending, then stop."""
+        return self._run(
+            spark, source, available_now=True, min_batches=1, timeout_s=timeout_s
+        )
+
+    def run_scheduled(
+        self,
+        spark: SparkSession,
+        source: str,
+        min_batches: int = 2,
+        timeout_s: float = 300,
+    ) -> RunStatus:
+        """ProcessingTime schedule: run trigger ticks until min_batches
+        have committed, the error budget trips, or timeout_s passes."""
+        return self._run(
+            spark,
+            source,
+            available_now=False,
+            min_batches=min_batches,
+            timeout_s=timeout_s,
+        )
+
+
+def _corpus_clean_job() -> ScheduledPipeline:
+    from etl_dagster_service_crawler_spark.streaming.ingest import (
+        stream_documents,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        corpus_clean_transform,
+    )
+
+    return ScheduledPipeline(
+        name="corpus_clean_2min",
+        build=lambda spark, sf_dir: corpus_clean_transform(
+            stream_documents(spark, sf_dir)
+        ),
+        interval="2 minutes",
+        output_mode="complete",
+        state_partitions=8,
+    )
+
+
+def _crawl_ingest_job() -> ScheduledPipeline:
+    from etl_dagster_service_crawler_spark.streaming.ingest import stream_events
+
+    return ScheduledPipeline(
+        name="events_ingest_2min",
+        build=lambda spark, sf_dir: stream_events(spark, sf_dir),
+        interval="2 minutes",
+        observe_cols=["event_type"],
+        max_errors=None,
+        output_mode="append",
+    )
+
+
+def job_registry() -> dict[str, ScheduledPipeline]:
+    """Name -> job, the reference's Definitions(jobs=[...], schedules=
+    [...]) surface (definitions.py:27-41). Fresh instances per call —
+    jobs hold per-run state."""
+    jobs = [_corpus_clean_job(), _crawl_ingest_job()]
+    return {j.name: j for j in jobs}

@@ -281,15 +281,14 @@ GROUP BY 1, 2
 """
 
 
-def q_stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of the batch corpus-clean flagship: documents
-    arrive as micro-batches, the three hygiene gates run as narrow
-    row-level ops inside each batch (they commute with streaming), and
-    exact dedup is a streaming aggregation min(doc_id)/count per
-    md5(text) — deterministic regardless of batch slicing, so the
-    batch oracle is exact. State keyspace = distinct surviving texts;
-    state_partitions tracks it (a billion-doc corpus wants thousands —
-    see run_available_now)."""
+def corpus_clean_transform(s: DataFrame) -> DataFrame:
+    """The corpus-clean TRANSFORM over a (streaming or batch) documents
+    frame: three hygiene gates as narrow row-level ops (they commute
+    with micro-batch slicing), then exact dedup as an aggregation
+    min(doc_id)/count per md5(text) — deterministic regardless of how
+    batches slice the input, so the batch oracle is exact. Shared by
+    the driver query below and the ScheduledPipeline job registry
+    (streaming/jobs.py)."""
     from etl_dagster_service_crawler_spark.functions.text import (
         lang_id,
         quality_score,
@@ -299,7 +298,6 @@ def q_stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         CLEAN_REP_MAX,
     )
 
-    s = stream_documents(spark, sf_dir)
     w = F.split(F.col("text"), " ")
     n = F.size(w)
     dup_frac = (n - F.size(F.array_distinct(w))).cast("double") / n.cast("double")
@@ -308,13 +306,18 @@ def q_stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (quality_score(F.col("text"), F.col("n_chars")) >= CLEAN_QUALITY_MIN)
         & (dup_frac <= CLEAN_REP_MAX)
     )
-    cleaned = (
-        survivors.groupBy(F.md5(F.col("text")).alias("text_hash"))
-        .agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).cast("int").alias("n_dups"),
-        )
+    return survivors.groupBy(F.md5(F.col("text")).alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).cast("int").alias("n_dups"),
     )
+
+
+def q_stream_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the batch corpus-clean flagship (see
+    corpus_clean_transform). State keyspace = distinct surviving
+    texts; state_partitions tracks it (a billion-doc corpus wants
+    thousands — see run_available_now)."""
+    cleaned = corpus_clean_transform(stream_documents(spark, sf_dir))
     return run_available_now(cleaned, "complete", state_partitions=8)
 
 
