@@ -38,6 +38,57 @@ _rng = random.Random(42)
 MINHASH_A = [_rng.randrange(1, MINHASH_P) for _ in range(NUM_HASHES)]
 MINHASH_B = [_rng.randrange(0, MINHASH_P) for _ in range(NUM_HASHES)]
 
+# Skew hardening for the label-propagation joins: a near-constant
+# corpus (20% boilerplate pages is realistic crawl data) puts that
+# whole fraction into ONE band bucket, and the bucket->members join
+# then funnels the hot key through one task — the real 100 TB failure
+# mode. Buckets larger than HOT_BUCKET_ROWS get salted: members hash
+# to one of N_SALTS sub-keys, and the 1-row-per-bucket label side is
+# REPLICATED across all salts, so the join result is bit-identical
+# while the hot key's probe rows spread over N_SALTS tasks.
+HOT_BUCKET_ROWS = 100_000
+N_SALTS = 16
+
+
+def _salt_bucket_members(
+    edges: DataFrame, hot: DataFrame, id_col: str, n_salts: int
+) -> DataFrame:
+    """Members + salt column: a member of a hot bucket hashes to one of
+    n_salts sub-keys; everything else keeps salt 0, so the non-skewed
+    path pays nothing but a broadcast probe. `hot` is (bh, is_hot) —
+    bounded by corpus_rows/threshold buckets, broadcastable by
+    construction."""
+    return edges.join(F.broadcast(hot), "bh", "left").select(
+        id_col,
+        "bh",
+        F.when(
+            F.col("is_hot"), F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salts))
+        )
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("salt"),
+    )
+
+
+def _replicate_labels_across_salts(
+    bucket_labels: DataFrame, hot: DataFrame, n_salts: int
+) -> DataFrame:
+    """Explode the (bh, label) side to every salt of a hot bucket —
+    the replicate-the-small-side half of classic skew salting. Cold
+    buckets emit exactly one (salt 0) row."""
+    salts = F.when(
+        F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+    ).otherwise(F.array(F.lit(0)))
+    return (
+        bucket_labels.join(F.broadcast(hot), "bh", "left")
+        .select(
+            "bh",
+            *[c for c in bucket_labels.columns if c != "bh"],
+            F.explode(salts).alias("salt"),  # int already (sequence of int lits)
+        )
+        .drop("is_hot")
+    )
+
 
 def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Hash-identity dedup: one row per distinct text, keeping the
@@ -214,7 +265,8 @@ def minhash_dedup_pairs(
 
 
 def minhash_assign_representatives(
-    df: DataFrame, id_col: str, text_col: str
+    df: DataFrame, id_col: str, text_col: str,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS, n_salts: int = N_SALTS,
 ) -> DataFrame:
     """Scalable dedup ASSIGNMENT: each doc -> a cluster representative,
     without ever enumerating pairs (pair output is O(cluster^2) — a
@@ -223,7 +275,14 @@ def minhash_assign_representatives(
     rep = min id over all band buckets the doc belongs to (one-hop label
     propagation over the LSH bucket graph — the standard first pass of
     distributed near-dup dedup; iterate to a fixpoint for full connected
-    components). Two shuffles total: bucket min, then per-doc min."""
+    components). Two shuffles total: bucket stats, then per-doc min.
+
+    Skew-hardened (see HOT_BUCKET_ROWS): bucket size and bucket min
+    come out of ONE aggregation; buckets above the threshold have their
+    members salted across n_salts sub-keys and their (one-row) rep
+    replicated to every salt, so the members<-rep join spreads a mega
+    bucket over n_salts tasks instead of funnelling it through one.
+    Results are bit-identical with salting on or off (pinned by test)."""
     sig = minhash_signatures(df, id_col, text_col)
     bands = F.array(
         *[
@@ -234,15 +293,35 @@ def minhash_assign_representatives(
             for j in range(LSH_BANDS)
         ]
     )
-    # No persist needed although buckets feed two consumers: both sit
-    # above the same groupBy/join exchange, and exchange reuse shares
-    # the shuffled signature subtree (measured: a persist+count here is
-    # wash-to-slower).
+    # sig AND the bucket stats persisted: the skew probe plus the
+    # plan's two consumers would otherwise recompute the signature fold
+    # three times and the bucket aggregation twice (the 2-consumer
+    # no-persist tradeoff measured in r2 flips with a third consumer).
+    # stats is one row per distinct bucket — min id and size come out
+    # of the same exchange.
+    sig = sig.persist()
     buckets = sig.select(F.col(id_col), F.explode(bands).alias("bh"))
-    bucket_min = buckets.groupBy("bh").agg(F.min(id_col).alias("bucket_rep"))
+    stats = buckets.groupBy("bh").agg(
+        F.min(id_col).alias("bucket_rep"), F.count(F.lit(1)).alias("bn")
+    ).persist()
+    hot = stats.where(F.col("bn") > hot_bucket_rows).select(
+        "bh", F.lit(True).alias("is_hot")
+    )
+    # short-circuit: pay the salted plan (broadcast barriers, 2-key
+    # join, replicate generate) ONLY when a hot bucket exists — one
+    # cheap aggregation job over the cached signatures decides
+    if hot.limit(1).count() == 0:
+        bucket_min = stats.select("bh", "bucket_rep")
+        joined = buckets.join(bucket_min, "bh")
+    else:
+        joined = _salt_bucket_members(buckets, hot, id_col, n_salts).join(
+            _replicate_labels_across_salts(
+                stats.select("bh", "bucket_rep"), hot, n_salts
+            ),
+            ["bh", "salt"],
+        )
     return (
-        buckets.join(bucket_min, "bh")
-        .groupBy(id_col)
+        joined.groupBy(id_col)
         .agg(F.min("bucket_rep").alias("rep_id"))
         .withColumn("is_dup", F.col(id_col) != F.col("rep_id"))
     )
@@ -251,6 +330,7 @@ def minhash_assign_representatives(
 def minhash_cluster_cc(
     df: DataFrame, id_col: str, text_col: str, max_iters: int = 10,
     exact: bool = False,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS, n_salts: int = N_SALTS,
 ) -> DataFrame:
     """FULL near-dup clustering: connected components over the LSH
     bucket graph by iterative label propagation to a fixpoint.
@@ -343,7 +423,34 @@ def minhash_cluster_cc(
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         by_id = edges.repartition(width, F.col(id_col)).persist()
-        by_bh = by_id.repartition(width, F.col("bh")).persist()
+        # skew hardening (static across iterations, so probed ONCE):
+        # hot buckets — the near-constant-corpus mega bucket — get
+        # their members salted over n_salts sub-keys; each iteration's
+        # label side is replicated across those salts, keeping results
+        # bit-identical while the per-iteration members<-label join
+        # spreads the hot key over n_salts tasks. The salted loop
+        # (broadcast barriers, 2-key join, replicate generate) is built
+        # ONLY when the one cheap probe over the cached edges finds a
+        # hot bucket — the no-skew plan is byte-for-byte the old one.
+        hot = (
+            by_id.groupBy("bh")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .where(F.col("bn") > hot_bucket_rows)
+            .select("bh", F.lit(True).alias("is_hot"))
+            .persist()
+        )
+        has_hot = hot.limit(1).count() > 0
+        if has_hot:
+            by_bh = (
+                _salt_bucket_members(by_id, hot, id_col, n_salts)
+                .repartition(width, F.col("bh"), F.col("salt"))
+                .persist()
+            )
+            join_keys = ["bh", "salt"]
+        else:
+            hot.unpersist()
+            by_bh = by_id.repartition(width, F.col("bh")).persist()
+            join_keys = "bh"
         by_bh.count()
 
         labels: DataFrame | None = None
@@ -359,8 +466,12 @@ def minhash_cluster_cc(
                     .groupBy("bh")
                     .agg(F.min("label").alias("bucket_label"))
                 )
+            if has_hot:
+                bucket_min = _replicate_labels_across_salts(
+                    bucket_min, hot, n_salts
+                )
             hop = (
-                by_bh.join(bucket_min, "bh")
+                by_bh.join(bucket_min, join_keys)
                 .groupBy(id_col)
                 .agg(F.min("bucket_label").alias("label"))
             )
