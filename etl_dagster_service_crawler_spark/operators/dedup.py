@@ -267,6 +267,7 @@ def minhash_dedup_pairs(
 def minhash_assign_representatives(
     df: DataFrame, id_col: str, text_col: str,
     hot_bucket_rows: int = HOT_BUCKET_ROWS, n_salts: int = N_SALTS,
+    exact: bool = False,
 ) -> DataFrame:
     """Scalable dedup ASSIGNMENT: each doc -> a cluster representative,
     without ever enumerating pairs (pair output is O(cluster^2) — a
@@ -282,25 +283,38 @@ def minhash_assign_representatives(
     members salted across n_salts sub-keys and their (one-row) rep
     replicated to every salt, so the members<-rep join spreads a mega
     bucket over n_salts tasks instead of funnelling it through one.
-    Results are bit-identical with salting on or off (pinned by test)."""
-    sig = minhash_signatures(df, id_col, text_col)
-    bands = F.array(
-        *[
-            F.xxhash64(
-                F.lit(j),
-                *[F.element_at("sig", j * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
-            )
-            for j in range(LSH_BANDS)
-        ]
-    )
-    # sig AND the bucket stats persisted: the skew probe plus the
-    # plan's two consumers would otherwise recompute the signature fold
-    # three times and the bucket aggregation twice (the 2-consumer
-    # no-persist tradeoff measured in r2 flips with a third consumer).
-    # stats is one row per distinct bucket — min id and size come out
-    # of the same exchange.
-    sig = sig.persist()
-    buckets = sig.select(F.col(id_col), F.explode(bands).alias("bh"))
+    Results are bit-identical with salting on or off (pinned by test).
+
+    exact=True swaps LSH band buckets for ONE sha2(text) bucket per doc
+    (the same degeneration as minhash_cluster_cc's exact mode): rep
+    then provably equals min(id) per verbatim-text group — a full SQL
+    oracle for this plan's stats/salt/join shape."""
+    if exact:
+        buckets = df.select(
+            F.col(id_col), F.sha2(F.col(text_col), 256).alias("bh")
+        )
+    else:
+        sig = minhash_signatures(df, id_col, text_col)
+        bands = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(j),
+                    *[F.element_at("sig", j * LSH_ROWS + r + 1) for r in range(LSH_ROWS)],
+                )
+                for j in range(LSH_BANDS)
+            ]
+        )
+        # sig persisted: the skew probe plus the plan's two consumers
+        # would otherwise recompute the signature fold three times (the
+        # 2-consumer no-persist tradeoff measured in r2 flips with a
+        # third consumer). In exact mode the bucket projection is a
+        # cheap sha2 — not worth a cache.
+        buckets = sig.persist().select(
+            F.col(id_col), F.explode(bands).alias("bh")
+        )
+    # bucket stats persisted too: one row per distinct bucket — min id
+    # and size come out of the same exchange, read by the probe and by
+    # the main plan.
     stats = buckets.groupBy("bh").agg(
         F.min(id_col).alias("bucket_rep"), F.count(F.lit(1)).alias("bn")
     ).persist()

@@ -469,6 +469,33 @@ def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_cluster_cc(d, "doc_id", "text").orderBy("doc_id")
 
 
+def q_dedup_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(n) assignment plan under an EXACT oracle (sha2(text)
+    buckets, injected re-crawl duplicates — see q_dedup_cc_exact):
+    rep_id provably equals min(doc_id) per verbatim-text group."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
+    )
+    aug = d.unionByName(dups)
+    return minhash_assign_representatives(
+        aug, "doc_id", "text", exact=True
+    ).orderBy("doc_id")
+
+
+SQL_DEDUP_ASSIGN_EXACT = """
+WITH aug AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY text) AS rep_id,
+       doc_id != min(doc_id) OVER (PARTITION BY text) AS is_dup
+FROM aug
+"""
+
+
 def q_dedup_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The connected-components loop under an EXACT oracle: sha2(text)
     buckets degenerate the LSH graph to the verbatim-duplicate
@@ -1193,8 +1220,10 @@ SPECS = [
     # you'd actually run at 100 TB (pair enumeration is output-bound),
     # so its cost curve is tracked alongside the pair query's
     QuerySpec("dedup_minhash_cc", q_dedup_minhash_cc, None, bench=True),
-    # exact-mode twin: the same CC loop, sha2(text) buckets, full
-    # DuckDB oracle — the 100 TB labeling machinery's correctness gate
+    # exact-mode twins: the same assignment/CC plans, sha2(text)
+    # buckets, full DuckDB oracles — the 100 TB labeling machinery's
+    # correctness gates
+    QuerySpec("dedup_assign_exact", q_dedup_assign_exact, SQL_DEDUP_ASSIGN_EXACT),
     QuerySpec("dedup_cc_exact", q_dedup_cc_exact, SQL_DEDUP_CC_EXACT),
     QuerySpec("dedup_simhash", q_dedup_simhash, None),
     QuerySpec("dedup_ngram_jaccard", q_dedup_ngram_jaccard, SQL_NGRAM_JACCARD),
