@@ -494,10 +494,21 @@ def minhash_cluster_cc(
             lmap = hop.select(
                 F.col(id_col).alias("label"), F.col("label").alias("label2")
             )
+            # localCheckpoint, not persist: persist caches DATA but the
+            # LOGICAL plan keeps growing — the pointer jump self-joins
+            # hop with itself, so the plan TREE doubles every iteration
+            # (shared subtrees are re-printed, not shared, by plan
+            # stringification). At sf0.1 (4 rounds) that is invisible;
+            # the 10x scale replica needed more rounds and the driver
+            # OOM'd inside TreeNode.generateTreeString before the data
+            # was ever large. Checkpointing truncates lineage to a
+            # LogicalRDD each round: plan depth is O(1) in iterations,
+            # which is the property that actually matters at 100 TB
+            # (on a cluster: reliable checkpoint dir, same call shape).
             new_labels = (
                 hop.join(lmap, "label", "left")
                 .select(F.col(id_col), F.coalesce("label2", "label").alias("label"))
-                .persist()
+                .localCheckpoint(eager=True)
             )
             new_sum = _sum(new_labels)
             if labels is not None:

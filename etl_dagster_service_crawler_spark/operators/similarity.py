@@ -355,3 +355,50 @@ def ivf_topk(
         .where(F.col("rn") <= k)
         .select("qid", "nid", "cos", "rn")
     )
+
+
+def knn_join_cells(
+    emb: DataFrame, k: int = 5, n_centroids: int = 16, nprobe: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """LARGE-to-LARGE approximate kNN self-join: top-k cosine neighbors
+    for EVERY row, blocked through shared IVF cells — the batch twin of
+    ivf_search (which serves a small query set against a big corpus).
+
+    Shape: each vector lands in its own cell (broadcast-centroid argmax,
+    no corpus shuffle) and PROBES its nprobe closest cells; candidates
+    are the equi-join probe.cid == cell.cid — never a crossJoin — so
+    per-task work is bounded by cell size, and the join + per-id top-k
+    window are the only exchanges. At 100 TB the knobs are n_centroids
+    (cell size ~ n/√n_centroids rows) and nprobe (recall vs candidate
+    volume); a skewed cell is split by the same salting discipline as
+    the LSH mega-buckets (operators/dedup.py).
+
+    Returns (qid, nid, cos, rn) with rn in 1..k per qid.
+    """
+    centroids, assignments = ivf_assign(emb, n_centroids, id_col, vec_col)
+    wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
+    probes = (
+        emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
+        .join(F.broadcast(centroids))
+        .select(
+            "qid", "qvec", "cid",
+            cosine(F.col("qvec"), F.col("cvec")).alias("qcos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+        .select("qid", "qvec", "cid")
+    )
+    cells = assignments.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "cid"
+    )
+    cand = probes.join(cells, "cid").where(F.col("nid") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        cand.select(
+            "qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", "cos", "rn")
+    )

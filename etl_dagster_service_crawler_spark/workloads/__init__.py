@@ -173,6 +173,7 @@ def _rotation_state() -> tuple[dict[str, int], dict[str, int], tuple]:
 
 def registry() -> dict[str, QuerySpec]:
     from etl_dagster_service_crawler_spark.workloads import (
+        analytics_wl,
         io_wl,
         joins_wl,
         relational,
@@ -189,13 +190,14 @@ def registry() -> dict[str, QuerySpec]:
     specs: list[QuerySpec] = []
     specs += relational.SPECS
     specs += joins_wl.SPECS
+    specs += analytics_wl.SPECS
     specs += io_wl.SPECS
     specs += udf_wl.SPECS
     specs.append(
         QuerySpec("pipeline_crawl_summary", pipeline_summary, PIPELINE_SUMMARY_SQL, bench=True)
     )
     specs.append(QuerySpec("pipeline_crawl_e2e", crawl_e2e, CRAWL_E2E_SQL))
-    for mod_name in ("llm", "streaming_wl", "sources_wl"):
+    for mod_name in ("llm", "corpus_wl", "streaming_wl", "sources_wl"):
         # only the optional-dependency probe is allowed to shrink the
         # surface, and never silently: a typo'd import inside one of
         # these modules would otherwise drop ~30 declared queries

@@ -1,0 +1,411 @@
+"""Warehouse analytics shapes, round 4: the remaining classic decision-
+support query patterns a reference user would expect from an analytics
+engine (TPC-H Q14/Q15/Q17/Q18/Q19/Q21/Q22 shapes, adapted to the
+fixture star schema — no partsupp/commitdate/phone columns, so each
+query keeps the canonical PLAN shape on the columns that exist).
+
+Scale discipline (100 TB): every query here shuffles at most once on a
+fact key; every dimension and every aggregated join-back side is
+broadcast. Money math is the BIGINT cent-unit idiom from
+functions/compat so Spark and the DuckDB oracle agree bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.functions.compat import (
+    dsum,
+    fround,
+    sql_dsum,
+    sql_fround,
+)
+from etl_dagster_service_crawler_spark.io.tables import load_table
+
+def _rev_units():
+    """Exact discounted revenue in BIGINT 1e-4 units (cents x
+    (100 - disc%)): the order-independent money idiom shared with
+    joins_wl. A function, not a module constant — Column construction
+    needs an active SparkContext."""
+    return F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5)) * (
+        F.lit(100) - F.floor(F.col("l_discount") * F.lit(1e2) + F.lit(0.5))
+    )
+_SQL_REV_UNITS = (
+    "CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)"
+    " * (100 - CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT))"
+)
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped: per ship-month of 1996, the share of discounted
+    revenue earned by PROMO-type parts. part is dimension-sized and
+    broadcasts; the month filter pushes to the lineitem scan; the plan
+    is one broadcast join + one small agg (12 groups) — map-side
+    partials, no fact-fact exchange. Share = ratio of two exact BIGINT
+    unit sums, one double division rounded 4dp."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", (F.col("p_type") == "PROMO").alias("is_promo")
+    )
+    promo = F.sum(F.when(F.col("is_promo"), _rev_units()).otherwise(F.lit(0)))
+    total = F.sum(_rev_units())
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.month("l_shipdate").cast("int").alias("ship_month"))
+        .agg(
+            fround(promo.cast("double") / total.cast("double"), 4).alias(
+                "promo_share"
+            )
+        )
+        .orderBy("ship_month")
+    )
+
+
+SQL_PROMO_SHARE = f"""
+SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+       {sql_fround(
+           "CAST(sum(CASE WHEN p_type = 'PROMO' THEN " + _SQL_REV_UNITS
+           + " ELSE 0 END) AS DOUBLE) / CAST(sum(" + _SQL_REV_UNITS
+           + ") AS DOUBLE)", 4)} AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY month(l_shipdate)
+ORDER BY ship_month
+"""
+
+
+def q_top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: suppliers whose revenue over 1996Q1 equals the
+    maximum such revenue. The per-supplier agg is supplier-cardinality
+    (small); the max is a scalar over that agg, broadcast back — Spark
+    reuses the agg on both sides of the self-join, no second fact scan.
+    Revenue stays in exact BIGINT units until the final 2dp render."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    per_supp = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(_rev_units()).alias("rev_units"))
+    )
+    max_rev = per_supp.agg(F.max("rev_units").alias("mx"))
+    return (
+        per_supp.join(F.broadcast(max_rev), F.col("rev_units") == F.col("mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            fround(F.col("rev_units").cast("double") / F.lit(1e4), 2).alias(
+                "total_revenue"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TOP_SUPPLIER = f"""
+WITH per_supp AS (
+  SELECT l_suppkey, sum({_SQL_REV_UNITS}) AS rev_units
+  FROM lineitem
+  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       {sql_fround("CAST(rev_units AS DOUBLE) / 1e4", 2)} AS total_revenue
+FROM per_supp
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_units = (SELECT max(rev_units) FROM per_supp)
+ORDER BY s_suppkey
+"""
+
+
+def q_avg_qty_joinback_small(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped: average yearly revenue lost if small-quantity
+    orders of Brand#5 parts stopped shipping. The per-part avg-quantity
+    threshold is an agg over the SAME brand-filtered join — part
+    filters first (broadcast), so the fact scan is pruned to the brand
+    before either pass; the threshold side aggregates to part
+    cardinality and broadcasts back (no fact-fact exchange).
+    l_quantity values are small integers stored as double, so sum and
+    count — and therefore avg and 0.2*avg — are bit-exact in both
+    engines."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#5")
+    li = load_table(spark, sf_dir, "lineitem")
+    branded = li.join(
+        F.broadcast(p.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    thresholds = branded.groupBy("p_partkey").agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count("l_quantity"))).alias(
+            "qty_threshold"
+        )
+    )
+    small = branded.join(
+        F.broadcast(thresholds.select("p_partkey", "qty_threshold")),
+        on="p_partkey",
+    ).where(F.col("l_quantity") < F.col("qty_threshold"))
+    cents = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5))
+    return small.agg(
+        fround(
+            F.sum(cents).cast("double") / F.lit(1e2) / F.lit(7.0), 2
+        ).alias("avg_yearly")
+    )
+
+
+SQL_AVG_QTY_JOINBACK = f"""
+WITH branded AS (
+  SELECT l.*, p.p_partkey
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#5'
+),
+thresholds AS (
+  SELECT p_partkey,
+         0.2 * (sum(l_quantity) / count(l_quantity)) AS qty_threshold
+  FROM branded GROUP BY p_partkey
+)
+SELECT {sql_fround(
+    "CAST(sum(CAST(floor(b.l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 1e2 / 7.0", 2)} AS avg_yearly
+FROM branded b
+JOIN thresholds t ON b.p_partkey = t.p_partkey
+WHERE b.l_quantity < t.qty_threshold
+"""
+
+
+def q_big_orders_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-shaped: customers who placed orders totalling more
+    than 300 units of quantity, top 100 by order value. The qty rollup
+    shuffles lineitem once on l_orderkey; the surviving orderkeys are
+    few, so that side broadcasts into orders (semi-like join-back) and
+    customer broadcasts as a dimension; the final sort folds to
+    TakeOrderedAndProject. Quantities are exact small integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 300)
+    )
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_BIG_ORDERS = f"""
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       {sql_fround("o_totalprice", 2)} AS o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+def q_disjunctive_predicate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped: revenue from an OR-of-ANDs of brand/size/
+    quantity bands. The disjunction mixes join-side (part) and
+    scan-side (lineitem) predicates; Catalyst still pushes the
+    quantity envelope (1..30, the union of the bands) to the parquet
+    scan and broadcasts part, so the whole query is one broadcast join
+    + scalar agg. One output row, exact unit sum."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 5))
+         & qty.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 10))
+           & qty.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 15))
+           & qty.between(20, 30))
+    )
+    return (
+        li.where(qty.between(1, 30))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(band)
+        .agg(
+            fround(F.sum(_rev_units()).cast("double") / F.lit(1e4), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("int").alias("n_lines"),
+        )
+    )
+
+
+SQL_DISJUNCTIVE = f"""
+SELECT {sql_fround("CAST(sum(" + _SQL_REV_UNITS + ") AS DOUBLE) / 1e4", 2)}
+         AS revenue,
+       CAST(count(*) AS INT) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_solo_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-shaped: suppliers who were the ONLY late shipper on a
+    finished multi-supplier order (late = shipped >60 days after the
+    order date; the fixture has no commit/receipt dates). The classic
+    EXISTS / NOT EXISTS pair over lineitem is expressed as ONE
+    per-order aggregation — count of distinct suppliers, count and max
+    of distinct LATE suppliers — so the fact table is shuffled exactly
+    once on l_orderkey (the orders join shares the same key and AQE
+    plans it alongside); supplier/nation broadcast at the end. This is
+    the shape that survives 100 TB: no correlated re-scan, no
+    fact-fact self-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    per_order = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias(
+                "n_late_supp"
+            ),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        per_order.groupBy("late_supp")
+        .agg(F.count("*").cast("int").alias("numwait"))
+        .join(F.broadcast(s), F.col("late_supp") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+SQL_SOLO_LATE = """
+WITH per_order AS (
+  SELECT l.l_orderkey,
+         count(DISTINCT l.l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate
+                                  + INTERVAL 60 DAY
+                             THEN l.l_suppkey END) AS n_late_supp,
+         max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                  THEN l.l_suppkey END) AS late_supp
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+  GROUP BY l.l_orderkey
+)
+SELECT s_name, n_name, CAST(count(*) AS INT) AS numwait
+FROM per_order
+JOIN supplier ON late_supp = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_supp > 1 AND n_late_supp = 1
+GROUP BY s_name, n_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+
+def q_idle_customers_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-shaped: well-funded customers with no order since
+    2000-01-01, rolled up by market segment (the fixture's stand-in
+    for the phone country code; every fixture customer has SOME order,
+    so "idle" is recency-scoped to keep the result non-degenerate).
+    Three pieces, all cheap at scale: a scalar avg over positive
+    balances (broadcast), a LEFT ANTI join against the recent-order
+    custkeys (the only shuffle, on the customer key, and the date
+    filter prunes the orders scan first), and a 5-group agg. acctbal
+    sums use the exact cent idiom."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5)))
+         / (F.lit(1e2) * F.count("*"))).alias("avg_pos_bal")
+    )
+    rich = c.join(F.broadcast(avg_bal)).where(
+        F.col("c_acctbal") > F.col("avg_pos_bal")
+    )
+    idle = rich.join(
+        o.select("o_custkey"),
+        rich.c_custkey == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("int").alias("numcust"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SQL_IDLE_CUSTOMERS = f"""
+SELECT c_mktsegment, CAST(count(*) AS INT) AS numcust,
+       {sql_dsum("c_acctbal", 2)} AS total_bal
+FROM customer
+WHERE c_acctbal > (
+        SELECT sum(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT))
+                 / (1e2 * count(*))
+        FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= DATE '2000-01-01')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("promo_revenue_share", q_promo_revenue_share, SQL_PROMO_SHARE),
+    QuerySpec(
+        "top_supplier_by_revenue", q_top_supplier_by_revenue, SQL_TOP_SUPPLIER
+    ),
+    QuerySpec(
+        "avg_qty_joinback_small", q_avg_qty_joinback_small, SQL_AVG_QTY_JOINBACK
+    ),
+    QuerySpec("big_orders_customers", q_big_orders_customers, SQL_BIG_ORDERS),
+    QuerySpec(
+        "disjunctive_predicate_scan",
+        q_disjunctive_predicate_scan,
+        SQL_DISJUNCTIVE,
+    ),
+    QuerySpec("solo_late_supplier", q_solo_late_supplier, SQL_SOLO_LATE),
+    QuerySpec(
+        "idle_customers_segment", q_idle_customers_segment, SQL_IDLE_CUSTOMERS
+    ),
+]

@@ -1,0 +1,218 @@
+"""Training-corpus preparation surface, round 4: the document-shaping
+operators a 100 TB pretraining/RAG pipeline runs AFTER hygiene
+(llm.py) and BEFORE tokenization — chunking, boilerplate detection,
+duplicate-cluster representative selection, and the batch kNN join.
+
+Every batch operator here is oracle-backed; the kNN join is
+rows-only with a recall test against the exact brute-force twin
+(tests/test_corpus.py), matching the dedup-family verification model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.core import QuerySpec
+from etl_dagster_service_crawler_spark.functions.text import tokens_ws
+from etl_dagster_service_crawler_spark.io.tables import load_table
+from etl_dagster_service_crawler_spark.operators.similarity import knn_join_cells
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+BOILER_WINDOW = 8
+BOILER_MIN_DOCS = 3
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style chunking: overlapping CHUNK_TOKENS-token windows every
+    CHUNK_STRIDE tokens (final partial chunk kept). Pure per-row array
+    expressions — tokens never leave the row, the whole operator is
+    map-side codegen with ZERO exchanges, so it scales embarrassingly:
+    100 TB of text in, ~1.3x that out, no shuffle anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_ws(F.col("text"))
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
+                        F.lit(CHUNK_STRIDE))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.array_join(F.slice(toks, s, CHUNK_TOKENS), " ").alias(
+                "chunk_text"
+            ),
+            F.least(
+                F.lit(CHUNK_TOKENS), F.size(toks) - s + 1
+            ).cast("int").alias("n_tokens"),
+        ),
+    )
+    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+        "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
+    )
+
+
+SQL_CHUNK = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE}))
+           AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       array_to_string(t[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, len(t) - s + 1) AS INT) AS n_tokens
+FROM starts
+"""
+
+
+def q_boilerplate_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style boilerplate detection, adapted to a corpus with no
+    line structure: hash every non-overlapping BOILER_WINDOW-token
+    window, call a window boilerplate when it appears in >=
+    BOILER_MIN_DOCS distinct documents, and report each document's
+    boilerplate fraction + keep flag.
+
+    Scale shape: ONE exchange of (window-text, doc_id) pairs for the
+    frequency count; the frequent set is tiny by definition (it must
+    repeat across docs), so it broadcasts back onto the exploded
+    windows and the per-doc rollup reuses the doc_id grouping. The
+    documents' text itself is never shuffled."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_ws(F.col("text"))
+    nwin = F.floor(F.size(toks) / BOILER_WINDOW).cast("int")
+    starts = F.when(
+        nwin > 0, F.sequence(F.lit(1), (nwin - 1) * BOILER_WINDOW + 1,
+                             F.lit(BOILER_WINDOW))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s, BOILER_WINDOW), " ")
+    )
+    exploded = d.select(
+        "doc_id", F.explode_outer(wins).alias("wtext")
+    )
+    freq = (
+        exploded.where(F.col("wtext").isNotNull())
+        .groupBy("wtext")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("wtext", F.lit(1).alias("is_boiler"))
+    )
+    return (
+        exploded.join(F.broadcast(freq), "wtext", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("wtext").cast("int").alias("n_windows"),
+            F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
+            .cast("int")
+            .alias("n_boiler"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_boiler",
+            F.when(F.col("n_windows") > 0,
+                   F.col("n_boiler") / F.col("n_windows"))
+            .otherwise(F.lit(0.0))
+            .alias("boiler_frac"),
+        )
+        .withColumn("keep", F.col("boiler_frac") < 0.5)
+    )
+
+
+SQL_BOILER = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         array_to_string(t[s:s + {BOILER_WINDOW - 1}], ' ') AS wtext
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(
+             1, (len(t) // {BOILER_WINDOW} - 1) * {BOILER_WINDOW} + 1,
+             {BOILER_WINDOW})) AS s
+    FROM toks WHERE len(t) >= {BOILER_WINDOW}
+  )
+),
+freq AS (
+  SELECT wtext FROM wins GROUP BY wtext
+  HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+per_doc AS (
+  SELECT w.doc_id,
+         CAST(count(*) AS INT) AS n_windows,
+         CAST(count(f.wtext) AS INT) AS n_boiler
+  FROM wins w LEFT JOIN freq f ON w.wtext = f.wtext
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_windows, 0) AS n_windows,
+       coalesce(p.n_boiler, 0) AS n_boiler,
+       CASE WHEN coalesce(p.n_windows, 0) > 0
+            THEN CAST(p.n_boiler AS DOUBLE) / p.n_windows
+            ELSE 0.0 END AS boiler_frac,
+       (CASE WHEN coalesce(p.n_windows, 0) > 0
+             THEN CAST(p.n_boiler AS DOUBLE) / p.n_windows
+             ELSE 0.0 END) < 0.5 AS keep
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster representative selection: within each
+    exact-duplicate cluster (sha2 of text) keep the BEST copy — longest
+    n_chars, ties to the smallest doc_id — instead of dedup_exact's
+    arbitrary first. This is the policy knob real corpus pipelines
+    need (keep the best-metadata copy of a re-crawl). One exchange on
+    the 32-byte hash; text rides the shuffle only because the winner's
+    payload is the output (at 100 TB: shuffle (hash, quality-key, id),
+    join winners back by id to fetch payloads)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("h").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("h", F.sha2(F.col("text"), 256))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_KEEP_BEST = """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY sha256(text)
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM documents
+)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch ANN: top-5 neighbors for EVERY embedding via IVF-cell
+    blocking (operators/similarity.knn_join_cells). Approximate by
+    construction — driver-checked rows-only; recall vs the exact
+    brute-force twin is pinned in tests/test_corpus.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join_cells(emb, k=5, n_centroids=16, nprobe=4).orderBy(
+        "qid", "rn"
+    )
+
+
+SPECS: list[QuerySpec] = [
+    QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNK),
+    QuerySpec(
+        "boilerplate_window_flags", q_boilerplate_window_flags, SQL_BOILER
+    ),
+    QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
+    QuerySpec("knn_join_ivf", q_knn_join_ivf, None),
+]

@@ -1,0 +1,139 @@
+"""Round-4 corpus-shaping operators: chunking, boilerplate windows,
+keep-best dedup, and the batch kNN join (recall vs exact twin)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+    BOILER_MIN_DOCS,
+    BOILER_WINDOW,
+    CHUNK_STRIDE,
+    CHUNK_TOKENS,
+    q_boilerplate_window_flags,
+    q_chunk_documents,
+    q_dedup_keep_best,
+    q_knn_join_ivf,
+)
+
+
+def _write_documents(tmp_path, rows):
+    """Stage a documents.parquet with the fixture schema (load_table
+    pins column names/types)."""
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    return str(tmp_path)
+
+
+def test_chunk_documents_matches_local_recompute(spark, sf_dir):
+    doc = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where(F.col("doc_id") == 3)
+        .collect()[0]
+    )
+    toks = doc["text"].split(" ")
+    expect = []
+    starts = list(range(0, max(len(toks), 1), CHUNK_STRIDE))
+    for idx, s in enumerate(starts):
+        expect.append(
+            (idx, " ".join(toks[s : s + CHUNK_TOKENS]),
+             min(CHUNK_TOKENS, len(toks) - s))
+        )
+    got = [
+        (r["chunk_idx"], r["chunk_text"], r["n_tokens"])
+        for r in q_chunk_documents(spark, sf_dir)
+        .where(F.col("doc_id") == 3)
+        .orderBy("chunk_idx")
+        .collect()
+    ]
+    assert got == expect
+    # overlap invariant: consecutive chunks share CHUNK_TOKENS - STRIDE
+    # tokens when both are full-width
+    if len(got) >= 2 and got[1][2] == CHUNK_TOKENS:
+        tail = got[0][1].split(" ")[CHUNK_STRIDE:]
+        head = got[1][1].split(" ")[: CHUNK_TOKENS - CHUNK_STRIDE]
+        assert tail == head
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    plan = q_chunk_documents(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_boilerplate_flags_injected_repeats(spark, tmp_path):
+    boiler = " ".join(f"w{i}" for i in range(BOILER_WINDOW))
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(BOILER_WINDOW))  # noqa: E731
+    rows = []
+    # BOILER_MIN_DOCS docs lead with the SAME aligned window + one
+    # unique window; one doc is entirely unique; one doc is too short
+    # to have any window.
+    for d in range(BOILER_MIN_DOCS):
+        rows.append((d, f"{boiler} {uniq(d)}", "en", "s", 1))
+    rows.append((90, uniq(90) + " " + uniq(91), "en", "s", 1))
+    rows.append((91, "tiny doc", "en", "s", 1))
+    sf = _write_documents(tmp_path, rows)
+    got = {
+        r["doc_id"]: r
+        for r in q_boilerplate_window_flags(spark, sf).collect()
+    }
+    assert len(got) == BOILER_MIN_DOCS + 2
+    for d in range(BOILER_MIN_DOCS):
+        assert got[d]["n_windows"] == 2
+        assert got[d]["n_boiler"] == 1
+        assert got[d]["boiler_frac"] == pytest.approx(0.5)
+        assert got[d]["keep"] is False  # frac 0.5 is NOT < 0.5
+    assert got[90]["n_boiler"] == 0 and got[90]["keep"] is True
+    assert got[91]["n_windows"] == 0 and got[91]["keep"] is True
+
+
+def test_dedup_keep_best_prefers_longest_then_smallest_id(spark, tmp_path):
+    rows = [
+        (1, "same text", "en", "a", 40),
+        (2, "same text", "en", "b", 99),  # longest copy wins
+        (3, "same text", "en", "c", 99),  # tie -> smaller doc_id (2)
+        (4, "other text", "en", "d", 10),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    kept = sorted(
+        r["doc_id"] for r in q_dedup_keep_best(spark, sf).collect()
+    )
+    assert kept == [2, 4]
+
+
+def test_knn_join_recall_vs_bruteforce(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample_ids = [r["vec_id"] for r in emb.select("vec_id").limit(20).collect()]
+    exact = cosine_topk_bruteforce(emb, sample_ids, k=5)
+    truth = {
+        (r["qid"], r["nid"]) for r in exact.collect()
+    }
+    approx = q_knn_join_ivf(spark, sf_dir).where(
+        F.col("qid").isin(sample_ids)
+    )
+    got = {(r["qid"], r["nid"]) for r in approx.collect()}
+    # every query answered with exactly k rows
+    counts: dict[int, int] = {}
+    for q, _ in got:
+        counts[q] = counts.get(q, 0) + 1
+    assert set(counts) == set(sample_ids)
+    assert all(c == 5 for c in counts.values())
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall@5 {recall:.2f} too low for nprobe=4"
+
+
+def test_knn_join_has_no_cartesian(spark, sf_dir):
+    # the centroid fan-out is an intentional broadcast nested loop
+    # (tiny right side); what must NEVER appear is a corpus x corpus
+    # cartesian product
+    plan = q_knn_join_ivf(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

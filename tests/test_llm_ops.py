@@ -593,3 +593,34 @@ def test_embedding_quality_gate_flags_injected_defects(spark, sf_dir):
     assert rows[3].finite_ok == 0 and rows[3].usable == 0     # NaN
     clean = [r for v, r in rows.items() if v not in (1, 2, 3)]
     assert clean and all(r.usable == 1 for r in clean)
+
+
+def test_cc_plan_depth_constant_across_iterations(spark):
+    """Regression for the sf1 driver OOM: the pointer-jump self-join
+    doubled the LOGICAL plan tree every fixpoint round, so plans (and
+    their stringification) grew exponentially with iteration count.
+    localCheckpoint truncates lineage per round — the final plan must
+    be a flat LogicalRDD regardless of how many rounds ran."""
+    from pyspark.sql import Row
+
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        minhash_cluster_cc,
+    )
+
+    # a long duplicate CHAIN: doc i overlaps doc i+1 only, forcing
+    # several propagation rounds (pointer jumping halves the distance,
+    # so 9 links still need >= 3 rounds)
+    base = [f"w{i}" for i in range(40)]
+    rows = [
+        Row(doc_id=i, text=" ".join(base[i : i + 30]))
+        for i in range(10)
+    ]
+    out = minhash_cluster_cc(spark.createDataFrame(rows), "doc_id", "text")
+    lab = {r["doc_id"]: r["label"] for r in out.collect()}
+    # chain fully merged...
+    assert len(set(lab.values())) == 1
+    # ...and the plan is iteration-count-independent: a checkpointed
+    # leaf plus the final projection, not 2^rounds joined subtrees
+    plan = out._jdf.queryExecution().logical().toString()
+    assert len(plan) < 4000, f"plan grew with iterations ({len(plan)} chars)"
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
