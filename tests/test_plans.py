@@ -253,3 +253,60 @@ def test_srp_pairs_no_distinct_exchange_above_bucket_join(spark, sf_dir):
     assert "Exchange" not in above_join
     assert "HashAggregate" not in above_join
     assert "CartesianProduct" not in plan
+
+
+def test_promo_share_broadcasts_part_and_pushes_month_filter(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_promo_revenue_share(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:300]
+    # one shuffle only: the 12-group aggregation
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_q17_threshold_joinback_stays_broadcast(spark, sf_dir):
+    """The per-part avg-quantity side aggregates to part cardinality and
+    must come back as a BROADCAST, never a fact-fact sort-merge."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_avg_qty_joinback_small(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # part filter + joinback
+
+
+def test_q18_takeordered_and_broadcast_joinback(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_big_orders_customers(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_fact_aggregation_no_self_join(spark, sf_dir):
+    """The EXISTS / NOT EXISTS pair is ONE per-order aggregation: no
+    second lineitem scan, no fact-fact self-join."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_solo_late_supplier(spark, sf_dir))
+    # lineitem parquet appears exactly once among the file scans
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_q22_anti_join_prunes_orders_scan(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_idle_customers_segment(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "o_orderdate" in plan.split("PushedFilters", 1)[1][:500] or \
+        "o_orderdate" in plan
+
+
+def test_boilerplate_single_window_exchange_plus_broadcast_back(spark, sf_dir):
+    """Frequency side must come back as a broadcast; the only hash
+    exchanges are the window-frequency agg and the per-doc rollup."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_boilerplate_window_flags(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
