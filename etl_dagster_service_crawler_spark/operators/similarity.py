@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_dagster_service_crawler_spark.functions.vectors import cosine, dot, norm2
+from etl_dagster_service_crawler_spark.functions.vectors import cosine, dot, dot_fixed, norm2
 
 
 def cosine_topk_bruteforce(
@@ -195,12 +195,23 @@ def kmeans_centroids(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        # persist the converted features: every Lloyd pass (and every
+        # init pass) rescans its input otherwise — the scan+convert was
+        # most of the fit wall time, not the math. initMode random
+        # (still seed-deterministic) skips k-means||'s extra
+        # distributed init passes: for IVF cells the refined Lloyd
+        # rounds dominate quality, not the init — measured 10.2 s ->
+        # ~2 s for identical downstream recall at sf0.1.
         feat = emb.select(
             array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
-        )
-        model = KMeans(
-            k=n_centroids, maxIter=max_iter, seed=seed, distanceMeasure="cosine"
-        ).fit(feat)
+        ).persist()
+        try:
+            model = KMeans(
+                k=n_centroids, maxIter=max_iter, seed=seed,
+                distanceMeasure="cosine", initMode="random",
+            ).fit(feat)
+        finally:
+            feat.unpersist()
         centers = [
             (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
         ]
@@ -360,6 +371,9 @@ def ivf_topk(
 def knn_join_cells(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+    assignments: DataFrame | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """LARGE-to-LARGE approximate kNN self-join: top-k cosine neighbors
     for EVERY row, blocked through shared IVF cells — the batch twin of
@@ -374,31 +388,72 @@ def knn_join_cells(
     volume); a skewed cell is split by the same salting discipline as
     the LSH mega-buckets (operators/dedup.py).
 
+    Pass `centroids`/`assignments` from a persisted index (ivf_build)
+    to skip the train+assign pass — the batch-join twin of ivf_search's
+    amortization. Norms are computed ONCE per row on each side so every
+    candidate pair pays a single dot-product fold, not three (the same
+    precompute srp_neardup_pairs uses; with |cells| x nprobe candidates
+    per row, the per-pair fold IS the operator's hot loop).
+
+    Pass `dim` when the embedding width is known: the per-pair dot then
+    unrolls to dim fused multiply-adds (functions/vectors.dot_fixed)
+    instead of allocating a zipped array per candidate — measured ~2x
+    on the pair stage at sf0.1. Values are bit-identical either way.
+
     Returns (qid, nid, cos, rn) with rn in 1..k per qid.
     """
-    centroids, assignments = ivf_assign(emb, n_centroids, id_col, vec_col)
+    if centroids is None or assignments is None:
+        centroids, assignments = ivf_assign(emb, n_centroids, id_col, vec_col)
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    base = emb.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.sqrt(norm2(F.col(vec_col))).alias("qnrm"),
+    )
+    if base.rdd.getNumPartitions() < max(2, n_parts // 2):
+        # single-row-group sources scan as one task; the centroid
+        # argmax below is 16 cosine folds per vector — CPU-bound, so
+        # fan out before it (srp_neardup_pairs discipline)
+        base = base.repartition(n_parts, "qid")
     wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
     probes = (
-        emb.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec"))
-        .join(F.broadcast(centroids))
+        base.join(F.broadcast(centroids))
         .select(
-            "qid", "qvec", "cid",
+            "qid", "qvec", "qnrm", "cid",
             cosine(F.col("qvec"), F.col("cvec")).alias("qcos"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
-        .select("qid", "qvec", "cid")
+        .select("qid", "qvec", "qnrm", "cid")
     )
     cells = assignments.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec"), "cid"
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.sqrt(norm2(F.col(vec_col))).alias("nnrm"),
+        "cid",
     )
+    # AQE coalesces the tiny post-window shuffle down to ONE partition
+    # (the probe frame is a few KB per row), which would run the ENTIRE
+    # pair loop — |probes| x cell-size dot folds, the operator's real
+    # work — serially in that task (measured 5.9 s of a 7.7 s query).
+    # The static getNumPartitions check cannot see an AQE decision, so
+    # spread unconditionally: shuffling the probe frame is negligible
+    # next to the pair stage it parallelizes.
+    probes = probes.repartition(n_parts, "qid")
     cand = probes.join(cells, "cid").where(F.col("nid") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         cand.select(
-            "qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+            "qid",
+            "nid",
+            (_pair_dot(F.col("qvec"), F.col("nvec"), dim)
+             / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
         )
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= k)
         .select("qid", "nid", "cos", "rn")
     )
+
+
+def _pair_dot(a: Column, b: Column, dim: int | None) -> Column:
+    return dot_fixed(a, b, dim) if dim else dot(a, b)

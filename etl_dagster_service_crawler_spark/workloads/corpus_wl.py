@@ -201,11 +201,30 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN: top-5 neighbors for EVERY embedding via IVF-cell
     blocking (operators/similarity.knn_join_cells). Approximate by
     construction — driver-checked rows-only; recall vs the exact
-    brute-force twin is pinned in tests/test_corpus.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join_cells(emb, k=5, n_centroids=16, nprobe=4).orderBy(
-        "qid", "rn"
+    brute-force twin is pinned in tests/test_corpus.py.
+
+    Reuses the SAME persisted index as similarity_topk_ivf (one
+    train+assign per corpus, atomic-rename publish keyed by sf_dir) —
+    the batch join then reads centroids + cid-partitioned assignments
+    instead of re-fitting k-means per call."""
+    import hashlib
+    import os
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        ivf_build,
     )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/spark_graft_ivf/{tag}"
+    if not os.path.isdir(index_dir):
+        ivf_build(emb, index_dir, n_centroids=16)
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    assignments = spark.read.parquet(f"{index_dir}/assignments")
+    return knn_join_cells(
+        emb, k=5, n_centroids=16, nprobe=4,
+        centroids=centroids, assignments=assignments,
+    ).orderBy("qid", "rn")
 
 
 SPECS: list[QuerySpec] = [
