@@ -227,16 +227,18 @@ def kmeans_centroids(
         )
 
 
-def ivf_assign(
-    emb: DataFrame, n_centroids: int = 16,
+def assign_cells(
+    emb: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
-) -> tuple[DataFrame, DataFrame]:
-    """(centroids, assignments). Centroids are k-means-refined (see
-    kmeans_centroids). Assignment: broadcast centroids, argmax cosine
-    per vector — one scan, no shuffle of the corpus."""
-    centroids = kmeans_centroids(emb, n_centroids, vec_col, id_col=id_col)
+) -> DataFrame:
+    """Assign each vector to its nearest centroid cell: broadcast
+    centroids, argmax cosine per vector — one scan, no shuffle of the
+    corpus. Shared by the batch index build (ivf_assign) and the
+    streaming index ingest (each micro-batch assigns against the SAME
+    frozen centroids, so streamed and batch-built indexes agree
+    row-for-row — pinned by test)."""
     w = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
-    assignments = (
+    return (
         emb.join(F.broadcast(centroids))
         .select(
             id_col, vec_col, "cid", cosine(F.col(vec_col), F.col("cvec")).alias("ccos")
@@ -245,7 +247,16 @@ def ivf_assign(
         .where(F.col("rn") == 1)
         .select(id_col, vec_col, "cid")
     )
-    return centroids, assignments
+
+
+def ivf_assign(
+    emb: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignments). Centroids are k-means-refined (see
+    kmeans_centroids); assignment via assign_cells."""
+    centroids = kmeans_centroids(emb, n_centroids, vec_col, id_col=id_col)
+    return centroids, assign_cells(emb, centroids, id_col, vec_col)
 
 
 def ivf_build(

@@ -391,7 +391,7 @@ ORDER BY c_mktsegment
 
 
 SPECS: list[QuerySpec] = [
-    QuerySpec("promo_revenue_share", q_promo_revenue_share, SQL_PROMO_SHARE),
+    QuerySpec("promo_revenue_share", q_promo_revenue_share, SQL_PROMO_SHARE, bench=True),
     QuerySpec(
         "top_supplier_by_revenue", q_top_supplier_by_revenue, SQL_TOP_SUPPLIER
     ),
@@ -404,7 +404,7 @@ SPECS: list[QuerySpec] = [
         q_disjunctive_predicate_scan,
         SQL_DISJUNCTIVE,
     ),
-    QuerySpec("solo_late_supplier", q_solo_late_supplier, SQL_SOLO_LATE),
+    QuerySpec("solo_late_supplier", q_solo_late_supplier, SQL_SOLO_LATE, bench=True),
     QuerySpec(
         "idle_customers_segment", q_idle_customers_segment, SQL_IDLE_CUSTOMERS
     ),

@@ -14,7 +14,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
-from etl_dagster_service_crawler_spark.functions.text import tokens_ws
+from etl_dagster_service_crawler_spark.functions.text import (
+    LANG_STOPWORDS,
+    quality_score,
+    tokens_ws,
+)
 from etl_dagster_service_crawler_spark.io.tables import load_table
 from etl_dagster_service_crawler_spark.operators.similarity import knn_join_cells
 
@@ -227,11 +231,70 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("qid", "rn")
 
 
+# per-quality-decile retention thresholds, in md5-nibble sixteenths
+# (bin 1 keeps ~1/16 of docs ... bin 10 keeps all; 'g' > 'f' admits
+# every nibble — same hash-split idiom as mix_weighted_sample)
+QBIN_THRESHOLDS = ["1", "3", "4", "6", "8", "9", "b", "c", "e", "g"]
+
+
+def q_quality_bin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum/quality-aware downsampling: rank every document into
+    a quality DECILE (ntile over the hygiene quality score), then keep
+    a deterministic hash-sample whose rate RISES with the decile — the
+    pretraining recipe step that upweights high-quality text without
+    discarding the tail outright.
+
+    Scale shape: ntile is one global sort exchange over (score,
+    doc_id) — at 100 TB swap for approx-quantile bin edges computed in
+    one pass and a broadcast range lookup (same output contract, no
+    total sort); the sample filter itself is a pure map (md5 nibble vs
+    per-bin threshold, no rand(), stable under reruns/repartition)."""
+    d = load_table(spark, sf_dir, "documents")
+    wb = Window.orderBy(F.col("score"), F.col("doc_id"))
+    scored = d.select(
+        "doc_id",
+        quality_score(F.col("text"), F.col("n_chars")).alias("score"),
+    ).withColumn("qbin", F.ntile(10).over(wb))
+    thr = F.element_at(
+        F.array(*[F.lit(t) for t in QBIN_THRESHOLDS]), F.col("qbin")
+    )
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return (
+        scored.where(nib < thr)
+        .select("doc_id", "qbin", "score")
+        .orderBy("doc_id")
+    )
+
+
+_EN_LIST = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+SQL_QUALITY_BIN = f"""
+WITH scored AS (
+  SELECT doc_id,
+         0.5 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+       + 0.5 * (CAST(len(list_filter(t, x -> list_contains([{_EN_LIST}], x)))
+                AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS score
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+binned AS (
+  SELECT doc_id, score,
+         ntile(10) OVER (ORDER BY score, doc_id) AS qbin
+  FROM scored
+)
+SELECT doc_id, qbin, score
+FROM binned
+WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
+      ['{"', '".join(QBIN_THRESHOLDS)}'][qbin]
+ORDER BY doc_id
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN),
     QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNK),
     QuerySpec(
-        "boilerplate_window_flags", q_boilerplate_window_flags, SQL_BOILER
+        "boilerplate_window_flags", q_boilerplate_window_flags, SQL_BOILER,
+        bench=True,
     ),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
-    QuerySpec("knn_join_ivf", q_knn_join_ivf, None),
+    QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
 ]

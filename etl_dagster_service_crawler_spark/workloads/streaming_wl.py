@@ -365,7 +365,75 @@ GROUP BY md5(text)
 """
 
 
+def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index MAINTENANCE: embeddings arrive as a stream
+    (4 files, one per micro-batch) and each batch is assigned against
+    the FROZEN centroids of the persisted IVF index, then appended to a
+    cid-partitioned assignment table — the continuous-ingest shape of a
+    vector index at 100 TB (train rarely, assign always; append-only
+    partitions keep searches prunable while ingest runs).
+
+    Returns per-cell vector counts of the streamed index (rows-only:
+    centroids are k-means output, not SQL-expressible); the row-level
+    equivalence streamed==batch-built is pinned by unit test
+    (tests/test_streaming.py)."""
+    import hashlib
+    import os
+    import shutil
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        assign_cells,
+        ivf_build,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    index_dir = f"/tmp/spark_graft_ivf/{tag}"
+    emb = load_table(spark, sf_dir, "embeddings")
+    if not os.path.isdir(index_dir):
+        ivf_build(emb, index_dir, n_centroids=16)
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+
+    base = f"/tmp/spark_graft_streams/{tag}/ivf_ingest"
+    shutil.rmtree(base, ignore_errors=True)
+    emb.repartition(4, "vec_id").write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    out_dir = f"{base}/assignments"
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            assign_cells(batch_df, centroids)
+            .write.mode("append")
+            .partitionBy("cid")
+            .parquet(out_dir)
+        )
+
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "ivf ingest stream still running after 300s — the index is "
+            "only partially appended"
+        )
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_vectors"))
+        .orderBy("cid")
+    )
+
+
 SPECS = [
+    QuerySpec("stream_ivf_ingest", q_stream_ivf_ingest, None),
     QuerySpec("stream_rollup_upsert", q_stream_rollup_upsert, SQL_STREAM_ROLLUP),
     QuerySpec("stream_corpus_clean", q_stream_corpus_clean, _stream_corpus_clean_sql()),
     QuerySpec("stream_ingest_project", q_stream_ingest_project, SQL_STREAM_PROJECT),

@@ -137,3 +137,25 @@ def test_knn_join_has_no_cartesian(spark, sf_dir):
     # cartesian product
     plan = q_knn_join_ivf(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_quality_bin_sample_retention_rises_with_bin(spark, sf_dir):
+    """Higher-quality deciles must retain a larger fraction; the filter
+    must be deterministic (same rows on a rerun)."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_quality_bin_sample,
+    )
+
+    rows = q_quality_bin_sample(spark, sf_dir).collect()
+    kept_per_bin = {}
+    for r in rows:
+        kept_per_bin[r["qbin"]] = kept_per_bin.get(r["qbin"], 0) + 1
+    # each decile holds ~n/10 docs; retention thresholds rise, so kept
+    # counts must rise from the bottom to the top decile (allow local
+    # noise between adjacent bins, compare the ends)
+    assert kept_per_bin[10] > kept_per_bin.get(1, 0)
+    assert set(kept_per_bin) <= set(range(1, 11))
+    rerun = q_quality_bin_sample(spark, sf_dir).collect()
+    assert sorted(r["doc_id"] for r in rows) == sorted(
+        r["doc_id"] for r in rerun
+    )

@@ -170,3 +170,45 @@ def test_stream_corpus_clean_matches_batch_survivors(spark, sf_dir):
         r.doc_id: r.n_dups for r in q_stream_corpus_clean(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_stream_ivf_ingest_matches_batch_assignment(spark, sf_dir):
+    """The streamed, micro-batch-appended index must contain EXACTLY
+    the rows a batch assignment against the same frozen centroids
+    produces — ingest order and batch slicing must not matter."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        assign_cells,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_ivf_ingest,
+    )
+
+    counts = {
+        r["cid"]: r["n_vectors"]
+        for r in q_stream_ivf_ingest(spark, sf_dir).collect()
+    }
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    centroids = spark.read.parquet(f"/tmp/spark_graft_ivf/{tag}/centroids")
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = {
+        r["cid"]: r["n"]
+        for r in assign_cells(emb, centroids)
+        .groupBy("cid")
+        .agg(F.count(F.lit(1)).cast("int").alias("n"))
+        .collect()
+    }
+    assert counts == batch
+    # and row-level: streamed index ids per cell == batch ids per cell
+    streamed = spark.read.parquet(
+        f"/tmp/spark_graft_streams/{tag}/ivf_ingest/assignments"
+    ).select("vec_id", "cid")
+    diff = (
+        streamed.exceptAll(assign_cells(emb, centroids).select("vec_id", "cid"))
+        .count()
+    )
+    assert diff == 0
