@@ -517,6 +517,14 @@ def minhash_cluster_cc(
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
+        # labels is checkpointed (LogicalRDD), so the returned frame no
+        # longer depends on the edge caches — release them here instead
+        # of leaking them into a long-lived session (the caller's
+        # clearCache() should be a no-op, not the cleanup mechanism)
+        by_id.unpersist()
+        by_bh.unpersist()
+        if has_hot:
+            hot.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(default_width))
     return labels.withColumn("is_dup", F.col(id_col) != F.col("label"))

@@ -390,7 +390,73 @@ ORDER BY c_mktsegment
 """
 
 
+def q_bilateral_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-shaped: discounted revenue flowing between two nations
+    (supplier nation -> customer nation, both directions), per ship
+    year. Both nation filters reduce supplier/customer to broadcast
+    dimensions, so the only exchanges are the lineitem-orders fact join
+    and the final tiny agg; the pair filter prunes before either."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    nations = F.broadcast(
+        n.where(F.col("n_name").isin("NATION_1", "NATION_2")).select(
+            "n_nationkey", "n_name"
+        )
+    )
+    supp = F.broadcast(
+        s.join(nations, s.s_nationkey == F.col("n_nationkey")).select(
+            "s_suppkey", F.col("n_name").alias("supp_nation")
+        )
+    )
+    cust = F.broadcast(
+        c.join(nations, c.c_nationkey == F.col("n_nationkey")).select(
+            "c_custkey", F.col("n_name").alias("cust_nation")
+        )
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(
+            fround(F.sum(_rev_units()).cast("double") / F.lit(1e4), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+SQL_BILATERAL_TRADE = f"""
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS ship_year,
+       {sql_fround("CAST(sum(" + _SQL_REV_UNITS.replace("l_extendedprice", "l.l_extendedprice").replace("l_discount", "l.l_discount") + ") AS DOUBLE) / 1e4", 2)} AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+WHERE sn.n_name IN ('NATION_1', 'NATION_2')
+  AND cn.n_name IN ('NATION_1', 'NATION_2')
+  AND sn.n_name <> cn.n_name
+GROUP BY sn.n_name, cn.n_name, year(l.l_shipdate)
+ORDER BY supp_nation, cust_nation, ship_year
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "bilateral_trade_volume", q_bilateral_trade_volume, SQL_BILATERAL_TRADE
+    ),
     QuerySpec("promo_revenue_share", q_promo_revenue_share, SQL_PROMO_SHARE, bench=True),
     QuerySpec(
         "top_supplier_by_revenue", q_top_supplier_by_revenue, SQL_TOP_SUPPLIER
