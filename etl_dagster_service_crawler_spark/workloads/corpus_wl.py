@@ -28,13 +28,14 @@ BOILER_WINDOW = 8
 BOILER_MIN_DOCS = 3
 
 
-def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RAG-style chunking: overlapping CHUNK_TOKENS-token windows every
-    CHUNK_STRIDE tokens (final partial chunk kept). Pure per-row array
-    expressions — tokens never leave the row, the whole operator is
-    map-side codegen with ZERO exchanges, so it scales embarrassingly:
-    100 TB of text in, ~1.3x that out, no shuffle anywhere."""
-    d = load_table(spark, sf_dir, "documents")
+def chunk_transform(d: DataFrame) -> DataFrame:
+    """RAG-style chunking TRANSFORM over a documents-shaped frame:
+    overlapping CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens
+    (final partial chunk kept). Pure per-row array expressions — tokens
+    never leave the row, the whole operator is map-side codegen with
+    ZERO exchanges, so it scales embarrassingly: 100 TB of text in,
+    ~1.3x that out, no shuffle anywhere. Property-tested against a
+    Python recompute (tests/test_properties.py)."""
     toks = tokens_ws(F.col("text"))
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
                         F.lit(CHUNK_STRIDE))
@@ -53,6 +54,10 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_transform(load_table(spark, sf_dir, "documents"))
 
 
 SQL_CHUNK = f"""

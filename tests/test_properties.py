@@ -269,3 +269,39 @@ def test_repetition_score_bounds_and_exactness(spark, words):
         " ".join(p) for p in zip(words, words[1:])
     )
     assert row["top_bg"] == (max(bigrams.values()) if bigrams else 0)
+
+
+@_slow
+@given(words=st.lists(st.sampled_from(["x", "yy", "z0", "w"]), min_size=1, max_size=200))
+def test_chunk_transform_covers_and_reconstructs(spark, words):
+    """Chunks cover every token exactly once at stride offsets; gluing
+    the first CHUNK_STRIDE tokens of each chunk plus the tail of the
+    last reconstructs the document byte-for-byte."""
+    from pyspark.sql import Row
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_transform,
+    )
+
+    text = " ".join(words)
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=text, lang="en", source="s", n_chars=len(text))]
+    )
+    got = (
+        chunk_transform(df).orderBy("chunk_idx").collect()
+    )
+    n = len(words)
+    expect_starts = list(range(0, max(n, 1), CHUNK_STRIDE))
+    assert [r["chunk_idx"] for r in got] == list(range(len(expect_starts)))
+    for r, s in zip(got, expect_starts):
+        assert r["chunk_text"] == " ".join(words[s : s + CHUNK_TOKENS])
+        assert r["n_tokens"] == min(CHUNK_TOKENS, n - s)
+    # reconstruction: non-overlapping prefixes + the final chunk's tail
+    rebuilt: list[str] = []
+    for r in got:
+        rebuilt.extend(r["chunk_text"].split(" ")[:CHUNK_STRIDE])
+    last = got[-1]
+    rebuilt.extend(last["chunk_text"].split(" ")[CHUNK_STRIDE:])
+    assert rebuilt == words
