@@ -379,12 +379,23 @@ def ivf_topk(
     )
 
 
+# k-means cells are rarely balanced; a cell above HOT_CELL_ROWS gets
+# its members salted over N_CELL_SALTS sub-keys and the probe rows for
+# that cell replicated across all of them — bit-identical results, hot
+# cell spread over N_CELL_SALTS tasks (the dedup.py mega-bucket
+# discipline applied to ANN cells).
+HOT_CELL_ROWS = 1_000_000
+N_CELL_SALTS = 8
+
+
 def knn_join_cells(
     emb: DataFrame, k: int = 5, n_centroids: int = 16, nprobe: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: DataFrame | None = None,
     assignments: DataFrame | None = None,
     dim: int | None = None,
+    hot_cell_rows: int = HOT_CELL_ROWS,
+    n_salts: int = N_CELL_SALTS,
 ) -> DataFrame:
     """LARGE-to-LARGE approximate kNN self-join: top-k cosine neighbors
     for EVERY row, blocked through shared IVF cells — the batch twin of
@@ -451,7 +462,36 @@ def knn_join_cells(
     # spread unconditionally: shuffling the probe frame is negligible
     # next to the pair stage it parallelizes.
     probes = probes.repartition(n_parts, "qid")
-    cand = probes.join(cells, "cid").where(F.col("nid") != F.col("qid"))
+    # skew: a cell above hot_cell_rows would funnel every probe of that
+    # cell through one task when the join shuffles. Short-circuit probe
+    # first — the salted plan only exists when a hot cell does.
+    hot = (
+        cells.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("cn"))
+        .where(F.col("cn") > hot_cell_rows)
+        .select("cid", F.lit(True).alias("is_hot"))
+    )
+    if hot.limit(1).count() > 0:
+        cells = cells.join(F.broadcast(hot), "cid", "left").select(
+            "nid", "nvec", "nnrm", "cid",
+            F.when(
+                F.col("is_hot"),
+                F.pmod(F.xxhash64(F.col("nid")), F.lit(n_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("salt"),
+        )
+        salts = F.when(
+            F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1))
+        ).otherwise(F.array(F.lit(0)))
+        probes = probes.join(F.broadcast(hot), "cid", "left").select(
+            "qid", "qvec", "qnrm", "cid", F.explode(salts).alias("salt")
+        )
+        join_keys = ["cid", "salt"]
+    else:
+        join_keys = ["cid"]
+    cand = probes.join(cells, join_keys).where(F.col("nid") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
     return (
         cand.select(

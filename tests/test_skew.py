@@ -87,3 +87,32 @@ def test_assign_labels_identical_with_salting_active(spark):
     assert [tuple(r) for r in plain.collect()] == [
         tuple(r) for r in salted.collect()
     ]
+
+
+def test_knn_cells_identical_with_salting_active(spark):
+    """A hot IVF cell (many co-located vectors) must produce the SAME
+    top-k under forced salting, with the hot cell's members spread over
+    the salt sub-keys."""
+    import random as _r
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        knn_join_cells,
+    )
+
+    rng = _r.Random(11)
+    rows = []
+    # 60 vectors clustered near one direction (one hot cell) + 40 spread
+    for i in range(60):
+        rows.append((i, [1.0 + rng.gauss(0, 0.01) for _ in range(8)]))
+    for i in range(60, 100):
+        rows.append((i, [rng.gauss(0, 1.0) for _ in range(8)]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    plain = knn_join_cells(
+        emb, k=3, n_centroids=4, nprobe=2, hot_cell_rows=10**9
+    )
+    salted = knn_join_cells(
+        emb, k=3, n_centroids=4, nprobe=2, hot_cell_rows=20, n_salts=4
+    )
+    a = {(r["qid"], r["rn"]): r["nid"] for r in plain.collect()}
+    b = {(r["qid"], r["rn"]): r["nid"] for r in salted.collect()}
+    assert a == b
