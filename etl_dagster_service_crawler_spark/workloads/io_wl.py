@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
-from etl_dagster_service_crawler_spark.functions.compat import dsum
+from etl_dagster_service_crawler_spark.functions.compat import dsum, fround, sql_fround
 from etl_dagster_service_crawler_spark.io.sinks import (
     derby_url,
     read_jdbc,
@@ -380,7 +380,47 @@ GROUP BY source
 """
 
 
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a lake table whose later batches GREW a
+    column. Batch 1 writes (o_orderkey, o_totalprice); batch 2 adds
+    o_orderpriority. mergeSchema unions the footers at planning time and
+    back-fills the missing column with NULL for old files — exactly how
+    a 100 TB lake absorbs producer upgrades without rewriting history
+    (schema merging is footer-metadata work, no data pass; the scan
+    itself still prunes/pushes down per file)."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "scan_schema_evolution/orders")
+    shutil.rmtree(path, ignore_errors=True)
+    old_batch = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_batch = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old_batch.write.parquet(f"{path}/b0")
+    new_batch.write.parquet(f"{path}/b1")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/b0", f"{path}/b1"
+    )
+    return back.select(
+        "o_orderkey",
+        fround(F.col("o_totalprice"), 2).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+
+
+SQL_SCAN_SCHEMA_EVOLUTION = f"""
+SELECT o_orderkey, {sql_fround("o_totalprice", 2)} AS o_totalprice,
+       CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+         AS o_orderpriority
+FROM orders
+"""
+
+
 SPECS = [
+    QuerySpec(
+        "scan_schema_evolution", q_scan_schema_evolution, SQL_SCAN_SCHEMA_EVOLUTION
+    ),
     QuerySpec("sink_custom_push", q_sink_custom_push, SQL_SINK_CUSTOM_PUSH),
     QuerySpec("sink_jdbc", q_sink_jdbc, SQL_SINK_JDBC),
     QuerySpec("scan_parquet", q_scan_parquet, SQL_SCAN_PARQUET),
