@@ -732,6 +732,130 @@ FROM events
 """
 
 
+def q_window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over TIME (not rows): per user, the trailing-1-hour
+    sum of value — the time-decayed feature/monitoring window shape.
+    ROWS frames count neighbors; RANGE frames bound the ORDER BY value
+    itself, so ties (same ts) are peers and late/dense regions widen
+    the frame — semantics a row frame cannot express. Exact BIGINT
+    cent units keep the in-frame sum engine-order independent."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        fround(
+            F.sum(to_cents(F.col("value"))).over(w).cast("double") / 1e4, 2
+        ).alias("hour_sum"),
+    )
+
+
+SQL_WINDOW_RANGE_TIME = f"""
+SELECT event_id,
+       {sql_fround(f'CAST(sum({sql_to_cents("value")}) OVER (PARTITION BY user_id ORDER BY epoch(ts) RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e4', 2)} AS hour_sum
+FROM events
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: view -> click -> purchase, each step
+    strictly AFTER the user's previous step. Three chained per-user
+    conditional-min aggregations; every aggregation and join keys on
+    user_id, so the whole funnel is ONE partitioning reused across
+    stages (AQE co-locates the join-backs) — no per-user event
+    collection, no UDF, no self-join explosion. Output: users reaching
+    each depth and step-to-step conversion."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    t1 = e.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t1")
+    )
+    t2 = (
+        e.join(t1, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    t3 = (
+        e.join(t2, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    # stay LAZY: the three depth counts are single-row aggregates
+    # crossJoined in-plan (scalar-subquery shape), then exploded into
+    # the 3-row funnel report — no driver-side .count() actions at
+    # DataFrame-construction time (the eager-builder anti-pattern).
+    counts = (
+        t1.agg(F.count(F.lit(1)).alias("n1"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n2")))
+        .crossJoin(t3.agg(F.count(F.lit(1)).alias("n3")))
+    )
+
+    def _conv(num, den):
+        return F.when(
+            den > 0, fround(num.cast("double") / den.cast("double"), 4)
+        )
+
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("step"),
+            F.lit("view").alias("event_type"),
+            F.col("n1").alias("n_users"),
+            _conv(F.col("n1"), F.col("n1")).alias("conv_from_prev"),
+        ),
+        F.struct(
+            F.lit(2).alias("step"),
+            F.lit("click").alias("event_type"),
+            F.col("n2").alias("n_users"),
+            _conv(F.col("n2"), F.col("n1")).alias("conv_from_prev"),
+        ),
+        F.struct(
+            F.lit(3).alias("step"),
+            F.lit("purchase").alias("event_type"),
+            F.col("n3").alias("n_users"),
+            _conv(F.col("n3"), F.col("n2")).alias("conv_from_prev"),
+        ),
+    )
+    return counts.select(F.explode(rows).alias("s")).select("s.*")
+
+
+SQL_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, min(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id
+),
+counts AS (
+  SELECT (SELECT count(*) FROM t1) AS n1,
+         (SELECT count(*) FROM t2) AS n2,
+         (SELECT count(*) FROM t3) AS n3
+)
+SELECT step, event_type, n_users, conv_from_prev FROM (
+  SELECT 1 AS step, 'view' AS event_type, n1 AS n_users,
+         CASE WHEN n1 > 0 THEN floor(CAST(n1 AS DOUBLE)/n1 * 1e4 + 0.5)/1e4 END AS conv_from_prev
+  FROM counts
+  UNION ALL
+  SELECT 2, 'click', n2,
+         CASE WHEN n1 > 0 THEN floor(CAST(n2 AS DOUBLE)/n1 * 1e4 + 0.5)/1e4 END
+  FROM counts
+  UNION ALL
+  SELECT 3, 'purchase', n3,
+         CASE WHEN n2 > 0 THEN floor(CAST(n3 AS DOUBLE)/n2 * 1e4 + 0.5)/1e4 END
+  FROM counts
+)
+"""
+
+
 # --- sort/limit & set ops ----------------------------------------------------
 
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1242,6 +1366,8 @@ SPECS = [
     QuerySpec("window_lag_lead", q_window_lag_lead, SQL_LAG),
     QuerySpec("sessionize_events", q_sessionize_events, SQL_SESSIONIZE),
     QuerySpec("window_rolling", q_window_rolling, SQL_ROLLING),
+    QuerySpec("window_range_time", q_window_range_time, SQL_WINDOW_RANGE_TIME),
+    QuerySpec("funnel_conversion", q_funnel_conversion, SQL_FUNNEL),
     QuerySpec("window_analytics", q_window_analytics, SQL_WINDOW_ANALYTICS),
     QuerySpec("date_spine_gapfill", q_date_spine_gapfill, SQL_DATE_SPINE),
     QuerySpec("sort_limit", q_sort_limit, SQL_SORT_LIMIT),
