@@ -177,6 +177,27 @@ def srp_neardup_pairs(
     )
 
 
+def ivf_index_dir(sf_dir: str, n_centroids: int = 16,
+                  vec_table: str = "embeddings") -> str:
+    """Canonical /tmp location of the persisted IVF index for one
+    corpus. Keyed by the SOURCE FILE's identity (path + size + mtime)
+    and the cell count, not just the path: fixture directories get
+    regenerated between driver rounds, and an index keyed by path alone
+    would silently serve assignments for data that no longer exists —
+    unguarded staleness in a rows-only query that no oracle would
+    catch."""
+    import hashlib
+    import os
+
+    f = f"{sf_dir}/{vec_table}.parquet"
+    try:
+        st = os.stat(f)
+        ident = f"{f}|{st.st_size}|{st.st_mtime_ns}|{n_centroids}"
+    except OSError:
+        ident = f"{f}|missing|{n_centroids}"
+    return "/tmp/spark_graft_ivf/" + hashlib.sha1(ident.encode()).hexdigest()[:12]
+
+
 def kmeans_centroids(
     emb: DataFrame, n_centroids: int, vec_col: str = "embedding",
     max_iter: int = 5, seed: int = 42, id_col: str = "vec_id",

@@ -216,11 +216,11 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     train+assign per corpus, atomic-rename publish keyed by sf_dir) —
     the batch join then reads centroids + cid-partitioned assignments
     instead of re-fitting k-means per call."""
-    import hashlib
     import os
 
     from etl_dagster_service_crawler_spark.operators.similarity import (
         ivf_build,
+        ivf_index_dir,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -232,14 +232,10 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = emb.count()
     c = max(16, int(n_rows**0.5 / 2))
     nprobe = max(4, c // 8)
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
     # c == 16 shares similarity_topk_ivf's persisted index; a larger
-    # corpus gets its own, keyed by cell count
-    index_dir = (
-        f"/tmp/spark_graft_ivf/{tag}"
-        if c == 16
-        else f"/tmp/spark_graft_ivf/{tag}-c{c}"
-    )
+    # corpus gets its own — the dir key includes cell count AND the
+    # source file's identity (regenerated fixtures miss, never reuse)
+    index_dir = ivf_index_dir(sf_dir, n_centroids=c)
     if not os.path.isdir(index_dir):
         ivf_build(emb, index_dir, n_centroids=c)
     centroids = spark.read.parquet(f"{index_dir}/centroids")

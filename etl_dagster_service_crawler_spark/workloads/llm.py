@@ -646,12 +646,16 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the probed cid= partitions. Results are identical to the
     one-shot ivf_topk (same seed, same centroids), pinned by unit
     test."""
-    import hashlib
     import os
 
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        ivf_index_dir,
+    )
+
     e = load_table(spark, sf_dir, "embeddings")
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/spark_graft_ivf/{tag}"
+    # keyed by source-file identity, not path: regenerated fixtures must
+    # MISS the cache, not silently serve a stale index
+    index_dir = ivf_index_dir(sf_dir, n_centroids=16)
     if not os.path.isdir(index_dir):
         ivf_build(e, index_dir, n_centroids=16)
     q = e.where(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(

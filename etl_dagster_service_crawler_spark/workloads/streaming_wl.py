@@ -385,10 +385,11 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_dagster_service_crawler_spark.operators.similarity import (
         assign_cells,
         ivf_build,
+        ivf_index_dir,
     )
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    index_dir = f"/tmp/spark_graft_ivf/{tag}"
+    index_dir = ivf_index_dir(sf_dir, n_centroids=16)
     emb = load_table(spark, sf_dir, "embeddings")
     if not os.path.isdir(index_dir):
         ivf_build(emb, index_dir, n_centroids=16)

@@ -192,8 +192,12 @@ def test_stream_ivf_ingest_matches_batch_assignment(spark, sf_dir):
         r["cid"]: r["n_vectors"]
         for r in q_stream_ivf_ingest(spark, sf_dir).collect()
     }
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        ivf_index_dir,
+    )
+
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
-    centroids = spark.read.parquet(f"/tmp/spark_graft_ivf/{tag}/centroids")
+    centroids = spark.read.parquet(f"{ivf_index_dir(sf_dir)}/centroids")
     emb = load_table(spark, sf_dir, "embeddings")
     batch = {
         r["cid"]: r["n"]
