@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from etl_dagster_service_crawler_spark.functions.cleaning import (
     encode_bool_cn,
 )
-from etl_dagster_service_crawler_spark.functions.compat import dsum, fround, sql_dsum
+from etl_dagster_service_crawler_spark.functions.compat import dsum, fround
 from etl_dagster_service_crawler_spark.io.tables import load_table
 
 

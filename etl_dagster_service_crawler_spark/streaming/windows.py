@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_dagster_service_crawler_spark.functions.compat import dsum, fround
+from etl_dagster_service_crawler_spark.functions.compat import dsum
 
 
 def tumbling_counts(events: DataFrame, width: str = "1 hour") -> DataFrame:
