@@ -228,8 +228,12 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # |probes| x n/C = O(n^2/C) — measured 21x wall at 10x rows on the
     # scale replica. C ~ sqrt(n)/2 (nprobe scaled to keep the probed
     # fraction useful) bends that to O(n^1.5), the standard IVF sizing.
-    # The count is parquet-metadata-only — no data pass.
-    n_rows = emb.count()
+    # The row count comes from the parquet FOOTER (pyarrow metadata
+    # read) — planning stays lazy, no Spark job fires while the
+    # DataFrame is being built.
+    import pyarrow.parquet as pq
+
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     c = max(16, int(n_rows**0.5 / 2))
     nprobe = max(4, c // 8)
     # c == 16 shares similarity_topk_ivf's persisted index; a larger
