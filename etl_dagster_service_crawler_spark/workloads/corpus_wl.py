@@ -85,11 +85,11 @@ def q_boilerplate_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     BOILER_MIN_DOCS distinct documents, and report each document's
     boilerplate fraction + keep flag.
 
-    Scale shape: ONE exchange of (window-text, doc_id) pairs for the
-    frequency count; the frequent set is tiny by definition (it must
-    repeat across docs), so it broadcasts back onto the exploded
-    windows and the per-doc rollup reuses the doc_id grouping. The
-    documents' text itself is never shuffled."""
+    Scale shape: windows are HASHED in place (md5) and only (whash,
+    doc_id) pairs take the one frequency exchange — window text never
+    leaves its row. The frequent-hash set is tiny by definition (it
+    must repeat across docs), so it broadcasts back onto the exploded
+    hashes and the per-doc rollup reuses the doc_id grouping."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens_ws(F.col("text"))
     nwin = F.floor(F.size(toks) / BOILER_WINDOW).cast("int")
@@ -98,23 +98,24 @@ def q_boilerplate_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit(BOILER_WINDOW))
     ).otherwise(F.array().cast("array<int>"))
     wins = F.transform(
-        starts, lambda s: F.array_join(F.slice(toks, s, BOILER_WINDOW), " ")
+        starts,
+        lambda s: F.md5(F.array_join(F.slice(toks, s, BOILER_WINDOW), " ")),
     )
     exploded = d.select(
-        "doc_id", F.explode_outer(wins).alias("wtext")
+        "doc_id", F.explode_outer(wins).alias("whash")
     )
     freq = (
-        exploded.where(F.col("wtext").isNotNull())
-        .groupBy("wtext")
+        exploded.where(F.col("whash").isNotNull())
+        .groupBy("whash")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .where(F.col("nd") >= BOILER_MIN_DOCS)
-        .select("wtext", F.lit(1).alias("is_boiler"))
+        .select("whash", F.lit(1).alias("is_boiler"))
     )
     return (
-        exploded.join(F.broadcast(freq), "wtext", "left")
+        exploded.join(F.broadcast(freq), "whash", "left")
         .groupBy("doc_id")
         .agg(
-            F.count("wtext").cast("int").alias("n_windows"),
+            F.count("whash").cast("int").alias("n_windows"),
             F.sum(F.coalesce(F.col("is_boiler"), F.lit(0)))
             .cast("int")
             .alias("n_boiler"),
@@ -138,7 +139,7 @@ WITH toks AS (
 ),
 wins AS (
   SELECT doc_id,
-         array_to_string(t[s:s + {BOILER_WINDOW - 1}], ' ') AS wtext
+         md5(array_to_string(t[s:s + {BOILER_WINDOW - 1}], ' ')) AS wtext
   FROM (
     SELECT doc_id, t,
            unnest(generate_series(
