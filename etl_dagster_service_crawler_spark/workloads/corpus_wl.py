@@ -178,9 +178,11 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chars, ties to the smallest doc_id — instead of dedup_exact's
     arbitrary first. This is the policy knob real corpus pipelines
     need (keep the best-metadata copy of a re-crawl). One exchange on
-    the 32-byte hash; text rides the shuffle only because the winner's
-    payload is the output (at 100 TB: shuffle (hash, quality-key, id),
-    join winners back by id to fetch payloads)."""
+    the 32-byte hash — and Catalyst computes sha2 in the scan-side
+    projection and PRUNES text before the exchange (verified in the
+    plan: the pre-shuffle Project carries only id/lang/source/n_chars/
+    h), so the heavy column never shuffles even though the winner's
+    metadata is the output."""
     d = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("h").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")

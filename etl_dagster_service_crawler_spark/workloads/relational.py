@@ -856,6 +856,64 @@ SELECT step, event_type, n_users, conv_from_prev FROM (
 """
 
 
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: per event_type, z-score each day's
+    event count against that type's daily history; flag |z| > 2. The
+    monitoring query every ingest pipeline runs on itself.
+
+    Cross-engine exactness: counts are integers, so n, sum(cnt) and
+    sum(cnt^2) are exact BIGINTs in any order; sample variance is
+    composed from those three scalars and only the final mean/std/z
+    divisions are (identical-IEEE) double ops, rounded 4dp. Shape: one
+    (day, type) aggregation exchange, then a window on the tiny
+    per-type partition — fact scanned once."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    var = (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double")
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    return daily.select(
+        "day",
+        "event_type",
+        "cnt",
+        fround(z, 4).alias("z"),
+        (F.abs(z) > 2.0).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
+
+
+SQL_EVENTS_ANOMALY = """
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT day, event_type, cnt,
+         count(*) OVER w AS n,
+         sum(cnt) OVER w AS s1,
+         sum(cnt * cnt) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type)
+),
+scored AS (
+  SELECT day, event_type, cnt,
+         (CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+           / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1))) AS z
+  FROM stats
+)
+SELECT day, event_type, cnt,
+       floor(z * 1e4 + 0.5) / 1e4 AS z,
+       abs(z) > 2.0 AS is_anomaly
+FROM scored
+ORDER BY event_type, day
+"""
+
+
 # --- sort/limit & set ops ----------------------------------------------------
 
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1368,6 +1426,7 @@ SPECS = [
     QuerySpec("window_rolling", q_window_rolling, SQL_ROLLING),
     QuerySpec("window_range_time", q_window_range_time, SQL_WINDOW_RANGE_TIME),
     QuerySpec("funnel_conversion", q_funnel_conversion, SQL_FUNNEL),
+    QuerySpec("events_anomaly_zscore", q_events_anomaly_zscore, SQL_EVENTS_ANOMALY),
     QuerySpec("window_analytics", q_window_analytics, SQL_WINDOW_ANALYTICS),
     QuerySpec("date_spine_gapfill", q_date_spine_gapfill, SQL_DATE_SPINE),
     QuerySpec("sort_limit", q_sort_limit, SQL_SORT_LIMIT),
