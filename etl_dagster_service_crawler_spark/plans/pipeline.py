@@ -173,3 +173,78 @@ SELECT ingest_date, category, cnt, amount_sum,
        floor((100.0 * cnt / sum(cnt) OVER (PARTITION BY ingest_date)) * 100.0 + 0.5) / 100.0 AS pct
 FROM cnt
 """
+
+def pipeline_daily_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The warehouse-side composed flagship (corpus twin:
+    pipeline_corpus_clean): quality-gated records rolled into the
+    per-day per-category mart, each day's volume z-scored against the
+    category's history, LANDED partitioned by ingest_date and read
+    back. One fact aggregation exchange, one tiny per-category window,
+    a calendar-bounded partitioned write — the daily-mart shape that
+    runs incrementally at 100 TB (late days overwrite their own
+    partition only). Exact BIGINT cents and integer sum/sumsq variance
+    keep the read-back oracle-exact."""
+    import hashlib
+    import shutil
+
+    from pyspark.sql import Window
+
+    rec = crawl_shaped_records(spark, sf_dir)
+    gated = rec.where(F.col("n_bad") == 0)
+    daily = gated.groupBy("ingest_date", "category").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("amount"), 2).alias("amount_sum"),
+    )
+    w = Window.partitionBy("category")
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    mean = s1.cast("double") / n.cast("double")
+    var = (n * s2 - s1 * s1).cast("double") / (n * (n - 1)).cast("double")
+    z = (F.col("cnt").cast("double") - mean) / F.sqrt(var)
+    mart = daily.select(
+        "ingest_date",
+        "category",
+        "cnt",
+        "amount_sum",
+        (F.abs(z) > 2.0).alias("volume_anomaly"),
+    )
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/spark_graft_sinks/{tag}/daily_mart"
+    shutil.rmtree(out, ignore_errors=True)
+    mart.write.partitionBy("ingest_date").parquet(out)
+    back = spark.read.parquet(out)
+    return back.select(
+        "ingest_date", "category", "cnt", "amount_sum", "volume_anomaly"
+    ).orderBy("ingest_date", "category")
+
+
+PIPELINE_DAILY_MART_SQL = """
+WITH rec AS (
+  SELECT event_type AS category,
+         coalesce(CAST(json_extract_string(props, '$.k') AS INT), -1) AS detail_k,
+         floor((value) * 100.0 + 0.5) / 100.0 AS amount,
+         strftime(ts, '%Y-%m-%d') AS ingest_date
+  FROM events
+), gated AS (
+  SELECT * FROM rec
+  WHERE (CASE WHEN detail_k < 0 THEN 1 ELSE 0 END
+       + CASE WHEN amount <= 0 THEN 1 ELSE 0 END) = 0
+), daily AS (
+  SELECT ingest_date, category, count(*) AS cnt,
+         floor((CAST(sum(CAST(floor(amount * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4) * 100.0 + 0.5) / 100.0 AS amount_sum
+  FROM gated GROUP BY 1, 2
+), stats AS (
+  SELECT ingest_date, category, cnt, amount_sum,
+         count(*) OVER w AS n, sum(cnt) OVER w AS s1,
+         sum(cnt * cnt) OVER w AS s2
+  FROM daily WINDOW w AS (PARTITION BY category)
+)
+SELECT ingest_date, category, cnt, amount_sum,
+       abs((CAST(cnt AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+           / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / (n * (n - 1)))) > 2.0
+         AS volume_anomaly
+FROM stats
+ORDER BY ingest_date, category
+"""
+

@@ -182,8 +182,10 @@ def registry() -> dict[str, QuerySpec]:
 
     from etl_dagster_service_crawler_spark.plans.pipeline import (
         CRAWL_E2E_SQL,
+        PIPELINE_DAILY_MART_SQL,
         PIPELINE_SUMMARY_SQL,
         crawl_e2e,
+        pipeline_daily_mart,
         pipeline_summary,
     )
 
@@ -197,6 +199,9 @@ def registry() -> dict[str, QuerySpec]:
         QuerySpec("pipeline_crawl_summary", pipeline_summary, PIPELINE_SUMMARY_SQL, bench=True)
     )
     specs.append(QuerySpec("pipeline_crawl_e2e", crawl_e2e, CRAWL_E2E_SQL))
+    specs.append(
+        QuerySpec("pipeline_daily_mart", pipeline_daily_mart, PIPELINE_DAILY_MART_SQL)
+    )
     for mod_name in ("llm", "corpus_wl", "streaming_wl", "sources_wl"):
         # only the optional-dependency probe is allowed to shrink the
         # surface, and never silently: a typo'd import inside one of
