@@ -310,3 +310,35 @@ def test_boilerplate_single_window_exchange_plus_broadcast_back(spark, sf_dir):
     plan = _plan(corpus_wl.q_boilerplate_window_flags(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_keep_best_prunes_text_before_hash_exchange(spark, sf_dir):
+    """The docstring claims Catalyst computes sha2 scan-side and drops
+    text before the exchange — pin it: the Project feeding the hash
+    exchange carries h (sha2) and the metadata columns, and text
+    appears ONLY inside the sha2 argument, never as its own output."""
+    import re
+
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_dedup_keep_best(spark, sf_dir))
+    proj = next(
+        line for line in plan.splitlines()
+        if "Project [" in line and "sha2" in line
+    )
+    # 'text#N,' or 'text#N]' as a standalone projected column would
+    # mean the heavy column rides the shuffle
+    standalone_text = re.search(r"[\[, ]text#\d+[,\]]", proj)
+    assert standalone_text is None, proj
+    assert "AS h#" in proj
+
+
+def test_boilerplate_shuffles_hashes_not_window_text(spark, sf_dir):
+    """The frequency exchange must key on md5 hashes computed in the
+    scan-side projection — the window text never leaves its row."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_boilerplate_window_flags(spark, sf_dir))
+    assert "md5" in plan
+    # the only join is the broadcast of the frequent-hash set
+    assert "SortMergeJoin" not in plan
