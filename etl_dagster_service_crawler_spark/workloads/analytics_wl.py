@@ -462,6 +462,103 @@ ORDER BY supp_nation, cust_nation, ship_year
 """
 
 
+def q_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier variety per part family (TPC-H Q16 shape; the fixture
+    has no partsupp, so the part-supplier relation is the DISTINCT
+    (partkey, suppkey) projection of lineitem — same plan skeleton:
+    distinct bridge, NOT-IN supplier exclusion, count-distinct agg).
+
+    Scale: the bridge distinct partial-aggregates map-side before ONE
+    exchange on (partkey, suppkey); the excluded-supplier set and the
+    part dimension are broadcast (supplier/part are dimension-sized —
+    at 100 TB you'd still broadcast the exclusion list, it is a filter
+    output). The final count-distinct reuses the bridge's partitioning
+    on l_partkey via the part join key, so no third fact shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+
+    bridge = li.select("l_partkey", "l_suppkey").distinct()
+    bad = s.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    kept = bridge.join(
+        F.broadcast(bad),
+        bridge.l_suppkey == bad.s_suppkey,
+        "left_anti",
+    )
+    dim = p.where(
+        (F.col("p_brand") != "Brand#45") & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        kept.join(F.broadcast(dim), kept.l_partkey == dim.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_SUPPLIER_VARIETY = """
+WITH bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+kept AS (
+  SELECT * FROM bridge
+  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM kept JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_size <= 25
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def q_retention_cohort_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over the events stream: cohort = a
+    user's first active ISO week; cell (cohort, +k weeks) counts users
+    from that cohort active k weeks later. The product-analytics
+    staple missing from the funnel/sessionize family.
+
+    Scale: ONE exchange on user_id covers everything — the per-user
+    weekly activity distinct, the min-week cohort, and the
+    activity-to-cohort join all share that partitioning (the cohort
+    frame is derived from the activity frame, so Catalyst reuses the
+    exchange); the final (cohort, offset) agg is cell-count-sized.
+    Both week truncs are Monday-based so the day diff is an exact
+    multiple of 7 in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    weekly = (
+        ev.select(
+            "user_id",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("wk"),
+        )
+        .distinct()
+    )
+    cohort = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            F.date_format("cohort_wk", "yyyy-MM-dd").alias("cohort_week"),
+            (F.datediff("wk", "cohort_wk") / 7).cast("int").alias("week_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+SQL_RETENTION_COHORT = """
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk
+  FROM events
+),
+cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY user_id)
+SELECT strftime(cohort_wk, '%Y-%m-%d') AS cohort_week,
+       CAST((wk - cohort_wk) / 7 AS INT) AS week_offset,
+       CAST(count(*) AS BIGINT) AS active_users
+FROM weekly JOIN cohort USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "bilateral_trade_volume", q_bilateral_trade_volume, SQL_BILATERAL_TRADE
@@ -482,5 +579,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec("solo_late_supplier", q_solo_late_supplier, SQL_SOLO_LATE, bench=True),
     QuerySpec(
         "idle_customers_segment", q_idle_customers_segment, SQL_IDLE_CUSTOMERS
+    ),
+    QuerySpec(
+        "supplier_part_variety", q_supplier_part_variety, SQL_SUPPLIER_VARIETY
+    ),
+    QuerySpec(
+        "retention_cohort_weekly", q_retention_cohort_weekly, SQL_RETENTION_COHORT
     ),
 ]

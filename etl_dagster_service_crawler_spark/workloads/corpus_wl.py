@@ -310,8 +310,108 @@ ORDER BY doc_id
 """
 
 
+VOCAB_TOP_K = 200
+SALIENT_PER_DOC = 3
+
+
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: global token frequencies, top-200. The first
+    step of any tokenizer-training / vocab-pruning pass over a
+    pretraining corpus.
+
+    Scale: explode is map-side; the groupBy count partial-aggregates
+    per task BEFORE the exchange, so the shuffle carries one row per
+    (task, distinct-term) — vocab-sized, not token-sized (a 100 TB
+    corpus has trillions of tokens but a ~1e6-term vocab). The top-k
+    is TakeOrderedAndProject: no global sort materialization. Ties
+    break on the term so the result SET is engine-independent."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_ws(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(VOCAB_TOP_K)
+    )
+
+
+SQL_VOCAB = f"""
+SELECT term, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+GROUP BY term
+ORDER BY cnt DESC, term
+LIMIT {VOCAB_TOP_K}
+"""
+
+
+def q_salient_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document by TF-IDF rank — the classic
+    keyword-extraction / topic-tagging pass. The score is integer-
+    scaled (tf * floor(1e6 * N / df)) so Spark and the oracle agree
+    bit-for-bit with no float-log drift; the RANKING it induces is the
+    same as tf * log-idf for fixed tf because floor(1e6*N/df) is
+    monotone in N/df.
+
+    Scale: three narrow frames — (doc,term,tf) partial-aggregates
+    map-side before ONE token-keyed exchange; the doc-frequency frame
+    folds to vocab size and is BROADCAST back (never a fact shuffle);
+    the corpus row count joins in as a broadcast scalar (lazy — no
+    eager count() job); the per-doc top-3 window re-keys by doc_id
+    (second exchange of the tf frame, rows not text)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_ws(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            (F.col("tf") * F.floor(F.lit(1000000) * F.col("n_docs") / F.col("df")))
+            .cast("bigint")
+            .alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SALIENT_PER_DOC)
+        .select("doc_id", F.col("rk").cast("int").alias("rk"), "term", "tf", "score")
+    )
+
+
+SQL_SALIENT = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, term, tf,
+         CAST(tf * floor(1000000.0 * n.n_docs / df.df) AS BIGINT) AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored
+)
+SELECT doc_id, CAST(rk AS INT) AS rk, term, tf, score
+FROM ranked WHERE rk <= {SALIENT_PER_DOC}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN),
+    QuerySpec("vocab_top_terms", q_vocab_top_terms, SQL_VOCAB, bench=True),
+    QuerySpec("salient_terms_tfidf", q_salient_terms_tfidf, SQL_SALIENT),
     QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNK),
     QuerySpec(
         "boilerplate_window_flags", q_boilerplate_window_flags, SQL_BOILER,

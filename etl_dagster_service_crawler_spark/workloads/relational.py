@@ -1367,12 +1367,26 @@ FROM nation
 
 
 def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bernoulli sampling (rows-only: the sampled subset is seeded and
-    stable within Spark but engine-specific; the unit check is the
-    fraction bound). At scale: sample() pushes to the scan — no full
-    materialization of the population."""
+    """Content-hash Bernoulli sampling: keep a row iff an md5 bucket of
+    its business key lands under the rate. Unlike seeded sample(),
+    the subset is a pure function of the DATA — re-runs, engine
+    versions, and partitioning changes all agree (and so does the
+    DuckDB oracle, which is why this is hash-checked rather than
+    rows-only). This is the reproducible-split idiom a training
+    pipeline needs: the same row set at any scale, no coordination.
+    Map-side only — the predicate evaluates in the scan stage, zero
+    exchanges."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.sample(fraction=0.1, seed=42).select("l_orderkey", "l_linenumber")
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    bucket = F.conv(F.substring(F.md5(key), 1, 4), 16, 10).cast("int") % 10
+    return li.where(bucket == 0).select("l_orderkey", "l_linenumber")
+
+
+SQL_SAMPLE_DETERMINISTIC = """
+SELECT l_orderkey, l_linenumber
+FROM lineitem
+WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHAR)), 1, 4)) AS INT) % 10 = 0
+"""
 
 
 SQL_JSON = """
@@ -1445,6 +1459,8 @@ SPECS = [
     QuerySpec("subquery_scalar", q_subquery_scalar, SQL_SUBQUERY_SCALAR),
     QuerySpec("hof_array_fns", q_hof_array_fns, SQL_HOF),
     QuerySpec("map_fns", q_map_fns, SQL_MAP_FNS),
-    QuerySpec("sample_deterministic", q_sample_deterministic, None),
+    QuerySpec(
+        "sample_deterministic", q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC
+    ),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]

@@ -123,7 +123,7 @@ def test_sample_fraction_within_bounds(spark, sf_dir):
     total = load_table(spark, sf_dir, "lineitem").count()
     n = q_sample_deterministic(spark, sf_dir).count()
     assert 0.05 * total < n < 0.15 * total
-    # seeded: stable across runs
+    # content-hash: stable across runs by construction
     assert n == q_sample_deterministic(spark, sf_dir).count()
 
 

@@ -342,3 +342,59 @@ def test_boilerplate_shuffles_hashes_not_window_text(spark, sf_dir):
     assert "md5" in plan
     # the only join is the broadcast of the frequent-hash set
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_partial_agg_and_takeordered(spark, sf_dir):
+    """Vocabulary count must map-side combine (shuffle is vocab-sized,
+    not token-sized) and take the top-k without a global sort."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_vocab_top_terms(spark, sf_dir))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_broadcasts_df_and_ncount(spark, sf_dir):
+    """Doc-frequency and corpus-count frames are vocab-/scalar-sized:
+    both must come back as broadcasts, never a fact-side merge join,
+    and the tf aggregation must partial-combine before its exchange."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_salient_terms_tfidf(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the lazy scalar n_docs
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+
+
+def test_supplier_variety_broadcasts_exclusion_and_dim(spark, sf_dir):
+    """Q16 shape: the bad-supplier anti join and the part-dimension
+    join are both broadcast; the only fact exchange is the bridge
+    distinct. The part scan must push the brand/size filters."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_supplier_part_variety(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    pushed = plan.split("PushedFilters")
+    assert any("p_size" in seg[:300] or "p_brand" in seg[:300] for seg in pushed[1:])
+
+
+def test_retention_reuses_user_exchange(spark, sf_dir):
+    """Cohort derivation and the activity join share the user_id
+    partitioning — at most 2 hash exchanges end-to-end (weekly
+    distinct re-key + final cell agg); the cohort min must NOT pay a
+    third."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_retention_cohort_weekly(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_sample_deterministic_is_scan_side(spark, sf_dir):
+    """The hash-sample predicate must evaluate with zero exchanges —
+    pure map-side filter over the scan."""
+    from etl_dagster_service_crawler_spark.workloads import relational
+
+    plan = _plan(relational.q_sample_deterministic(spark, sf_dir))
+    assert "Exchange" not in plan
