@@ -408,10 +408,180 @@ FROM ranked WHERE rk <= {SALIENT_PER_DOC}
 """
 
 
+POSTING_SHARD_WIDTH = 100
+SEARCH_TERMS = ("hash", "scan")
+COLLOCATION_TOP_K = 50
+
+
+def q_build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a sharded inverted index (term -> sorted posting list of
+    doc_ids) — the text-search layer over the corpus. Postings are
+    sharded by doc_id range (shard = doc_id // 100) so NO single row
+    ever holds a whole stopword's posting list: at 100 TB a term like
+    'the' matches ~every doc, and an unsharded collect_list would
+    OOM one reducer. Sharding bounds every row to the shard width and
+    keeps the list range-ordered for merge-scans at query time.
+
+    Scale: explode is map-side; one exchange on (term, shard) — the
+    agg partial-combines the per-task postings first, and doc_ids are
+    already distinct per (term, doc) after the tf fold."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens_ws(F.col("text"))).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tf.withColumn(
+            "shard", (F.col("doc_id") / POSTING_SHARD_WIDTH).cast("bigint")
+        )
+        .groupBy("term", "shard")
+        .agg(
+            F.count("*").alias("df_shard"),
+            F.sum("tf").alias("tf_shard"),
+            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+        )
+    )
+
+
+SQL_INVERTED_INDEX = f"""
+WITH tf AS (
+  SELECT term, doc_id, count(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term, doc_id
+)
+SELECT term, CAST(doc_id // {POSTING_SHARD_WIDTH} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS df_shard,
+       CAST(sum(tf) AS BIGINT) AS tf_shard,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM tf
+GROUP BY term, shard
+"""
+
+
+def q_search_conjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search: documents containing ALL query
+    terms, ranked by summed term frequency. The retrieval twin of the
+    inverted index (expressed directly over the corpus so the oracle
+    can replay it; a deployment would probe the index's (term, shard)
+    partitions instead and merge postings).
+
+    Scale: the term filter applies AT the explode — only query-term
+    rows survive into the ONE doc_id exchange, so shuffle volume is
+    O(matching tokens), not corpus size. The all-terms check is
+    size(collect_set(term)), not countDistinct: the set is bounded by
+    the query length and partial-aggregates map-side, where
+    countDistinct would force a second (doc_id, term) exchange.
+    Top-k is TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = (
+        d.select("doc_id", F.explode(tokens_ws(F.col("text"))).alias("term"))
+        .where(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("doc_id")
+        .agg(
+            F.size(F.collect_set("term")).alias("n_terms"),
+            F.count("*").alias("score"),
+        )
+        .where(F.col("n_terms") == len(SEARCH_TERMS))
+    )
+    return (
+        hits.select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
+
+
+_TERM_LIST = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+SQL_SEARCH = f"""
+SELECT doc_id, CAST(count(*) AS BIGINT) AS score
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+WHERE term IN ({_TERM_LIST})
+GROUP BY doc_id
+HAVING count(DISTINCT term) = {len(SEARCH_TERMS)}
+ORDER BY score DESC, doc_id
+LIMIT 20
+"""
+
+
+def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by Dice coefficient — phrase mining
+    for tokenizer merges / stop-phrase lists. Dice = 2*c(xy)/(c(x)+
+    c(y)), integer-scaled (x 1e6, floor division) so both engines
+    agree bit-for-bit; unlike PMI there is no unigram-total product,
+    so the score never overflows BIGINT at any corpus size.
+
+    Scale: bigrams form per-row inside the token array (no
+    self-join!); the pair counts partial-aggregate before ONE
+    bigram-keyed exchange; unigram counts are vocab-sized and
+    broadcast back twice (left word, right word)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens_ws(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cxy = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c_xy"))
+    )
+    uni = (
+        d.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c"))
+    )
+    words = F.split(F.col("bigram"), " ")
+    scored = (
+        cxy.withColumn("wx", words.getItem(0))
+        .withColumn("wy", words.getItem(1))
+        .join(F.broadcast(uni.withColumnRenamed("c", "c_x")), F.col("wx") == uni["term"])
+        .drop("term")
+        .join(F.broadcast(uni.withColumnRenamed("c", "c_y")), F.col("wy") == uni["term"])
+        .select(
+            "bigram",
+            "c_xy",
+            F.expr("(2000000 * c_xy) div (c_x + c_y)").alias("dice_scaled"),
+        )
+    )
+    return scored.orderBy(F.desc("dice_scaled"), "bigram").limit(COLLOCATION_TOP_K)
+
+
+SQL_COLLOCATIONS = f"""
+WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+big AS (
+  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+),
+cxy AS (SELECT bigram, count(*) AS c_xy FROM big GROUP BY bigram),
+uni AS (
+  SELECT term, count(*) AS c
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+)
+SELECT bigram, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST((2000000 * c_xy) // (ux.c + uy.c) AS BIGINT) AS dice_scaled
+FROM cxy
+JOIN uni ux ON ux.term = string_split(bigram, ' ')[1]
+JOIN uni uy ON uy.term = string_split(bigram, ' ')[2]
+ORDER BY dice_scaled DESC, bigram
+LIMIT {COLLOCATION_TOP_K}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN),
     QuerySpec("vocab_top_terms", q_vocab_top_terms, SQL_VOCAB, bench=True),
     QuerySpec("salient_terms_tfidf", q_salient_terms_tfidf, SQL_SALIENT),
+    QuerySpec(
+        "build_inverted_index", q_build_inverted_index, SQL_INVERTED_INDEX
+    ),
+    QuerySpec("search_conjunctive", q_search_conjunctive, SQL_SEARCH),
+    QuerySpec("bigram_collocations", q_bigram_collocations, SQL_COLLOCATIONS),
     QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNK),
     QuerySpec(
         "boilerplate_window_flags", q_boilerplate_window_flags, SQL_BOILER,

@@ -1389,6 +1389,95 @@ WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey * 10 + l_linenumber AS VARCHA
 """
 
 
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style table profile of orders: per-column null count,
+    exact NDV, and formatted min/max — the statistics a cost-based
+    optimizer (or a data-quality monitor) collects. Numeric min/max
+    are emitted in exact units (cents for money, yyyy-MM-dd for
+    dates) so the oracle agrees bit-for-bit.
+
+    Scale: ONE union branch per column, each a single-column
+    column-pruned parquet scan feeding a global agg with exactly one
+    count-distinct — no Expand multiplication (a single agg with six
+    count-distincts would replicate every scan row 6x into the
+    shuffle). Each branch's distinct partial-aggregates map-side, so
+    per-branch shuffle volume is NDV-sized, not row-sized."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def branch(col: str, mn, mx) -> DataFrame:
+        return o.agg(
+            (F.count(F.lit(1)) - F.count(col)).alias("n_nulls"),
+            F.countDistinct(col).alias("ndv"),
+            mn.alias("min_str"),
+            mx.alias("max_str"),
+        ).select(F.lit(col).alias("col_name"), "*")
+
+    def s(col):  # plain string-cast bounds
+        return F.min(col).cast("string"), F.max(col).cast("string")
+
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    day = F.date_format("o_orderdate", "yyyy-MM-dd")
+    branches = [
+        branch("o_orderkey", *s("o_orderkey")),
+        branch("o_custkey", *s("o_custkey")),
+        branch("o_orderstatus", *s("o_orderstatus")),
+        branch(
+            "o_totalprice",
+            F.min(cents).cast("string"),
+            F.max(cents).cast("string"),
+        ),
+        branch("o_orderdate", F.min(day), F.max(day)),
+        branch("o_orderpriority", *s("o_orderpriority")),
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+def _profile_branch_sql(col: str, mn: str, mx: str) -> str:
+    return (
+        f"SELECT '{col}' AS col_name,"
+        f" CAST(count(*) - count({col}) AS BIGINT) AS n_nulls,"
+        f" CAST(count(DISTINCT {col}) AS BIGINT) AS ndv,"
+        f" {mn} AS min_str, {mx} AS max_str FROM orders"
+    )
+
+
+SQL_TABLE_PROFILE = " UNION ALL ".join(
+    [
+        _profile_branch_sql(
+            "o_orderkey",
+            "CAST(min(o_orderkey) AS VARCHAR)",
+            "CAST(max(o_orderkey) AS VARCHAR)",
+        ),
+        _profile_branch_sql(
+            "o_custkey",
+            "CAST(min(o_custkey) AS VARCHAR)",
+            "CAST(max(o_custkey) AS VARCHAR)",
+        ),
+        _profile_branch_sql(
+            "o_orderstatus", "min(o_orderstatus)", "max(o_orderstatus)"
+        ),
+        _profile_branch_sql(
+            "o_totalprice",
+            "CAST(min(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS VARCHAR)",
+            "CAST(max(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS VARCHAR)",
+        ),
+        _profile_branch_sql(
+            "o_orderdate",
+            "strftime(min(o_orderdate), '%Y-%m-%d')",
+            "strftime(max(o_orderdate), '%Y-%m-%d')",
+        ),
+        _profile_branch_sql(
+            "o_orderpriority", "min(o_orderpriority)", "max(o_orderpriority)"
+        ),
+    ]
+)
+
+
 SQL_JSON = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
 FROM events
@@ -1462,5 +1551,6 @@ SPECS = [
     QuerySpec(
         "sample_deterministic", q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC
     ),
+    QuerySpec("table_profile", q_table_profile, SQL_TABLE_PROFILE),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]

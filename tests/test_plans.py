@@ -398,3 +398,47 @@ def test_sample_deterministic_is_scan_side(spark, sf_dir):
 
     plan = _plan(relational.q_sample_deterministic(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_inverted_index_two_exchanges_partial_postings(spark, sf_dir):
+    """tf fold + shard regroup are the only exchanges; posting lists
+    partial-aggregate map-side (ObjectHashAggregate partial)."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_build_inverted_index(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial_collect_list" in plan or "ObjectHashAggregate" in plan
+
+
+def test_search_filters_before_single_exchange(spark, sf_dir):
+    """Only query-term tokens survive into the doc_id exchange, and
+    the top-k never global-sorts."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_search_conjunctive(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bigram_collocations_broadcast_unigrams(spark, sf_dir):
+    """Both unigram join-backs broadcast; pair counts partial-combine;
+    top-k via TakeOrderedAndProject."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_bigram_collocations(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_table_profile_no_expand_pruned_scans(spark, sf_dir):
+    """Per-column union branches: no Expand (the multi-count-distinct
+    trap) and every orders scan reads at most one data column."""
+    from etl_dagster_service_crawler_spark.workloads import relational
+
+    plan = _plan(relational.q_table_profile(spark, sf_dir))
+    assert "Expand" not in plan
+    for seg in plan.split("ReadSchema:")[1:]:
+        schema = seg.split("struct<", 1)[1].split(">", 1)[0]
+        assert schema.count(":") <= 1, schema
