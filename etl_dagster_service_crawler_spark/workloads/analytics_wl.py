@@ -559,6 +559,134 @@ ORDER BY cohort_week, week_offset
 """
 
 
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit by supplier nation and order year for a product line
+    (TPC-H Q9 shape — the widest join tree in the suite: lineitem x
+    orders x part x supplier x nation; the fixture has no partsupp,
+    so profit = discounted revenue in exact cent units).
+
+    Scale: part (name-filtered scan-side), supplier, and nation are
+    all BROADCAST — the only fact-fact edge is lineitem x orders on
+    orderkey, ONE co-keyed shuffle (or zero with bucketed tables, see
+    bucketed_colocated_join). The year comes from orders, so no
+    second fact exchange; the final (nation, year) agg is tiny."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+
+    dim_p = p.where(F.col("p_name").contains("red")).select("p_partkey")
+    return (
+        li.join(F.broadcast(dim_p), li.l_partkey == dim_p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(fround(dsum(_rev_units()) / F.lit(1e4), 2).alias("profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_PRODUCT_PROFIT = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {sql_fround("CAST(" + sql_dsum(_SQL_REV_UNITS) + " AS DOUBLE) / 1e4", 2)} AS profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+SCD2_EFFECTIVE = "1998-06-01"
+SCD2_OPEN_END = "9999-12-31"
+
+
+def q_scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 merge: apply a change batch to
+    the customer dimension, closing the old version (valid_to = the
+    effective date) and opening a new current one. The change batch is
+    derived deterministically (every 7th customer gets a +100.00
+    balance adjustment) so the oracle replays it exactly.
+
+    Scale: ONE full-outer-ish edge — dim LEFT JOIN updates on the
+    surrogate key (updates that are pure inserts would come from the
+    join's right-null side; here the batch is updates-only). Both
+    sides hash-partition once on c_custkey; version rows are emitted
+    as a union of projections over the SAME joined frame — the union
+    branches share the join's shuffles via Spark's ReusedExchange (the
+    builder stays lazy: no persist side effects in a registry query)."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    dim = c.select(
+        "c_custkey", "c_mktsegment", cents.alias("bal_cents")
+    )
+    upd = (
+        c.where(F.col("c_custkey") % 7 == 0)
+        .select("c_custkey", (cents + F.lit(10000)).alias("new_bal_cents"))
+    )
+    j = dim.join(upd, "c_custkey", "left")
+
+    current_unchanged = j.where(F.col("new_bal_cents").isNull()).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("bal_cents"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(SCD2_OPEN_END).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    closed = j.where(F.col("new_bal_cents").isNotNull()).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("bal_cents"),
+        F.lit("1995-01-01").alias("valid_from"),
+        F.lit(SCD2_EFFECTIVE).alias("valid_to"),
+        F.lit(False).alias("is_current"),
+    )
+    opened = j.where(F.col("new_bal_cents").isNotNull()).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("new_bal_cents").alias("bal_cents"),
+        F.lit(SCD2_EFFECTIVE).alias("valid_from"),
+        F.lit(SCD2_OPEN_END).alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    return current_unchanged.unionAll(closed).unionAll(opened)
+
+
+SQL_SCD2 = f"""
+WITH dim AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer
+),
+upd AS (
+  SELECT c_custkey, bal_cents + 10000 AS new_bal_cents
+  FROM dim WHERE c_custkey % 7 = 0
+),
+j AS (SELECT dim.*, upd.new_bal_cents FROM dim LEFT JOIN upd USING (c_custkey))
+SELECT c_custkey, c_mktsegment, bal_cents,
+       '1995-01-01' AS valid_from, '{SCD2_OPEN_END}' AS valid_to,
+       TRUE AS is_current
+FROM j WHERE new_bal_cents IS NULL
+UNION ALL
+SELECT c_custkey, c_mktsegment, bal_cents,
+       '1995-01-01', '{SCD2_EFFECTIVE}', FALSE
+FROM j WHERE new_bal_cents IS NOT NULL
+UNION ALL
+SELECT c_custkey, c_mktsegment, new_bal_cents,
+       '{SCD2_EFFECTIVE}', '{SCD2_OPEN_END}', TRUE
+FROM j WHERE new_bal_cents IS NOT NULL
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "bilateral_trade_volume", q_bilateral_trade_volume, SQL_BILATERAL_TRADE
@@ -586,4 +714,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "retention_cohort_weekly", q_retention_cohort_weekly, SQL_RETENTION_COHORT
     ),
+    QuerySpec("product_type_profit", q_product_type_profit, SQL_PRODUCT_PROFIT),
+    QuerySpec("scd2_customer_history", q_scd2_customer_history, SQL_SCD2),
 ]

@@ -442,3 +442,27 @@ def test_table_profile_no_expand_pruned_scans(spark, sf_dir):
     for seg in plan.split("ReadSchema:")[1:]:
         schema = seg.split("struct<", 1)[1].split(">", 1)[0]
         assert schema.count(":") <= 1, schema
+
+
+def test_q9_profit_single_fact_exchange(spark, sf_dir):
+    """Q9 shape: part/supplier/nation broadcast; the only shuffle edge
+    is lineitem x orders on orderkey. The part name filter must reach
+    the part scan."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_product_type_profit(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    pushed = plan.split("PushedFilters")
+    assert any("p_name" in seg[:300] for seg in pushed[1:])
+
+
+def test_scd2_reuses_join_exchanges_across_union(spark, sf_dir):
+    """The three version branches project the SAME dim-left-join-
+    updates frame: its shuffles must be shared via ReusedExchange (or
+    planned as broadcast at this sf) — never three independent joins
+    each paying fresh exchanges."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_scd2_customer_history(spark, sf_dir))
+    assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 0
+    assert "Union" in plan
