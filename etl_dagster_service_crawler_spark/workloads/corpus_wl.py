@@ -511,41 +511,46 @@ def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the score never overflows BIGINT at any corpus size.
 
     Scale: bigrams form per-row inside the token array (no
-    self-join!); the pair counts partial-aggregate before ONE
-    bigram-keyed exchange; unigram counts are vocab-sized and
-    broadcast back twice (left word, right word)."""
+    self-join!) — the array is MATERIALIZED as a column first, then
+    paired with zip_with over two slices: referencing the split()
+    expression from inside a per-element lambda would re-split the
+    text once per token (measured 10x the whole query's cost). The
+    pair counts partial-aggregate before ONE bigram-keyed exchange;
+    unigram counts are vocab-sized and broadcast back twice (left
+    word, right word)."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_ws(F.col("text"))
+    dt = d.select(tokens_ws(F.col("text")).alias("t"))
+    t = F.col("t")
     bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     cxy = (
-        d.select(F.explode(bigrams).alias("bigram"))
+        dt.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("c_xy"))
     )
     uni = (
-        d.select(F.explode(toks).alias("term"))
+        dt.select(F.explode(t).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("c"))
     )
     words = F.split(F.col("bigram"), " ")
+    # join the SAME uni plan twice (alias only, no rename below the
+    # exchange) so ReuseExchange builds the broadcast once
     scored = (
         cxy.withColumn("wx", words.getItem(0))
         .withColumn("wy", words.getItem(1))
-        .join(F.broadcast(uni.withColumnRenamed("c", "c_x")), F.col("wx") == uni["term"])
-        .drop("term")
-        .join(F.broadcast(uni.withColumnRenamed("c", "c_y")), F.col("wy") == uni["term"])
+        .join(F.broadcast(uni.alias("ux")), F.col("wx") == F.col("ux.term"))
+        .join(F.broadcast(uni.alias("uy")), F.col("wy") == F.col("uy.term"))
         .select(
             "bigram",
             "c_xy",
-            F.expr("(2000000 * c_xy) div (c_x + c_y)").alias("dice_scaled"),
+            F.expr("(2000000 * c_xy) div (ux.c + uy.c)").alias("dice_scaled"),
         )
     )
     return scored.orderBy(F.desc("dice_scaled"), "bigram").limit(COLLOCATION_TOP_K)
