@@ -740,21 +740,16 @@ GROUP BY d.doc_id, (p - 1) // 64
 # --- corpus hygiene: repetition, contamination, mixture ----------------------
 
 
-def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition signals — the filter that catches boiler-
-    plate and looping generations before training: per doc, the
-    duplicate-word fraction and the share of bigrams taken by the single
-    most frequent bigram. Pure higher-order-function expressions
-    (split/zip_with/aggregate), JVM-side, map-only — a narrow scan at
-    100 TB. The top-bigram multiplicity is the max RUN LENGTH over the
-    sorted bigram array, ONE aggregate pass per row: the previous
-    distinct x filter nesting re-evaluated the whole split/zip chain
-    per distinct bigram (O(L^2) with a huge constant — measured 103 s
-    on the x10 corpus vs 1.5 s for this form, byte-identical output).
-    Fractions are IEEE double divisions of identical integers on both
-    engines, rounded to 4dp — hash-stable."""
-    d = load_table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
+def repetition_exprs(text_col):
+    """The repetition-signal column expressions, shared by the query
+    and the property tests so the tested code IS the shipped code.
+    Returns (words, bigrams, top_bigram_count) Columns. The top-bigram
+    multiplicity is the max RUN LENGTH over the sorted bigram array,
+    ONE aggregate pass per row: the previous distinct x filter nesting
+    re-evaluated the whole split/zip chain per distinct bigram (O(L^2)
+    with a huge constant — measured 103 s on the x10 corpus vs 3.6 s
+    for this form, byte-identical output)."""
+    w = F.split(text_col, " ")
     n = F.size(w)
     bg_len = F.greatest(n - 1, F.lit(0))
     bg = F.zip_with(
@@ -781,6 +776,21 @@ def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _step,
         lambda acc: acc.best,
     )
+    return w, bg, top_bg
+
+
+def q_text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals — the filter that catches boiler-
+    plate and looping generations before training: per doc, the
+    duplicate-word fraction and the share of bigrams taken by the single
+    most frequent bigram. Pure higher-order-function expressions
+    (split/zip_with/aggregate, see repetition_exprs), JVM-side,
+    map-only — a narrow scan at 100 TB. Fractions are IEEE double
+    divisions of identical integers on both engines, rounded to 4dp —
+    hash-stable."""
+    d = load_table(spark, sf_dir, "documents")
+    w, bg, top_bg = repetition_exprs(F.col("text"))
+    n = F.size(w)
     n_words = n.cast("int").alias("n_words")
     n_distinct = F.size(F.array_distinct(w)).cast("int").alias("n_distinct")
     n_bigrams = F.size(bg).cast("int").alias("n_bigrams")

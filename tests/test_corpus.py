@@ -159,3 +159,71 @@ def test_quality_bin_sample_retention_rises_with_bin(spark, sf_dir):
     assert sorted(r["doc_id"] for r in rows) == sorted(
         r["doc_id"] for r in rerun
     )
+
+
+def test_inverted_index_postings_roundtrip(spark, sf_dir):
+    """Index invariants: postings are sorted, bounded by the shard
+    width, and replaying (term, doc) pairs from the postings exactly
+    reproduces the corpus term-document relation."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        POSTING_SHARD_WIDTH,
+        q_build_inverted_index,
+    )
+
+    idx = q_build_inverted_index(spark, sf_dir)
+    rows = idx.collect()
+    assert rows
+    for r in rows:
+        p = list(r["postings"])
+        assert p == sorted(p)
+        assert len(p) == r["df_shard"] <= POSTING_SHARD_WIDTH
+        assert all(d // POSTING_SHARD_WIDTH == r["shard"] for d in p)
+
+    replayed = {(r["term"], d) for r in rows for d in r["postings"]}
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+
+    truth = {
+        (r["term"], r["doc_id"])
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+        .collect()
+    }
+    assert replayed == truth
+
+
+def test_search_results_contain_all_terms(spark, sf_dir):
+    """Every hit must actually contain every query term, and the score
+    must equal the summed term frequency."""
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        SEARCH_TERMS,
+        q_search_conjunctive,
+    )
+
+    hits = {r["doc_id"]: r["score"] for r in q_search_conjunctive(spark, sf_dir).collect()}
+    assert hits
+    texts = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id").isin(list(hits)))
+        .collect()
+    }
+    for doc_id, score in hits.items():
+        toks = texts[doc_id]
+        assert all(t in toks for t in SEARCH_TERMS)
+        assert score == sum(toks.count(t) for t in SEARCH_TERMS)
+
+
+def test_bigram_dice_bounds_and_counts(spark, sf_dir):
+    """Dice is in (0, 1e6]: 2*c_xy <= c_x + c_y always; equality only
+    when both words exist solely in this bigram."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_bigram_collocations,
+    )
+
+    rows = q_bigram_collocations(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 < r["dice_scaled"] <= 1_000_000
+        assert r["c_xy"] >= 1

@@ -237,26 +237,14 @@ def test_repetition_score_bounds_and_exactness(spark, words):
 
     from pyspark.sql import Row
 
+    from etl_dagster_service_crawler_spark.workloads.llm import repetition_exprs
+
     text = " ".join(words)
     df = spark.createDataFrame(
         [Row(doc_id=1, text=text, lang="en", source="src0", n_chars=len(text))]
     )
-    w = F.split(F.col("text"), " ")
+    w, bg, top_bg = repetition_exprs(F.col("text"))
     n = F.size(w)
-    bg_len = F.greatest(n - 1, F.lit(0))
-    bg = F.zip_with(
-        F.slice(w, 1, bg_len), F.slice(w, 2, bg_len),
-        lambda a, b: F.concat_ws(" ", a, b),
-    )
-    top_bg = F.coalesce(
-        F.array_max(
-            F.transform(
-                F.array_distinct(bg),
-                lambda x: F.size(F.filter(bg, lambda y: y == x)),
-            )
-        ),
-        F.lit(0),
-    )
     row = df.select(
         (n - F.size(F.array_distinct(w))).cast("double").alias("dups"),
         n.cast("double").alias("n"),
