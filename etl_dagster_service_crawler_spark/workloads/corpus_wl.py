@@ -35,8 +35,12 @@ def chunk_transform(d: DataFrame) -> DataFrame:
     never leave the row, the whole operator is map-side codegen with
     ZERO exchanges, so it scales embarrassingly: 100 TB of text in,
     ~1.3x that out, no shuffle anywhere. Property-tested against a
-    Python recompute (tests/test_properties.py)."""
-    toks = tokens_ws(F.col("text"))
+    Python recompute (tests/test_properties.py). The token array is
+    materialized once per row — slicing the raw split() expression
+    from inside the per-chunk lambda would re-split the text per
+    chunk (docs/SCALE.md rule 1)."""
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    toks = F.col("t")
     starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)),
                         F.lit(CHUNK_STRIDE))
     chunks = F.transform(
@@ -51,7 +55,7 @@ def chunk_transform(d: DataFrame) -> DataFrame:
             ).cast("int").alias("n_tokens"),
         ),
     )
-    return d.select("doc_id", F.explode(chunks).alias("c")).select(
+    return dt.select("doc_id", F.explode(chunks).alias("c")).select(
         "doc_id", "c.chunk_idx", "c.chunk_text", "c.n_tokens"
     )
 
@@ -91,7 +95,11 @@ def q_boilerplate_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     must repeat across docs), so it broadcasts back onto the exploded
     hashes and the per-doc rollup reuses the doc_id grouping."""
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens_ws(F.col("text"))
+    # materialize the token array once per row: slicing the raw
+    # split() expression from inside the per-window lambda would
+    # re-split the text once per window (see docs/SCALE.md rule 1)
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    toks = F.col("t")
     nwin = F.floor(F.size(toks) / BOILER_WINDOW).cast("int")
     starts = F.when(
         nwin > 0, F.sequence(F.lit(1), (nwin - 1) * BOILER_WINDOW + 1,
@@ -101,7 +109,7 @@ def q_boilerplate_window_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         starts,
         lambda s: F.md5(F.array_join(F.slice(toks, s, BOILER_WINDOW), " ")),
     )
-    exploded = d.select(
+    exploded = dt.select(
         "doc_id", F.explode_outer(wins).alias("whash")
     )
     freq = (
