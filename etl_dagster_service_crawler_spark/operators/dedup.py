@@ -140,7 +140,11 @@ def minhash_signatures(
     and P is out of the [0, P) hash range so no real shingle set can
     collide with the sentinel on all k components."""
     df = _spread(df, id_col)
-    toks = F.split(F.col(text_col), " ")
+    # materialize the token array once per row BEFORE the per-shingle
+    # lambda: slicing the raw split() expression from inside transform
+    # re-splits the text once per shingle (docs/SCALE.md rule 1)
+    dt = df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("__toks"))
+    toks = F.col("__toks")
     if shingle <= 1:
         grams = toks
     else:
@@ -157,7 +161,7 @@ def minhash_signatures(
                 lambda i: F.concat_ws("\x1f", F.slice(toks, i, shingle)),
             ),
         ).otherwise(F.array().cast("array<string>"))
-    hv = df.select(
+    hv = dt.select(
         F.col(id_col),
         F.transform(
             F.array_distinct(grams),

@@ -866,7 +866,10 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     text = F.when(
         leaked, F.concat(F.col("text"), F.lit(" " + CONTAM_PHRASE))
     ).otherwise(F.col("text"))
-    w = F.split(text, " ")
+    # token array materialized once per row before the per-gram lambda
+    # (docs/SCALE.md rule 1: never slice the raw split() inside it)
+    dw = d.select("doc_id", F.split(text, " ").alias("w"))
+    w = F.col("w")
     n = F.size(w)
     grams = F.when(
         n >= CONTAM_NGRAM_N,
@@ -875,7 +878,7 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(w, i, CONTAM_NGRAM_N)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    docs_g = d.select("doc_id", grams.alias("grams"))
+    docs_g = dw.select("doc_id", grams.alias("grams"))
     probe = (
         docs_g.where(F.col("doc_id") % CONTAM_PROBE_MOD == 0)
         .select(F.explode("grams").alias("g"))
