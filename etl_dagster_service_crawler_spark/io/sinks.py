@@ -132,3 +132,60 @@ def dual_sink_foreach_batch(
             batch_df.unpersist()
 
     return write
+
+
+# --- versioned snapshots (poor-man's time travel) ----------------------------
+#
+# A snapshot table is a directory of immutable version dirs plus a
+# MANIFEST committed LAST (write temp + atomic os.replace) — the same
+# manifest-last discipline as the push sink: a writer dying mid-write
+# leaves an orphan version dir that no reader ever sees, and
+# re-running the write is idempotent (the dir is rewritten, the
+# manifest replaced). Readers pin a version ("as of") or take the
+# latest committed one; concurrent readers of an old version are
+# never disturbed because version dirs are immutable once committed.
+# At 100 TB this is the lake-format (Delta/Iceberg) snapshot model
+# reduced to its core: the engine-side contract is identical.
+
+_VERSION_FMT = "v{:05d}"
+
+
+def sink_versioned(df: DataFrame, root: str, version: int) -> None:
+    """Write `df` as snapshot `version`, committing it to the manifest
+    only after the data lands."""
+    import json
+    import os
+
+    vdir = os.path.join(root, _VERSION_FMT.format(version))
+    df.write.mode("overwrite").parquet(vdir)
+
+    os.makedirs(root, exist_ok=True)
+    manifest = os.path.join(root, "_MANIFEST")
+    versions: list[int] = []
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            versions = json.load(f)["versions"]
+    if version not in versions:
+        versions = sorted([*versions, version])
+    tmp = manifest + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"versions": versions, "latest": versions[-1]}, f)
+    os.replace(tmp, manifest)  # the atomic commit point
+
+
+def read_versioned(spark, root: str, version: int | None = None) -> DataFrame:
+    """Read a committed snapshot: `version` pins "as of"; None reads
+    the latest committed. Uncommitted (orphan) dirs are unreachable —
+    only the manifest names versions."""
+    import json
+    import os
+
+    with open(os.path.join(root, "_MANIFEST")) as f:
+        meta = json.load(f)
+    if version is None:
+        version = meta["latest"]
+    if version not in meta["versions"]:
+        raise ValueError(
+            f"version {version} not committed (have {meta['versions']})"
+        )
+    return spark.read.parquet(os.path.join(root, _VERSION_FMT.format(version)))

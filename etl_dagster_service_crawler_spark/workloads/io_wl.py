@@ -30,10 +30,12 @@ from etl_dagster_service_crawler_spark.functions.compat import dsum, fround, sql
 from etl_dagster_service_crawler_spark.io.sinks import (
     derby_url,
     read_jdbc,
+    read_versioned,
     sink_compacted_parquet,
     sink_jdbc,
     sink_json_append,
     sink_partitioned_parquet,
+    sink_versioned,
 )
 from etl_dagster_service_crawler_spark.io.tables import TABLES, load_table
 
@@ -254,6 +256,37 @@ GROUP BY 1
 """
 
 
+def q_sink_versioned_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel: write version 1 (orders through June
+    1996), then version 2 (the full table), then read AS OF version 1
+    — proving an old snapshot stays readable and bit-stable after a
+    newer commit. Versions are immutable dirs named by a manifest
+    committed last (io/sinks.py): the lake-format snapshot contract
+    without a lake format. The oracle replays version 1's content
+    directly, so the round-trip through two writes and a pinned read
+    is hash-checked end-to-end."""
+    orders = load_table(spark, sf_dir, "orders")
+    root = _scratch(sf_dir, "versioned/orders")
+    shutil.rmtree(root, ignore_errors=True)
+    v1 = orders.where(F.col("o_orderdate") < "1996-07-01")
+    sink_versioned(v1.coalesce(4), root, 1)
+    sink_versioned(orders.coalesce(4), root, 2)
+    back = read_versioned(spark, root, version=1)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        dsum(F.col("o_totalprice"), 2).alias("total"),
+    )
+
+
+SQL_SINK_VERSIONED = """
+SELECT o_orderstatus, count(*) AS cnt,
+       floor(CAST(sum(CAST(floor((o_totalprice) * 1e4 + 0.5) AS BIGINT)) AS DOUBLE) / 1e4 * 100.0 + 0.5) / 100.0 AS total
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-07-01'
+GROUP BY o_orderstatus
+"""
+
+
 def q_join_dpp_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dynamic partition pruning: a month-partitioned fact joined to a
     dim whose filter is DATA-DEPENDENT (months with above-average order
@@ -430,6 +463,9 @@ SPECS = [
     QuerySpec("sink_json_append", q_sink_json_append, SQL_SINK_JSON_APPEND),
     QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
     QuerySpec("sink_compacted", q_sink_compacted, SQL_SINK_COMPACTED),
+    QuerySpec(
+        "sink_versioned_snapshot", q_sink_versioned_snapshot, SQL_SINK_VERSIONED
+    ),
     QuerySpec("sink_table", q_sink_table, SQL_SINK_TABLE),
     QuerySpec("bucketed_colocated_join", q_bucketed_colocated_join, SQL_BUCKETED_JOIN),
     QuerySpec("join_dpp_partitioned", q_join_dpp_partitioned, SQL_JOIN_DPP),

@@ -240,3 +240,32 @@ def test_sql_surface_registers_and_queries(spark, sf_dir):
         "SELECT source, count(*) AS n FROM clean_corpus GROUP BY source"
     ).collect()
     assert sum(r["n"] for r in rows) > 0
+
+
+def test_versioned_sink_time_travel_and_crash_safety(spark, tmp_path):
+    """(1) An old version stays bit-stable after a newer commit;
+    (2) a writer that dies AFTER writing data but BEFORE the manifest
+    commit leaves the table untouched for readers (manifest-last);
+    (3) reading an uncommitted version raises."""
+    import os
+
+    import pytest as _pytest
+
+    from etl_dagster_service_crawler_spark.io.sinks import (
+        read_versioned,
+        sink_versioned,
+    )
+
+    root = str(tmp_path / "snap")
+    df1 = spark.range(5).withColumnRenamed("id", "k")
+    df2 = spark.range(9).withColumnRenamed("id", "k")
+    sink_versioned(df1, root, 1)
+    sink_versioned(df2, root, 2)
+    assert read_versioned(spark, root, 1).count() == 5
+    assert read_versioned(spark, root).count() == 9  # latest
+
+    # simulated crash: v3 data lands, manifest never updated
+    spark.range(99).write.mode("overwrite").parquet(os.path.join(root, "v00003"))
+    assert read_versioned(spark, root).count() == 9  # still v2
+    with _pytest.raises(ValueError, match="not committed"):
+        read_versioned(spark, root, 3)
