@@ -871,6 +871,13 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = e.groupBy(
         F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return anomaly_zscore_transform(daily)
+
+
+def anomaly_zscore_transform(daily: DataFrame) -> DataFrame:
+    """z-score a (day, event_type, cnt) rollup per type and flag
+    |z| > 2 — shared by the batch query and the streaming twin (the
+    streamed rollup feeds the same scoring)."""
     w = Window.partitionBy("event_type")
     n = F.count(F.lit(1)).over(w)
     s1 = F.sum("cnt").over(w)

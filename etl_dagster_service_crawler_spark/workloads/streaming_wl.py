@@ -433,8 +433,40 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_anomaly_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of events_anomaly_zscore: the daily (day, type)
+    volume rollup is maintained BY THE STREAM (complete-mode streaming
+    aggregation — the state keyspace is days x types, tiny forever),
+    and the z-score alert pass runs over the drained rollup with the
+    SAME shared transform as the batch query. This is the production
+    monitoring split: cheap always-on streaming rollup, scoring on
+    read. Oracle = the batch anomaly SQL, so streamed-rollup-then-
+    score is hash-checked against scoring the batch table directly."""
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        anomaly_zscore_transform,
+    )
+
+    ev = stream_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    rollup = run_available_now(daily, "complete", state_partitions=8)
+    return anomaly_zscore_transform(rollup)
+
+
+def _stream_anomaly_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        SQL_EVENTS_ANOMALY,
+    )
+
+    return SQL_EVENTS_ANOMALY
+
+
 SPECS = [
     QuerySpec("stream_ivf_ingest", q_stream_ivf_ingest, None),
+    QuerySpec(
+        "stream_anomaly_alerts", q_stream_anomaly_alerts, _stream_anomaly_sql()
+    ),
     QuerySpec("stream_rollup_upsert", q_stream_rollup_upsert, SQL_STREAM_ROLLUP),
     QuerySpec("stream_corpus_clean", q_stream_corpus_clean, _stream_corpus_clean_sql()),
     QuerySpec("stream_ingest_project", q_stream_ingest_project, SQL_STREAM_PROJECT),
