@@ -586,8 +586,59 @@ LIMIT {COLLOCATION_TOP_K}
 """
 
 
+CAP_PER_SOURCE = 20
+CAP_SHARDS = 16
+
+
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-source downsampling: keep at most 20 docs per source,
+    chosen by content-hash order (md5 of the id, not arrival order) so
+    the kept set is a deterministic function of the data. The mixture-
+    control knob every pretraining pipeline has — one domain cannot
+    drown the mix.
+
+    Scale: per-source top-N is the classic hot-key window — ONE source
+    could hold half the corpus. Two-phase selection keeps it skew-
+    proof: phase 1 ranks within (source, shard) — 16-way spread of the
+    hottest source — and keeps N candidates per shard; phase 2 ranks
+    the <= 16N survivors per source. The second window's partitions
+    are bounded by 16N rows REGARDLESS of source skew; identical
+    output to the single-window form (the global top-N by hash is
+    always inside the per-shard top-Ns)."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(F.col("doc_id"), F.lit(CAP_SHARDS))
+    w1 = Window.partitionBy("source", shard).orderBy(h, "doc_id")
+    cand = (
+        d.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk1", F.row_number().over(w1))
+        .where(F.col("rk1") <= CAP_PER_SOURCE)
+    )
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        cand.withColumn("rk", F.row_number().over(w2))
+        .where(F.col("rk") <= CAP_PER_SOURCE)
+        .select("doc_id", "source", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+SQL_CAP_PER_SOURCE = f"""
+SELECT doc_id, source, CAST(rk AS INT) AS rk
+FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         ) AS rk
+  FROM documents
+)
+WHERE rk <= {CAP_PER_SOURCE}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN),
+    QuerySpec("cap_per_source", q_cap_per_source, SQL_CAP_PER_SOURCE),
     QuerySpec("vocab_top_terms", q_vocab_top_terms, SQL_VOCAB, bench=True),
     QuerySpec("salient_terms_tfidf", q_salient_terms_tfidf, SQL_SALIENT),
     QuerySpec(

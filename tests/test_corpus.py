@@ -227,3 +227,33 @@ def test_bigram_dice_bounds_and_counts(spark, sf_dir):
     for r in rows:
         assert 0 < r["dice_scaled"] <= 1_000_000
         assert r["c_xy"] >= 1
+
+
+def test_cap_per_source_equals_single_window_form(spark, sf_dir):
+    """The skew-proof two-phase selection must be row-identical to the
+    naive single-window per-source top-N, and never exceed the cap."""
+    from pyspark.sql import Window
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        CAP_PER_SOURCE,
+        q_cap_per_source,
+    )
+
+    got = {tuple(r) for r in q_cap_per_source(spark, sf_dir).collect()}
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    naive = {
+        tuple(r)
+        for r in d.select("doc_id", "source")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= CAP_PER_SOURCE)
+        .collect()
+    }
+    assert got == naive
+    per_source: dict[str, int] = {}
+    for _, src, _rk in got:
+        per_source[src] = per_source.get(src, 0) + 1
+    assert max(per_source.values()) <= CAP_PER_SOURCE
