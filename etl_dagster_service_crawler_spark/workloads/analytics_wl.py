@@ -12,7 +12,7 @@ functions/compat so Spark and the DuckDB oracle agree bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
@@ -687,6 +687,102 @@ FROM j WHERE new_bal_cents IS NOT NULL
 """
 
 
+PARETO_BP = 8000
+PARETO_RANGE_PARTS = 16
+
+
+def q_pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis: the customers whose cumulative revenue
+    share reaches 80%, with rank and cumulative basis points. The
+    cumulative sum over a GLOBAL ordering is the classic scale trap —
+    `Window.orderBy(...)` with no partition key runs the whole table
+    through ONE task. This implementation is the distributed prefix
+    sum instead:
+
+      1. per-customer revenue (one fact exchange, exact cents),
+      2. `repartitionByRange` on (revenue DESC, custkey) — globally
+         ordered across partitions, parallel within,
+      3. per-partition totals/counts cumulated over the PARTITION-ID
+         frame (16 rows — the only serial window, constant-sized),
+         broadcast back as offsets,
+      4. within-partition cumsum + offset = exact global prefix sum,
+         in parallel across all range partitions.
+
+    Fully lazy — no driver-side collect; re-evaluating the ranged
+    frame inside one query is consistent because the range sampler
+    seeds per input partition index. Output is a pure function of the
+    global ordering (ties broken by custkey), so range boundaries
+    never affect values."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per = o.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
+    ranged = per.repartitionByRange(
+        PARETO_RANGE_PARTS, F.desc("rev_cents"), F.asc("o_custkey")
+    ).withColumn("pid", F.spark_partition_id())
+
+    part_stats = ranged.groupBy("pid").agg(
+        F.sum("rev_cents").alias("p_rev"), F.count(F.lit(1)).alias("p_cnt")
+    )
+    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_stats.select(
+        "pid",
+        F.coalesce(F.sum("p_rev").over(wo), F.lit(0)).alias("rev_offset"),
+        F.coalesce(F.sum("p_cnt").over(wo), F.lit(0)).alias("cnt_offset"),
+    )
+    total = per.agg(F.sum("rev_cents").alias("total_cents"))
+
+    wp = (
+        Window.partitionBy("pid")
+        .orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        ranged.join(F.broadcast(offsets), "pid")
+        .join(F.broadcast(total))
+        .select(
+            "o_custkey",
+            "rev_cents",
+            (F.count(F.lit(1)).over(wp) + F.col("cnt_offset"))
+            .cast("int")
+            .alias("rnk"),
+            (F.sum("rev_cents").over(wp) + F.col("rev_offset")).alias(
+                "cum_rev"
+            ),
+            "total_cents",
+        )
+        # exact integer floor division — a double multiply first would
+        # round the cumulative sum before the floor boundary
+        .withColumn("cum_bp", F.expr("(10000 * cum_rev) div total_cents"))
+        .where(F.col("cum_bp") <= PARETO_BP)
+        .select("o_custkey", "rev_cents", "rnk", "cum_bp")
+        .orderBy("rnk")
+    )
+
+
+SQL_PARETO = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT sum(rev_cents) AS total_cents FROM per),
+c AS (
+  SELECT o_custkey, rev_cents,
+         CAST(row_number() OVER w AS INT) AS rnk,
+         CAST((10000 * sum(rev_cents) OVER (w ROWS BETWEEN UNBOUNDED
+              PRECEDING AND CURRENT ROW)) // total_cents AS BIGINT) AS cum_bp
+  FROM per CROSS JOIN tot
+  WINDOW w AS (ORDER BY rev_cents DESC, o_custkey)
+)
+SELECT o_custkey, rev_cents, rnk, cum_bp
+FROM c WHERE cum_bp <= {PARETO_BP}
+ORDER BY rnk
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "bilateral_trade_volume", q_bilateral_trade_volume, SQL_BILATERAL_TRADE
@@ -716,4 +812,5 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("product_type_profit", q_product_type_profit, SQL_PRODUCT_PROFIT),
     QuerySpec("scd2_customer_history", q_scd2_customer_history, SQL_SCD2),
+    QuerySpec("pareto_customer_share", q_pareto_customer_share, SQL_PARETO),
 ]

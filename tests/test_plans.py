@@ -466,3 +466,16 @@ def test_scd2_reuses_join_exchanges_across_union(spark, sf_dir):
     plan = _plan(analytics_wl.q_scd2_customer_history(spark, sf_dir))
     assert "ReusedExchange" in plan or plan.count("Exchange hashpartitioning") == 0
     assert "Union" in plan
+
+
+def test_pareto_prefix_sum_is_distributed(spark, sf_dir):
+    """The global cumulative sum must NOT run the per-customer frame
+    through one task: the main window hash-partitions on the range
+    partition id, and the only single-partition plans are the two
+    constant-sized side frames (16-row offsets window, 1-row total)."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_pareto_customer_share(spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert "Exchange hashpartitioning(pid#" in plan  # the parallel cumsum
+    assert plan.count("Exchange SinglePartition") <= 2
