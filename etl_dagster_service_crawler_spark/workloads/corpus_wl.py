@@ -447,7 +447,13 @@ def q_build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("df_shard"),
             F.sum("tf").alias("tf_shard"),
-            F.array_sort(F.collect_list("doc_id")).alias("postings"),
+            # canonical CSV form: array cell representations differ
+            # between Arrow and non-Arrow toPandas paths (list vs
+            # ndarray), which breaks representation-sensitive value
+            # hashing; the string form is identical everywhere
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
         )
     )
 
@@ -461,7 +467,7 @@ WITH tf AS (
 SELECT term, CAST(doc_id // {POSTING_SHARD_WIDTH} AS BIGINT) AS shard,
        CAST(count(*) AS BIGINT) AS df_shard,
        CAST(sum(tf) AS BIGINT) AS tf_shard,
-       list(doc_id ORDER BY doc_id) AS postings
+       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
 FROM tf
 GROUP BY term, shard
 """

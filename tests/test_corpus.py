@@ -173,13 +173,15 @@ def test_inverted_index_postings_roundtrip(spark, sf_dir):
     idx = q_build_inverted_index(spark, sf_dir)
     rows = idx.collect()
     assert rows
+    parsed = {}
     for r in rows:
-        p = list(r["postings"])
+        p = [int(x) for x in r["postings"].split(",")]
+        parsed[(r["term"], r["shard"])] = p
         assert p == sorted(p)
         assert len(p) == r["df_shard"] <= POSTING_SHARD_WIDTH
         assert all(d // POSTING_SHARD_WIDTH == r["shard"] for d in p)
 
-    replayed = {(r["term"], d) for r in rows for d in r["postings"]}
+    replayed = {(t, d) for (t, _s), p in parsed.items() for d in p}
     from etl_dagster_service_crawler_spark.io.tables import load_table
 
     truth = {

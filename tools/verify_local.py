@@ -48,7 +48,7 @@ def _norm_cell(v) -> str:
         # the pre-flight must too (the r01 %.6g norm let two driver
         # hash-misses pass locally)
         return repr(v)
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     if isinstance(v, dict):
         return "{" + ",".join(f"{k}:{_norm_cell(x)}" for k, x in sorted(v.items())) + "}"
