@@ -447,11 +447,13 @@ GROUP BY sha256(text)
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (rows-only: approximate by design;
-    the exact-jaccard twin below is the oracle-checked ground truth)."""
+    the exact-jaccard twin below is the oracle-checked ground truth).
+    No orderBy: the driver's rows-only check is count-based, and a
+    global sort of the pair set (which can be millions of rows on a
+    dup-heavy corpus) would dominate the operator's own cost — it
+    only looked free before because count() elided it."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9).orderBy(
-        "id_a", "id_b"
-    )
+    return minhash_dedup_pairs(d, "doc_id", "text", threshold=0.9)
 
 
 def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
