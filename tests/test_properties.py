@@ -293,3 +293,59 @@ def test_chunk_transform_covers_and_reconstructs(spark, words):
     last = got[-1]
     rebuilt.extend(last["chunk_text"].split(" ")[CHUNK_STRIDE:])
     assert rebuilt == words
+
+
+@_slow
+@given(
+    revs=st.lists(st.integers(1, 10**9), min_size=1, max_size=60),
+)
+def test_pareto_prefix_sum_matches_python(spark, revs):
+    """The distributed prefix sum (range partition + per-partition
+    cumsum + broadcast offsets) must reproduce a plain Python
+    cumulative sum over the globally sorted order, for any revenue
+    multiset — including ties, which break on the key."""
+    from pyspark.sql import Row
+
+    from etl_dagster_service_crawler_spark.workloads.analytics_wl import (
+        PARETO_BP,
+        q_pareto_customer_share,
+    )
+
+    # build a tiny orders-shaped frame (full fixture schema — the
+    # loader's drift guard checks it): one order per customer with
+    # o_totalprice = rev dollars (cents = rev * 100 exactly)
+    import datetime as _dt
+
+    df = spark.createDataFrame(
+        [
+            Row(
+                o_orderkey=i,
+                o_custkey=i,
+                o_orderstatus="O",
+                o_totalprice=float(r),
+                o_orderdate=_dt.datetime(2024, 1, 1),
+                o_orderpriority="1-URGENT",
+            )
+            for i, r in enumerate(revs)
+        ]
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/orders.parquet")
+        got = {
+            r["o_custkey"]: (r["rnk"], r["cum_bp"])
+            for r in q_pareto_customer_share(spark, d).collect()
+        }
+
+    cents = {i: r * 100 for i, r in enumerate(revs)}
+    order = sorted(cents, key=lambda k: (-cents[k], k))
+    total = sum(cents.values())
+    cum = 0
+    expect = {}
+    for rnk, k in enumerate(order, start=1):
+        cum += cents[k]
+        bp = (10000 * cum) // total
+        if bp <= PARETO_BP:
+            expect[k] = (rnk, bp)
+    assert got == expect
