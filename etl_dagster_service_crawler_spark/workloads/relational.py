@@ -107,6 +107,32 @@ FROM documents
 """
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization (P3 family completion): lowercase,
+    strip non-alphanumeric-non-space characters, collapse whitespace
+    runs, trim — the first pass before any hashing/dedup so 'Spark,
+    SPARK and  spark' share one form. Pure per-row regexp/codegen
+    expressions, zero exchanges; identical regex semantics in DuckDB
+    ('g' flag) so the oracle matches byte-for-byte."""
+    d = load_table(spark, sf_dir, "documents")
+    lowered = F.lower(F.col("text"))
+    stripped = F.regexp_replace(lowered, "[^a-z0-9 ]", "")
+    collapsed = F.trim(F.regexp_replace(stripped, " +", " "))
+    return d.select(
+        "doc_id",
+        collapsed.alias("norm_text"),
+        F.md5(collapsed).alias("norm_hash"),
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm_text,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS norm_hash
+FROM documents
+"""
+
+
 def q_conditional_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CASE WHEN mapping + the reference's 是/否 encode (test.py:190-194)."""
     o = load_table(spark, sf_dir, "orders")
@@ -1559,5 +1585,6 @@ SPECS = [
         "sample_deterministic", q_sample_deterministic, SQL_SAMPLE_DETERMINISTIC
     ),
     QuerySpec("table_profile", q_table_profile, SQL_TABLE_PROFILE),
+    QuerySpec("text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]
