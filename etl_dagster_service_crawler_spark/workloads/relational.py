@@ -541,6 +541,56 @@ GROUP BY o_orderstatus
 """
 
 
+def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group outlier clipping (winsorization): clamp each event's
+    value into its type's [p01, p99] band — the feature-prep step
+    before any scale-sensitive statistics. Bounds are floored to cent
+    units so the clamp compares exact BIGINTs (a raw double compare
+    against an interpolated quantile would be last-ulp fragile across
+    engines).
+
+    Scale: ONE pass computes the per-type bounds (tiny frame, exact
+    percentile — swap approx_percentile at 100 TB, same plan), which
+    broadcast back onto the unshuffled fact scan: the events table is
+    never exchanged."""
+    e = load_table(spark, sf_dir, "events")
+    pb = e.groupBy("event_type").agg(
+        F.floor(F.percentile("value", 0.01) * F.lit(1e2) + F.lit(0.5))
+        .cast("bigint")
+        .alias("lo_c"),
+        F.floor(F.percentile("value", 0.99) * F.lit(1e2) + F.lit(0.5))
+        .cast("bigint")
+        .alias("hi_c"),
+    )
+    v_c = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    clipped = F.greatest(F.col("lo_c"), F.least(F.col("hi_c"), v_c))
+    return e.join(F.broadcast(pb), "event_type").select(
+        "event_id",
+        "event_type",
+        clipped.alias("v_clipped_c"),
+        ((v_c < F.col("lo_c")) | (v_c > F.col("hi_c")))
+        .cast("int")
+        .alias("was_clipped"),
+    )
+
+
+SQL_WINSORIZE = """
+WITH pb AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(value, 0.01) * 1e2 + 0.5) AS BIGINT) AS lo_c,
+         CAST(floor(quantile_cont(value, 0.99) * 1e2 + 0.5) AS BIGINT) AS hi_c
+  FROM events GROUP BY event_type
+)
+SELECT event_id, events.event_type AS event_type,
+       greatest(lo_c, least(hi_c,
+         CAST(floor(value * 1e2 + 0.5) AS BIGINT))) AS v_clipped_c,
+       CAST(CAST(floor(value * 1e2 + 0.5) AS BIGINT) < lo_c
+            OR CAST(floor(value * 1e2 + 0.5) AS BIGINT) > hi_c AS INT)
+         AS was_clipped
+FROM events JOIN pb USING (event_type)
+"""
+
+
 def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact heavy hitters over the token stream: terms with >2x the
     mean term frequency — the hot-vocabulary pre-pass a dedup/quality
@@ -1586,5 +1636,6 @@ SPECS = [
     ),
     QuerySpec("table_profile", q_table_profile, SQL_TABLE_PROFILE),
     QuerySpec("text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE),
+    QuerySpec("winsorize_values", q_winsorize_values, SQL_WINSORIZE),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]
