@@ -541,6 +541,63 @@ GROUP BY o_orderstatus
 """
 
 
+def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered set listagg per group (SQL string_agg / LISTAGG parity):
+    the distinct sources per language as one sorted comma-joined
+    string. collect_set partial-aggregates map-side, so the shuffle
+    carries per-task distinct sets, never raw rows; the sort happens
+    on the grouped set (bounded by group cardinality)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.array_join(F.array_sort(F.collect_set("source")), ",").alias(
+            "sources_csv"
+        ),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+SQL_STRING_CONCAT = """
+SELECT lang,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources_csv,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY lang
+"""
+
+
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER-clause conditional aggregation parity: multiple
+    differently-filtered aggregates over ONE scan (urgent count,
+    big-order revenue, open-order count per status) — the idiom that
+    replaces N self-joined subqueries with one pass. All conditions
+    evaluate inside the map-side partial aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias(
+            "urgent_cnt"
+        ),
+        F.sum(F.when(F.col("o_totalprice") > 100000.0, cents)).alias(
+            "big_rev_cents"
+        ),
+        F.count(F.lit(1)).alias("total_cnt"),
+    )
+
+
+SQL_AGG_FILTERED = """
+SELECT o_orderstatus,
+       CAST(count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS BIGINT)
+         AS urgent_cnt,
+       CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT))
+            FILTER (WHERE o_totalprice > 100000.0) AS BIGINT) AS big_rev_cents,
+       CAST(count(*) AS BIGINT) AS total_cnt
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
 def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group outlier clipping (winsorization): clamp each event's
     value into its type's [p01, p99] band — the feature-prep step
@@ -1637,5 +1694,7 @@ SPECS = [
     QuerySpec("table_profile", q_table_profile, SQL_TABLE_PROFILE),
     QuerySpec("text_normalize", q_text_normalize, SQL_TEXT_NORMALIZE),
     QuerySpec("winsorize_values", q_winsorize_values, SQL_WINSORIZE),
+    QuerySpec("agg_string_concat", q_agg_string_concat, SQL_STRING_CONCAT),
+    QuerySpec("agg_filtered", q_agg_filtered, SQL_AGG_FILTERED),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]
