@@ -57,3 +57,29 @@ def test_error_budget_listener_stops_stream(spark, sf_dir):
         assert listener.tripped
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_frame_fingerprint_normalizes_representations():
+    """The local verifier's value hash must be identical for list vs
+    ndarray cells (Arrow vs non-Arrow toPandas), row order, and column
+    order — and must distinguish genuinely different values."""
+    import numpy as np
+    import pandas as pd
+
+    import tools.verify_local as vl
+
+    a = pd.DataFrame({"x": [1, 2], "arr": [[1, 2], [3, 4]]})
+    b = pd.DataFrame(
+        {"arr": [np.array([3, 4]), np.array([1, 2])], "x": [2, 1]}
+    )
+    na, ca, ha = vl.frame_fingerprint(a)
+    nb, cb, hb = vl.frame_fingerprint(b)
+    assert (na, ca, ha) == (nb, cb, hb)
+
+    c = pd.DataFrame({"x": [1, 2], "arr": [[1, 2], [3, 5]]})
+    assert vl.frame_fingerprint(c)[2] != ha
+
+    # NaN and float round-trip stability
+    d = pd.DataFrame({"v": [float("nan"), 0.1 + 0.2]})
+    e = pd.DataFrame({"v": [0.1 + 0.2, float("nan")]})
+    assert vl.frame_fingerprint(d)[2] == vl.frame_fingerprint(e)[2]
