@@ -123,9 +123,11 @@ def order_specs(
 
     Tiers (earlier = closer to the driver's 50-entry window):
       0. never driver-checked   — oracle-backed before rows-only
-      1. checked, but this spec's code may have changed since (its own
-         module file changed, or shared non-workload package code did)
-      2. checked and untouched  — stalest verdict first
+      1. checked, but this spec's OWN module file changed since its
+         verdict — the direct-edit class, likeliest to have broken
+      2. checked, and shared non-workload package code changed since
+         (conservatively invalidates every older verdict)
+      3. checked and untouched  — stalest verdict first
 
     A spec with an oracle needs a full hash-green verdict to leave tier
     0; a rows-only spec only needs a recorded row count.  Within a tier
@@ -138,28 +140,32 @@ def order_specs(
             return hash_green.get(s.name, 0)
         return rows_checked.get(s.name, 0)
 
-    def is_touched(s: QuerySpec, rnd: int) -> bool:
+    def touch_class(s: QuerySpec, rnd: int) -> int:
+        """0 = own module changed, 1 = shared code changed, 2 = clean."""
         changed = touched.get(rnd, set())
         if not changed:
-            return False
+            return 2
         f = _spec_file(s)
         if f is None or f in changed:
-            return True
+            return 0
         # Changes to shared package code (operators/, functions/, io/,
         # streaming/, sources/, session, core — anything that is not
         # itself a spec-declaring module) can affect any query, so they
         # conservatively invalidate every verdict older than the change.
         # The registry module itself only ORDERS specs and is exempt.
         registry_file = f"{_PKG_DIR}/workloads/__init__.py"
-        return any(c not in spec_files and c != registry_file for c in changed)
+        if any(c not in spec_files and c != registry_file for c in changed):
+            return 1
+        return 2
 
     def key(s: QuerySpec) -> tuple[int, int, int]:
         rnd = verdict_round(s)
         if rnd == 0:
             return (0, 0 if s.oracle is not None else 1, 0)
-        if is_touched(s, rnd):
-            return (1, 0 if s.oracle is not None else 1, rnd)
-        return (2, rnd, 0)
+        tc = touch_class(s, rnd)
+        if tc < 2:
+            return (1 + tc, 0 if s.oracle is not None else 1, rnd)
+        return (3, rnd, 0)
 
     return sorted(specs, key=key)
 
