@@ -642,6 +642,75 @@ WHERE rk <= {CAP_PER_SOURCE}
 """
 
 
+def q_pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG-ingestion flagship: quality/lang gates -> best-copy
+    representative per exact-duplicate cluster -> overlapping chunks.
+    The composed daily build that feeds a retrieval index (pair it
+    with build_inverted_index / stream_ivf_ingest downstream).
+
+    Scale shape: the gates are narrow and fuse into the scan; the
+    representative window is the ONLY exchange, keyed on sha2(text).
+    Unlike dedup_keep_best (metadata-only output, text pruned before
+    the shuffle), the chunker needs the winner's TEXT, so this is the
+    one-text-shuffle design — the unavoidable minimum when the payload
+    must survive selection. Chunking then explodes map-side, zero
+    further exchanges."""
+    from etl_dagster_service_crawler_spark.functions.text import quality_score
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        CLEAN_QUALITY_MIN,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    gated = d.where(
+        quality_score(F.col("text"), F.col("n_chars")) >= CLEAN_QUALITY_MIN
+    )
+    w = Window.partitionBy("h").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    reps = (
+        gated.withColumn("h", F.sha2(F.col("text"), 256))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    return chunk_transform(reps)
+
+
+def _rag_ingest_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        CLEAN_QUALITY_MIN,
+    )
+
+    en = ", ".join(f"'{wd}'" for wd in LANG_STOPWORDS["en"])
+    return f"""
+WITH gated AS (
+  SELECT doc_id, text, n_chars
+  FROM (SELECT *, string_split(text, ' ') AS w FROM documents)
+  WHERE 0.5 * least(CAST(len(w) AS DOUBLE) / 100.0, 1.0)
+      + 0.5 * (CAST(len(list_filter(w, x -> list_contains([{en}], x)))
+               AS DOUBLE) / CAST(len(w) AS DOUBLE)) >= {CLEAN_QUALITY_MIN}
+),
+reps AS (
+  SELECT doc_id, text
+  FROM (
+    SELECT doc_id, text,
+           row_number() OVER (PARTITION BY sha256(text)
+                              ORDER BY n_chars DESC, doc_id) AS rn
+    FROM gated
+  ) WHERE rn = 1
+),
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+starts AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t), 1), {CHUNK_STRIDE})) AS s
+  FROM toks
+)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       array_to_string(t[s:s + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+       CAST(least({CHUNK_TOKENS}, len(t) - s + 1) AS INT) AS n_tokens
+FROM starts
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec("quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN),
     QuerySpec("cap_per_source", q_cap_per_source, SQL_CAP_PER_SOURCE),
@@ -659,4 +728,5 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
+    QuerySpec("pipeline_rag_ingest", q_pipeline_rag_ingest, _rag_ingest_sql()),
 ]

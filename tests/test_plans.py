@@ -479,3 +479,15 @@ def test_pareto_prefix_sum_is_distributed(spark, sf_dir):
     assert "rangepartitioning" in plan
     assert "Exchange hashpartitioning(pid#" in plan  # the parallel cumsum
     assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_rag_ingest_single_exchange(spark, sf_dir):
+    """Gates fuse into the scan; the representative window's sha2
+    exchange is the ONLY shuffle — chunking explodes map-side above
+    it."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_pipeline_rag_ingest(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "sha2" in plan
+    assert "Generate explode" in plan
