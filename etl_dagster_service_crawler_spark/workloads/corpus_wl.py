@@ -643,10 +643,13 @@ WHERE rk <= {CAP_PER_SOURCE}
 
 
 def q_pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The RAG-ingestion flagship: quality/lang gates -> best-copy
+    """The RAG-ingestion flagship: quality gate -> best-copy
     representative per exact-duplicate cluster -> overlapping chunks.
     The composed daily build that feeds a retrieval index (pair it
-    with build_inverted_index / stream_ivf_ingest downstream).
+    with build_inverted_index / stream_ivf_ingest downstream; the
+    full hygiene stack incl. lang-consistency/repetition gates is
+    pipeline_corpus_clean — this one keeps retrieval-oriented docs
+    that corpus-clean's stricter training gates might drop).
 
     Scale shape: the gates are narrow and fuse into the scan; the
     representative window is the ONLY exchange, keyed on sha2(text).
