@@ -541,6 +541,127 @@ GROUP BY o_orderstatus
 """
 
 
+def q_agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmin/argmax parity (SQL min_by/max_by): per event_type, the
+    event id carrying the earliest and latest timestamp. The ordering
+    key (ts) is UNIQUE in the fixture (microsecond event times), so
+    both engines pick the same row — min_by on a tied key is engine-
+    arbitrary and would never hash-match (DuckDB's min_by cannot take
+    a struct tiebreak, so uniqueness is the contract here). Map-side
+    partial aggregates: argmin folds like min."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.min_by("event_id", F.col("ts")).alias("first_event_id"),
+        F.max_by("event_id", F.col("ts")).alias("last_event_id"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+SQL_MIN_MAX_BY = """
+SELECT event_type,
+       min_by(event_id, ts) AS first_event_id,
+       max_by(event_id, ts) AS last_event_id,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events
+GROUP BY event_type
+"""
+
+
+def q_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-over-period BI staple: month-over-month revenue growth in
+    integer basis points. The fact aggregates once to a months-sized
+    frame; the lag window then runs on that TINY frame (single
+    partition is fine — it is dozens of rows at any corpus size, the
+    windowed object is the AGGREGATE, never the fact)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("lag_rev", F.lag("rev_cents").over(w))
+        .select(
+            "month",
+            "rev_cents",
+            F.when(
+                F.col("lag_rev").isNotNull(),
+                F.expr("(10000 * (rev_cents - lag_rev)) div lag_rev"),
+            ).alias("growth_bp"),
+        )
+        .orderBy("month")
+    )
+
+
+SQL_MOM_GROWTH = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, rev_cents,
+       CASE WHEN lag(rev_cents) OVER (ORDER BY month) IS NOT NULL
+            THEN (10000 * (rev_cents - lag(rev_cents) OVER (ORDER BY month)))
+                 // lag(rev_cents) OVER (ORDER BY month)
+       END AS growth_bp
+FROM monthly
+ORDER BY month
+"""
+
+
+HIST_BUCKETS = 20
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of event values per type — the profiling
+    companion to table_profile. Bucket edges derive from per-type
+    integer-cent min/max (broadcast back), and bucket assignment is
+    exact integer arithmetic, so both engines bin identically even at
+    edge values. One fact aggregation + one tiny-frame broadcast."""
+    e = load_table(spark, sf_dir, "events")
+    v_c = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    bounds = e.groupBy("event_type").agg(
+        F.min(v_c).alias("lo_c"), F.max(v_c).alias("hi_c")
+    )
+    width = F.greatest(
+        ((F.col("hi_c") - F.col("lo_c")) / HIST_BUCKETS).cast("bigint") + 1,
+        F.lit(1),
+    )
+    bucket = F.least(
+        ((v_c - F.col("lo_c")) / width).cast("bigint"),
+        F.lit(HIST_BUCKETS - 1),
+    )
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+SQL_VALUE_HISTOGRAM = f"""
+WITH b AS (
+  SELECT event_type,
+         CAST(min(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS lo_c,
+         CAST(max(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT) AS hi_c
+  FROM events GROUP BY event_type
+)
+SELECT events.event_type AS event_type,
+       least(
+         (CAST(floor(value * 1e2 + 0.5) AS BIGINT) - lo_c)
+           // (((hi_c - lo_c) // {HIST_BUCKETS}) + 1),
+         {HIST_BUCKETS - 1}
+       ) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events JOIN b USING (event_type)
+GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""
+
+
 def q_agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered set listagg per group (SQL string_agg / LISTAGG parity):
     the distinct sources per language as one sorted comma-joined
@@ -1696,5 +1817,8 @@ SPECS = [
     QuerySpec("winsorize_values", q_winsorize_values, SQL_WINSORIZE),
     QuerySpec("agg_string_concat", q_agg_string_concat, SQL_STRING_CONCAT),
     QuerySpec("agg_filtered", q_agg_filtered, SQL_AGG_FILTERED),
+    QuerySpec("agg_min_max_by", q_agg_min_max_by, SQL_MIN_MAX_BY),
+    QuerySpec("mom_revenue_growth", q_mom_revenue_growth, SQL_MOM_GROWTH),
+    QuerySpec("value_histogram", q_value_histogram, SQL_VALUE_HISTOGRAM),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]
