@@ -612,6 +612,98 @@ ORDER BY month
 """
 
 
+def q_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per event_type between the event value and
+    the user bucket — composed from EXACT BIGINT moments (n, Σx, Σy,
+    Σx², Σy², Σxy over cent-unit ints) with only the final divisions
+    in double, the same summation-order-independent discipline as the
+    z-score anomaly query. A direct corr() would sum doubles in
+    partition order and drift in the last ulp between engines."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    y = F.pmod(F.col("user_id"), F.lit(100)).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    cov = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        fround(cov / F.sqrt(vx * vy), 6).alias("corr"),
+    )
+
+
+SQL_CORR_MOMENTS = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(xc) AS BIGINT) AS sx, CAST(sum(yb) AS BIGINT) AS sy,
+         CAST(sum(xc * xc) AS BIGINT) AS sxx,
+         CAST(sum(yb * yb) AS BIGINT) AS syy,
+         CAST(sum(xc * yb) AS BIGINT) AS sxy
+  FROM (
+    SELECT event_type,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS xc,
+           CAST(user_id % 100 AS BIGINT) AS yb
+    FROM events
+  )
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                    * CAST(n * syy - sy * sy AS DOUBLE)) * 1e6 + 0.5) / 1e6
+         AS corr
+FROM m
+"""
+
+
+def q_join_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery surface (SQL:2016 / Spark 3.4+):
+    for each high-value order, its top-2 lineitems by quantity. The
+    declarative form of per-key top-N; Catalyst decorrelates the
+    lateral into a window-style plan rather than re-executing per row
+    — the same physics as window_rank_topk, exposed through the SQL
+    surface a warehouse user would write."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber, t.l_quantity
+        FROM orders_v o,
+        LATERAL (
+          SELECT l_linenumber, l_quantity
+          FROM lineitem_v
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_quantity DESC, l_linenumber
+          LIMIT 2
+        ) t
+        WHERE o.o_totalprice > 400000.0
+        """
+    )
+
+
+SQL_LATERAL_TOPN = """
+SELECT o.o_orderkey, t.l_linenumber, t.l_quantity
+FROM orders o,
+LATERAL (
+  SELECT l_linenumber, l_quantity
+  FROM lineitem
+  WHERE l_orderkey = o.o_orderkey
+  ORDER BY l_quantity DESC, l_linenumber
+  LIMIT 2
+) t
+WHERE o.o_totalprice > 400000.0
+"""
+
+
 HIST_BUCKETS = 20
 
 
@@ -1820,5 +1912,7 @@ SPECS = [
     QuerySpec("agg_min_max_by", q_agg_min_max_by, SQL_MIN_MAX_BY),
     QuerySpec("mom_revenue_growth", q_mom_revenue_growth, SQL_MOM_GROWTH),
     QuerySpec("value_histogram", q_value_histogram, SQL_VALUE_HISTOGRAM),
+    QuerySpec("corr_exact_moments", q_corr_exact_moments, SQL_CORR_MOMENTS),
+    QuerySpec("join_lateral_topn", q_join_lateral_topn, SQL_LATERAL_TOPN),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]

@@ -491,3 +491,15 @@ def test_rag_ingest_single_exchange(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1
     assert "sha2" in plan
     assert "Generate explode" in plan
+
+
+def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
+    """The LATERAL LIMIT subquery must plan as a decorrelated
+    WindowGroupLimit (partial top-k BEFORE the exchange) joined to the
+    broadcast filtered orders — never per-row re-execution."""
+    from etl_dagster_service_crawler_spark.workloads import relational
+
+    plan = _plan(relational.q_join_lateral_topn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
