@@ -123,6 +123,74 @@ FROM lineitem WHERE l_returnflag = 'R'
 """
 
 
+def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-line source (fifth batch format): documents staged as
+    newline-delimited text, read back with spark.read.text — the
+    format web-scale raw crawls actually arrive in before any schema
+    exists. Line order across files/partitions is not meaningful, so
+    the result is the line MULTISET (the driver hash is order-
+    insensitive); per-line length re-derives downstream structure."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    path = _scratch(sf_dir, "scan_text/documents")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.mode("overwrite").text(path)
+    back = spark.read.text(path)
+    return back.select(
+        F.col("value").alias("line"),
+        F.length("value").cast("int").alias("n_chars"),
+    )
+
+
+SQL_SCAN_TEXT = """
+SELECT text AS line, CAST(length(text) AS INT) AS n_chars
+FROM documents
+"""
+
+
+def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-file binary source (spark.read.format('binaryFile')) —
+    how image/audio/video payloads enter a multimodal pipeline: one
+    row per file with the raw bytes. Staged by writing each en
+    document's text as its own .bin file; the read-back emits
+    content hash + byte length keyed by the doc id carried in the
+    file NAME (path metadata is environment-specific and excluded).
+    At 100 TB this source partitions by file and never shuffles —
+    decode/feature-extraction happens map-side (see multimodal ops)."""
+    import os
+
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load_table(spark, sf_dir, "documents")
+        .where((F.col("lang") == "en") & (F.col("doc_id") < 200))
+        .select("doc_id", "text")
+        .collect()
+    ]
+    base = _scratch(sf_dir, "scan_binary/files")
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base, exist_ok=True)
+    for doc_id, text in docs:
+        with open(os.path.join(base, f"{doc_id}.bin"), "wb") as f:
+            f.write(text.encode("utf-8"))
+
+    back = spark.read.format("binaryFile").load(base)
+    doc_id = F.regexp_extract(
+        F.element_at(F.split(F.col("path"), "/"), -1), r"(\d+)\.bin", 1
+    ).cast("bigint")
+    return back.select(
+        doc_id.alias("doc_id"),
+        F.md5(F.col("content")).alias("content_md5"),
+        F.col("length").cast("bigint").alias("n_bytes"),
+    )
+
+
+SQL_SCAN_BINARY = """
+SELECT doc_id, md5(text) AS content_md5,
+       CAST(strlen(text) AS BIGINT) AS n_bytes
+FROM documents
+WHERE lang = 'en' AND doc_id < 200
+"""
+
+
 def q_sink_json_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1: append = new files under the dir, not read-merge-rewrite.
     Two appends (en docs, then the rest) must read back as the union."""
@@ -466,6 +534,8 @@ SPECS = [
     QuerySpec(
         "sink_versioned_snapshot", q_sink_versioned_snapshot, SQL_SINK_VERSIONED
     ),
+    QuerySpec("scan_text_lines", q_scan_text_lines, SQL_SCAN_TEXT),
+    QuerySpec("scan_binary_files", q_scan_binary_files, SQL_SCAN_BINARY),
     QuerySpec("sink_table", q_sink_table, SQL_SINK_TABLE),
     QuerySpec("bucketed_colocated_join", q_bucketed_colocated_join, SQL_BUCKETED_JOIN),
     QuerySpec("join_dpp_partitioned", q_join_dpp_partitioned, SQL_JOIN_DPP),
