@@ -810,7 +810,11 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "retention_cohort_weekly", q_retention_cohort_weekly, SQL_RETENTION_COHORT
     ),
-    QuerySpec("product_type_profit", q_product_type_profit, SQL_PRODUCT_PROFIT),
+    QuerySpec(
+        "product_type_profit", q_product_type_profit, SQL_PRODUCT_PROFIT, bench=True
+    ),
     QuerySpec("scd2_customer_history", q_scd2_customer_history, SQL_SCD2),
-    QuerySpec("pareto_customer_share", q_pareto_customer_share, SQL_PARETO),
+    QuerySpec(
+        "pareto_customer_share", q_pareto_customer_share, SQL_PARETO, bench=True
+    ),
 ]

@@ -731,5 +731,7 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
-    QuerySpec("pipeline_rag_ingest", q_pipeline_rag_ingest, _rag_ingest_sql()),
+    QuerySpec(
+        "pipeline_rag_ingest", q_pipeline_rag_ingest, _rag_ingest_sql(), bench=True
+    ),
 ]
