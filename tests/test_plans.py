@@ -503,3 +503,35 @@ def test_lateral_topn_decorrelates_to_window_group_limit(spark, sf_dir):
     assert "WindowGroupLimit" in plan
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join reduction: with broadcast off and the
+    application-side size gate lowered (its default 10GB is the 100 TB
+    regime this emulates), Catalyst must inject a bloom_filter_agg
+    built from the selective orders side and probe it on the lineitem
+    side BEFORE the shuffle — row-level runtime filtering, the shuffle
+    -join twin of dynamic partition pruning."""
+    from pyspark.sql import functions as F
+
+    old_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    key = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    old_thr = spark.conf.get(key)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(key, "0")
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            F.col("o_totalprice") > 450000.0
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        plan = _plan(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan.lower() or "BloomFilter" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
+        spark.conf.set(key, old_thr)
