@@ -185,7 +185,7 @@ def q_scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_SCAN_BINARY = """
 SELECT doc_id, md5(text) AS content_md5,
-       CAST(strlen(text) AS BIGINT) AS n_bytes
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
 FROM documents
 WHERE lang = 'en' AND doc_id < 200
 """
