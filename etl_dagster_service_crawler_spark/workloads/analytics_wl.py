@@ -783,6 +783,91 @@ ORDER BY rnk
 """
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    pairs within each user's stream (the first-order Markov structure
+    behind next-action models and anomaly rules). ONE exchange on
+    user_id for the lag window (ts is unique per the fixture, id
+    tiebreak anyway); the pair count partial-aggregates into a
+    |types|^2-sized frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    return (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", prev)
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("prev_type", "event_type")
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+)
+WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type
+ORDER BY prev_type, event_type
+"""
+
+
+RFM_ASOF = "1997-01-01"
+
+
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order as of
+    a fixed date), frequency (order count), monetary (exact cents),
+    each cut into quintiles; segment = R*100 + F*10 + M. Every ntile
+    ordering carries the custkey tiebreak so both engines bin ties
+    identically. One fact aggregation to customer cardinality; the
+    three ntile windows share that small frame (global windows over
+    the AGGREGATE, never the fact)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit(RFM_ASOF), F.max("o_orderdate")).alias("recency_d"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(cents).alias("monetary_c"),
+    )
+    r = F.ntile(5).over(Window.orderBy(F.desc("recency_d"), F.asc("o_custkey")))
+    f_ = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.asc("monetary_c"), F.asc("o_custkey")))
+    return per.select(
+        "o_custkey",
+        "recency_d",
+        "frequency",
+        "monetary_c",
+        (r * 100 + f_ * 10 + m).cast("int").alias("rfm_segment"),
+    )
+
+
+SQL_RFM = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(DATE '{RFM_ASOF}' - CAST(max(o_orderdate) AS DATE) AS INT)
+           AS recency_d,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, recency_d, frequency, monetary_c,
+       CAST(ntile(5) OVER (ORDER BY recency_d DESC, o_custkey) * 100
+          + ntile(5) OVER (ORDER BY frequency, o_custkey) * 10
+          + ntile(5) OVER (ORDER BY monetary_c, o_custkey) AS INT)
+         AS rfm_segment
+FROM per
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "bilateral_trade_volume", q_bilateral_trade_volume, SQL_BILATERAL_TRADE
@@ -817,4 +902,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "pareto_customer_share", q_pareto_customer_share, SQL_PARETO, bench=True
     ),
+    QuerySpec("event_transitions", q_event_transitions, SQL_EVENT_TRANSITIONS),
+    QuerySpec("rfm_segmentation", q_rfm_segmentation, SQL_RFM),
 ]
