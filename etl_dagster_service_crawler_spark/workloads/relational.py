@@ -612,6 +612,81 @@ ORDER BY month
 """
 
 
+def q_cdc_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC compaction: apply an ordered change log (upserts + deletes,
+    possibly many changes per key) onto a snapshot — the batch form of
+    consuming a Debezium/binlog feed. The log derives deterministically
+    from orders: key = custkey, sequenced by orderkey, op = DELETE on
+    every 13th change. Last change per key wins (window on key by seq
+    DESC); winners that are deletes drop the key, upserts override the
+    snapshot, unseen snapshot keys survive.
+
+    Scale: the last-wins window partial-prunes via WindowGroupLimit-
+    style top-1; snapshot and compacted-log then merge on ONE key
+    exchange each (FULL OUTER) — change logs are processed at log
+    size, never replayed per key."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, "D").otherwise("U").alias("op"),
+        cents.alias("new_bal_c"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    last = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("key", "op", "new_bal_c")
+    )
+    snap = c.select(
+        F.col("c_custkey").alias("key"),
+        F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_c"),
+    )
+    merged = snap.join(last, "key", "full_outer")
+    return (
+        merged.where((F.col("op").isNull()) | (F.col("op") == "U"))
+        .select(
+            "key",
+            F.coalesce(F.col("new_bal_c"), F.col("bal_c")).alias("bal_c"),
+            F.when(F.col("op").isNull(), "unchanged")
+            .otherwise("updated")
+            .alias("state"),
+        )
+    )
+
+
+SQL_CDC_MERGE = """
+WITH log AS (
+  SELECT o_custkey AS key, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 13 = 0 THEN 'D' ELSE 'U' END AS op,
+         CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS new_bal_c
+  FROM orders
+),
+last AS (
+  SELECT key, op, new_bal_c FROM (
+    SELECT *, row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+    FROM log
+  ) WHERE rn = 1
+),
+snap AS (
+  SELECT c_custkey AS key,
+         CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+)
+SELECT key,
+       coalesce(new_bal_c, bal_c) AS bal_c,
+       CASE WHEN op IS NULL THEN 'unchanged' ELSE 'updated' END AS state
+FROM snap FULL OUTER JOIN last USING (key)
+WHERE op IS NULL OR op = 'U'
+"""
+
+
 def q_corr_exact_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation per event_type between the event value and
     the user bucket — composed from EXACT BIGINT moments (n, Σx, Σy,
@@ -1913,6 +1988,7 @@ SPECS = [
     QuerySpec("mom_revenue_growth", q_mom_revenue_growth, SQL_MOM_GROWTH),
     QuerySpec("value_histogram", q_value_histogram, SQL_VALUE_HISTOGRAM),
     QuerySpec("corr_exact_moments", q_corr_exact_moments, SQL_CORR_MOMENTS),
+    QuerySpec("cdc_merge_changelog", q_cdc_merge_changelog, SQL_CDC_MERGE),
     QuerySpec("join_lateral_topn", q_join_lateral_topn, SQL_LATERAL_TOPN),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
 ]
