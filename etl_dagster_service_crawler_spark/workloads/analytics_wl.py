@@ -817,6 +817,60 @@ ORDER BY prev_type, event_type
 """
 
 
+def q_open_orders_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-interval counting: how many orders are OPEN (placed,
+    not yet fully shipped) at each month boundary — the backlog curve.
+    The classic +1/-1 delta technique: +1 at the order month, -1 at
+    the month of its LAST shipment; a running sum over month deltas is
+    the live count. The running sum is a window over the MONTHS-sized
+    delta frame (dozens of rows at any scale), so the global cumsum
+    trap never touches the fact; the fact pays one orderkey exchange
+    to find each order's last ship date."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    close = li.groupBy("l_orderkey").agg(F.max("l_shipdate").alias("close_ts"))
+    opens = o.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        F.lit(1).alias("delta"),
+    )
+    closes = close.select(
+        F.date_format("close_ts", "yyyy-MM").alias("month"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = (
+        opens.unionAll(closes)
+        .groupBy("month")
+        .agg(F.sum("delta").alias("net"))
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return deltas.select(
+        "month",
+        F.col("net").cast("bigint").alias("net"),
+        F.sum("net").over(w).cast("bigint").alias("open_orders"),
+    ).orderBy("month")
+
+
+SQL_OPEN_ORDERS = """
+WITH close AS (
+  SELECT l_orderkey, max(l_shipdate) AS close_ts FROM lineitem
+  GROUP BY l_orderkey
+),
+deltas AS (
+  SELECT month, CAST(sum(delta) AS BIGINT) AS net FROM (
+    SELECT strftime(o_orderdate, '%Y-%m') AS month, 1 AS delta FROM orders
+    UNION ALL
+    SELECT strftime(close_ts, '%Y-%m') AS month, -1 AS delta FROM close
+  ) GROUP BY month
+)
+SELECT month, net,
+       CAST(sum(net) OVER (ORDER BY month
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS open_orders
+FROM deltas
+ORDER BY month
+"""
+
+
 RFM_ASOF = "1997-01-01"
 
 
@@ -903,5 +957,6 @@ SPECS: list[QuerySpec] = [
         "pareto_customer_share", q_pareto_customer_share, SQL_PARETO, bench=True
     ),
     QuerySpec("event_transitions", q_event_transitions, SQL_EVENT_TRANSITIONS),
+    QuerySpec("open_orders_timeline", q_open_orders_timeline, SQL_OPEN_ORDERS),
     QuerySpec("rfm_segmentation", q_rfm_segmentation, SQL_RFM),
 ]
