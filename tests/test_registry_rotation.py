@@ -90,6 +90,14 @@ def test_registry_orders_never_checked_into_window():
         if (hash_green.get(n, 0) if s.oracle is not None else rows_checked.get(n, 0))
         == 0
     }
-    missing = never_checked - window
-    assert len(never_checked) <= 50, "never-checked set exceeds the driver window"
-    assert not missing, f"never-checked queries outside the 50-window: {missing}"
+    if len(never_checked) <= 50:
+        missing = never_checked - window
+        assert not missing, f"never-checked queries outside the 50-window: {missing}"
+    else:
+        # more new queries than window slots (a widening round): the
+        # rotation must at least fill EVERY slot with a never-checked
+        # query — the overflow is next round's tier-0
+        assert window <= never_checked, (
+            f"window wastes slots on already-checked queries while "
+            f"{len(never_checked)} are unchecked: {window - never_checked}"
+        )
