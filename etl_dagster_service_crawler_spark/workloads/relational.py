@@ -421,6 +421,30 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day — the DAU/WAU
+    family. Exact rolling distinct CANNOT partial-aggregate (each
+    window would need the full id multiset), so the scale form is a
+    per-day HLL sketch (one fact aggregation, mergeable) unioned over
+    a 7-row window on the DAYS-sized frame. Rows-only by nature
+    (approximate); tests/test_io_udf.py bounds it within 5% of the
+    exact trailing distinct recomputed by brute force."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            "day",
+            F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+                "users_7d"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
 def q_agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB distinct-count pattern:
     sketch ONCE at the fine grain (distinct customers per nation,
@@ -1942,6 +1966,7 @@ SPECS = [
     QuerySpec("agg_distinct", q_agg_distinct, SQL_DISTINCT),
     QuerySpec("agg_approx_distinct", q_agg_approx_distinct, None),
     QuerySpec("agg_hll_sketch_rollup", q_agg_hll_sketch_rollup, None),
+    QuerySpec("rolling_distinct_users", q_rolling_distinct_users, None),
     QuerySpec("agg_rollup", q_agg_rollup, SQL_ROLLUP),
     QuerySpec("agg_grouping_sets", q_agg_grouping_sets, SQL_GROUPING_SETS),
     QuerySpec("agg_cube", q_agg_cube, SQL_CUBE),

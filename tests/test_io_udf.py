@@ -269,3 +269,26 @@ def test_versioned_sink_time_travel_and_crash_safety(spark, tmp_path):
     assert read_versioned(spark, root).count() == 9  # still v2
     with _pytest.raises(ValueError, match="not committed"):
         read_versioned(spark, root, 3)
+
+
+def test_rolling_distinct_users_within_tolerance(spark, sf_dir):
+    """The sketch-unioned trailing-7d distinct must land within 5% of
+    the exact trailing distinct, brute-forced from the raw events."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_rolling_distinct_users,
+    )
+
+    got = {r["day"]: r["users_7d"] for r in q_rolling_distinct_users(spark, sf_dir).collect()}
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id").collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r["ts"].date()].add(r["user_id"])
+    days = sorted(by_day)
+    for d in days:
+        exact = len(set().union(*(by_day.get(d - timedelta(days=k), set()) for k in range(7))))
+        approx = got[d.strftime("%Y-%m-%d")]
+        assert abs(approx - exact) <= max(1, 0.05 * exact), (d, exact, approx)
