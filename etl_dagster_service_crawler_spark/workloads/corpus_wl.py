@@ -642,6 +642,41 @@ WHERE rk <= {CAP_PER_SOURCE}
 """
 
 
+def q_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup QA report: the distribution of exact-duplicate cluster
+    sizes (how much of the corpus is 1x, 2x, ... Nx duplicated) — the
+    first chart anyone asks for after a dedup run, and the input to
+    choosing pairs-vs-assign strategies (pair volume is
+    O(Σ cluster²), readable directly off this table).
+
+    Scale: one exchange on sha2(text) with text pruned scan-side
+    (count-only agg), then a cluster-count-sized regroup."""
+    d = load_table(spark, sf_dir, "documents")
+    clusters = d.groupBy(F.sha2(F.col("text"), 256).alias("h")).agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    return (
+        clusters.groupBy("sz")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            (F.count(F.lit(1)) * F.col("sz")).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("sz")
+    )
+
+
+SQL_DUP_CLUSTER_DIST = """
+WITH clusters AS (
+  SELECT sha256(text) AS h, count(*) AS sz FROM documents GROUP BY 1
+)
+SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * sz AS BIGINT) AS n_docs
+FROM clusters
+GROUP BY sz
+ORDER BY sz
+"""
+
+
 def q_pipeline_rag_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The RAG-ingestion flagship: quality gate -> best-copy
     representative per exact-duplicate cluster -> overlapping chunks.
@@ -733,5 +768,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
     QuerySpec(
         "pipeline_rag_ingest", q_pipeline_rag_ingest, _rag_ingest_sql(), bench=True
+    ),
+    QuerySpec(
+        "dup_cluster_size_dist", q_dup_cluster_size_dist, SQL_DUP_CLUSTER_DIST
     ),
 ]

@@ -191,6 +191,37 @@ WHERE lang = 'en' AND doc_id < 200
 """
 
 
+def q_lake_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-wide health report: one row per lake table with its row
+    count — the ops dashboard's first panel and the cheapest daily
+    drift detector (a table whose count moves unexpectedly is the
+    earliest signal of a broken upstream).
+
+    Scale: each branch is a column-pruned COUNT over one table's scan
+    (parquet answers from footer statistics where possible); branches
+    are independent — on a cluster they run concurrently."""
+    parts = []
+    for t in TABLES:
+        parts.append(
+            load_table(spark, sf_dir, t).agg(
+                F.count(F.lit(1)).alias("n_rows")
+            ).select(F.lit(t).alias("table_name"), "n_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("table_name")
+
+
+SQL_LAKE_HEALTH = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name, CAST(count(*) AS BIGINT) AS n_rows FROM {t}"
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+) + " ORDER BY table_name"
+
+
 def q_sink_json_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K1: append = new files under the dir, not read-merge-rewrite.
     Two appends (en docs, then the rest) must read back as the union."""
@@ -536,6 +567,7 @@ SPECS = [
     ),
     QuerySpec("scan_text_lines", q_scan_text_lines, SQL_SCAN_TEXT),
     QuerySpec("scan_binary_files", q_scan_binary_files, SQL_SCAN_BINARY),
+    QuerySpec("lake_health_report", q_lake_health_report, SQL_LAKE_HEALTH),
     QuerySpec("sink_table", q_sink_table, SQL_SINK_TABLE),
     QuerySpec("bucketed_colocated_join", q_bucketed_colocated_join, SQL_BUCKETED_JOIN),
     QuerySpec("join_dpp_partitioned", q_join_dpp_partitioned, SQL_JOIN_DPP),
