@@ -1,0 +1,108 @@
+"""Distributed global ranking: exact ``ntile`` over a total ordering
+without the single-task global-sort window.
+
+``Window.orderBy(...)`` with no partition key — the way ``ntile`` is
+usually written — serializes the WHOLE frame through one task; at
+100 TB that one executor is the pipeline. This module implements the
+same exact semantics with the distributed prefix-sum idiom already
+proven by ``q_pareto_customer_share`` (analytics_wl.py):
+
+  1. ``repartitionByRange`` on the ordering — globally ordered across
+     partitions, parallel within;
+  2. per-partition ``row_number`` (hash-partitioned window on the
+     range-partition id, all partitions in parallel);
+  3. per-partition row counts cumulated over the partition-id frame —
+     the only serial window, ``num_parts`` rows, constant-sized —
+     broadcast back as offsets; global rank = offset + local rank;
+  4. the closed-form ntile bucket from (rank, n, k), in exact integer
+     arithmetic.
+
+Exactness: ntile(k) over n rows puts ``n % k`` buckets of size
+``n div k + 1`` first, then buckets of size ``n div k`` (SQL standard,
+matched by both Spark and DuckDB), so the bucket is a pure function of
+the global 1-based rank — no interpolation, no approximation, ties
+broken by whatever tiebreak the caller puts in ``order_by``. Range
+boundaries never affect the output: the range sampler seeds per input
+partition index, so re-evaluating the ranged frame inside one query
+yields consistent partition ids (same guarantee pareto relies on).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+DEFAULT_RANGE_PARTS = 16
+
+_INTERNAL = ("__dnt_pid", "__dnt_rank", "__dnt_n")
+
+
+def global_rank(
+    df: DataFrame,
+    order_by: list[Column],
+    num_parts: int = DEFAULT_RANGE_PARTS,
+) -> DataFrame:
+    """Add exact global 1-based ``__dnt_rank`` and total-count
+    ``__dnt_n`` columns under the ``order_by`` total ordering, fully
+    distributed (no unpartitioned window). ``order_by`` must be a
+    total order (include a unique tiebreak) for deterministic output.
+    """
+    ranged = df.repartitionByRange(num_parts, *order_by).withColumn(
+        "__dnt_pid", F.spark_partition_id()
+    )
+    part_counts = ranged.groupBy("__dnt_pid").agg(
+        F.count(F.lit(1)).alias("__dnt_pcnt")
+    )
+    prior = Window.orderBy("__dnt_pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    everything = Window.orderBy("__dnt_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = part_counts.select(
+        "__dnt_pid",
+        F.coalesce(F.sum("__dnt_pcnt").over(prior), F.lit(0)).alias(
+            "__dnt_off"
+        ),
+        F.sum("__dnt_pcnt").over(everything).alias("__dnt_n"),
+    )
+    wp = Window.partitionBy("__dnt_pid").orderBy(*order_by)
+    return (
+        ranged.join(F.broadcast(offsets), "__dnt_pid")
+        .withColumn(
+            "__dnt_rank",
+            F.row_number().over(wp).cast("bigint") + F.col("__dnt_off"),
+        )
+        .drop("__dnt_off")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    k: int,
+    order_by: list[Column],
+    out_col: str,
+    num_parts: int = DEFAULT_RANGE_PARTS,
+) -> DataFrame:
+    """Exact ``ntile(k) OVER (ORDER BY order_by)`` as a new column
+    ``out_col``, computed distributed. Output columns = input columns
+    + ``out_col`` (internal pid/rank columns are dropped), so calls
+    compose: three RFM quintiles are three successive calls, each one
+    range exchange over the frame, all parallel."""
+    ranked = global_rank(df, order_by, num_parts=num_parts)
+    r, n = F.col("__dnt_rank"), F.col("__dnt_n")
+    # SQL-standard ntile: rem = n % k big buckets of size q+1 first.
+    big = F.expr(f"(__dnt_n % {k}) * ((__dnt_n div {k}) + 1)")
+    bucket = (
+        F.when(
+            r <= big,
+            F.expr(f"(__dnt_rank - 1) div ((__dnt_n div {k}) + 1) + 1"),
+        ).otherwise(
+            F.expr(
+                f"(__dnt_n % {k}) + ("
+                f"(__dnt_rank - (__dnt_n % {k}) * ((__dnt_n div {k}) + 1) - 1)"
+                f" div (__dnt_n div {k})) + 1"
+            )
+        )
+    ).cast("int")
+    return ranked.withColumn(out_col, bucket).drop(*_INTERNAL)

@@ -23,6 +23,9 @@ from etl_dagster_service_crawler_spark.functions.compat import (
     sql_fround,
 )
 from etl_dagster_service_crawler_spark.io.tables import load_table
+from etl_dagster_service_crawler_spark.operators.ranking import (
+    distributed_ntile,
+)
 
 def _rev_units():
     """Exact discounted revenue in BIGINT 1e-4 units (cents x
@@ -879,9 +882,13 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a fixed date), frequency (order count), monetary (exact cents),
     each cut into quintiles; segment = R*100 + F*10 + M. Every ntile
     ordering carries the custkey tiebreak so both engines bin ties
-    identically. One fact aggregation to customer cardinality; the
-    three ntile windows share that small frame (global windows over
-    the AGGREGATE, never the fact)."""
+    identically. One fact aggregation to customer cardinality; each
+    quintile is `distributed_ntile` (operators/ranking.py) — range
+    partition + per-partition rank + broadcast offsets — because even
+    the customer AGGREGATE is billions of rows at 100 TB and an
+    unpartitioned ntile would serialize it through one task three
+    times. Three composable calls = three parallel range exchanges,
+    zero single-task sorts."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
         "bigint"
@@ -891,15 +898,23 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         F.sum(cents).alias("monetary_c"),
     )
-    r = F.ntile(5).over(Window.orderBy(F.desc("recency_d"), F.asc("o_custkey")))
-    f_ = F.ntile(5).over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
-    m = F.ntile(5).over(Window.orderBy(F.asc("monetary_c"), F.asc("o_custkey")))
+    per = distributed_ntile(
+        per, 5, [F.desc("recency_d"), F.asc("o_custkey")], "r_q"
+    )
+    per = distributed_ntile(
+        per, 5, [F.asc("frequency"), F.asc("o_custkey")], "f_q"
+    )
+    per = distributed_ntile(
+        per, 5, [F.asc("monetary_c"), F.asc("o_custkey")], "m_q"
+    )
     return per.select(
         "o_custkey",
         "recency_d",
         "frequency",
         "monetary_c",
-        (r * 100 + f_ * 10 + m).cast("int").alias("rfm_segment"),
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        .cast("int")
+        .alias("rfm_segment"),
     )
 
 

@@ -20,6 +20,9 @@ from etl_dagster_service_crawler_spark.functions.text import (
     tokens_ws,
 )
 from etl_dagster_service_crawler_spark.io.tables import load_table
+from etl_dagster_service_crawler_spark.operators.ranking import (
+    distributed_ntile,
+)
 from etl_dagster_service_crawler_spark.operators.similarity import knn_join_cells
 
 CHUNK_TOKENS = 64
@@ -274,17 +277,24 @@ def q_quality_bin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pretraining recipe step that upweights high-quality text without
     discarding the tail outright.
 
-    Scale shape: ntile is one global sort exchange over (score,
-    doc_id) — at 100 TB swap for approx-quantile bin edges computed in
-    one pass and a broadcast range lookup (same output contract, no
-    total sort); the sample filter itself is a pure map (md5 nibble vs
-    per-bin threshold, no rand(), stable under reruns/repartition)."""
+    Scale shape: the decile is `distributed_ntile` (operators/
+    ranking.py) — range partition on (score, doc_id), per-partition
+    row_number, broadcast 16-row offsets, closed-form exact ntile
+    bucket — NEVER an unpartitioned `ntile` window, which would sort
+    the whole documents table through one task (the trap
+    pareto_customer_share documents). The sample filter itself is a
+    pure map (md5 nibble vs per-bin threshold, no rand(), stable
+    under reruns/repartition)."""
     d = load_table(spark, sf_dir, "documents")
-    wb = Window.orderBy(F.col("score"), F.col("doc_id"))
-    scored = d.select(
-        "doc_id",
-        quality_score(F.col("text"), F.col("n_chars")).alias("score"),
-    ).withColumn("qbin", F.ntile(10).over(wb))
+    scored = distributed_ntile(
+        d.select(
+            "doc_id",
+            quality_score(F.col("text"), F.col("n_chars")).alias("score"),
+        ),
+        10,
+        [F.asc("score"), F.asc("doc_id")],
+        "qbin",
+    )
     thr = F.element_at(
         F.array(*[F.lit(t) for t in QBIN_THRESHOLDS]), F.col("qbin")
     )

@@ -535,3 +535,31 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bc)
         spark.conf.set(key, old_thr)
+
+
+def test_quality_bin_ntile_is_distributed(spark, sf_dir):
+    """The quality decile must NOT sort the documents table through
+    one task: distributed_ntile range-partitions on (score, doc_id)
+    and the only single-partition plan is the constant-sized
+    (16-row) per-partition-count offsets frame."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_quality_bin_sample(spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert "Exchange hashpartitioning(__dnt_pid#" in plan
+    assert plan.count("Exchange SinglePartition") <= 1
+    assert "ntile" not in plan  # closed-form bucket, no ntile window
+
+
+def test_rfm_quintiles_are_distributed(spark, sf_dir):
+    """All three RFM quintiles must be distributed_ntile calls — the
+    customer aggregate is billions of rows at 100 TB. Allowed
+    single-partition plans: exactly the three 16-row offsets frames,
+    one per quintile; no ntile window anywhere."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_rfm_segmentation(spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert "Exchange hashpartitioning(__dnt_pid#" in plan
+    assert plan.count("Exchange SinglePartition") <= 3
+    assert "ntile" not in plan

@@ -349,3 +349,43 @@ def test_pareto_prefix_sum_matches_python(spark, revs):
         if bp <= PARETO_BP:
             expect[k] = (rnk, bp)
     assert got == expect
+
+
+@given(
+    n=st.integers(min_value=0, max_value=97),
+    k=st.sampled_from([1, 2, 3, 5, 10, 16]),
+    seed=st.integers(min_value=0, max_value=5),
+)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_distributed_ntile_matches_window_ntile(spark, n, k, seed):
+    """distributed_ntile must reproduce SQL-standard ntile exactly —
+    including tie groups, n < k, and n not divisible by k — while
+    planning zero unpartitioned sorts of the frame (plan pinned in
+    test_plans.py; this pins values)."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_dagster_service_crawler_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    rng = random.Random(seed)
+    rows = [Row(id=i, v=rng.randint(0, 9)) for i in range(n)]
+    df = spark.createDataFrame(rows, schema="id int, v int")
+    order = [F.asc("v"), F.asc("id")]
+    got = {
+        r["id"]: r["b"]
+        for r in distributed_ntile(df, k, order, "b", num_parts=4).collect()
+    }
+    want = {
+        r["id"]: r["b"]
+        for r in df.select(
+            "id", F.ntile(k).over(Window.orderBy(*order)).alias("b")
+        ).collect()
+    }
+    assert got == want
