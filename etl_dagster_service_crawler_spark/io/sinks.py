@@ -152,25 +152,52 @@ _VERSION_FMT = "v{:05d}"
 
 def sink_versioned(df: DataFrame, root: str, version: int) -> None:
     """Write `df` as snapshot `version`, committing it to the manifest
-    only after the data lands."""
+    only after the data lands.
+
+    Concurrency contract: crash-safety comes from manifest-last +
+    atomic replace; concurrent COMMITS are additionally serialized by
+    an O_EXCL lock file around the manifest read-modify-write (two
+    writers committing different versions would otherwise both read
+    the same manifest and the second replace would drop the first's
+    version — the lost-update race Delta/Iceberg solve with their
+    commit protocol). Local-FS only: O_EXCL is not atomic on object
+    stores, where a real lake format's commit service is the answer."""
     import json
     import os
+    import time
 
     vdir = os.path.join(root, _VERSION_FMT.format(version))
     df.write.mode("overwrite").parquet(vdir)
 
     os.makedirs(root, exist_ok=True)
     manifest = os.path.join(root, "_MANIFEST")
-    versions: list[int] = []
-    if os.path.exists(manifest):
-        with open(manifest) as f:
-            versions = json.load(f)["versions"]
-    if version not in versions:
-        versions = sorted([*versions, version])
-    tmp = manifest + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({"versions": versions, "latest": versions[-1]}, f)
-    os.replace(tmp, manifest)  # the atomic commit point
+    lock = manifest + ".lock"
+    deadline = time.monotonic() + 30.0
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"manifest lock {lock} held for >30s; a crashed "
+                    "writer may have leaked it — remove it manually"
+                ) from None
+            time.sleep(0.05)
+    try:
+        versions: list[int] = []
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                versions = json.load(f)["versions"]
+        if version not in versions:
+            versions = sorted([*versions, version])
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"versions": versions, "latest": versions[-1]}, f)
+        os.replace(tmp, manifest)  # the atomic commit point
+    finally:
+        os.unlink(lock)
 
 
 def read_versioned(spark, root: str, version: int | None = None) -> DataFrame:

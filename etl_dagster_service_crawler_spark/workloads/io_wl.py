@@ -129,8 +129,24 @@ def q_scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     format web-scale raw crawls actually arrive in before any schema
     exists. Line order across files/partitions is not meaningful, so
     the result is the line MULTISET (the driver hash is order-
-    insensitive); per-line length re-derives downstream structure."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    insensitive); per-line length re-derives downstream structure.
+
+    Contract: one document == one line, so the round-trip only equals
+    `SELECT text FROM documents` when text contains no '\\n' (true of
+    the fixtures; a real crawl uses JSONL/parquet, not raw text, for
+    exactly this reason). Defensively enforced below so a future
+    fixture with embedded newlines fails loudly here instead of as a
+    confusing downstream hash mismatch."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.when(
+            F.col("text").contains("\n"),
+            F.raise_error(
+                F.lit("scan_text_lines requires newline-free document text")
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text")
+    )
     path = _scratch(sf_dir, "scan_text/documents")
     shutil.rmtree(path, ignore_errors=True)
     docs.write.mode("overwrite").text(path)

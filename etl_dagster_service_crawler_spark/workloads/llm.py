@@ -768,15 +768,21 @@ def repetition_exprs(text_col):
             F.greatest(acc.best, run).alias("best"),
         )
 
-    top_bg = F.aggregate(
-        F.array_sort(bg),
-        F.struct(
-            F.lit("").alias("prev"),
-            F.lit(0).alias("run"),
-            F.lit(0).alias("best"),
+    # coalesce preserves the pre-r4 null-safe contract: a NULL text
+    # yields 0, not NULL (aggregate over a NULL array returns NULL;
+    # the old coalesce(array_max(...), 0) form returned 0).
+    top_bg = F.coalesce(
+        F.aggregate(
+            F.array_sort(bg),
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            _step,
+            lambda acc: acc.best,
         ),
-        _step,
-        lambda acc: acc.best,
+        F.lit(0),
     )
     return w, bg, top_bg
 

@@ -817,17 +817,22 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = e.groupBy("event_type").agg(
         F.min(v_c).alias("lo_c"), F.max(v_c).alias("hi_c")
     )
-    width = F.greatest(
-        ((F.col("hi_c") - F.col("lo_c")) / HIST_BUCKETS).cast("bigint") + 1,
-        F.lit(1),
-    )
-    bucket = F.least(
-        ((v_c - F.col("lo_c")) / width).cast("bigint"),
-        F.lit(HIST_BUCKETS - 1),
-    )
+    # `div` on both sides, never double-`/`-then-cast: a quotient
+    # within one ulp of an integer would truncate differently across
+    # engines and flip a bucket (width is always >= 1 by the +1).
     return (
         e.join(F.broadcast(bounds), "event_type")
-        .groupBy("event_type", bucket.alias("bucket"))
+        .withColumn("v_c", v_c)
+        .withColumn(
+            "width", F.expr(f"((hi_c - lo_c) div {HIST_BUCKETS}) + 1")
+        )
+        .groupBy(
+            "event_type",
+            F.least(
+                F.expr("(v_c - lo_c) div width"),
+                F.lit(HIST_BUCKETS - 1).cast("bigint"),
+            ).alias("bucket"),
+        )
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy("event_type", "bucket")
     )
@@ -914,24 +919,26 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group outlier clipping (winsorization): clamp each event's
     value into its type's [p01, p99] band — the feature-prep step
     before any scale-sensitive statistics. Bounds are floored to cent
-    units so the clamp compares exact BIGINTs (a raw double compare
-    against an interpolated quantile would be last-ulp fragile across
-    engines).
+    units so the clamp compares exact BIGINTs, and the percentile is
+    taken over the ALREADY-INTEGER cent column — both engines then
+    interpolate over identical integer inputs, so the floored bound
+    cannot drift by a last-ulp difference in `value * 1e2` between
+    Spark percentile and DuckDB quantile_cont.
 
     Scale: ONE pass computes the per-type bounds (tiny frame, exact
     percentile — swap approx_percentile at 100 TB, same plan), which
     broadcast back onto the unshuffled fact scan: the events table is
     never exchanged."""
     e = load_table(spark, sf_dir, "events")
+    v_c = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
     pb = e.groupBy("event_type").agg(
-        F.floor(F.percentile("value", 0.01) * F.lit(1e2) + F.lit(0.5))
+        F.floor(F.percentile(v_c, 0.01) + F.lit(0.5))
         .cast("bigint")
         .alias("lo_c"),
-        F.floor(F.percentile("value", 0.99) * F.lit(1e2) + F.lit(0.5))
+        F.floor(F.percentile(v_c, 0.99) + F.lit(0.5))
         .cast("bigint")
         .alias("hi_c"),
     )
-    v_c = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
     clipped = F.greatest(F.col("lo_c"), F.least(F.col("hi_c"), v_c))
     return e.join(F.broadcast(pb), "event_type").select(
         "event_id",
@@ -946,8 +953,12 @@ def q_winsorize_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_WINSORIZE = """
 WITH pb AS (
   SELECT event_type,
-         CAST(floor(quantile_cont(value, 0.01) * 1e2 + 0.5) AS BIGINT) AS lo_c,
-         CAST(floor(quantile_cont(value, 0.99) * 1e2 + 0.5) AS BIGINT) AS hi_c
+         CAST(floor(quantile_cont(
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT), 0.01) + 0.5)
+           AS BIGINT) AS lo_c,
+         CAST(floor(quantile_cont(
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT), 0.99) + 0.5)
+           AS BIGINT) AS hi_c
   FROM events GROUP BY event_type
 )
 SELECT event_id, events.event_type AS event_type,

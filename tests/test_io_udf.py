@@ -292,3 +292,63 @@ def test_rolling_distinct_users_within_tolerance(spark, sf_dir):
         exact = len(set().union(*(by_day.get(d - timedelta(days=k), set()) for k in range(7))))
         approx = got[d.strftime("%Y-%m-%d")]
         assert abs(approx - exact) <= max(1, 0.05 * exact), (d, exact, approx)
+
+
+def test_sink_versioned_concurrent_commits_keep_both(spark, tmp_path):
+    """Two writers committing different versions concurrently must
+    both survive in the manifest — the lost-update race the O_EXCL
+    lock around the read-modify-write exists to prevent."""
+    import threading
+
+    from etl_dagster_service_crawler_spark.io.sinks import (
+        read_versioned,
+        sink_versioned,
+    )
+
+    root = str(tmp_path / "snap")
+    d1 = spark.range(3).withColumnRenamed("id", "v")
+    d2 = spark.range(5).withColumnRenamed("id", "v")
+    # stage the data dirs first so the threads race on the manifest
+    # commit window itself, not on the parquet write
+    errs = []
+
+    def commit(df, ver):
+        try:
+            sink_versioned(df, root, ver)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    t1 = threading.Thread(target=commit, args=(d1, 1))
+    t2 = threading.Thread(target=commit, args=(d2, 2))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs
+    assert read_versioned(spark, root, 1).count() == 3
+    assert read_versioned(spark, root, 2).count() == 5
+    assert read_versioned(spark, root).count() == 5  # latest == v2
+
+
+def test_scan_text_lines_rejects_embedded_newlines(spark, tmp_path):
+    """The one-doc-one-line contract is enforced, not assumed: text
+    with '\\n' raises instead of silently splitting rows."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        q_scan_text_lines,
+    )
+
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf)
+    spark.createDataFrame(
+        [
+            (1, "clean text", "en", "web", 10),
+            (2, "bad\ntext", "en", "web", 8),
+        ],
+        "doc_id int, text string, lang string, source string, n_chars int",
+    ).write.parquet(f"{sf}/documents.parquet")
+    with pytest.raises(Exception) as ei:
+        q_scan_text_lines(spark, sf).collect()
+    assert "newline-free" in str(ei.value)

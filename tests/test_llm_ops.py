@@ -624,3 +624,19 @@ def test_cc_plan_depth_constant_across_iterations(spark):
     plan = out._jdf.queryExecution().logical().toString()
     assert len(plan) < 4000, f"plan grew with iterations ({len(plan)} chars)"
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_repetition_exprs_null_text_yields_zero(spark):
+    """Null-safe contract: a NULL text scores 0 for the top-bigram
+    run (not NULL) — callers reuse the helper on nullable columns."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        repetition_exprs,
+    )
+
+    df = spark.createDataFrame([(None,), ("a a a a",)], "text string")
+    _, _, top_bg = repetition_exprs(F.col("text"))
+    vals = [r[0] for r in df.select(top_bg).collect()]
+    assert vals[0] == 0
+    assert vals[1] == 3  # "a a" bigram repeats 3x
