@@ -1,0 +1,28 @@
+# Runnable deployment image — parity with the reference's container
+# (/root/reference/Dockerfile: python-slim base + runtime deps + a
+# long-lived scheduler process). Here the runtime dep is a JVM for
+# Spark instead of chromium for selenium, and the scheduler is the
+# engine's own cron-cadence tick loop (deploy.py) instead of
+# dagster-webserver + daemon.
+FROM python:3.11-slim
+
+# Spark needs a JVM; headless JRE keeps the image small.
+RUN apt-get update \
+    && apt-get install -y --no-install-recommends default-jre-headless procps \
+    && rm -rf /var/lib/apt/lists/*
+
+WORKDIR /app
+COPY pyproject.toml setup.py README.md ./
+COPY etl_dagster_service_crawler_spark ./etl_dagster_service_crawler_spark
+RUN pip install --no-cache-dir .
+
+# Mount the lake at /data (source fixtures/landing zone) and /output
+# (main + side sinks). The run_history table lands in the warehouse.
+ENV DATA_DIR=/data \
+    OUTPUT_DIR=/output \
+    SPARK_WAREHOUSE=/output/warehouse \
+    SPARK_MASTER=local[*]
+
+# Default: the 2-minute schedule loop (the reference's cron); pass
+# --once for a single availableNow tick (CI smoke / backfill).
+ENTRYPOINT ["python", "-m", "etl_dagster_service_crawler_spark.deploy"]

@@ -38,6 +38,58 @@ from etl_dagster_service_crawler_spark.io.observability import (
 
 _job_runs = itertools.count()
 
+RUN_HISTORY_TABLE = "run_history"
+
+_RUN_HISTORY_SCHEMA = (
+    "run_id string, job string, mode string, started_at timestamp, "
+    "finished_at timestamp, n_batches bigint, n_rows bigint, "
+    "n_bad bigint, status string, error string"
+)
+
+
+def record_run(
+    spark: SparkSession,
+    *,
+    run_id: str,
+    job: str,
+    mode: str,
+    started_at: float,
+    finished_at: float,
+    n_batches: int,
+    n_rows: int,
+    n_bad: int,
+    status: str,
+    error: str | None = None,
+    table: str = RUN_HISTORY_TABLE,
+) -> None:
+    """Append one row to the persistent run ledger — the reference's
+    per-tick returncode log (definitions.py:20-25: `result.returncode`
+    checked and logged per scheduled run) landed as a SQL-queryable
+    table via the engine's own K2 sink (`sink_table`), so operators
+    ask `SELECT * FROM run_history ORDER BY started_at` instead of
+    grepping logs. One row per run == one row per schedule tick in
+    the reference's cron model (each tick launches one run)."""
+    import datetime
+
+    from etl_dagster_service_crawler_spark.io.sinks import sink_table
+
+    def _ts(t: float) -> "datetime.datetime":
+        return datetime.datetime.fromtimestamp(t, tz=datetime.timezone.utc)
+
+    row = (
+        run_id,
+        job,
+        mode,
+        _ts(started_at),
+        _ts(finished_at),
+        n_batches,
+        n_rows,
+        n_bad,
+        status,
+        error,
+    )
+    sink_table(spark.createDataFrame([row], _RUN_HISTORY_SCHEMA), table)
+
 
 @dataclass
 class RunStatus:
@@ -72,6 +124,7 @@ class ScheduledPipeline:
     output_mode: str = "append"
     state_partitions: int | None = None
     metric_field: str = "n_empty_fields"
+    ledger_table: str | None = None  # e.g. RUN_HISTORY_TABLE
     _last: RunStatus | None = field(default=None, repr=False)
 
     def _observed(self, spark: SparkSession, source: str) -> DataFrame:
@@ -97,6 +150,59 @@ class ScheduledPipeline:
         timeout_s: float,
     ) -> RunStatus:
         sink = f"job_{self.name}_{next(_job_runs)}"
+        started_at = time.time()
+        try:
+            status = self._run_inner(
+                spark,
+                source,
+                sink=sink,
+                available_now=available_now,
+                min_batches=min_batches,
+                timeout_s=timeout_s,
+            )
+        except Exception as e:
+            if self.ledger_table:
+                record_run(
+                    spark,
+                    run_id=sink,
+                    job=self.name,
+                    mode="available_now" if available_now else "scheduled",
+                    started_at=started_at,
+                    finished_at=time.time(),
+                    n_batches=0,
+                    n_rows=0,
+                    n_bad=0,
+                    status="error",
+                    error=repr(e),
+                    table=self.ledger_table,
+                )
+            raise
+        if self.ledger_table:
+            record_run(
+                spark,
+                run_id=sink,
+                job=self.name,
+                mode="available_now" if available_now else "scheduled",
+                started_at=started_at,
+                finished_at=time.time(),
+                n_batches=status.n_batches,
+                n_rows=status.n_rows,
+                n_bad=status.n_bad,
+                status="ok" if status.ok else "budget_tripped",
+                table=self.ledger_table,
+            )
+        return status
+
+    def _run_inner(
+        self,
+        spark: SparkSession,
+        source: str,
+        *,
+        sink: str,
+        available_now: bool,
+        min_batches: int,
+        timeout_s: float,
+    ) -> RunStatus:
         listener = ErrorBudgetListener(
             spark,
             max_errors=self.max_errors,

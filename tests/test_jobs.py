@@ -110,3 +110,67 @@ def test_job_build_must_be_streaming(spark, sf_dir):
     )
     with pytest.raises(TypeError, match="streaming"):
         job.run_once(spark, sf_dir)
+
+
+def test_run_history_ledger_records_each_tick(spark, sf_dir, tmp_path):
+    """Run-history as a TABLE (the reference's per-run returncode log,
+    definitions.py:20-25): two runs — one clean, one with an injected
+    quality failure that trips the budget — land one ledger row each
+    via sink_table, queryable back with spark.sql."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = str(tmp_path / "ledger_src")
+    _stage_file(docs.where(F.col("doc_id") < 250), src, "day1")
+    table = "run_history_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def build(spark_, source):
+        s = (
+            spark_.readStream.schema(DOCUMENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(source)
+        )
+        probe = s.withColumn(
+            "qc_probe",
+            F.when(F.col("doc_id") % 100 == 0, "").otherwise("ok"),
+        )
+        observed = observe_stream_quality(
+            probe, ["qc_probe"], name="ledgerjob_quality"
+        )
+        return corpus_clean_transform(observed.drop("qc_probe"))
+
+    try:
+        clean = ScheduledPipeline(
+            name="ledgerjob",
+            build=build,
+            max_errors=None,  # tick 1: telemetry only -> ok
+            output_mode="complete",
+            state_partitions=4,
+            ledger_table=table,
+        )
+        s1 = clean.run_once(spark, src, timeout_s=120)
+        assert s1.ok
+
+        strict = ScheduledPipeline(
+            name="ledgerjob",
+            build=build,
+            max_errors=1,  # tick 2: doc_ids 0,100,200 -> 3 bad, trips
+            output_mode="complete",
+            state_partitions=4,
+            ledger_table=table,
+        )
+        s2 = strict.run_once(spark, src, timeout_s=120)
+        assert s2.budget_tripped
+
+        rows = spark.sql(
+            f"SELECT job, mode, status, n_batches, n_rows, n_bad "
+            f"FROM {table} ORDER BY started_at"
+        ).collect()
+        assert len(rows) == 2
+        assert [r["status"] for r in rows] == ["ok", "budget_tripped"]
+        assert all(r["job"] == "ledgerjob" for r in rows)
+        assert all(r["mode"] == "available_now" for r in rows)
+        assert rows[0]["n_rows"] == 250 and rows[0]["n_bad"] == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
