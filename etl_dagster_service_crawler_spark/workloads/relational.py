@@ -1961,6 +1961,181 @@ FROM documents WHERE doc_id < 50
 """
 
 
+def q_window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist of each customer's account balance
+    WITHIN its nation — the relative-standing window pair. Partitioned
+    by nation key, so every partition's window runs parallel (the
+    scale-safe window shape; only UNpartitioned windows serialize).
+    Both engines compute (rank-1)/(n-1) and rank/n from identical
+    integers, so the doubles are bit-identical; rounded 6dp anyway per
+    the float discipline."""
+    c = load_table(spark, sf_dir, "customer")
+    acct_c = F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        acct_c.alias("acctbal_c"),
+        fround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        fround(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_PERCENT_RANK = """
+SELECT c_custkey, c_nationkey,
+       CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS acctbal_c,
+       floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+       floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+"""
+
+
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: the most frequent ship mode per
+    order status, ties broken by mode value ascending (built-in mode()
+    leaves ties undefined — useless for a differential check, so the
+    operator is count + windowed top-1 with an explicit total order).
+    Scale: the count partial-aggregates map-side; the window runs over
+    the tiny (status, priority) aggregate, partitioned by status."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("cnt"), F.asc("o_orderpriority")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            "cnt",
+        )
+    )
+
+
+SQL_MODE_PER_GROUP = """
+WITH c AS (
+  SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+            ORDER BY cnt DESC, o_orderpriority) AS rn
+  FROM c
+) WHERE rn = 1
+"""
+
+
+def q_regr_fit_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares line (slope + intercept) of event value
+    on the user bucket — regr_slope/regr_intercept parity, composed
+    from EXACT BIGINT moments with only the final divisions in double
+    (the corr_exact_moments discipline: a built-in regr_* would sum
+    doubles in partition order and drift in the last ulp)."""
+    e = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(100)).cast("bigint")
+    y = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(x * y).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "event_type",
+        "n",
+        fround(slope, 6).alias("slope_c_per_bucket"),
+        fround(intercept, 6).alias("intercept_c"),
+    )
+
+
+SQL_REGR_FIT = """
+WITH m AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM (
+    SELECT event_type,
+           CAST(user_id % 100 AS BIGINT) AS x,
+           CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS y
+    FROM events
+  )
+  GROUP BY event_type
+)
+SELECT event_type, n,
+       floor(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS slope_c_per_bucket,
+       floor((CAST(sy AS DOUBLE)
+              - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6
+         AS intercept_c
+FROM m
+"""
+
+
+def q_purchase_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase gap statistics per customer: max / total gap in
+    days and gap count between consecutive orders (lag over the
+    per-customer order sequence). The churn-signal feature every CRM
+    mart derives. Window is PARTITIONED by custkey — parallel across
+    customers — and all outputs are exact integers (day differences),
+    no float discipline needed. Customers with one order drop out
+    (no gaps), matching the oracle's HAVING."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_orderdate"), F.asc("o_orderkey")
+    )
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_d"),
+    ).where(F.col("gap_d").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.max("gap_d").cast("int").alias("max_gap_d"),
+        F.sum("gap_d").cast("bigint").alias("sum_gap_d"),
+        F.count(F.lit(1)).alias("n_gaps"),
+    )
+
+
+SQL_PURCHASE_GAPS = """
+WITH g AS (
+  SELECT o_custkey,
+         CAST(o_orderdate AS DATE)
+           - lag(CAST(o_orderdate AS DATE))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS gap_d
+  FROM orders
+)
+SELECT o_custkey,
+       CAST(max(gap_d) AS INT) AS max_gap_d,
+       CAST(sum(gap_d) AS BIGINT) AS sum_gap_d,
+       CAST(count(*) AS BIGINT) AS n_gaps
+FROM g WHERE gap_d IS NOT NULL
+GROUP BY o_custkey
+"""
+
+
 SPECS = [
     QuerySpec("project_columns", q_project_columns, SQL_PROJECT),
     QuerySpec("filter_predicate", q_filter_predicate, SQL_FILTER),
@@ -2027,4 +2202,8 @@ SPECS = [
     QuerySpec("cdc_merge_changelog", q_cdc_merge_changelog, SQL_CDC_MERGE),
     QuerySpec("join_lateral_topn", q_join_lateral_topn, SQL_LATERAL_TOPN),
     QuerySpec("udtf_explode_kv", q_udtf_explode_kv, SQL_EXPLODE),
+    QuerySpec("window_percent_rank", q_window_percent_rank, SQL_PERCENT_RANK),
+    QuerySpec("mode_per_group", q_mode_per_group, SQL_MODE_PER_GROUP),
+    QuerySpec("regr_fit_moments", q_regr_fit_moments, SQL_REGR_FIT),
+    QuerySpec("purchase_gap_stats", q_purchase_gap_stats, SQL_PURCHASE_GAPS),
 ]
