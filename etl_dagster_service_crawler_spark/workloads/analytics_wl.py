@@ -690,6 +690,127 @@ FROM j WHERE new_bal_cents IS NOT NULL
 """
 
 
+def q_join_scd2_pointintime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) dimension lookup: each order joins the
+    SCD2 customer-history VERSION that was valid on its order date —
+    the temporal join every versioned-dim mart needs for historically
+    correct attribution. Interval semantics are half-open
+    [valid_from, valid_to): an order dated exactly on the effective
+    date sees the NEW version; every order matches exactly one
+    version.
+
+    Scale: equality on the surrogate key drives the join (Catalyst
+    plans an equi-join on c_custkey with the date-range as a post-join
+    filter — never a cross/theta join); the dim history is
+    customer-sized, broadcastable here and bucketable at 100 TB. ISO
+    yyyy-MM-dd strings compare lexicographically == chronologically,
+    so the range filter needs no date parsing."""
+    hist = q_scd2_customer_history(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    j = o.join(
+        F.broadcast(hist),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_date") >= F.col("valid_from"))
+        & (F.col("o_date") < F.col("valid_to")),
+    )
+    return j.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_date",
+        "bal_cents",
+        "is_current",
+    )
+
+
+SQL_SCD2_PIT = f"""
+WITH hist AS ({SQL_SCD2})
+SELECT o_orderkey, o_custkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       bal_cents, is_current
+FROM orders JOIN hist
+  ON o_custkey = c_custkey
+ AND strftime(o_orderdate, '%Y-%m-%d') >= valid_from
+ AND strftime(o_orderdate, '%Y-%m-%d') < valid_to
+"""
+
+
+def q_snapshot_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: full-outer diff of two order snapshots
+    keyed by orderkey, classifying every divergence as added / removed
+    / changed — the data-quality audit run after every backfill or
+    CDC replay ('same' rows are filtered out: the report is the
+    divergence, not the table). Snapshots are derived
+    deterministically (old drops every 10th key, new drops every 7th
+    and bumps every 13th's total by 50.00) so the oracle replays them.
+
+    Scale: ONE full outer hash join on the key — both snapshots
+    partition once; the classification is a pure post-join map and the
+    'same' filter drops the (dominant) unchanged mass before any
+    downstream use. Cents compares are exact BIGINTs."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    old = o.where(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey", cents.alias("old_cents")
+    )
+    new = o.where(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        (
+            cents
+            + F.when(F.col("o_orderkey") % 13 == 0, F.lit(5000)).otherwise(
+                F.lit(0)
+            )
+        ).alias("new_cents"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    status = (
+        F.when(F.col("old_cents").isNull(), F.lit("added"))
+        .when(F.col("new_cents").isNull(), F.lit("removed"))
+        .when(F.col("old_cents") != F.col("new_cents"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.withColumn("status", status)
+        .where(F.col("status") != "same")
+        .select("o_orderkey", "old_cents", "new_cents", "status")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH old AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT) AS old_cents
+  FROM orders WHERE o_orderkey % 10 <> 0
+),
+new AS (
+  SELECT o_orderkey,
+         CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)
+           + CASE WHEN o_orderkey % 13 = 0 THEN 5000 ELSE 0 END AS new_cents
+  FROM orders WHERE o_orderkey % 7 <> 0
+),
+j AS (
+  SELECT coalesce(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         old_cents, new_cents
+  FROM old FULL OUTER JOIN new USING (o_orderkey)
+)
+SELECT o_orderkey, old_cents, new_cents,
+       CASE WHEN old_cents IS NULL THEN 'added'
+            WHEN new_cents IS NULL THEN 'removed'
+            WHEN old_cents <> new_cents THEN 'changed'
+            ELSE 'same' END AS status
+FROM j
+WHERE (CASE WHEN old_cents IS NULL THEN 'added'
+            WHEN new_cents IS NULL THEN 'removed'
+            WHEN old_cents <> new_cents THEN 'changed'
+            ELSE 'same' END) <> 'same'
+"""
+
+
 PARETO_BP = 8000
 PARETO_RANGE_PARTS = 16
 
@@ -974,4 +1095,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("event_transitions", q_event_transitions, SQL_EVENT_TRANSITIONS),
     QuerySpec("open_orders_timeline", q_open_orders_timeline, SQL_OPEN_ORDERS),
     QuerySpec("rfm_segmentation", q_rfm_segmentation, SQL_RFM),
+    QuerySpec("join_scd2_pointintime", q_join_scd2_pointintime, SQL_SCD2_PIT),
+    QuerySpec(
+        "snapshot_diff_reconcile", q_snapshot_diff_reconcile, SQL_SNAPSHOT_DIFF
+    ),
 ]

@@ -362,6 +362,171 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
+BPE_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+BPE_MAX_PIECE = 4
+
+
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token accounting: regex pretokenization (the GPT-2
+    pretokenizer shape — letter runs / digit runs / punctuation runs)
+    followed by a deterministic subword estimate of ceil(len/4) units
+    per pretoken — short common words cost 1 unit, long words split,
+    the budgeting signal a context-length planner needs before the
+    real tokenizer runs. Pure map-side array expressions; the
+    pretoken array is materialized ONCE per row before the per-element
+    lambda (docs/SCALE.md rule 1). Division by 4 is exact in binary
+    floating point (power of two), so the truncate matches the
+    oracle's integer // everywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    pt = d.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+        ).alias("pt"),
+    )
+    units = F.aggregate(
+        F.col("pt"),
+        F.lit(0),
+        lambda acc, x: acc
+        + ((F.length(x) + F.lit(BPE_MAX_PIECE - 1)) / F.lit(BPE_MAX_PIECE))
+        .cast("int"),
+    )
+    return pt.select(
+        "doc_id",
+        F.size("pt").cast("int").alias("n_pretokens"),
+        units.cast("int").alias("n_bpe_units"),
+    )
+
+
+SQL_TOKEN_BPE = f"""
+SELECT doc_id,
+       CAST(len(pt) AS INT) AS n_pretokens,
+       CAST(list_sum(list_transform(pt,
+            x -> (length(x) + {BPE_MAX_PIECE - 1}) // {BPE_MAX_PIECE}))
+         AS INT) AS n_bpe_units
+FROM (SELECT doc_id,
+             regexp_extract_all(text, '{BPE_PRETOKEN_RE}') AS pt
+      FROM documents)
+"""
+
+
+def q_token_entropy_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token-distribution entropy — the perplexity-proxy
+    quality filter: looping/boilerplate documents concentrate mass on
+    few tokens and score low, diverse text scores near log2(vocab).
+    entropy = log2(n) - (Σ c·log2 c)/n over per-token counts c.
+
+    Scale: map-only — counts come from array expressions over the
+    materialized token array (O(distinct·len) per row, distinct is
+    vocab-bounded), never an explode/shuffle; the Σ runs in SORTED
+    token order on BOTH engines (Spark: array_distinct of the sorted
+    array; oracle: list(c ORDER BY term)), so double summation order
+    is identical and only the final 4dp round guards the last ulp."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    t = F.col("t")
+    uniq = F.array_distinct(F.array_sort(t))
+    counts = F.transform(
+        uniq, lambda u: F.size(F.filter(t, lambda x: x == u))
+    )
+    term_sum = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    n = F.size(t)
+    entropy = F.log2(n.cast("double")) - term_sum / n.cast("double")
+    return tk.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        (F.floor(entropy * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(
+            "token_entropy"
+        ),
+    )
+
+
+SQL_TOKEN_ENTROPY = """
+WITH cnts AS (
+  SELECT doc_id, term, count(*) AS c
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY doc_id, term
+),
+s AS (
+  SELECT doc_id,
+         list_sum(list_transform(list(c ORDER BY term),
+                                 x -> x * log2(CAST(x AS DOUBLE)))) AS sterm,
+         CAST(sum(c) AS BIGINT) AS n
+  FROM cnts GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       floor((log2(CAST(n AS DOUBLE)) - sterm / n) * 1e4 + 0.5) / 1e4
+         AS token_entropy
+FROM s
+"""
+
+
+OOV_VOCAB_K = 10
+
+
+def q_oov_rate_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-K
+    vocabulary — the tokenizer-coverage check run before committing a
+    vocab: docs with high OOV get routed to vocab expansion or
+    dropped. Two passes: (1) the vocab aggregate (explode partial-
+    aggregates map-side, TakeOrdered top-K — vocab-sized, never a
+    fact sort), (2) a BROADCAST of the K-term array cross-joined onto
+    the unshuffled documents scan; membership tests are per-row array
+    ops. Tie order (cnt DESC, term ASC) is pinned on both engines so
+    the vocab SET is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    vocab = (
+        d.select(F.explode(tokens_ws(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "term")
+        .limit(OOV_VOCAB_K)
+        .agg(F.collect_list("term").alias("vocab"))
+    )
+    t = F.col("t")
+    n_oov = F.size(
+        F.filter(t, lambda x: ~F.array_contains(F.col("vocab"), x))
+    )
+    n = F.size(t)
+    return tk.join(F.broadcast(vocab)).select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        n_oov.cast("int").alias("n_oov"),
+        (
+            F.floor(
+                n_oov.cast("double") / n.cast("double") * F.lit(1e4)
+                + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("oov_rate"),
+    )
+
+
+SQL_OOV_RATE = f"""
+WITH vocab AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term ORDER BY cnt DESC, term LIMIT {OOV_VOCAB_K}
+),
+v AS (SELECT list(term) AS vl FROM vocab),
+tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+SELECT doc_id,
+       CAST(len(t) AS INT) AS n_tokens,
+       CAST(len(list_filter(t, x -> NOT list_contains(vl, x))) AS INT)
+         AS n_oov,
+       floor(CAST(len(list_filter(t, x -> NOT list_contains(vl, x)))
+                  AS DOUBLE)
+             / CAST(len(t) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS oov_rate
+FROM tk, v
+"""
+
+
 def q_salient_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 salient terms per document by TF-IDF rank — the classic
     keyword-extraction / topic-tagging pass. The score is integer-
@@ -782,4 +947,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dup_cluster_size_dist", q_dup_cluster_size_dist, SQL_DUP_CLUSTER_DIST
     ),
+    QuerySpec("token_count_bpe", q_token_count_bpe, SQL_TOKEN_BPE),
+    QuerySpec("token_entropy_score", q_token_entropy_score, SQL_TOKEN_ENTROPY),
+    QuerySpec("oov_rate_vocab", q_oov_rate_vocab, SQL_OOV_RATE),
 ]

@@ -276,6 +276,63 @@ WHERE strftime(o_orderdate, '%Y-%m') = '1995-03'
 """
 
 
+def q_sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite — the idempotent daily-reload
+    primitive: rewriting one ingest partition replaces ONLY the
+    partitions present in the incoming frame, untouched partitions
+    survive (partitionOverwriteMode=dynamic; static mode would wipe
+    the whole table root first — the classic backfill data-loss
+    trap). Sequence: full load, then an overwrite of 1995-03 with
+    doubled quantities; read-back must show 1995-03 doubled AND
+    1995-04 intact from the first write.
+
+    Scale: each overwrite commits only the touched partition dirs, so
+    a single-day restatement of a 100 TB table moves one day of data,
+    never the table."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+    path = _scratch(sf_dir, "sink_dynamic_overwrite/orders")
+    shutil.rmtree(path, ignore_errors=True)
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        orders.write.mode("overwrite").partitionBy("order_month").parquet(
+            path
+        )
+        restated = orders.where(F.col("order_month") == "1995-03").withColumn(
+            "cents", F.col("cents") * 2
+        )
+        restated.write.mode("overwrite").partitionBy("order_month").parquet(
+            path
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", old_mode
+        )
+    back = spark.read.parquet(path)
+    return back.where(
+        F.col("order_month").isin("1995-03", "1995-04")
+    ).select(
+        "o_orderkey", "cents", F.col("order_month").cast("string")
+    )
+
+
+SQL_SINK_DYNAMIC_OVERWRITE = """
+SELECT o_orderkey,
+       CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)
+         * CASE WHEN strftime(o_orderdate, '%Y-%m') = '1995-03'
+                THEN 2 ELSE 1 END AS cents,
+       strftime(o_orderdate, '%Y-%m') AS order_month
+FROM orders
+WHERE strftime(o_orderdate, '%Y-%m') IN ('1995-03', '1995-04')
+"""
+
+
 def q_sink_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K2: the SQL-queryable 'jobs'-style table (reference README.md:64-69
     — sqlite3 jobs.db; here saveAsTable + spark.sql as the query surface)."""
@@ -588,4 +645,9 @@ SPECS = [
     QuerySpec("bucketed_colocated_join", q_bucketed_colocated_join, SQL_BUCKETED_JOIN),
     QuerySpec("join_dpp_partitioned", q_join_dpp_partitioned, SQL_JOIN_DPP),
     QuerySpec("sink_side_projection", q_sink_side_projection, SQL_SINK_SIDE),
+    QuerySpec(
+        "sink_dynamic_overwrite",
+        q_sink_dynamic_overwrite,
+        SQL_SINK_DYNAMIC_OVERWRITE,
+    ),
 ]
