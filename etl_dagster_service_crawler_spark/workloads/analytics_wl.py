@@ -811,6 +811,105 @@ WHERE (CASE WHEN old_cents IS NULL THEN 'added'
 """
 
 
+BASKET_TOP_K = 50
+
+
+def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: the top-50 part pairs co-purchased in
+    the same order. The scalable shape is NOT the naive self-join
+    (two fact shuffles): ONE orderkey exchange folds each order's
+    distinct parts into a bounded array, then pairs are generated
+    MAP-SIDE from the sorted array (per-order line count is bounded,
+    so the pair blow-up is a constant per row — the plan survives a
+    100× fact scale-up with the same single exchange). Tie order
+    (cnt DESC, p1, p2) pinned on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + F.lit(2), F.size(F.col("parts"))
+                ),
+                lambda y: F.struct(x.alias("p1"), y.alias("p2")),
+            ),
+        )
+    )
+    return (
+        baskets.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "p1", "p2")
+        .limit(BASKET_TOP_K)
+    )
+
+
+SQL_MARKET_BASKET = f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, CAST(count(*) AS BIGINT) AS cnt
+FROM d a JOIN d b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY cnt DESC, p1, p2
+LIMIT {BASKET_TOP_K}
+"""
+
+
+FK_EDGES = [
+    ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+]
+
+
+def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: per FK
+    edge, child row count and orphan count (child keys with no parent)
+    — the post-load validation every warehouse runs. Each edge is a
+    LEFT ANTI join; dimension parents broadcast, the two fact-fact
+    edges hash-join on the key. Edges evaluate independently — on a
+    cluster all five run concurrently; the result is five rows."""
+    rows = []
+    for edge, child, ck, parent, pk in FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(pk)
+        n_child = c.groupBy(F.lit(edge).alias("fk_edge")).agg(
+            F.count(F.lit(1)).alias("n_child")
+        )
+        n_orphan = (
+            c.join(p, c[ck] == p[pk], "left_anti")
+            .groupBy(F.lit(edge).alias("fk_edge"))
+            .agg(F.count(F.lit(1)).alias("n_orphan"))
+        )
+        rows.append(
+            n_child.join(n_orphan, "fk_edge", "left").select(
+                "fk_edge",
+                "n_child",
+                F.coalesce("n_orphan", F.lit(0)).alias("n_orphan"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+SQL_FK_AUDIT = "\nUNION ALL\n".join(
+    f"""SELECT '{edge}' AS fk_edge,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(count(*) FILTER (WHERE NOT EXISTS
+            (SELECT 1 FROM {parent} WHERE {pk} = {child}.{ck}))
+         AS BIGINT) AS n_orphan
+FROM {child}"""
+    for edge, child, ck, parent, pk in FK_EDGES
+)
+
+
 PARETO_BP = 8000
 PARETO_RANGE_PARTS = 16
 
@@ -1099,4 +1198,6 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "snapshot_diff_reconcile", q_snapshot_diff_reconcile, SQL_SNAPSHOT_DIFF
     ),
+    QuerySpec("market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET),
+    QuerySpec("fk_integrity_audit", q_fk_integrity_audit, SQL_FK_AUDIT),
 ]

@@ -2136,6 +2136,36 @@ GROUP BY o_custkey
 """
 
 
+def q_quartile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-group quartile assignment: each customer's balance
+    quartile inside its nation. This is the ntile shape that IS
+    scale-safe as a plain window — the partition key bounds every
+    task's sort to one nation — in deliberate contrast to the GLOBAL
+    ntiles (quality_bin_sample, rfm_segmentation) which must use
+    distributed_ntile. Tiebreak pinned on custkey."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("c_acctbal"), F.asc("c_custkey")
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5))
+        .cast("bigint")
+        .alias("acctbal_c"),
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+SQL_QUARTILE_BY_GROUP = """
+SELECT c_custkey, c_nationkey,
+       CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS acctbal_c,
+       CAST(ntile(4) OVER (PARTITION BY c_nationkey
+            ORDER BY c_acctbal, c_custkey) AS INT) AS balance_quartile
+FROM customer
+"""
+
+
 SPECS = [
     QuerySpec("project_columns", q_project_columns, SQL_PROJECT),
     QuerySpec("filter_predicate", q_filter_predicate, SQL_FILTER),
@@ -2206,4 +2236,5 @@ SPECS = [
     QuerySpec("mode_per_group", q_mode_per_group, SQL_MODE_PER_GROUP),
     QuerySpec("regr_fit_moments", q_regr_fit_moments, SQL_REGR_FIT),
     QuerySpec("purchase_gap_stats", q_purchase_gap_stats, SQL_PURCHASE_GAPS),
+    QuerySpec("quartile_by_group", q_quartile_by_group, SQL_QUARTILE_BY_GROUP),
 ]

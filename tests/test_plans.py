@@ -563,3 +563,38 @@ def test_rfm_quintiles_are_distributed(spark, sf_dir):
     assert "Exchange hashpartitioning(__dnt_pid#" in plan
     assert plan.count("Exchange SinglePartition") <= 3
     assert "ntile" not in plan
+
+
+def test_scd2_pointintime_is_equi_join(spark, sf_dir):
+    """The as-of dimension lookup must plan as a broadcast/hash
+    equi-join on the customer key with the date range as a post-join
+    filter — never a cartesian/broadcast-nested-loop theta join."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_join_scd2_pointintime(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_oov_rate_never_shuffles_the_fact(spark, sf_dir):
+    """OOV scoring: the vocab is a TakeOrdered aggregate broadcast
+    back; the documents frame itself must reach the join without a
+    hash exchange (membership is a per-row array op)."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_oov_rate_vocab(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the only hash exchange is the vocab count partial-agg fold
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_snapshot_diff_single_full_outer_exchange_pair(spark, sf_dir):
+    """The reconcile is ONE full-outer sort-merge/hash join on the
+    key: each snapshot exchanges once, and no further shuffle follows
+    the classification filter."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_snapshot_diff_reconcile(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
