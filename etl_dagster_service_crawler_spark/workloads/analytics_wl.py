@@ -1193,11 +1193,13 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("event_transitions", q_event_transitions, SQL_EVENT_TRANSITIONS),
     QuerySpec("open_orders_timeline", q_open_orders_timeline, SQL_OPEN_ORDERS),
-    QuerySpec("rfm_segmentation", q_rfm_segmentation, SQL_RFM),
+    QuerySpec("rfm_segmentation", q_rfm_segmentation, SQL_RFM, bench=True),
     QuerySpec("join_scd2_pointintime", q_join_scd2_pointintime, SQL_SCD2_PIT),
     QuerySpec(
         "snapshot_diff_reconcile", q_snapshot_diff_reconcile, SQL_SNAPSHOT_DIFF
     ),
-    QuerySpec("market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET),
+    QuerySpec(
+        "market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET, bench=True
+    ),
     QuerySpec("fk_integrity_audit", q_fk_integrity_audit, SQL_FK_AUDIT),
 ]

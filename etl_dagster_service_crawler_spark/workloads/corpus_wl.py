@@ -925,7 +925,9 @@ FROM starts
 
 
 SPECS: list[QuerySpec] = [
-    QuerySpec("quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN),
+    QuerySpec(
+        "quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN, bench=True
+    ),
     QuerySpec("cap_per_source", q_cap_per_source, SQL_CAP_PER_SOURCE),
     QuerySpec("vocab_top_terms", q_vocab_top_terms, SQL_VOCAB, bench=True),
     QuerySpec("salient_terms_tfidf", q_salient_terms_tfidf, SQL_SALIENT),
@@ -948,6 +950,8 @@ SPECS: list[QuerySpec] = [
         "dup_cluster_size_dist", q_dup_cluster_size_dist, SQL_DUP_CLUSTER_DIST
     ),
     QuerySpec("token_count_bpe", q_token_count_bpe, SQL_TOKEN_BPE),
-    QuerySpec("token_entropy_score", q_token_entropy_score, SQL_TOKEN_ENTROPY),
+    QuerySpec(
+        "token_entropy_score", q_token_entropy_score, SQL_TOKEN_ENTROPY, bench=True
+    ),
     QuerySpec("oov_rate_vocab", q_oov_rate_vocab, SQL_OOV_RATE),
 ]
