@@ -74,16 +74,25 @@ def run_tick(
 ) -> bool:
     """One scheduled tick: run the job, append the dual sinks, ledger
     the outcome. Returns the run's ok flag."""
+    from etl_dagster_service_crawler_spark.io.sinks import (
+        dual_sink_parquet_foreach_batch,
+    )
+
     job = job_registry()[job_name]
     job.ledger_table = RUN_HISTORY_TABLE
+    # K1+K3 dual sink via foreachBatch: micro-batches land columnar
+    # files EXECUTOR-side (the memory sink would collect every row
+    # into driver memory — test-only). complete-mode rollups re-land
+    # the full result each tick; append-mode pipelines accumulate.
+    main = f"{output}/main"
+    job.foreach_batch = dual_sink_parquet_foreach_batch(
+        main,
+        f"{output}/side",
+        side_cols,
+        mode="overwrite" if job.output_mode == "complete" else "append",
+    )
+    job.result_reader = lambda s: s.read.parquet(main)
     status = job.run_once(spark, source)
-    # K1+K3 dual sink: full result + side projection (test.py:577-580)
-    status.result.write.mode("append").parquet(f"{output}/main")
-    keep = [c for c in side_cols if c in status.result.columns]
-    if keep:
-        status.result.select(*keep).write.mode("append").parquet(
-            f"{output}/side"
-        )
     print(
         f"tick job={job_name} ok={status.ok} batches={status.n_batches} "
         f"rows={status.n_rows} bad={status.n_bad}",

@@ -134,6 +134,33 @@ def dual_sink_foreach_batch(
     return write
 
 
+def dual_sink_parquet_foreach_batch(
+    main_path: str,
+    side_path: str,
+    side_cols: list[str],
+    mode: str = "append",
+) -> Callable[[DataFrame, int], None]:
+    """Parquet variant of the dual sink for production streaming jobs
+    (deploy.py): each micro-batch lands columnar files executor-side —
+    the batch never passes through the driver, unlike the memory sink
+    (which collects every row into driver memory and is for
+    tests/driver checks only). ``mode='overwrite'`` suits complete-
+    output aggregations (each tick re-lands the full rollup);
+    ``'append'`` suits append-mode pipelines."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            batch_df.write.mode(mode).parquet(main_path)
+            keep = [c for c in side_cols if c in batch_df.columns]
+            if keep:
+                batch_df.select(*keep).write.mode(mode).parquet(side_path)
+        finally:
+            batch_df.unpersist()
+
+    return write
+
+
 # --- versioned snapshots (poor-man's time travel) ----------------------------
 #
 # A snapshot table is a directory of immutable version dirs plus a

@@ -125,6 +125,13 @@ class ScheduledPipeline:
     state_partitions: int | None = None
     metric_field: str = "n_empty_fields"
     ledger_table: str | None = None  # e.g. RUN_HISTORY_TABLE
+    # Production sink path: when set, micro-batches land via
+    # foreachBatch (executor-side, e.g. dual_sink_parquet_foreach_batch)
+    # instead of the memory sink — the memory sink collects every row
+    # into DRIVER memory and is only safe for tests/driver checks.
+    # result_reader then supplies RunStatus.result (read the sink back).
+    foreach_batch: Callable[[DataFrame, int], None] | None = None
+    result_reader: Callable[[SparkSession], DataFrame] | None = None
     _last: RunStatus | None = field(default=None, repr=False)
 
     def _observed(self, spark: SparkSession, source: str) -> DataFrame:
@@ -216,13 +223,25 @@ class ScheduledPipeline:
             spark.conf.set(
                 "spark.sql.shuffle.partitions", str(self.state_partitions)
             )
-        try:
-            writer = (
-                self._observed(spark, source)
-                .writeStream.format("memory")
-                .queryName(sink)
-                .outputMode(self.output_mode)
+        if self.foreach_batch is not None and self.result_reader is None:
+            raise TypeError(
+                f"job {self.name!r}: foreach_batch requires result_reader "
+                "(RunStatus.result must come from reading the sink back)"
             )
+        try:
+            observed = self._observed(spark, source)
+            if self.foreach_batch is not None:
+                writer = (
+                    observed.writeStream.foreachBatch(self.foreach_batch)
+                    .queryName(sink)
+                    .outputMode(self.output_mode)
+                )
+            else:
+                writer = (
+                    observed.writeStream.format("memory")
+                    .queryName(sink)
+                    .outputMode(self.output_mode)
+                )
             writer = (
                 writer.trigger(availableNow=True)
                 if available_now
@@ -260,7 +279,11 @@ class ScheduledPipeline:
             n_rows=listener.rows,
             n_bad=listener.total,
             budget_tripped=listener.tripped,
-            result=spark.table(sink),
+            result=(
+                self.result_reader(spark)
+                if self.result_reader is not None
+                else spark.table(sink)
+            ),
         )
         self._last = status
         return status
