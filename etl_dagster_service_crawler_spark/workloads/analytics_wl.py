@@ -811,6 +811,81 @@ WHERE (CASE WHEN old_cents IS NULL THEN 'added'
 """
 
 
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent PRIOR click/view — touch type, touch event id,
+    and the gap in whole seconds. The window encodes candidate touches
+    as fixed-width sortable strings (zero-padded epoch-micros |
+    event_id | type), so `max` over the strictly-before ROWS frame IS
+    the latest touch — max() is order-insensitive, making the result
+    identical across engines regardless of shuffle order; only the
+    frame boundary depends on the pinned (ts, event_id) ordering.
+
+    Scale: one user-partitioned window over the fact — parallel per
+    user, no self-join of events against events (the naive
+    touch-range join shuffles the fact twice and explodes on active
+    users)."""
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    enc = F.when(
+        F.col("event_type").isin("click", "view"),
+        F.concat(
+            F.lpad(us.cast("string"), 16, "0"),
+            F.lit("|"),
+            F.lpad(F.col("event_id").cast("string"), 10, "0"),
+            F.lit("|"),
+            F.col("event_type"),
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("p_us"),
+        F.max(enc).over(w).alias("last_t"),
+    ).where(F.col("event_type") == "purchase")
+    parts = F.split(F.col("last_t"), "\\|")
+    # integer `div`, not double-divide-then-cast: micros quotients near
+    # an integer boundary must truncate identically on both engines
+    return staged.withColumn(
+        "t_us", F.element_at(parts, 1).cast("bigint")
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.coalesce(F.element_at(parts, 3), F.lit("none")).alias("touch_type"),
+        F.element_at(parts, 2).cast("bigint").alias("touch_event_id"),
+        F.expr("(p_us - t_us) div 1000000").alias("gap_s"),
+    )
+
+
+SQL_ATTRIBUTION = """
+WITH enc AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN event_type IN ('click', 'view')
+              THEN lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0') || '|'
+                   || lpad(CAST(event_id AS VARCHAR), 10, '0') || '|'
+                   || event_type END AS tstr
+  FROM events
+),
+win AS (
+  SELECT *, max(tstr) OVER (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_t
+  FROM enc
+)
+SELECT event_id AS purchase_id, user_id,
+       coalesce(string_split(last_t, '|')[3], 'none') AS touch_type,
+       CAST(string_split(last_t, '|')[2] AS BIGINT) AS touch_event_id,
+       CAST((us - CAST(string_split(last_t, '|')[1] AS BIGINT)) // 1000000
+         AS BIGINT) AS gap_s
+FROM win WHERE event_type = 'purchase'
+"""
+
+
 BASKET_TOP_K = 50
 
 
@@ -1200,6 +1275,9 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec(
         "market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET, bench=True
+    ),
+    QuerySpec(
+        "attribution_last_touch", q_attribution_last_touch, SQL_ATTRIBUTION
     ),
     QuerySpec("fk_integrity_audit", q_fk_integrity_audit, SQL_FK_AUDIT),
 ]

@@ -462,8 +462,40 @@ def _stream_anomaly_sql() -> str:
     return SQL_EVENTS_ANOMALY
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the event stream joined to the STATIC
+    customer dimension (broadcast) per micro-batch — the canonical
+    streaming-ETL enrich (a slowly-changing dim re-read each batch; no
+    state, no watermark needed on the static side). Row-level joins
+    against a static frame commute with streaming, so the batch oracle
+    is exact. At 100 TB of stream the dim broadcast amortizes per
+    batch and the stream side never shuffles."""
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+
+    s = stream_events(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    out = (
+        s.join(F.broadcast(dim), s.user_id == dim.c_custkey)
+        .where(F.col("value") > 150.0)
+        .select("event_id", "user_id", "c_mktsegment", "c_nationkey")
+    )
+    return run_available_now(out, "append")
+
+
+SQL_STREAM_STATIC_JOIN = """
+SELECT event_id, user_id, c_mktsegment, c_nationkey
+FROM events JOIN customer ON user_id = c_custkey
+WHERE value > 150.0
+"""
+
+
 SPECS = [
     QuerySpec("stream_ivf_ingest", q_stream_ivf_ingest, None),
+    QuerySpec(
+        "stream_static_join", q_stream_static_join, SQL_STREAM_STATIC_JOIN
+    ),
     QuerySpec(
         "stream_anomaly_alerts", q_stream_anomaly_alerts, _stream_anomaly_sql()
     ),
