@@ -945,27 +945,26 @@ FK_EDGES = [
 def q_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity audit across the star schema: per FK
     edge, child row count and orphan count (child keys with no parent)
-    — the post-load validation every warehouse runs. Each edge is a
-    LEFT ANTI join; dimension parents broadcast, the two fact-fact
-    edges hash-join on the key. Edges evaluate independently — on a
-    cluster all five run concurrently; the result is five rows."""
+    — the post-load validation every warehouse runs. Each edge is ONE
+    left join + conditional count (child + orphan in a single pass —
+    an anti-join branch would scan/join the child twice); dimension
+    parents broadcast, the two fact-fact edges hash-join on the key.
+    Edges evaluate independently — on a cluster all five run
+    concurrently; the result is five rows."""
     rows = []
     for edge, child, ck, parent, pk in FK_EDGES:
         c = load_table(spark, sf_dir, child)
-        p = load_table(spark, sf_dir, parent).select(pk)
-        n_child = c.groupBy(F.lit(edge).alias("fk_edge")).agg(
-            F.count(F.lit(1)).alias("n_child")
-        )
-        n_orphan = (
-            c.join(p, c[ck] == p[pk], "left_anti")
-            .groupBy(F.lit(edge).alias("fk_edge"))
-            .agg(F.count(F.lit(1)).alias("n_orphan"))
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk), F.lit(1).alias("__present")
         )
         rows.append(
-            n_child.join(n_orphan, "fk_edge", "left").select(
-                "fk_edge",
-                "n_child",
-                F.coalesce("n_orphan", F.lit(0)).alias("n_orphan"),
+            c.join(p, c[ck] == p[pk], "left")
+            .groupBy(F.lit(edge).alias("fk_edge"))
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.count(F.when(F.col("__present").isNull(), 1)).alias(
+                    "n_orphan"
+                ),
             )
         )
     out = rows[0]
