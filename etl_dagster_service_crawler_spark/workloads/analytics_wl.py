@@ -1080,6 +1080,81 @@ ORDER BY rnk
 """
 
 
+def q_pipeline_customer_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Composed flagship: ONE customer feature table assembling the
+    engine's derived signals — RFM segment, inter-purchase gap stats,
+    Pareto revenue rank (null beyond the 80% band), and within-nation
+    balance standing — the feature-store build a CRM/churn model
+    trains on. Demonstrates operator composability: each input is the
+    registered operator itself, joined on the customer key.
+
+    Scale: every input is customer-cardinality (aggregates of the
+    fact, never the fact), so the assembly joins are dim-sized; the
+    heavy lifting (fact exchanges, distributed ntiles, the prefix
+    sum) happens inside the composed operators and is already
+    plan-disciplined there. Nullable features stay nullable (a
+    single-order customer has no gaps; a tail customer has no Pareto
+    rank) — imputation is the model's choice, not the pipeline's."""
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_purchase_gap_stats,
+        q_window_percent_rank,
+    )
+
+    rfm = q_rfm_segmentation(spark, sf_dir)
+    gaps = q_purchase_gap_stats(spark, sf_dir)
+    pareto = q_pareto_customer_share(spark, sf_dir).select(
+        "o_custkey",
+        F.col("rnk").alias("pareto_rnk"),
+        F.col("cum_bp").alias("pareto_cum_bp"),
+    )
+    standing = q_window_percent_rank(spark, sf_dir).select(
+        F.col("c_custkey").alias("o_custkey"),
+        "c_nationkey",
+        F.col("pct_rank").alias("balance_pct_rank"),
+    )
+    return (
+        rfm.join(gaps, "o_custkey", "left")
+        .join(pareto, "o_custkey", "left")
+        .join(standing, "o_custkey")
+        .select(
+            "o_custkey",
+            "c_nationkey",
+            "recency_d",
+            "frequency",
+            "monetary_c",
+            "rfm_segment",
+            "max_gap_d",
+            "n_gaps",
+            "pareto_rnk",
+            "pareto_cum_bp",
+            "balance_pct_rank",
+        )
+    )
+
+
+def _customer_features_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        SQL_PERCENT_RANK,
+        SQL_PURCHASE_GAPS,
+    )
+
+    return f"""
+WITH rfm AS ({SQL_RFM}),
+gaps AS ({SQL_PURCHASE_GAPS}),
+pareto AS ({SQL_PARETO}),
+standing AS ({SQL_PERCENT_RANK})
+SELECT rfm.o_custkey AS o_custkey, c_nationkey, recency_d, frequency,
+       monetary_c, rfm_segment, max_gap_d, n_gaps,
+       rnk AS pareto_rnk, cum_bp AS pareto_cum_bp,
+       pct_rank AS balance_pct_rank
+FROM rfm
+LEFT JOIN gaps ON gaps.o_custkey = rfm.o_custkey
+LEFT JOIN pareto ON pareto.o_custkey = rfm.o_custkey
+JOIN standing ON standing.c_custkey = rfm.o_custkey
+"""
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Behavioral transition matrix: counts of consecutive event-type
     pairs within each user's stream (the first-order Markov structure
@@ -1277,6 +1352,11 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec(
         "attribution_last_touch", q_attribution_last_touch, SQL_ATTRIBUTION
+    ),
+    QuerySpec(
+        "pipeline_customer_features",
+        q_pipeline_customer_features,
+        _customer_features_sql(),
     ),
     QuerySpec("fk_integrity_audit", q_fk_integrity_audit, SQL_FK_AUDIT),
 ]
