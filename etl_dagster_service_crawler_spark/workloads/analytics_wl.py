@@ -825,7 +825,13 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     user, no self-join of events against events (the naive
     touch-range join shuffles the fact twice and explodes on active
     users)."""
-    e = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(load_table(spark, sf_dir, "events"))
+
+
+def last_touch_attribution(e: DataFrame) -> DataFrame:
+    """TRANSFORM behind attribution_last_touch over an events-shaped
+    frame (event_id, user_id, event_type, ts). Property-tested against
+    a pure-Python replay (tests/test_properties.py)."""
     us = F.unix_micros(F.col("ts"))
     enc = F.when(
         F.col("event_type").isin("click", "view"),
@@ -899,8 +905,20 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     100× fact scale-up with the same single exchange). Tie order
     (cnt DESC, p1, p2) pinned on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.groupBy("l_orderkey").agg(
-        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    return basket_pair_counts(
+        li, "l_orderkey", "l_partkey", top_k=BASKET_TOP_K
+    )
+
+
+def basket_pair_counts(
+    df: DataFrame, basket_col: str, item_col: str, top_k: int | None = None
+) -> DataFrame:
+    """TRANSFORM behind market_basket_pairs: (basket, item) rows →
+    co-occurrence pair counts (p1 < p2), optionally top-k with pinned
+    ties. Property-tested against an itertools.combinations recompute
+    (tests/test_properties.py)."""
+    baskets = df.groupBy(basket_col).agg(
+        F.array_sort(F.collect_set(item_col)).alias("parts")
     )
     pairs = F.flatten(
         F.transform(
@@ -913,13 +931,14 @@ def q_market_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    return (
+    out = (
         baskets.select(F.explode(pairs).alias("pr"))
         .groupBy(F.col("pr.p1").alias("p1"), F.col("pr.p2").alias("p2"))
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy(F.desc("cnt"), "p1", "p2")
-        .limit(BASKET_TOP_K)
     )
+    if top_k is not None:
+        out = out.orderBy(F.desc("cnt"), "p1", "p2").limit(top_k)
+    return out
 
 
 SQL_MARKET_BASKET = f"""

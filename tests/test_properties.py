@@ -389,3 +389,113 @@ def test_distributed_ntile_matches_window_ntile(spark, n, k, seed):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # basket
+            st.integers(min_value=0, max_value=9),   # item
+        ),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_basket_pairs_match_combinations(spark, rows):
+    """basket_pair_counts == itertools.combinations over the distinct
+    items of each basket (pairs ordered p1 < p2, multiset counts)."""
+    from collections import Counter
+    from itertools import combinations
+
+    from etl_dagster_service_crawler_spark.workloads.analytics_wl import (
+        basket_pair_counts,
+    )
+
+    df = spark.createDataFrame(
+        rows or [(0, 0)], "basket int, item int"
+    )
+    if not rows:
+        df = df.limit(0)
+    got = {
+        (r["p1"], r["p2"]): r["cnt"]
+        for r in basket_pair_counts(df, "basket", "item").collect()
+    }
+    baskets: dict[int, set[int]] = {}
+    for b, i in rows:
+        baskets.setdefault(b, set()).add(i)
+    want = Counter(
+        pair
+        for items in baskets.values()
+        for pair in combinations(sorted(items), 2)
+    )
+    assert got == dict(want)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),    # user
+            st.integers(min_value=0, max_value=5000), # ts offset seconds
+            st.sampled_from(["click", "view", "purchase", "error"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_last_touch_attribution_matches_replay(spark, rows):
+    """last_touch_attribution == a pure-Python replay: for each
+    purchase, the latest strictly-prior click/view of the same user
+    under the (ts, event_id) order; 'none' when no touch exists.
+    Duplicate timestamps break ties on event_id — both paths."""
+    import datetime
+
+    base = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    data = [
+        (i, u, t, base + datetime.timedelta(seconds=off))
+        for i, (u, off, t) in enumerate(rows)
+    ]
+    from etl_dagster_service_crawler_spark.workloads.analytics_wl import (
+        last_touch_attribution,
+    )
+
+    df = spark.createDataFrame(
+        data or [(0, 0, "error", base)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    if not data:
+        df = df.limit(0)
+    got = {
+        r["purchase_id"]: (r["touch_type"], r["touch_event_id"], r["gap_s"])
+        for r in last_touch_attribution(df).collect()
+    }
+
+    want = {}
+    by_user: dict[int, list] = {}
+    for i, u, t, ts in data:
+        by_user.setdefault(u, []).append((ts, i, t))
+    for u, evs in by_user.items():
+        evs.sort()
+        for idx, (ts, i, t) in enumerate(evs):
+            if t != "purchase":
+                continue
+            touches = [
+                (pts, pi, pt)
+                for pts, pi, pt in evs[:idx]
+                if pt in ("click", "view")
+            ]
+            if not touches:
+                want[i] = ("none", None, None)
+            else:
+                pts, pi, pt = max(touches)
+                want[i] = (pt, pi, int((ts - pts).total_seconds()))
+    assert got == want

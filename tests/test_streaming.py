@@ -216,3 +216,57 @@ def test_stream_ivf_ingest_matches_batch_assignment(spark, sf_dir):
         .count()
     )
     assert diff == 0
+
+
+def test_checkpointed_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
+    """Operational restart semantics: a file-source query with a
+    checkpoint drains day1, STOPS, and on restart against the SAME
+    checkpoint + sink processes ONLY the newly-landed day2 — no
+    reprocessing, no loss (the recovery a missed schedule window or a
+    crashed container relies on). Exactly-once to the parquet sink."""
+    import glob as _glob
+    import shutil
+
+    from etl_dagster_service_crawler_spark.streaming.ingest import (
+        DOCUMENTS_SCHEMA,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def stage(df, name):
+        stage_dir = f"{src}_stage_{name}"
+        df.coalesce(1).write.parquet(stage_dir)
+        part = _glob.glob(f"{stage_dir}/part-*.parquet")[0]
+        os.makedirs(src, exist_ok=True)
+        shutil.move(part, os.path.join(src, f"{name}.parquet"))
+        shutil.rmtree(stage_dir)
+
+    def drain():
+        q = (
+            spark.readStream.schema(DOCUMENTS_SCHEMA)
+            .parquet(src)
+            .select("doc_id", "lang")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    n1, n2 = 250, 250
+    stage(docs.where(F.col("doc_id") < 250), "day1")
+    drain()
+    assert spark.read.parquet(sink).count() == n1
+
+    stage(docs.where(F.col("doc_id") >= 250), "day2")
+    drain()  # restart from the same checkpoint
+    out = spark.read.parquet(sink)
+    assert out.count() == n1 + n2  # day1 NOT reprocessed
+    assert out.select("doc_id").distinct().count() == n1 + n2  # no dups
