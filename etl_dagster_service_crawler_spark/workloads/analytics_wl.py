@@ -892,6 +892,167 @@ FROM win WHERE event_type = 'purchase'
 """
 
 
+SLA_LATE_DAYS = 90
+
+
+def q_order_priority_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders per priority having at least one line
+    shipped more than SLA_LATE_DAYS after the order date (EXISTS
+    semantics). The late-line side reduces to DISTINCT orderkeys
+    BEFORE the join, so the semi join carries one row per late order,
+    not per late line; one fact exchange each side on the orderkey;
+    the priority rollup is priorities-sized."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = li.join(
+        o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        li.l_orderkey == o.o_orderkey,
+    )
+    late_keys = (
+        j.where(
+            F.col("l_shipdate")
+            > F.date_add(F.col("o_orderdate"), SLA_LATE_DAYS)
+        )
+        .select("o_orderkey")
+        .distinct()
+    )
+    return (
+        o.join(late_keys, "o_orderkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("late_order_cnt"))
+        .orderBy("o_orderpriority")
+    )
+
+
+SQL_ORDER_PRIORITY_SLA = f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS late_order_cnt
+FROM orders
+WHERE EXISTS (
+  SELECT 1 FROM lineitem
+  WHERE l_orderkey = o_orderkey
+    AND CAST(l_shipdate AS DATE) >
+        CAST(o_orderdate AS DATE) + INTERVAL {SLA_LATE_DAYS} DAY
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+MAD_K = 3
+
+
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: |x - median| >
+    3 * MAD (median absolute deviation) — unlike the z-score twin
+    (events_anomaly_zscore), a few extreme values cannot drag the
+    threshold because median and MAD are rank statistics.
+
+    Scale: two tiny per-type aggregations (median over cents, then
+    MAD over the broadcast-joined deviations) and one final broadcast
+    of (median, mad) back onto the unshuffled fact scan. Everything
+    compares exact BIGINTs: medians of integer cents are floored to
+    integers on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    v_c = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    med = e.groupBy("event_type").agg(
+        F.floor(F.percentile(v_c, 0.5) + F.lit(0.5))
+        .cast("bigint")
+        .alias("med_c")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        v_c.alias("v_c"),
+        F.col("med_c"),
+        F.abs(v_c - F.col("med_c")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.floor(F.percentile(F.col("adev"), 0.5) + F.lit(0.5))
+        .cast("bigint")
+        .alias("mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("adev") > MAD_K * F.col("mad_c"))
+        .select("event_type", "event_id", "v_c", "med_c", "mad_c")
+        .orderBy("event_type", "event_id")
+    )
+
+
+SQL_MAD_OUTLIERS = f"""
+WITH c AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS v_c
+  FROM events
+),
+med AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(v_c, 0.5) + 0.5) AS BIGINT) AS med_c
+  FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type AS event_type, event_id, v_c, med_c,
+         abs(v_c - med_c) AS adev
+  FROM c JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type,
+         CAST(floor(quantile_cont(adev, 0.5) + 0.5) AS BIGINT) AS mad_c
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type AS event_type, event_id, v_c, med_c, mad_c
+FROM dev JOIN mad USING (event_type)
+WHERE adev > {MAD_K} * mad_c
+ORDER BY event_type, event_id
+"""
+
+
+def q_sales_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-of-year seasonality index: each calendar month's revenue
+    share of the annual mean (10000 = average month, in basis points
+    — exact integer div of BIGINT cent sums, no float index). One
+    fact aggregation to 12 rows; the overall mean is a 1-row
+    broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per_m = o.groupBy(
+        F.month("o_orderdate").cast("int").alias("cal_month")
+    ).agg(F.sum(cents).alias("rev_c"))
+    total = per_m.agg(
+        F.sum("rev_c").alias("tot_c"),
+        F.count(F.lit(1)).alias("n_months"),
+    )
+    return (
+        per_m.join(F.broadcast(total))
+        .select(
+            "cal_month",
+            "rev_c",
+            F.expr("(10000 * rev_c * n_months) div tot_c").alias(
+                "seasonality_bp"
+            ),
+        )
+        .orderBy("cal_month")
+    )
+
+
+SQL_SALES_SEASONALITY = """
+WITH per_m AS (
+  SELECT CAST(month(o_orderdate) AS INT) AS cal_month,
+         CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c,
+               CAST(count(*) AS BIGINT) AS n_months FROM per_m)
+SELECT cal_month, rev_c,
+       CAST((10000 * rev_c * n_months) // tot_c AS BIGINT) AS seasonality_bp
+FROM per_m CROSS JOIN tot
+ORDER BY cal_month
+"""
+
+
 BASKET_TOP_K = 50
 
 
@@ -1369,6 +1530,9 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET, bench=True
     ),
+    QuerySpec("order_priority_sla", q_order_priority_sla, SQL_ORDER_PRIORITY_SLA),
+    QuerySpec("mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS),
+    QuerySpec("sales_seasonality", q_sales_seasonality, SQL_SALES_SEASONALITY),
     QuerySpec(
         "attribution_last_touch", q_attribution_last_touch, SQL_ATTRIBUTION
     ),
