@@ -892,6 +892,77 @@ FROM win WHERE event_type = 'purchase'
 """
 
 
+def q_decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-eval style decile lift table: customers ranked into
+    spend deciles (decile 1 = highest), each decile's exact revenue
+    share and cumulative share in basis points — the gains chart
+    every targeting/propensity model is judged against. The decile is
+    `distributed_ntile` over the customer aggregate (global ordering,
+    never a single-task window); the per-decile rollup is 10 rows and
+    the cumulative window runs over those 10 rows only."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    per = o.groupBy("o_custkey").agg(F.sum(cents).alias("rev_c"))
+    binned = distributed_ntile(
+        per, 10, [F.desc("rev_c"), F.asc("o_custkey")], "decile"
+    )
+    per_d = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_c").alias("rev_c"),
+    )
+    total = per.agg(F.sum("rev_c").alias("tot_c"))
+    wc = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per_d.join(F.broadcast(total))
+        .select(
+            "decile",
+            "n_customers",
+            "rev_c",
+            F.expr("(10000 * rev_c) div tot_c").alias("share_bp"),
+            F.expr("tot_c").alias("tot_c"),
+        )
+        .withColumn(
+            "cum_share_bp",
+            F.expr("(10000 * sum(rev_c) OVER (ORDER BY decile ROWS BETWEEN "
+                   "UNBOUNDED PRECEDING AND CURRENT ROW)) div tot_c"),
+        )
+        .drop("tot_c")
+        .orderBy("decile")
+    )
+
+
+SQL_DECILE_LIFT = """
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_c
+  FROM orders GROUP BY o_custkey
+),
+binned AS (
+  SELECT o_custkey, rev_c,
+         CAST(ntile(10) OVER (ORDER BY rev_c DESC, o_custkey) AS INT)
+           AS decile
+  FROM per
+),
+per_d AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+         CAST(sum(rev_c) AS BIGINT) AS rev_c
+  FROM binned GROUP BY decile
+),
+tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tot_c FROM per)
+SELECT decile, n_customers, rev_c,
+       CAST((10000 * rev_c) // tot_c AS BIGINT) AS share_bp,
+       CAST((10000 * sum(rev_c) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW)) // tot_c AS BIGINT) AS cum_share_bp
+FROM per_d CROSS JOIN tot
+ORDER BY decile
+"""
+
+
 SLA_LATE_DAYS = 90
 
 
@@ -1531,6 +1602,7 @@ SPECS: list[QuerySpec] = [
         "market_basket_pairs", q_market_basket_pairs, SQL_MARKET_BASKET, bench=True
     ),
     QuerySpec("order_priority_sla", q_order_priority_sla, SQL_ORDER_PRIORITY_SLA),
+    QuerySpec("decile_lift_table", q_decile_lift_table, SQL_DECILE_LIFT),
     QuerySpec("mad_outliers", q_mad_outliers, SQL_MAD_OUTLIERS),
     QuerySpec("sales_seasonality", q_sales_seasonality, SQL_SALES_SEASONALITY),
     QuerySpec(
