@@ -838,10 +838,11 @@ SELECT doc_id,
        CAST(len(list_distinct(w)) AS INT) AS n_distinct,
        CAST(len(bg) AS INT) AS n_bigrams,
        CAST(top_bg AS INT) AS top_bigram_n,
-       round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
-               / CAST(len(w) AS DOUBLE), 4) AS dup_word_frac,
-       round(CAST(top_bg AS DOUBLE)
-               / CAST(greatest(len(bg), 1) AS DOUBLE), 4) AS top_bigram_frac
+       floor(CAST(len(w) - len(list_distinct(w)) AS DOUBLE)
+               / CAST(len(w) AS DOUBLE) * 1e4 + 0.5) / 1e4 AS dup_word_frac,
+       floor(CAST(top_bg AS DOUBLE)
+               / CAST(greatest(len(bg), 1) AS DOUBLE) * 1e4 + 0.5) / 1e4
+         AS top_bigram_frac
 FROM m
 """
 
