@@ -174,3 +174,30 @@ def test_run_history_ledger_records_each_tick(spark, sf_dir, tmp_path):
         assert rows[0]["n_rows"] == 250 and rows[0]["n_bad"] == 3
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_ledger_records_error_row_on_raised_failure(spark, sf_dir):
+    """A job that raises (here: build returns a batch frame) still
+    lands a run_history row with status='error' and the exception
+    text — failed runs must be visible in the ledger, not only in
+    logs."""
+    import pytest
+
+    table = "run_history_err_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    job = ScheduledPipeline(
+        name="badjob",
+        build=lambda s, d: load_table(s, d, "documents"),
+        ledger_table=table,
+    )
+    try:
+        with pytest.raises(TypeError, match="streaming"):
+            job.run_once(spark, sf_dir)
+        rows = spark.sql(
+            f"SELECT job, status, error FROM {table}"
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["status"] == "error"
+        assert "streaming" in rows[0]["error"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
