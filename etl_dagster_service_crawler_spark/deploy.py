@@ -92,6 +92,10 @@ def run_tick(
         mode="overwrite" if job.output_mode == "complete" else "append",
     )
     job.result_reader = lambda s: s.read.parquet(main)
+    if job.output_mode != "complete":
+        # append-mode ticks must resume from the last processed offset
+        # or every tick re-appends the whole source (duplicates)
+        job.checkpoint_dir = f"{output}/_checkpoints/{job_name}"
     status = job.run_once(spark, source)
     print(
         f"tick job={job_name} ok={status.ok} batches={status.n_batches} "

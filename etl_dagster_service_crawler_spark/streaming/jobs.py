@@ -132,6 +132,11 @@ class ScheduledPipeline:
     # result_reader then supplies RunStatus.result (read the sink back).
     foreach_batch: Callable[[DataFrame, int], None] | None = None
     result_reader: Callable[[SparkSession], DataFrame] | None = None
+    # Persistent checkpoint dir: REQUIRED for append-mode production
+    # runs — without it every availableNow tick restarts from offset
+    # zero and re-appends the whole source (duplicates). complete-mode
+    # rollups are recomputed-in-full by design and may omit it.
+    checkpoint_dir: str | None = None
     _last: RunStatus | None = field(default=None, repr=False)
 
     def _observed(self, spark: SparkSession, source: str) -> DataFrame:
@@ -247,6 +252,10 @@ class ScheduledPipeline:
                 if available_now
                 else writer.trigger(processingTime=self.interval)
             )
+            if self.checkpoint_dir is not None:
+                writer = writer.option(
+                    "checkpointLocation", self.checkpoint_dir
+                )
             q = writer.start()
         finally:
             if self.state_partitions is not None:
