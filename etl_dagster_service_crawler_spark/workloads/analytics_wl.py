@@ -1557,6 +1557,183 @@ FROM per
 """
 
 
+def q_change_point_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-shift change-point per event type: the split day that
+    maximizes |mean(before) - mean(after)| over the daily value
+    series — the "did the metric step-change and when" question asked
+    after every deploy. Exactness: means are never materialized as
+    doubles; the shift is the cross-multiplied integer
+    |pre_sum*post_cnt - post_sum*pre_cnt| // (pre_cnt*post_cnt)
+    (floor cents), so both engines pick the identical argmax with a
+    pinned (shift DESC, day ASC) tiebreak. The cross product stays
+    inside BIGINT up to ~1e9 rows/type at fixture value magnitudes
+    (ANSI mode would fail loudly, not wrap, beyond that).
+
+    Scale: the fact folds to a (day x type) aggregate in ONE exchange;
+    the prefix sums and the argmax run on that calendar-bounded frame
+    partitioned per type — never on the fact."""
+    e = load_table(spark, sf_dir, "events")
+    v_c = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"), F.sum(v_c).alias("sum_c"))
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cur = daily.select(
+        "event_type",
+        "day",
+        F.sum("cnt").over(w_cum).alias("pre_cnt"),
+        F.sum("sum_c").over(w_cum).alias("pre_sum"),
+        F.sum("cnt").over(w_all).alias("tot_cnt"),
+        F.sum("sum_c").over(w_all).alias("tot_sum"),
+    ).withColumns(
+        {
+            "post_cnt": F.col("tot_cnt") - F.col("pre_cnt"),
+            "post_sum": F.col("tot_sum") - F.col("pre_sum"),
+        }
+    )
+    scored = cur.where(F.col("post_cnt") > 0).select(
+        "event_type",
+        "day",
+        "pre_cnt",
+        "post_cnt",
+        # abs(...) >= 0, so `div` (truncating) == floor division ==
+        # the oracle's `//` — exact BIGINT, no double round-trip
+        F.expr(
+            "abs(pre_sum * post_cnt - post_sum * pre_cnt)"
+            " div (pre_cnt * post_cnt)"
+        )
+        .cast("bigint")
+        .alias("shift_c"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(F.desc("shift_c"), "day")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_pick))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("day").alias("split_day"), "shift_c", "pre_cnt", "post_cnt")
+        .orderBy("event_type")
+    )
+
+
+SQL_CHANGE_POINT = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS cnt,
+         CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+           AS sum_c
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day,
+         CAST(sum(cnt) OVER w_cum AS BIGINT) AS pre_cnt,
+         CAST(sum(sum_c) OVER w_cum AS BIGINT) AS pre_sum,
+         CAST(sum(cnt) OVER w_all AS BIGINT) AS tot_cnt,
+         CAST(sum(sum_c) OVER w_all AS BIGINT) AS tot_sum
+  FROM daily
+  WINDOW w_cum AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         w_all AS (PARTITION BY event_type)
+),
+scored AS (
+  SELECT event_type, day, pre_cnt, tot_cnt - pre_cnt AS post_cnt,
+         CAST(abs(CAST(pre_sum AS HUGEINT) * (tot_cnt - pre_cnt)
+                  - CAST(tot_sum - pre_sum AS HUGEINT) * pre_cnt)
+              // (CAST(pre_cnt AS HUGEINT) * (tot_cnt - pre_cnt))
+              AS BIGINT) AS shift_c
+  FROM cum WHERE tot_cnt - pre_cnt > 0
+)
+SELECT event_type, day AS split_day, shift_c, pre_cnt, post_cnt
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY shift_c DESC, day) AS rn
+  FROM scored
+)
+WHERE rn = 1
+ORDER BY event_type
+"""
+
+
+_EWMA_W = [64, 32, 16, 8, 4, 2, 1]  # halving weights, lag 0..6
+
+
+def q_ewma_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day exponentially weighted daily revenue — the
+    smoothed ops-dashboard series. Weights are the integer halving
+    ladder 64..1 so the smoothing is EXACT BIGINT arithmetic
+    (weighted_sum // weight_sum, with absent lag days dropping out of
+    both numerator and denominator) — no recursive float state, no
+    cross-engine drift, and a restatement of any day reproduces
+    bit-identically.
+
+    Scale: the fact folds to a calendar-bounded daily aggregate in one
+    exchange; the lag window runs on that days-sized frame (same
+    contract as mom_revenue_growth's months frame)."""
+    o = load_table(spark, sf_dir, "orders")
+    rev_c = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    daily = o.groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")).agg(
+        F.sum(rev_c).alias("rev_c")
+    )
+    w = Window.orderBy("day")
+    lags = [F.lag("rev_c", k).over(w) for k in range(len(_EWMA_W))]
+    lags[0] = F.col("rev_c")
+    num = sum(
+        (F.coalesce(lag, F.lit(0)) * F.lit(wt) for lag, wt in zip(lags, _EWMA_W)),
+        F.lit(0),
+    )
+    den = sum(
+        (
+            F.when(lag.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+            for lag, wt in zip(lags, _EWMA_W)
+        ),
+        F.lit(0),
+    )
+    # num >= 0 and den > 0, so BIGINT `div` (truncating) == floor
+    # division == DuckDB's `//` — exact at any magnitude, unlike
+    # floor(double/double) which drifts past 2^53
+    return daily.select(
+        "day",
+        "rev_c",
+        num.alias("_num"),
+        den.alias("_den"),
+    ).select(
+        "day",
+        "rev_c",
+        F.expr("_num div _den").cast("bigint").alias("ewma_c"),
+    )
+
+
+def _sql_ewma() -> str:
+    num = " + ".join(
+        f"coalesce(lag(rev_c, {k}) OVER w, 0) * {wt}" if k else f"rev_c * {wt}"
+        for k, wt in enumerate(_EWMA_W)
+    )
+    den = " + ".join(
+        f"CASE WHEN lag(rev_c, {k}) OVER w IS NOT NULL THEN {wt} ELSE 0 END"
+        if k
+        else f"{_EWMA_W[0]}"
+        for k, wt in enumerate(_EWMA_W)
+    )
+    return f"""
+WITH daily AS (
+  SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+         CAST(sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT))
+              AS BIGINT) AS rev_c
+  FROM orders GROUP BY 1
+)
+SELECT day, rev_c,
+       CAST(({num}) // ({den}) AS BIGINT) AS ewma_c
+FROM daily
+WINDOW w AS (ORDER BY day)
+"""
+
+
+SQL_EWMA = _sql_ewma()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "bilateral_trade_volume", q_bilateral_trade_volume, SQL_BILATERAL_TRADE
@@ -1614,4 +1791,6 @@ SPECS: list[QuerySpec] = [
         _customer_features_sql(),
     ),
     QuerySpec("fk_integrity_audit", q_fk_integrity_audit, SQL_FK_AUDIT),
+    QuerySpec("change_point_detect", q_change_point_detect, SQL_CHANGE_POINT),
+    QuerySpec("ewma_revenue_daily", q_ewma_revenue_daily, SQL_EWMA),
 ]

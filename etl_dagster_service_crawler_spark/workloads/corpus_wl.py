@@ -924,6 +924,84 @@ FROM starts
 """
 
 
+BIGRAM_COVERAGE_K = 500
+
+
+def q_bigram_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model coverage per document: the share of a
+    doc's bigrams found in the corpus top-K bigram table, in integer
+    ppm — the cheap LM-fit proxy (a perplexity stand-in with no float
+    log) used to rank docs by how "in-distribution" their phrase
+    structure is. Complements oov_rate_vocab (unigram membership) at
+    the phrase level.
+
+    Scale: same shape as OOV — the bigram vocabulary partial-
+    aggregates map-side into ONE bigram-keyed exchange + TakeOrdered
+    (vocab-sized), then broadcasts back as a K-element array; per-doc
+    scoring is a per-row array op on the unshuffled documents scan.
+    Tie order (cnt DESC, bigram ASC) pinned on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    t = F.col("t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    db = dt.select("doc_id", bigrams.alias("bg"))
+    top = (
+        db.select(F.explode("bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "bigram")
+        .limit(BIGRAM_COVERAGE_K)
+        .agg(F.collect_list("bigram").alias("vocab"))
+    )
+    n_bg = F.size("bg")
+    in_top = F.size(F.filter(F.col("bg"), lambda x: F.array_contains(F.col("vocab"), x)))
+    return db.join(F.broadcast(top)).select(
+        "doc_id",
+        n_bg.cast("int").alias("n_bigrams"),
+        in_top.cast("int").alias("in_top"),
+        F.when(n_bg > 0, F.expr(f"int((1000000 * size(filter(bg, x -> array_contains(vocab, x)))) div size(bg))"))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("coverage_ppm"),
+    )
+
+
+SQL_BIGRAM_COVERAGE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+db AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]
+              ELSE [] END AS bg
+  FROM toks
+),
+top AS (
+  SELECT bigram, count(*) AS cnt
+  FROM (SELECT unnest(bg) AS bigram FROM db)
+  GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {BIGRAM_COVERAGE_K}
+),
+v AS (SELECT list(bigram) AS vocab FROM top)
+SELECT doc_id,
+       CAST(len(bg) AS INT) AS n_bigrams,
+       CAST(len(list_filter(bg, x -> list_contains(vocab, x))) AS INT)
+         AS in_top,
+       CAST(CASE WHEN len(bg) > 0
+            THEN (1000000 * len(list_filter(bg, x -> list_contains(vocab, x))))
+                 // len(bg)
+            ELSE 0 END AS INT) AS coverage_ppm
+FROM db, v
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN, bench=True
@@ -954,4 +1032,5 @@ SPECS: list[QuerySpec] = [
         "token_entropy_score", q_token_entropy_score, SQL_TOKEN_ENTROPY, bench=True
     ),
     QuerySpec("oov_rate_vocab", q_oov_rate_vocab, SQL_OOV_RATE),
+    QuerySpec("bigram_lm_coverage", q_bigram_lm_coverage, SQL_BIGRAM_COVERAGE),
 ]

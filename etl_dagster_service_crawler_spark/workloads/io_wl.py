@@ -622,6 +622,113 @@ FROM orders
 """
 
 
+def q_scan_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine: a crawl's NDJSON landing zone always
+    contains truncated/garbled lines (killed fetches, the reference's
+    bare-except rows, test.py:539-547) — production ingest must count
+    and isolate them without failing the batch. The engine stages an
+    NDJSON file with every 37th doc_id's line truncated mid-record,
+    reads it back in PERMISSIVE mode with a columnNameOfCorruptRecord
+    column, and reports the partition of good vs quarantined rows plus
+    checksums over the good side.
+
+    Scale: malformed handling is per-line inside the distributed JSON
+    scan — no driver involvement, no second pass; the summary is one
+    map-side-combined aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    j = F.to_json(F.struct("doc_id", "source", "n_chars"))
+    line = F.when(
+        F.col("doc_id") % 37 == 0,
+        # cut the closing chars so the line is unparseable JSON
+        F.substring(j, 1, F.length(j) - 5),
+    ).otherwise(j)
+    path = _scratch(sf_dir, "scan_json_quarantine/landing")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    schema = (
+        "doc_id BIGINT, source STRING, n_chars BIGINT, _corrupt_record STRING"
+    )
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return back.agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("bigint").alias("good_rows"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("bigint").alias("bad_rows"),
+        F.count_distinct(F.when(~bad, F.col("source")))
+        .cast("bigint")
+        .alias("n_sources_good"),
+        F.sum(F.when(~bad, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sum_chars_good"),
+    )
+
+
+SQL_SCAN_JSON_QUARANTINE = """
+SELECT
+  CAST(count(*) FILTER (WHERE doc_id % 37 <> 0) AS BIGINT) AS good_rows,
+  CAST(count(*) FILTER (WHERE doc_id % 37 = 0) AS BIGINT) AS bad_rows,
+  CAST(count(DISTINCT source) FILTER (WHERE doc_id % 37 <> 0) AS BIGINT)
+    AS n_sources_good,
+  CAST(sum(CASE WHEN doc_id % 37 <> 0 THEN n_chars ELSE 0 END) AS BIGINT)
+    AS sum_chars_good
+FROM documents
+"""
+
+
+def q_sink_clustered_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-on-write + stats-prune-on-read: the #1 100 TB lever
+    after partitioning. The sink range-partitions lineitem by
+    l_shipdate and sorts within partitions, so every parquet file (and
+    every row group inside it) covers a TIGHT disjoint shipdate range;
+    a reader with a date predicate then skips all but ~1/Nth of the
+    bytes via footer min/max stats — no shuffle, no index, just
+    layout. The read-back aggregates one month through the pushed
+    filter; the oracle computes the same month from the original.
+
+    test_plans pins PushedFilters on the read and the disjoint
+    per-file min/max ranges on the staged files (the property that
+    makes the skipping real)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    path = _scratch(sf_dir, "sink_clustered/lineitem")
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        li.repartitionByRange(8, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = spark.read.schema(li.schema).parquet(path)
+    lo = F.lit("1997-03-01").cast("timestamp")
+    hi = F.lit("1997-04-01").cast("timestamp")
+    rev_u = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5)) * (
+        F.lit(100) - F.floor(F.col("l_discount") * F.lit(1e2) + F.lit(0.5))
+    )
+    return (
+        back.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(rev_u).cast("bigint").alias("rev_u"),
+        )
+    )
+
+
+SQL_SINK_CLUSTERED_PRUNED = """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT)))
+            AS BIGINT) AS rev_u
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate < TIMESTAMP '1997-04-01'
+"""
+
+
 SPECS = [
     QuerySpec(
         "scan_schema_evolution", q_scan_schema_evolution, SQL_SCAN_SCHEMA_EVOLUTION
@@ -649,5 +756,11 @@ SPECS = [
         "sink_dynamic_overwrite",
         q_sink_dynamic_overwrite,
         SQL_SINK_DYNAMIC_OVERWRITE,
+    ),
+    QuerySpec(
+        "scan_json_quarantine", q_scan_json_quarantine, SQL_SCAN_JSON_QUARANTINE
+    ),
+    QuerySpec(
+        "sink_clustered_pruned", q_sink_clustered_pruned, SQL_SINK_CLUSTERED_PRUNED
     ),
 ]

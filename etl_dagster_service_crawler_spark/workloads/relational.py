@@ -2166,6 +2166,163 @@ FROM customer
 """
 
 
+_STREAK_EPOCH = "2024-01-01"
+
+
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands per user: longest run of consecutive active
+    days, streak count, and total active days — the engagement metric
+    every product-analytics stack computes (generalizes the reference's
+    incremental-skip bookkeeping, test.py:155, into activity history).
+
+    Scale: the classic SQL islands idiom (row_number difference, which
+    the oracle uses) needs a per-user ordered window AFTER a distinct —
+    two exchanges. Here the distinct day set folds into ONE user_id
+    exchange (collect_set partial-aggregates map-side) and the
+    runs are computed inside the sorted per-user array with higher-
+    order functions: a break is a position whose day != prev+1, and the
+    longest run is a single fold carrying (current_run, best, prev) —
+    per-user state is bounded by the calendar (<= days in the ingest
+    window), never by event volume."""
+    e = load_table(spark, sf_dir, "events")
+    day_idx = F.datediff(F.to_date("ts"), F.lit(_STREAK_EPOCH).cast("date"))
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set(day_idx)).alias("days")
+    )
+    a = F.col("days")
+    breaks = F.size(
+        F.filter(
+            # i is 0-based; element_at is 1-based, so element_at(a, i)
+            # is the PREVIOUS element when visiting index i
+            F.transform(
+                a,
+                lambda x, i: F.when(
+                    (i > 0) & (x != F.element_at(a, i) + 1), F.lit(1)
+                ).otherwise(F.lit(0)),
+            ),
+            lambda v: v == 1,
+        )
+    )
+
+    def _step(acc, x):
+        run = F.when(x == acc.prev + 1, acc.run + 1).otherwise(F.lit(1))
+        return F.struct(
+            run.alias("run"),
+            F.greatest(acc.best, run).alias("best"),
+            x.alias("prev"),
+        )
+
+    longest = F.aggregate(
+        a,
+        F.struct(
+            F.lit(0).alias("run"), F.lit(0).alias("best"), F.lit(-(10**6)).alias("prev")
+        ),
+        _step,
+        lambda acc: acc.best,
+    )
+    return per_user.select(
+        "user_id",
+        F.size(a).cast("int").alias("n_active_days"),
+        (breaks + 1).cast("int").alias("n_streaks"),
+        longest.cast("int").alias("max_streak_d"),
+    )
+
+
+SQL_ACTIVITY_STREAKS = f"""
+WITH d AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+i AS (
+  SELECT user_id, day,
+         CAST(day - DATE '{_STREAK_EPOCH}' AS INT)
+           - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+                  AS INT) AS grp
+  FROM d
+),
+runs AS (
+  SELECT user_id, grp, count(*) AS len FROM i GROUP BY 1, 2
+)
+SELECT user_id,
+       CAST(sum(len) AS INT) AS n_active_days,
+       CAST(count(*) AS INT) AS n_streaks,
+       CAST(max(len) AS INT) AS max_streak_d
+FROM runs GROUP BY user_id
+"""
+
+
+def q_subquery_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN vs NOT EXISTS under NULLs — the SQL-semantics trap every
+    engine must honor: one NULL in the subquery result makes
+    `x NOT IN (...)` UNKNOWN for every non-matching row, so the count
+    collapses to 0, while NOT EXISTS (and NOT IN over the null-free
+    set) keeps the expected rows. Catalyst plans the NOT IN as a
+    null-aware anti join; all three counts run through spark.sql so
+    the decorrelation is the engine's own.
+
+    The probe set derives NULLs deterministically (every 97th BUILDING
+    customer key) since the fixtures are null-free by construction."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("nin_orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("nin_customer_v")
+    return spark.sql(_NOT_IN_BODY.format(orders="nin_orders_v", customer="nin_customer_v"))
+
+
+_NOT_IN_BODY = """
+WITH probe AS (
+  SELECT CASE WHEN c_custkey % 97 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM {customer} WHERE c_mktsegment = 'BUILDING'
+)
+SELECT
+  (SELECT count(*) FROM {orders}
+   WHERE o_custkey NOT IN (SELECT k FROM probe)) AS cnt_not_in,
+  (SELECT count(*) FROM {orders} o
+   WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+    AS cnt_not_exists,
+  (SELECT count(*) FROM {orders}
+   WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+    AS cnt_not_in_nullfree
+"""
+
+SQL_NOT_IN_NULLAWARE = _NOT_IN_BODY.format(orders="orders", customer="customer")
+
+
+def q_window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value / nth_value with an explicitly pinned
+    full frame — the frame-boundary trap: the SQL default frame (RANGE
+    UNBOUNDED PRECEDING .. CURRENT ROW) silently makes last_value mean
+    "current row", so both engines pin ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING. Partitioned by nation — runs
+    parallel per partition, never a global sort."""
+    c = load_table(spark, sf_dir, "customer")
+    bal_c = F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), "c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        bal_c.alias("bal_c"),
+        F.first("c_name").over(w).alias("richest_name"),
+        F.nth_value(bal_c, 3).over(w).alias("third_bal_c"),
+        F.last(bal_c).over(w).alias("poorest_bal_c"),
+    )
+
+
+SQL_WINDOW_NTH_VALUE = """
+SELECT c_custkey, c_nationkey,
+       CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS bal_c,
+       first_value(c_name) OVER w AS richest_name,
+       nth_value(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT), 3) OVER w
+         AS third_bal_c,
+       last_value(CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT)) OVER w
+         AS poorest_bal_c
+FROM customer
+WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 SPECS = [
     QuerySpec("project_columns", q_project_columns, SQL_PROJECT),
     QuerySpec("filter_predicate", q_filter_predicate, SQL_FILTER),
@@ -2237,4 +2394,9 @@ SPECS = [
     QuerySpec("regr_fit_moments", q_regr_fit_moments, SQL_REGR_FIT),
     QuerySpec("purchase_gap_stats", q_purchase_gap_stats, SQL_PURCHASE_GAPS),
     QuerySpec("quartile_by_group", q_quartile_by_group, SQL_QUARTILE_BY_GROUP),
+    QuerySpec("activity_streaks", q_activity_streaks, SQL_ACTIVITY_STREAKS),
+    QuerySpec(
+        "subquery_not_in_nullaware", q_subquery_not_in_nullaware, SQL_NOT_IN_NULLAWARE
+    ),
+    QuerySpec("window_nth_value", q_window_nth_value, SQL_WINDOW_NTH_VALUE),
 ]

@@ -598,3 +598,69 @@ def test_snapshot_diff_single_full_outer_exchange_pair(spark, sf_dir):
     plan = _plan(analytics_wl.q_snapshot_diff_reconcile(spark, sf_dir))
     assert "FullOuter" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_clustered_sink_layout_enables_stats_pruning(spark, sf_dir):
+    """sink_clustered_pruned's contract is the LAYOUT: after the
+    range-partitioned sorted write, every parquet file covers a tight
+    l_shipdate range DISJOINT from the others (that is what lets a
+    date-predicate reader skip all but ~1/Nth of the bytes via footer
+    min/max), and the read-back pushes the date filter to the scan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from etl_dagster_service_crawler_spark.workloads import io_wl
+
+    plan = _plan(io_wl.q_sink_clustered_pruned(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters", 1)[1][:300]
+    assert "l_shipdate" in pushed and "GreaterThanOrEqual" in pushed
+
+    path = io_wl._scratch(sf_dir, "sink_clustered/lineitem")
+    ranges = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        lo = min(
+            md.row_group(i).column(1).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(1).statistics.max for i in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    assert len(ranges) >= 4
+    ranges.sort()
+    for (_, prev_hi), (nxt_lo, _) in zip(ranges, ranges[1:]):
+        assert prev_hi <= nxt_lo, "file shipdate ranges overlap - no skipping"
+
+
+def test_activity_streaks_single_user_exchange(spark, sf_dir):
+    """The gaps-and-islands fold must stay inside ONE user_id
+    aggregation exchange — no distinct-then-window double shuffle."""
+    from etl_dagster_service_crawler_spark.workloads import relational
+
+    plan = _plan(relational.q_activity_streaks(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" not in plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """The NOT IN branch must use Catalyst's null-aware anti join
+    machinery, not a cartesian fallback."""
+    from etl_dagster_service_crawler_spark.workloads import relational
+
+    plan = _plan(relational.q_subquery_not_in_nullaware(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_change_point_windows_only_on_daily_frame(spark, sf_dir):
+    """Prefix sums and the argmax run on the (day x type) aggregate:
+    exactly one fact aggregation exchange; every Window sits above it."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_change_point_detect(spark, sf_dir))
+    assert "Window" in plan
+    # one exchange folds the fact to (day, type); window re-keys are
+    # on the tiny aggregate only
+    first_exchange = plan.index("Exchange hashpartitioning")
+    assert "partial_count" in plan[first_exchange:] or "partial" in plan
