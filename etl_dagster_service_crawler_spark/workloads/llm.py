@@ -1228,7 +1228,118 @@ WHERE rn = 1
 """
 
 
+def q_source_lang_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language mix report: doc count, language count,
+    dominant language and its share in integer basis points — the
+    crawl-curation dashboard that decides which sources feed which
+    language buckets (generalizes the reference's per-keyword crawl
+    accounting, test.py:129-144, to corpus composition). Dominance
+    ties break to the lexicographically smallest lang via min over a
+    (-cnt, lang) struct — pinned identically in the oracle's
+    row_number ordering.
+
+    Scale: ONE (source, lang) aggregation exchange (map-side
+    combined), then a source-sized regroup — the fact text never
+    moves."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    top = F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("lang").alias("lg")))
+    per = counts.groupBy("source").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).cast("int").alias("n_langs"),
+        top.alias("top"),
+    )
+    return per.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        "n_langs",
+        F.col("top.lg").alias("top_lang"),
+        F.expr("int((10000 * -top.nc) div n_docs)").alias("top_share_bp"),
+    )
+
+
+SQL_SOURCE_LANG_MIX = """
+WITH counts AS (
+  SELECT source, lang, count(*) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, lang, cnt,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, lang) AS rn
+  FROM counts
+),
+per AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+         CAST(count(*) AS INT) AS n_langs
+  FROM counts GROUP BY source
+)
+SELECT p.source, p.n_docs, p.n_langs,
+       r.lang AS top_lang,
+       CAST((10000 * r.cnt) // p.n_docs AS INT) AS top_share_bp
+FROM per p JOIN ranked r ON p.source = r.source AND r.rn = 1
+"""
+
+
+EMB_CENTROID_SCALE = 64
+
+
+def q_embedding_centroids_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of quantized embeddings — the seed step of
+    every IVF/k-means index build, made oracle-exact: elements snap to
+    integer 1/64 units (floor(x*64+0.5)), so per-(label, dim) sums are
+    exact BIGINTs in any order and the mean is a true floor division
+    (pmod idiom: Spark `div` truncates, DuckDB `//` floors — removing
+    the remainder first makes them identical on negatives).
+
+    Scale: posexplode multiplies rows by the dimension count, but the
+    (label, pos) partial aggregate combines map-side, so the exchange
+    carries labels x dims rows per task — constant in n. The same
+    shape trains real centroids at 100 TB (treeAggregate semantics
+    expressed relationally)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * EMB_CENTROID_SCALE + F.lit(0.5)).cast(
+            "bigint"
+        ),
+    )
+    exploded = emb.select("label", F.posexplode(q).alias("pos", "qv"))
+    agg = exploded.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qv").alias("s")
+    )
+    return agg.select(
+        "label",
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("s"),
+        F.expr("(s - pmod(s, n)) div n").cast("bigint").alias("mean_q"),
+    )
+
+
+SQL_EMB_CENTROIDS = f"""
+WITH q AS (
+  SELECT label,
+         CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS pos,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {EMB_CENTROID_SCALE}
+                    + 0.5) AS BIGINT) AS qv
+  FROM embeddings
+)
+SELECT label, pos,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(qv) AS BIGINT) AS s,
+       CAST((CAST(sum(qv) AS BIGINT)
+             - ((CAST(sum(qv) AS BIGINT) % count(*)) + count(*)) % count(*))
+            // count(*) AS BIGINT) AS mean_q
+FROM q GROUP BY label, pos
+"""
+
+
 SPECS = [
+    QuerySpec("source_lang_mix", q_source_lang_mix, SQL_SOURCE_LANG_MIX),
+    QuerySpec(
+        "embedding_centroids_int", q_embedding_centroids_int, SQL_EMB_CENTROIDS
+    ),
     QuerySpec("text_pii_scrub", q_text_pii_scrub, SQL_PII_SCRUB),
     QuerySpec(
         "text_repetition_score",

@@ -2323,8 +2323,113 @@ WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
 """
 
 
+def q_fill_forward_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward over a per-type daily spine:
+    days with no events inherit the most recent observed daily total
+    (the metric-dashboard fill mode, complementing date_spine_gapfill's
+    zero fill). The spine is generated per type from global bounds —
+    never collected; the fill is last(... ignorenulls) over a
+    type-partitioned ordered window (calendar-bounded frame).
+
+    filled_c is NULL (not 0) before a type's first observation — the
+    honest LOCF contract, pinned on both engines."""
+    e = load_table(spark, sf_dir, "events")
+    v_c = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.sum(v_c).alias("day_c")
+    )
+    bounds = e.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("d")
+    )
+    types = e.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(spine))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(daily, ["event_type", "d"], "left")
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("day_c"),
+            F.last("day_c", ignorenulls=True).over(w).alias("filled_c"),
+        )
+    )
+
+
+SQL_FILL_FORWARD = """
+WITH b AS (SELECT CAST(min(ts) AS DATE) lo, CAST(max(ts) AS DATE) hi
+           FROM events),
+spine AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                      AS DATE) AS d FROM b),
+types AS (SELECT DISTINCT event_type FROM events),
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(floor(value * 1e2 + 0.5) AS BIGINT)) AS BIGINT)
+           AS day_c
+  FROM events GROUP BY 1, 2
+)
+SELECT t.event_type, strftime(s.d, '%Y-%m-%d') AS day, daily.day_c,
+       last_value(daily.day_c IGNORE NULLS) OVER (
+         PARTITION BY t.event_type ORDER BY s.d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_c
+FROM types t CROSS JOIN spine s
+LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = s.d
+"""
+
+
+SKEW_TOP_K = 10
+
+
+def q_skew_diagnose_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: the heaviest keys of a fact join
+    column with their row share and hot-factor (multiple of the mean
+    key load, in basis points) — the report that decides whether a
+    join needs salting or AQE skew handling BEFORE it runs at 100 TB.
+    One map-side-combined key aggregation + TakeOrdered; the key-count
+    and total scalars ride along in broadcast (no second fact pass)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = per_key.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        per_key.orderBy(F.desc("cnt"), "l_suppkey")
+        .limit(SKEW_TOP_K)
+        .join(F.broadcast(totals))
+        .select(
+            "l_suppkey",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            F.expr("int((10000 * cnt) div total)").alias("share_bp"),
+            F.expr("int((10000 * cnt * n_keys) div total)").alias("hot_bp"),
+        )
+    )
+
+
+SQL_SKEW_DIAGNOSE = f"""
+WITH per_key AS (
+  SELECT l_suppkey, CAST(count(*) AS BIGINT) AS cnt
+  FROM lineitem GROUP BY 1
+),
+t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_keys FROM per_key)
+SELECT l_suppkey, cnt,
+       CAST((10000 * cnt) // total AS INT) AS share_bp,
+       CAST((10000 * cnt * n_keys) // total AS INT) AS hot_bp
+FROM (SELECT * FROM per_key ORDER BY cnt DESC, l_suppkey LIMIT {SKEW_TOP_K})
+CROSS JOIN t
+"""
+
+
 SPECS = [
     QuerySpec("project_columns", q_project_columns, SQL_PROJECT),
+    QuerySpec("fill_forward_locf", q_fill_forward_locf, SQL_FILL_FORWARD),
+    QuerySpec("skew_diagnose_report", q_skew_diagnose_report, SQL_SKEW_DIAGNOSE),
     QuerySpec("filter_predicate", q_filter_predicate, SQL_FILTER),
     QuerySpec("clean_trim_replace", q_clean_trim_replace, SQL_CLEAN),
     QuerySpec("conditional_encode", q_conditional_encode, SQL_ENCODE),

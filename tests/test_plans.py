@@ -664,3 +664,25 @@ def test_change_point_windows_only_on_daily_frame(spark, sf_dir):
     # on the tiny aggregate only
     first_exchange = plan.index("Exchange hashpartitioning")
     assert "partial_count" in plan[first_exchange:] or "partial" in plan
+
+
+def test_bigram_coverage_never_shuffles_the_fact(spark, sf_dir):
+    """Same contract as OOV: the bigram vocab folds through one
+    exchange + TakeOrdered and broadcasts back; per-doc scoring is a
+    per-row array op on the unshuffled documents scan."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl
+
+    plan = _plan(corpus_wl.q_bigram_lm_coverage(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_source_lang_mix_single_fact_exchange(spark, sf_dir):
+    """(source, lang) partial-aggregates map-side into one exchange;
+    the dominance regroup runs on the tiny counts frame."""
+    from etl_dagster_service_crawler_spark.workloads import llm
+
+    plan = _plan(llm.q_source_lang_mix(spark, sf_dir))
+    assert "partial" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

@@ -499,3 +499,62 @@ def test_last_touch_attribution_matches_replay(spark, rows):
                 pts, pi, pt = max(touches)
                 want[i] = (pt, pi, int((ts - pts).total_seconds()))
     assert got == want
+
+
+@_slow
+@given(days=st.sets(st.integers(0, 40), max_size=25))
+def test_activity_streaks_fold_matches_python(spark, days):
+    """The HOF gaps-and-islands fold (activity_streaks) must agree
+    with a direct Python computation of (active days, streak count,
+    longest run) on arbitrary day sets — including empty, singleton,
+    and fully-consecutive shapes."""
+    import datetime
+
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_activity_streaks,
+    )
+
+    if not days:
+        return  # a user with no events has no row at all
+    # route through the real query by staging a one-user events table
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, epoch + datetime.timedelta(days=d, hours=3), 7, "view", 1.0, "{}")
+        for i, d in enumerate(sorted(days))
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    )
+    df.createOrReplaceTempView("_streak_events_v")
+
+    import etl_dagster_service_crawler_spark.io.tables as tables
+
+    orig = tables.load_table
+    try:
+        tables.load_table = lambda sp, sf, name: sp.table("_streak_events_v")
+        # the workload module binds load_table at import; patch there too
+        import etl_dagster_service_crawler_spark.workloads.relational as rel
+
+        rel_orig = rel.load_table
+        rel.load_table = tables.load_table
+        try:
+            got = q_activity_streaks(spark, "unused").collect()
+        finally:
+            rel.load_table = rel_orig
+    finally:
+        tables.load_table = orig
+
+    ds = sorted(days)
+    runs, cur = [], 1
+    for a, b in zip(ds, ds[1:]):
+        if b == a + 1:
+            cur += 1
+        else:
+            runs.append(cur)
+            cur = 1
+    runs.append(cur)
+    assert len(got) == 1
+    r = got[0]
+    assert r["n_active_days"] == len(ds)
+    assert r["n_streaks"] == len(runs)
+    assert r["max_streak_d"] == max(runs)
