@@ -1335,8 +1335,114 @@ FROM q GROUP BY label, pos
 """
 
 
+MINHASH_EXPORT_SEEDS = 8
+# Mersenne prime 2^31-1; affine coefficients pinned small so
+# a * (h % P) + b stays far inside BIGINT on both engines
+MINHASH_EXPORT_P = 2147483647
+MINHASH_EXPORT_A = [3, 5, 7, 11, 13, 17, 19, 23]
+MINHASH_EXPORT_B = [17, 29, 41, 53, 67, 79, 97, 113]
+
+
+def q_minhash_signature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable MinHash signature artifact: per (doc, seed),
+    the minimum affine permutation (a_k*h + b_k) mod P of the doc's
+    distinct 3-token shingle hashes. The production family
+    (dedup_minhash_*) hashes with xxhash64 for speed, which no oracle
+    can replay — this export derives h from md5 (low 60 hex-bits ->
+    BIGINT, identical in Spark's conv() and DuckDB's 0x-cast) so the
+    ENTIRE signature construction — shingling, shingle dedup, k-way
+    permutation minima — is hash-verified end-to-end, anchoring the
+    approximate family beyond the exact-mode twins.
+
+    Each shingle is md5'd ONCE; the k components are integer affine
+    maps of that hash folded in a single pass carrying all k running
+    minima (the production path's one-fold shape; the md5-per-seed
+    formulation re-hashed k times — measured 8x the cost). Short docs
+    (< 3 tokens) export the sentinel P, outside the [0, P) range.
+    Scale: one shuffle-free projection per doc."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    t = F.col("t")
+    n = F.size(t) - 2
+    shingles = F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws("\x1f", F.slice(t, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hv = dt.select(
+        "doc_id",
+        F.transform(
+            shingles,
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+                F.lit(MINHASH_EXPORT_P),
+            ),
+        ).alias("hv"),
+    )
+    p = F.lit(MINHASH_EXPORT_P)
+    sig = F.aggregate(
+        "hv",
+        F.array_repeat(p.cast("bigint"), MINHASH_EXPORT_SEEDS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (MINHASH_EXPORT_A[i] * h + MINHASH_EXPORT_B[i]) % p
+                    for i in range(MINHASH_EXPORT_SEEDS)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return hv.select("doc_id", F.posexplode(sig).alias("seed", "sig")).select(
+        "doc_id", F.col("seed").cast("int").alias("seed"), F.col("sig").cast("bigint").alias("sig")
+    )
+
+
+def _minhash_export_sql() -> str:
+    p = MINHASH_EXPORT_P
+    comps = ", ".join(
+        f"coalesce(list_aggregate(list_transform(hv, h -> ({a} * h + {b}) % {p}),"
+        f" 'min'), {p})"
+        for a, b in zip(MINHASH_EXPORT_A, MINHASH_EXPORT_B)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 3
+              THEN list_distinct([t[i] || chr(31) || t[i + 1] || chr(31)
+                                  || t[i + 2] FOR i IN range(1, len(t) - 1)])
+              ELSE [] END AS sh
+  FROM toks
+),
+hv AS (
+  SELECT doc_id,
+         list_transform(sh, s ->
+           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS hv
+  FROM sh
+)
+SELECT doc_id,
+       CAST(unnest(range(0, {MINHASH_EXPORT_SEEDS})) AS INT) AS seed,
+       CAST(unnest([{comps}]) AS BIGINT) AS sig
+FROM hv
+"""
+
+
+SQL_MINHASH_EXPORT = _minhash_export_sql()
+
+
 SPECS = [
     QuerySpec("source_lang_mix", q_source_lang_mix, SQL_SOURCE_LANG_MIX),
+    QuerySpec(
+        "minhash_signature_export", q_minhash_signature_export, SQL_MINHASH_EXPORT
+    ),
     QuerySpec(
         "embedding_centroids_int", q_embedding_centroids_int, SQL_EMB_CENTROIDS
     ),

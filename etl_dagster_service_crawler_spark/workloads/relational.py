@@ -2383,6 +2383,77 @@ LEFT JOIN daily ON daily.event_type = t.event_type AND daily.d = s.d
 """
 
 
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact expanding distinct-user count per day (cumulative
+    audience). A naive COUNT(DISTINCT) OVER (ORDER BY day) carries the
+    full user set through every window frame; the scale-safe rewrite:
+    a user contributes exactly once, on their FIRST day — so the
+    running distinct is the prefix sum of first-seen counts. One
+    user_id aggregation exchange + a calendar-bounded cumsum; the
+    trailing-window twin that cannot be rewritten this way is
+    rolling_distinct_users (HLL sketches, rows-only)."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
+    per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("new_users").cast("bigint").alias("new_users"),
+        F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
+    )
+
+
+SQL_CUMULATIVE_DISTINCT = """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS d FROM events GROUP BY user_id
+),
+per_day AS (
+  SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+       CAST(sum(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+            PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+FROM per_day
+"""
+
+
+def q_top_decile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation top spenders: customers at or above their nation's
+    90th-percentile balance. The per-group threshold is a tiny
+    nation-sized aggregate broadcast back onto the unshuffled customer
+    scan — the grouped twin of winsorize_values' global bounds.
+    Percentiles interpolate over already-integer cents so both engines
+    see identical inputs; the floor(+0.5) snap pins the boundary."""
+    c = load_table(spark, sf_dir, "customer")
+    bal_c = F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    thr = c.groupBy("c_nationkey").agg(
+        F.floor(F.percentile(bal_c, 0.9) + F.lit(0.5)).cast("bigint").alias("p90_c")
+    )
+    return (
+        c.select("c_custkey", "c_nationkey", bal_c.alias("bal_c"))
+        .join(F.broadcast(thr), "c_nationkey")
+        .where(F.col("bal_c") >= F.col("p90_c"))
+        .select("c_custkey", "c_nationkey", "bal_c", "p90_c")
+    )
+
+
+SQL_TOP_DECILE_BY_GROUP = """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS bal_c
+  FROM customer
+),
+thr AS (
+  SELECT c_nationkey,
+         CAST(floor(quantile_cont(bal_c, 0.9) + 0.5) AS BIGINT) AS p90_c
+  FROM c GROUP BY c_nationkey
+)
+SELECT c.c_custkey, c.c_nationkey, c.bal_c, thr.p90_c
+FROM c JOIN thr ON c.c_nationkey = thr.c_nationkey
+WHERE c.bal_c >= thr.p90_c
+"""
+
+
 SKEW_TOP_K = 10
 
 
@@ -2430,6 +2501,12 @@ SPECS = [
     QuerySpec("project_columns", q_project_columns, SQL_PROJECT),
     QuerySpec("fill_forward_locf", q_fill_forward_locf, SQL_FILL_FORWARD),
     QuerySpec("skew_diagnose_report", q_skew_diagnose_report, SQL_SKEW_DIAGNOSE),
+    QuerySpec(
+        "cumulative_distinct_users",
+        q_cumulative_distinct_users,
+        SQL_CUMULATIVE_DISTINCT,
+    ),
+    QuerySpec("top_decile_by_group", q_top_decile_by_group, SQL_TOP_DECILE_BY_GROUP),
     QuerySpec("filter_predicate", q_filter_predicate, SQL_FILTER),
     QuerySpec("clean_trim_replace", q_clean_trim_replace, SQL_CLEAN),
     QuerySpec("conditional_encode", q_conditional_encode, SQL_ENCODE),

@@ -666,16 +666,19 @@ def test_change_point_windows_only_on_daily_frame(spark, sf_dir):
     assert "partial_count" in plan[first_exchange:] or "partial" in plan
 
 
-def test_bigram_coverage_never_shuffles_the_fact(spark, sf_dir):
-    """Same contract as OOV: the bigram vocab folds through one
-    exchange + TakeOrdered and broadcasts back; per-doc scoring is a
-    per-row array op on the unshuffled documents scan."""
+def test_bigram_coverage_broadcast_hash_membership(spark, sf_dir):
+    """The vocab folds through one bigram exchange + TakeOrdered and
+    joins back as a broadcast HASH join (O(1) membership — the
+    array_contains formulation paid O(K) per bigram, measured 26x);
+    the per-doc regroup partial-aggregates map-side so its exchange is
+    doc-sized."""
     from etl_dagster_service_crawler_spark.workloads import corpus_wl
 
     plan = _plan(corpus_wl.q_bigram_lm_coverage(spark, sf_dir))
-    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
-    assert plan.count("Exchange hashpartitioning") <= 1
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "partial" in plan
 
 
 def test_source_lang_mix_single_fact_exchange(spark, sf_dir):
@@ -685,4 +688,26 @@ def test_source_lang_mix_single_fact_exchange(spark, sf_dir):
 
     plan = _plan(llm.q_source_lang_mix(spark, sf_dir))
     assert "partial" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_top_decile_thresholds_broadcast_back(spark, sf_dir):
+    """The per-nation p90 aggregate joins back as a broadcast; the
+    customer frame reaches the filter without a join-side exchange."""
+    from etl_dagster_service_crawler_spark.workloads import relational
+
+    plan = _plan(relational.q_top_decile_by_group(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the only hash exchange feeds the tiny percentile aggregate
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_cumulative_distinct_prefix_sum_shape(spark, sf_dir):
+    """Expanding distinct rewritten as first-seen prefix sum: one
+    user_id aggregation exchange; the cumsum window runs on the
+    calendar-bounded days frame, never the fact."""
+    from etl_dagster_service_crawler_spark.workloads import relational
+
+    plan = _plan(relational.q_cumulative_distinct_users(spark, sf_dir))
+    assert "partial_min" in plan or "partial" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
