@@ -1734,7 +1734,309 @@ WINDOW w AS (ORDER BY day)
 SQL_EWMA = _sql_ewma()
 
 
+def _supply_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observed-supply bridge standing in for TPC-H's partsupp (the
+    fixture schema has no partsupp table): per (part, supplier), the
+    minimum observed unit price in cents over lineitem. Unit price is
+    the exact integer pair (price_c, qty) compared by cross-
+    multiplication — never a float division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    price_c = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    qty = F.col("l_quantity").cast("bigint")
+    # min unit price as exact scaled integer: floor(1e4 * price_c / qty)
+    unit = F.expr("(10000 * price_c) div qty")
+    return (
+        li.select(
+            "l_partkey", "l_suppkey", price_c.alias("price_c"), qty.alias("qty")
+        )
+        .select("l_partkey", "l_suppkey", unit.alias("unit_c4"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_c4").alias("min_unit_c4"))
+    )
+
+
+_SQL_SUPPLY_BRIDGE = """
+  SELECT l_partkey, l_suppkey,
+         min((10000 * CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT))
+             // CAST(l_quantity AS BIGINT)) AS min_unit_c4
+  FROM lineitem GROUP BY 1, 2
+"""
+
+
+Q2_REGION = "ASIA"
+
+
+def q_min_cost_supplier_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape on the observed-supply bridge: for each part of
+    a size class, the supplier(s) in a target region offering the
+    minimum unit price. The canonical plan: the bridge aggregates once
+    (one (part, supp) exchange), region/nation/supplier dims broadcast
+    onto it, the per-part minimum folds on the part key and joins BACK
+    by (part, min) — a broadcast of the part-sized minima, never a
+    second bridge shuffle. Top-100 by supplier balance, pinned ties."""
+    br = _supply_bridge(spark, sf_dir)
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    p = load_table(spark, sf_dir, "part").where(F.col("p_size") >= 40)
+    dims = (
+        s.select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .join(
+            F.broadcast(n.select("n_nationkey", "n_regionkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(r.select("r_regionkey")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = br.join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    ).join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+    # per-part minimum as a WINDOW over the bridge frame, not an
+    # aggregate joined back: a joined-back aggregate re-derives the
+    # whole bridge subtree (lineitem scanned twice — Catalyst does not
+    # reuse unpersisted DataFrame subtrees); the window re-keys the
+    # bridge-sized frame once and the fact is scanned ONCE (plan-pinned)
+    w_part = Window.partitionBy("l_partkey")
+    return (
+        regional.withColumn("best_c4", F.min("min_unit_c4").over(w_part))
+        .where(F.col("min_unit_c4") == F.col("best_c4"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.floor(F.col("s_acctbal") * F.lit(1e2) + F.lit(0.5))
+            .cast("bigint")
+            .alias("acctbal_c"),
+            F.col("best_c4").cast("bigint").alias("best_c4"),
+        )
+        .orderBy(F.desc("acctbal_c"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+SQL_MIN_COST_SUPPLIER_Q2 = f"""
+WITH bridge AS ({_SQL_SUPPLY_BRIDGE}),
+regional AS (
+  SELECT b.l_partkey, b.min_unit_c4, s.s_name, n.n_name,
+         CAST(floor(s.s_acctbal * 1e2 + 0.5) AS BIGINT) AS acctbal_c
+  FROM bridge b
+  JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size >= 40
+  JOIN supplier s ON s.s_suppkey = b.l_suppkey
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = '{Q2_REGION}'
+),
+mins AS (
+  SELECT l_partkey, min(min_unit_c4) AS best_c4 FROM regional GROUP BY 1
+)
+SELECT regional.l_partkey AS p_partkey, s_name, n_name, acctbal_c,
+       CAST(best_c4 AS BIGINT) AS best_c4
+FROM regional
+JOIN mins ON mins.l_partkey = regional.l_partkey
+         AND regional.min_unit_c4 = mins.best_c4
+ORDER BY acctbal_c DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+Q11_FRACTION_BP = 5  # parts holding > 0.05% of the nation's supply value
+Q11_NATION = "NATION_7"
+
+
+def q_important_stock_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts representing an outsized share of a
+    nation's observed supply value. Supply value is the exact cent sum
+    of price over supplying lines from that nation's suppliers; the
+    threshold is a scalar (broadcast) fraction of the total — the
+    having-over-global-scalar plan: one fact aggregation by part + a
+    1-row broadcast, no second fact pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == Q11_NATION)
+    price_c = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5)).cast(
+        "bigint"
+    )
+    nat_lines = li.join(
+        F.broadcast(
+            s.select("s_suppkey", "s_nationkey").join(
+                F.broadcast(n.select("n_nationkey")),
+                F.col("s_nationkey") == F.col("n_nationkey"),
+            ).select("s_suppkey")
+        ),
+        F.col("l_suppkey") == F.col("s_suppkey"),
+    ).select("l_partkey", price_c.alias("price_c"))
+    per_part = nat_lines.groupBy("l_partkey").agg(
+        F.sum("price_c").alias("value_c")
+    )
+    total = per_part.agg(F.sum("value_c").alias("total_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .where(F.col("value_c") * 10000 > F.col("total_c") * Q11_FRACTION_BP)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value_c").cast("bigint").alias("value_c"),
+        )
+        .orderBy(F.desc("value_c"), "p_partkey")
+    )
+
+
+SQL_IMPORTANT_STOCK_Q11 = f"""
+WITH nat_lines AS (
+  SELECT l_partkey,
+         CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT) AS price_c
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON n_nationkey = s_nationkey AND n_name = '{Q11_NATION}'
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(price_c) AS BIGINT) AS value_c
+  FROM nat_lines GROUP BY 1
+),
+t AS (SELECT CAST(sum(value_c) AS BIGINT) AS total_c FROM per_part)
+SELECT l_partkey AS p_partkey, value_c
+FROM per_part CROSS JOIN t
+WHERE value_c * 10000 > total_c * {Q11_FRACTION_BP}
+ORDER BY value_c DESC, p_partkey
+"""
+
+
+def q_excess_supply_suppliers_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers providing more than 20% of the total
+    supplied quantity of any promo-class part ("excess supply" — the
+    candidates for stock rebalancing). Per-(part, supp) quantities and
+    per-part totals fold from ONE lineitem aggregation (the totals
+    derive from the (part, supp) frame, not a second fact pass); the
+    part filter broadcasts into the scan side; the supplier dim
+    broadcasts onto the survivors for naming."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").where(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    qty = F.col("l_quantity").cast("bigint")
+    ps_qty = (
+        li.join(F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", qty.alias("qty"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("supp_qty"))
+    )
+    # per-part total as a WINDOW over the (part, supp) frame — an
+    # aggregate joined back would re-derive the frame and scan
+    # lineitem twice (plan-pinned single fact scan)
+    part_qty = F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    flagged = (
+        ps_qty.withColumn("part_qty", part_qty)
+        .where(F.col("supp_qty") * 5 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(
+            F.broadcast(flagged), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_EXCESS_SUPPLY_Q20 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+           AS supp_qty
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey AND p_name LIKE 'red%'
+  GROUP BY 1, 2
+),
+tot AS (
+  SELECT l_partkey, CAST(sum(supp_qty) AS BIGINT) AS part_qty
+  FROM ps GROUP BY 1
+)
+SELECT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT DISTINCT ps.l_suppkey
+  FROM ps JOIN tot ON tot.l_partkey = ps.l_partkey
+  WHERE ps.supp_qty * 5 > tot.part_qty
+)
+ORDER BY s_suppkey
+"""
+
+
+def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every co-occurring
+    type pair, the shared-user count and Jaccard similarity in basis
+    points — the segmentation question ("do viewers also click?")
+    behind every cross-sell report. Reuses the basket machinery: ONE
+    user_id exchange folds each user's distinct types into a bounded
+    array; pairs generate map-side (types² ceiling), so there is never
+    a distinct-frame self-join; per-type audience sizes fold from the
+    same per-user frame and broadcast back twice."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select("user_id", "event_type")
+    pairs = basket_pair_counts(du, "user_id", "event_type").withColumnsRenamed(
+        {"p1": "ta", "p2": "tb", "cnt": "both_users"}
+    )
+    audience = (
+        du.distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    a = audience.withColumnsRenamed({"event_type": "ta", "n_users": "a_users"})
+    b = audience.withColumnsRenamed({"event_type": "tb", "n_users": "b_users"})
+    return (
+        pairs.join(F.broadcast(a), "ta")
+        .join(F.broadcast(b), "tb")
+        .select(
+            "ta",
+            "tb",
+            F.col("both_users").cast("bigint").alias("both_users"),
+            F.col("a_users").cast("bigint").alias("a_users"),
+            F.col("b_users").cast("bigint").alias("b_users"),
+            F.expr("int((10000 * both_users) div (a_users + b_users - both_users))")
+            .alias("jaccard_bp"),
+        )
+        .orderBy("ta", "tb")
+    )
+
+
+SQL_AUDIENCE_OVERLAP = """
+WITH du AS (SELECT DISTINCT user_id, event_type FROM events),
+tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+       FROM du GROUP BY 1),
+p AS (
+  SELECT a.event_type AS ta, b.event_type AS tb,
+         CAST(count(*) AS BIGINT) AS both_users
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.ta, p.tb, p.both_users,
+       ta_c.n_users AS a_users, tb_c.n_users AS b_users,
+       CAST((10000 * p.both_users)
+            // (ta_c.n_users + tb_c.n_users - p.both_users) AS INT)
+         AS jaccard_bp
+FROM p
+JOIN tc ta_c ON ta_c.event_type = p.ta
+JOIN tc tb_c ON tb_c.event_type = p.tb
+ORDER BY ta, tb
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec(
+        "audience_overlap_matrix", q_audience_overlap_matrix, SQL_AUDIENCE_OVERLAP
+    ),
+    QuerySpec(
+        "min_cost_supplier_q2", q_min_cost_supplier_q2, SQL_MIN_COST_SUPPLIER_Q2
+    ),
+    QuerySpec("important_stock_q11", q_important_stock_q11, SQL_IMPORTANT_STOCK_Q11),
+    QuerySpec(
+        "excess_supply_suppliers_q20",
+        q_excess_supply_suppliers_q20,
+        SQL_EXCESS_SUPPLY_Q20,
+    ),
     QuerySpec(
         "bilateral_trade_volume", q_bilateral_trade_volume, SQL_BILATERAL_TRADE
     ),

@@ -1438,10 +1438,86 @@ FROM hv
 SQL_MINHASH_EXPORT = _minhash_export_sql()
 
 
+SIMHASH_EXPORT_BITS = 16
+
+
+def q_simhash_signature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable SimHash twin of minhash_signature_export: a
+    16-bit simhash per doc from md5-derived token hashes (bit b votes
+    +1/-1 by the b-th bit of each distinct token's hash; the signature
+    sets bit b iff the vote sum is positive). All-integer vote math —
+    bit-for-bit on both engines — anchoring the production
+    dedup_simhash (xxhash64, 63-bit) construction with an
+    oracle-verified replica of its vote-and-sign shape.
+
+    Scale: shuffle-free per-doc projection; the 16 vote counters fold
+    in ONE pass over the token-hash array (aggregate carrying a
+    16-wide counter array — not 16 re-walks)."""
+    d = load_table(spark, sf_dir, "documents")
+    hv = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(tokens_ws(F.col("text"))),
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        ).alias("hv"),
+    )
+    votes = F.aggregate(
+        "hv",
+        F.array_repeat(F.lit(0).cast("bigint"), SIMHASH_EXPORT_BITS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << b)) != 0, F.lit(1)).otherwise(
+                        F.lit(-1)
+                    )
+                    for b in range(SIMHASH_EXPORT_BITS)
+                ]
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    hv_votes = hv.select("doc_id", F.size("hv").cast("int").alias("n_tokens"), votes.alias("v"))
+    sig = sum(
+        (
+            F.when(F.element_at("v", b + 1) > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_EXPORT_BITS)
+        ),
+        F.lit(0),
+    )
+    return hv_votes.select("doc_id", "n_tokens", sig.cast("bigint").alias("sig16"))
+
+
+def _simhash_export_sql() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hv, h -> CASE WHEN (h & {1 << b})"
+        f" <> 0 THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_EXPORT_BITS)
+    )
+    return f"""
+WITH hv AS (
+  SELECT doc_id,
+         list_transform(list_distinct(string_split(text, ' ')),
+           s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hv
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(hv) AS INT) AS n_tokens,
+       CAST(coalesce({bit_terms}, 0) AS BIGINT) AS sig16
+FROM hv
+"""
+
+
+SQL_SIMHASH_EXPORT = _simhash_export_sql()
+
+
 SPECS = [
     QuerySpec("source_lang_mix", q_source_lang_mix, SQL_SOURCE_LANG_MIX),
     QuerySpec(
         "minhash_signature_export", q_minhash_signature_export, SQL_MINHASH_EXPORT
+    ),
+    QuerySpec(
+        "simhash_signature_export", q_simhash_signature_export, SQL_SIMHASH_EXPORT
     ),
     QuerySpec(
         "embedding_centroids_int", q_embedding_centroids_int, SQL_EMB_CENTROIDS

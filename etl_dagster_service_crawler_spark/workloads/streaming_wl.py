@@ -491,7 +491,80 @@ WHERE value > 150.0
 """
 
 
+def q_stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC: the cdc_merge_changelog change log (derived from
+    orders — upserts + every-13th deletes, sequenced by orderkey)
+    split into 4 key-hashed files, streamed one file per micro-batch,
+    each batch merged last-wins into a persistent key-state table with
+    delete tombstones (streaming/cdc.py). Because batches are split by
+    KEY HASH, change order across batches is arbitrary — the merge's
+    argmax(seq) must make the final state independent of batch
+    boundaries, and the oracle pins exactly that: the streamed state
+    joined back to the customer snapshot must hash-equal the batch
+    compaction (same SQL as cdc_merge_changelog).
+
+    Scale: per-batch work is batch-sized + state-sized (key-spaced
+    ceiling, never event-count); idempotent per epoch (at-least-once
+    foreachBatch re-delivery is detected and skipped)."""
+    import hashlib
+    import shutil
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.cdc import cdc_apply_batch
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/cdc"
+    shutil.rmtree(base, ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 13 == 0, "D").otherwise("U").alias("op"),
+        cents.alias("new_bal_c"),
+    )
+    log.repartition(4, "key").write.parquet(f"{base}/in")
+
+    stream = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    state_dir = f"{base}/state"
+    q = (
+        stream.writeStream.foreachBatch(cdc_apply_batch(state_dir))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(180):
+        q.stop()
+        raise TimeoutError(
+            "cdc stream still running after 180s — state only partially applied"
+        )
+    last = spark.read.parquet(state_dir).select("key", "op", "new_bal_c")
+    snap = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"),
+        F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_c"),
+    )
+    merged = snap.join(last, "key", "full_outer")
+    return merged.where((F.col("op").isNull()) | (F.col("op") == "U")).select(
+        "key",
+        F.coalesce(F.col("new_bal_c"), F.col("bal_c")).alias("bal_c"),
+        F.when(F.col("op").isNull(), "unchanged").otherwise("updated").alias("state"),
+    )
+
+
+def _stream_cdc_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.relational import SQL_CDC_MERGE
+
+    return SQL_CDC_MERGE
+
+
 SPECS = [
+    QuerySpec("stream_cdc_apply", q_stream_cdc_apply, _stream_cdc_sql()),
     QuerySpec("stream_ivf_ingest", q_stream_ivf_ingest, None),
     QuerySpec(
         "stream_static_join", q_stream_static_join, SQL_STREAM_STATIC_JOIN

@@ -711,3 +711,51 @@ def test_cumulative_distinct_prefix_sum_shape(spark, sf_dir):
     plan = _plan(relational.q_cumulative_distinct_users(spark, sf_dir))
     assert "partial_min" in plan or "partial" in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_audience_overlap_no_distinct_self_join(spark, sf_dir):
+    """Pairs must generate map-side from the per-user folded array —
+    the naive distinct-frame self-join (two big-side shuffles) must
+    not appear; audience sizes join back as broadcasts."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_audience_overlap_matrix(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_signature_exports_shuffle_free(spark, sf_dir):
+    """Both signature exports are per-doc projections — any Exchange
+    is a planning regression."""
+    from etl_dagster_service_crawler_spark.workloads import llm
+
+    for q in (llm.q_minhash_signature_export, llm.q_simhash_signature_export):
+        assert "Exchange" not in _plan(q(spark, sf_dir))
+
+
+def test_q2_bridge_single_exchange_minima_broadcast(spark, sf_dir):
+    """Q2 shape: the observed-supply bridge aggregates through one
+    (part, supp) exchange; dims and the part-sized minima join BACK as
+    broadcasts — a second bridge shuffle is a regression."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    import re
+
+    plan = _plan(analytics_wl.q_min_cost_supplier_q2(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"FileScan parquet \[l_partkey", plan)) == 1
+
+
+def test_q20_totals_from_ps_frame_not_second_fact_pass(spark, sf_dir):
+    """Q20 shape: lineitem is scanned ONCE — per-part totals fold from
+    the (part, supp) aggregate, and the part filter broadcasts into
+    the scan side."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    import re
+
+    plan = _plan(analytics_wl.q_excess_supply_suppliers_q20(spark, sf_dir))
+    assert len(re.findall(r"FileScan parquet \[l_partkey", plan)) == 1
+    assert "BroadcastHashJoin" in plan

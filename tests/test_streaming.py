@@ -270,3 +270,38 @@ def test_checkpointed_restart_resumes_exactly_once(spark, sf_dir, tmp_path):
     out = spark.read.parquet(sink)
     assert out.count() == n1 + n2  # day1 NOT reprocessed
     assert out.select("doc_id").distinct().count() == n1 + n2  # no dups
+
+
+def test_cdc_apply_idempotent_and_order_independent(spark, tmp_path):
+    """cdc_apply_batch must (a) skip a re-delivered epoch (at-least-
+    once foreachBatch) and (b) produce the same final state whatever
+    order the batches arrive in — tombstones must not be resurrected
+    by a lower-seq upsert applied later."""
+    from etl_dagster_service_crawler_spark.streaming.cdc import cdc_apply_batch
+
+    rows_a = [(1, 10, "U", 100), (2, 5, "D", 0)]
+    rows_b = [(1, 20, "D", 0), (2, 3, "U", 50)]
+    schema = "key bigint, seq bigint, op string, new_bal_c bigint"
+
+    def final_state(order):
+        d = str(tmp_path / f"state_{order}")
+        apply = cdc_apply_batch(d, merge_partitions=2)
+        batches = [rows_a, rows_b] if order == "ab" else [rows_b, rows_a]
+        for i, rows in enumerate(batches):
+            apply(spark.createDataFrame(rows, schema), i)
+        return {tuple(r) for r in spark.read.parquet(d).collect()}
+
+    ab = final_state("ab")
+    ba = final_state("ba")
+    assert ab == ba
+    # key 1: seq 20 delete wins over seq 10 upsert; key 2: seq 5 delete
+    # wins over seq 3 upsert — both end as tombstones
+    assert ab == {(1, 20, "D", 0), (2, 5, "D", 0)}
+
+    # re-deliver epoch 0: state must not change
+    d = str(tmp_path / "state_redeliver")
+    apply = cdc_apply_batch(d, merge_partitions=2)
+    apply(spark.createDataFrame(rows_a, schema), 0)
+    before = {tuple(r) for r in spark.read.parquet(d).collect()}
+    apply(spark.createDataFrame(rows_b, schema), 0)  # same epoch id
+    assert {tuple(r) for r in spark.read.parquet(d).collect()} == before
