@@ -1,0 +1,192 @@
+"""Registry-wide physical-plan hygiene lint — the systematic version of
+the per-query pins in tests/test_plans.py.
+
+Walks EVERY registry query, builds its executed plan at the given sf
+dir, and flags the three classic scale-killers:
+
+- ``CartesianProduct`` anywhere (an unconditioned cross join of two
+  real frames never survives a 100x scale-up);
+- ``BroadcastNestedLoopJoin`` outside the allowlist (legitimate for a
+  1-row scalar broadcast or a tiny theta-joined legend dim; lethal
+  between two data-sized inputs);
+- ``Exchange SinglePartition`` / unpartitioned ``Window`` outside the
+  allowlist (legitimate only for constant-size frames: calendar days/
+  months, scalar totals, constant-k offsets of distributed_ntile).
+
+Allowlist entries are (query, pattern) pairs with the reason inline —
+adding one is a REVIEWED decision, not a suppression. Ops whose
+construction performs heavy side work (sinks, streams, staged scans)
+are built like any other — this tool is run out-of-band, not in the
+pytest suite, precisely so the full surface stays covered.
+
+Usage: python tools/plan_lint.py [sf_dir] [query ...]
+Exit code 1 if any un-allowlisted finding survives.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# (query name, plan substring) -> reason. A finding is suppressed iff
+# its (name, pattern) key is here.
+ALLOW: dict[tuple[str, str], str] = {
+    # theta/tolerance joins against a tiny legend dim — the documented
+    # BNLJ contract (SURVEY 2.B join_theta_tolerance)
+    ("join_theta_tolerance", "BroadcastNestedLoopJoin"): "legend dim ±5 tolerance",
+    ("join_range_band", "BroadcastNestedLoopJoin"): "band join vs tiny bounds dim",
+    # 1-row scalar broadcasts (totals, thresholds, vocab arrays)
+    ("important_stock_q11", "BroadcastNestedLoopJoin"): "1-row total cross join",
+    ("pareto_customer_share", "BroadcastNestedLoopJoin"): "1-row total",
+    ("oov_rate_vocab", "BroadcastNestedLoopJoin"): "1-row vocab array",
+    ("decontaminate_ngram", "BroadcastNestedLoopJoin"): "1-row probe-gram array",
+    ("idle_customers_segment", "BroadcastNestedLoopJoin"): "1-row scalar avg",
+    ("sales_seasonality", "BroadcastNestedLoopJoin"): "1-row total",
+    ("decile_lift_table", "BroadcastNestedLoopJoin"): "1-row total",
+    ("skew_diagnose_report", "BroadcastNestedLoopJoin"): "1-row totals",
+    ("scan_parquet", "BroadcastNestedLoopJoin"): "1-row per-table counts",
+    ("salient_terms_tfidf", "BroadcastNestedLoopJoin"): "1-row corpus count",
+    ("dedup_embedding_lsh", "BroadcastNestedLoopJoin"): "1-row SRP plane set",
+    ("similarity_topk", "BroadcastNestedLoopJoin"): "probe-vector row",
+    ("similarity_topk_ivf", "BroadcastNestedLoopJoin"): "probe + centroid rows",
+    ("knn_join_ivf", "BroadcastNestedLoopJoin"): "centroid array row",
+    ("cluster_semantic_kmeans", "BroadcastNestedLoopJoin"): "centroid array row",
+    ("stream_anomaly_alerts", "BroadcastNestedLoopJoin"): "per-type stats rows",
+    # calendar/constant-size frames: unpartitioned windows and single
+    # -partition exchanges over days/months/deciles/offsets frames
+    ("ewma_revenue_daily", "SinglePartition"): "days frame",
+    ("ewma_revenue_daily", "Window"): "days frame",
+    ("mom_revenue_growth", "SinglePartition"): "months frame",
+    ("mom_revenue_growth", "Window"): "months frame",
+    ("cumulative_distinct_users", "SinglePartition"): "days frame",
+    ("cumulative_distinct_users", "Window"): "days frame",
+    ("open_orders_timeline", "SinglePartition"): "months delta frame",
+    ("open_orders_timeline", "Window"): "months delta frame",
+    ("rolling_distinct_users", "SinglePartition"): "days sketch frame",
+    ("rolling_distinct_users", "Window"): "days sketch frame",
+    ("date_spine_gapfill", "SinglePartition"): "bounds row explode",
+    ("events_anomaly_zscore", "Window"): "per-type daily frame",
+    ("stream_anomaly_alerts", "Window"): "per-type daily frame",
+    ("change_point_detect", "Window"): "per-type daily frame",
+    ("sales_seasonality", "SinglePartition"): "12-row frame",
+    ("decile_lift_table", "SinglePartition"): "decile offsets (distributed_ntile)",
+    ("decile_lift_table", "Window"): "10-row gains frame",
+    ("pareto_customer_share", "SinglePartition"): "16-row offsets frame",
+    ("pareto_customer_share", "Window"): "offsets frame",
+    ("quality_bin_sample", "SinglePartition"): "decile offsets (distributed_ntile)",
+    ("quality_bin_sample", "Window"): "offsets frame",
+    ("rfm_segmentation", "SinglePartition"): "quintile offsets (distributed_ntile)",
+    ("rfm_segmentation", "Window"): "offsets frame",
+    ("pipeline_customer_features", "SinglePartition"): "quintile offsets",
+    ("pipeline_customer_features", "Window"): "offsets frame",
+    ("pipeline_customer_features", "BroadcastNestedLoopJoin"): "1-row total",
+    ("mode_per_group", "Window"): "group-sized aggregate frame",
+    ("agg_heavy_hitters", "SinglePartition"): "top-k limit",
+    ("skew_diagnose_report", "SinglePartition"): "top-10 limit",
+    ("event_transitions", "Window"): "user-partitioned lag",
+    ("funnel_conversion", "SinglePartition"): "3-row funnel",
+    ("table_profile", "SinglePartition"): "6-row profile",
+    ("lake_health_report", "SinglePartition"): "10-row report",
+    ("scan_parquet", "SinglePartition"): "per-table count rows",
+    ("subquery_not_in_nullaware", "SinglePartition"): "three scalar counts",
+    ("subquery_scalar", "SinglePartition"): "scalar subquery",
+    ("top_supplier_by_revenue", "SinglePartition"): "scalar max",
+    ("avg_qty_joinback_small", "SinglePartition"): "1-row result",
+    ("idle_customers_segment", "SinglePartition"): "scalar avg",
+    ("disjunctive_predicate_scan", "SinglePartition"): "1-row result",
+    ("salient_terms_tfidf", "SinglePartition"): "1-row corpus count",
+    ("decontaminate_ngram", "SinglePartition"): "probe-gram fold",
+    ("stream_anomaly_alerts", "SinglePartition"): "per-type stats",
+    # adjudicated in the first full lint run (all 1-row scalar shapes)
+    ("corpus_clean_incremental", "BroadcastNestedLoopJoin"): "split-id scalar theta",
+    ("corpus_clean_incremental", "SinglePartition"): "split-id scalar",
+    ("fill_forward_locf", "BroadcastNestedLoopJoin"): "types x broadcast spine",
+    ("fill_forward_locf", "SinglePartition"): "bounds row",
+    ("funnel_conversion", "BroadcastNestedLoopJoin"): "1-row step aggregates",
+    ("important_stock_q11", "SinglePartition"): "1-row total",
+    ("join_dpp_partitioned", "SinglePartition"): "above-avg scalar filter",
+}
+
+SKIP_PREFIXES = (
+    # streaming ops RUN a query at construction; sinks write data; the
+    # staged scans rewrite fixtures. Their plan properties are pinned
+    # individually in tests/ — linting re-runs them wholesale for no
+    # new signal.
+    "stream_",
+    "sink_",
+    "scan_",
+)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from etl_dagster_service_crawler_spark.session import get_spark
+
+    spark = get_spark(app_name="plan-lint")
+    qs = entrymod.queries()
+    findings: list[str] = []
+    used_allow: set[tuple[str, str]] = set()
+    checked = 0
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        if not only and name.startswith(SKIP_PREFIXES):
+            continue
+        try:
+            plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            findings.append(f"{name}: plan build failed: {type(e).__name__}: {e}")
+            continue
+        checked += 1
+        for pattern in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+            if pattern in plan:
+                if (name, pattern) in ALLOW:
+                    used_allow.add((name, pattern))
+                else:
+                    findings.append(f"{name}: {pattern} (not allowlisted)")
+        if "Exchange SinglePartition" in plan:
+            if (name, "SinglePartition") in ALLOW:
+                used_allow.add((name, "SinglePartition"))
+            else:
+                findings.append(f"{name}: Exchange SinglePartition (not allowlisted)")
+        # unpartitioned Window: 'Window [' ... 'windowspecdefinition(' with
+        # no partition columns shows as ordering-only spec
+        if "Window [" in plan and (name, "Window") in ALLOW:
+            used_allow.add((name, "Window"))
+        elif "Window [" in plan:
+            for seg in plan.split("Window [")[1:]:
+                head = seg.split("]", 1)[0]
+                if "windowspecdefinition(" in head:
+                    spec = head.split("windowspecdefinition(", 1)[1]
+                    # partitioned specs start with the partition cols;
+                    # unpartitioned ones start directly with the order spec
+                    if spec.lstrip().startswith(("ASC", "DESC")) or " ASC" in spec.split(",", 1)[0] or " DESC" in spec.split(",", 1)[0]:
+                        findings.append(
+                            f"{name}: unpartitioned Window (not allowlisted)"
+                        )
+                        break
+
+    print(f"checked {checked} queries; findings: {len(findings)}")
+    for f in findings:
+        print(" ", f)
+    if not only:
+        # keep the allowlist honest: an entry no plan exercises is
+        # stale (op renamed/rewritten) and should be removed
+        streaming_skipped = {
+            k for k in ALLOW if k[0].startswith(SKIP_PREFIXES)
+        }
+        unused = sorted(set(ALLOW) - used_allow - streaming_skipped)
+        if unused:
+            print(f"unused allowlist entries ({len(unused)}) — prune:")
+            for k in unused:
+                print("  ", k)
+    return 1 if findings else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
