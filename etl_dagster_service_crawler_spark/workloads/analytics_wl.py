@@ -1964,6 +1964,82 @@ ORDER BY s_suppkey
 """
 
 
+SEGMENT_SPLIT_DATE = "1998-01-01"
+
+
+def q_segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend-quintile migration across a date boundary: each
+    customer's exact-cents spend before and after the split is cut
+    into quintiles (distributed_ntile — customers with activity in
+    both eras only), and the 5x5 transition matrix counts who moved
+    where. The segment-drift report behind churn/upsell monitoring.
+
+    Scale: ONE fact aggregation (conditional sums per era in the same
+    pass — no second orders scan), two composable distributed_ntile
+    range exchanges over the customer frame, and a 25-row regroup.
+    Quintile order carries the custkey tiebreak, pinned in the
+    oracle's ntile."""
+    from etl_dagster_service_crawler_spark.operators.ranking import (
+        distributed_ntile,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    split = F.lit(SEGMENT_SPLIT_DATE).cast("timestamp")
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("o_orderdate") < split, cents).otherwise(0)).alias(
+                "before_c"
+            ),
+            F.sum(F.when(F.col("o_orderdate") >= split, cents).otherwise(0)).alias(
+                "after_c"
+            ),
+        )
+        .where((F.col("before_c") > 0) & (F.col("after_c") > 0))
+    )
+    per = distributed_ntile(
+        per, 5, [F.col("before_c"), F.col("o_custkey")], "seg_before"
+    )
+    per = distributed_ntile(
+        per, 5, [F.col("after_c"), F.col("o_custkey")], "seg_after"
+    )
+    return (
+        per.groupBy("seg_before", "seg_after")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(
+            F.col("seg_before").cast("int").alias("seg_before"),
+            F.col("seg_after").cast("int").alias("seg_after"),
+            "n_customers",
+        )
+        .orderBy("seg_before", "seg_after")
+    )
+
+
+SQL_SEGMENT_MIGRATION = f"""
+WITH per AS (
+  SELECT o_custkey,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{SEGMENT_SPLIT_DATE}'
+                  THEN CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS before_c,
+         CAST(sum(CASE WHEN o_orderdate >= TIMESTAMP '{SEGMENT_SPLIT_DATE}'
+                  THEN CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS after_c
+  FROM orders GROUP BY o_custkey
+),
+act AS (SELECT * FROM per WHERE before_c > 0 AND after_c > 0),
+seg AS (
+  SELECT o_custkey,
+         CAST(ntile(5) OVER (ORDER BY before_c, o_custkey) AS INT) AS seg_before,
+         CAST(ntile(5) OVER (ORDER BY after_c, o_custkey) AS INT) AS seg_after
+  FROM act
+)
+SELECT seg_before, seg_after, CAST(count(*) AS BIGINT) AS n_customers
+FROM seg GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audience overlap between event types: for every co-occurring
     type pair, the shared-user count and Jaccard similarity in basis
@@ -2027,6 +2103,9 @@ ORDER BY ta, tb
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "audience_overlap_matrix", q_audience_overlap_matrix, SQL_AUDIENCE_OVERLAP
+    ),
+    QuerySpec(
+        "segment_migration_matrix", q_segment_migration_matrix, SQL_SEGMENT_MIGRATION
     ),
     QuerySpec(
         "min_cost_supplier_q2", q_min_cost_supplier_q2, SQL_MIN_COST_SUPPLIER_Q2

@@ -109,6 +109,31 @@ FROM (SELECT doc_id, {hit_cols} FROM documents)
 """
 
 
+def q_lang_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared `lang` vs the n-gram
+    classifier's guess, counted per pair — the audit run before
+    trusting lang_id to route a corpus into language buckets (a
+    classifier that silently dumps one language into 'und' poisons
+    the mixture weights downstream). Map-side classification, ONE
+    (lang, guess) aggregation exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("lang_guess"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "lang_guess")
+    )
+
+
+def _lang_confusion_sql() -> str:
+    return f"""
+WITH g AS ({_lang_id_sql()})
+SELECT d.lang, g.lang_guess, CAST(count(*) AS BIGINT) AS n_docs
+FROM documents d JOIN g ON d.doc_id = g.doc_id
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -1546,6 +1571,7 @@ SPECS = [
     QuerySpec("multimodal_frame_sample", q_multimodal_frame_sample, SQL_FRAME_SAMPLE),
     QuerySpec("text_ngrams", q_text_ngrams, SQL_NGRAMS),
     QuerySpec("text_lang_id", q_text_lang_id, _lang_id_sql()),
+    QuerySpec("lang_confusion_audit", q_lang_confusion_audit, _lang_confusion_sql()),
     QuerySpec("text_quality_score", q_text_quality_score, SQL_QUALITY_SCORE),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, SQL_FINGERPRINT),
     QuerySpec("split_train_holdout", q_split_train_holdout, SQL_SPLIT_TRAIN_HOLDOUT),

@@ -2454,6 +2454,62 @@ WHERE c.bal_c >= thr.p90_c
 """
 
 
+def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) candlestick rollup per event type and
+    hour — the time-series summary every metrics store materializes.
+    Open/close are min_by/max_by over a TOTAL order key (zero-padded
+    epoch-micros || event_id string — two events can share a
+    microsecond, the composite cannot collide), so the result is
+    deterministic and engine-independent; high/low/volume are plain
+    min/max/count over exact cents. ONE (type, hour) aggregation
+    exchange, all partials map-side."""
+    e = load_table(spark, sf_dir, "events")
+    v_c = F.floor(F.col("value") * F.lit(1e2) + F.lit(0.5)).cast("bigint")
+    ord_key = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                "hour"
+            ),
+            "event_type",
+            v_c.alias("v_c"),
+            ord_key.alias("ok"),
+        )
+        .groupBy("event_type", "hour")
+        .agg(
+            F.min_by("v_c", F.col("ok")).alias("open_c"),
+            F.max("v_c").alias("high_c"),
+            F.min("v_c").alias("low_c"),
+            F.max_by("v_c", F.col("ok")).alias("close_c"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+SQL_EVENTS_OHLC = """
+WITH c AS (
+  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+         event_type,
+         CAST(floor(value * 1e2 + 0.5) AS BIGINT) AS v_c,
+         lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+           || lpad(CAST(event_id AS VARCHAR), 12, '0') AS ok
+  FROM events
+)
+SELECT event_type, hour,
+       arg_min(v_c, ok) AS open_c,
+       CAST(max(v_c) AS BIGINT) AS high_c,
+       CAST(min(v_c) AS BIGINT) AS low_c,
+       arg_max(v_c, ok) AS close_c,
+       CAST(count(*) AS BIGINT) AS volume
+FROM c GROUP BY event_type, hour
+ORDER BY event_type, hour
+"""
+
+
 SKEW_TOP_K = 10
 
 
@@ -2507,6 +2563,7 @@ SPECS = [
         SQL_CUMULATIVE_DISTINCT,
     ),
     QuerySpec("top_decile_by_group", q_top_decile_by_group, SQL_TOP_DECILE_BY_GROUP),
+    QuerySpec("events_ohlc_hourly", q_events_ohlc_hourly, SQL_EVENTS_OHLC),
     QuerySpec("filter_predicate", q_filter_predicate, SQL_FILTER),
     QuerySpec("clean_trim_replace", q_clean_trim_replace, SQL_CLEAN),
     QuerySpec("conditional_encode", q_conditional_encode, SQL_ENCODE),

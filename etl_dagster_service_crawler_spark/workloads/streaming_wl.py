@@ -563,8 +563,88 @@ def _stream_cdc_sql() -> str:
     return SQL_CDC_MERGE
 
 
+def q_stream_quarantine_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corrupt-record routing: the quarantine pattern
+    (scan_json_quarantine) as a continuous ingest — the NDJSON landing
+    zone (every 37th doc truncated mid-record) is streamed file-by-
+    file; each micro-batch routes parseable rows to the good sink and
+    corrupt raw lines to the quarantine sink, so a poison line can
+    never stall ingestion. The final summary over BOTH sinks must
+    hash-equal the batch quarantine oracle — proving no row is lost or
+    double-routed across batch boundaries."""
+    import hashlib
+    import shutil
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/quarantine"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    j = F.to_json(F.struct("doc_id", "source", "n_chars"))
+    line = F.when(
+        F.col("doc_id") % 37 == 0, F.substring(j, 1, F.length(j) - 5)
+    ).otherwise(j)
+    docs.select(line.alias("value")).repartition(4).write.mode("overwrite").text(
+        f"{base}/in"
+    )
+    schema = "doc_id BIGINT, source STRING, n_chars BIGINT, _corrupt_record STRING"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("maxFilesPerTrigger", 1)
+        .json(f"{base}/in")
+    )
+    good_dir, bad_dir = f"{base}/good", f"{base}/bad"
+
+    def route(batch_df, epoch_id):
+        batch_df.persist()
+        bad = F.col("_corrupt_record").isNotNull()
+        batch_df.where(~bad).select("doc_id", "source", "n_chars").write.mode(
+            "append"
+        ).parquet(good_dir)
+        batch_df.where(bad).select(
+            F.col("_corrupt_record").alias("raw_line")
+        ).write.mode("append").parquet(bad_dir)
+        batch_df.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(route)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "quarantine stream still running after 300s — sinks incomplete"
+        )
+    good = spark.read.schema("doc_id bigint, source string, n_chars bigint").parquet(
+        good_dir
+    )
+    bad_rows = spark.read.schema("raw_line string").parquet(bad_dir)
+    return good.agg(
+        F.count(F.lit(1)).cast("bigint").alias("good_rows"),
+        F.lit(bad_rows.count()).cast("bigint").alias("bad_rows"),
+        F.count_distinct("source").cast("bigint").alias("n_sources_good"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars_good"),
+    )
+
+
+def _stream_quarantine_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        SQL_SCAN_JSON_QUARANTINE,
+    )
+
+    return SQL_SCAN_JSON_QUARANTINE
+
+
 SPECS = [
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, _stream_cdc_sql()),
+    QuerySpec(
+        "stream_quarantine_router", q_stream_quarantine_router, _stream_quarantine_sql()
+    ),
     QuerySpec("stream_ivf_ingest", q_stream_ivf_ingest, None),
     QuerySpec(
         "stream_static_join", q_stream_static_join, SQL_STREAM_STATIC_JOIN

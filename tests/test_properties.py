@@ -558,3 +558,62 @@ def test_activity_streaks_fold_matches_python(spark, days):
     assert r["n_active_days"] == len(ds)
     assert r["n_streaks"] == len(runs)
     assert r["max_streak_d"] == max(runs)
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=0, max_size=8
+        ).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_signature_exports_match_hashlib(spark, texts):
+    """minhash/simhash signature exports must equal a direct hashlib
+    recompute of their documented constructions — including short-doc
+    sentinels and empty-token edge shapes."""
+    import hashlib as hl
+
+    from etl_dagster_service_crawler_spark.workloads import llm
+
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.createOrReplaceTempView("_sig_docs_v")
+    orig = llm.load_table
+    llm.load_table = lambda sp, sf, name: sp.table("_sig_docs_v")
+    try:
+        mh = {
+            (r["doc_id"], r["seed"]): r["sig"]
+            for r in llm.q_minhash_signature_export(spark, "x").collect()
+        }
+        sh = {
+            r["doc_id"]: (r["n_tokens"], r["sig16"])
+            for r in llm.q_simhash_signature_export(spark, "x").collect()
+        }
+    finally:
+        llm.load_table = orig
+
+    P = llm.MINHASH_EXPORT_P
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        shingles = list(
+            dict.fromkeys("\x1f".join(toks[j : j + 3]) for j in range(len(toks) - 2))
+        )
+        hv = [int(hl.md5(s.encode()).hexdigest()[:15], 16) % P for s in shingles]
+        for k in range(llm.MINHASH_EXPORT_SEEDS):
+            a, b = llm.MINHASH_EXPORT_A[k], llm.MINHASH_EXPORT_B[k]
+            want = min(((a * h + b) % P for h in hv), default=P)
+            assert mh[(i, k)] == want, (i, k, t)
+        # simhash: distinct tokens, 16-bit vote sign
+        dtoks = list(dict.fromkeys(toks))
+        hvs = [int(hl.md5(s.encode()).hexdigest()[:15], 16) for s in dtoks]
+        sig = 0
+        for bit in range(llm.SIMHASH_EXPORT_BITS):
+            vote = sum(1 if (h >> bit) & 1 else -1 for h in hvs)
+            if vote > 0:
+                sig |= 1 << bit
+        assert sh[i] == (len(dtoks), sig), (i, t)
