@@ -1661,13 +1661,16 @@ _EWMA_W = [64, 32, 16, 8, 4, 2, 1]  # halving weights, lag 0..6
 
 
 def q_ewma_revenue_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing-7-day exponentially weighted daily revenue — the
-    smoothed ops-dashboard series. Weights are the integer halving
-    ladder 64..1 so the smoothing is EXACT BIGINT arithmetic
-    (weighted_sum // weight_sum, with absent lag days dropping out of
-    both numerator and denominator) — no recursive float state, no
-    cross-engine drift, and a restatement of any day reproduces
-    bit-identically.
+    """Trailing-7-OBSERVATION exponentially weighted daily revenue —
+    the smoothed ops-dashboard series. The frame is row-based (lag k
+    rows over the observed-days series, the standard dashboard EWMA),
+    so calendar gap days do not reset the window; lags are NULL only
+    near the series start, where they drop out of both numerator and
+    denominator. Weights are the integer halving ladder 64..1 so the
+    smoothing is EXACT BIGINT arithmetic (weighted_sum // weight_sum)
+    — no recursive float state, no cross-engine drift, and a
+    restatement of any day reproduces bit-identically
+    (property-tested against a Python recompute, gaps included).
 
     Scale: the fact folds to a calendar-bounded daily aggregate in one
     exchange; the lag window runs on that days-sized frame (same

@@ -617,3 +617,191 @@ def test_signature_exports_match_hashlib(spark, texts):
             if vote > 0:
                 sig |= 1 << bit
         assert sh[i] == (len(dtoks), sig), (i, t)
+
+
+def _with_events_view(spark, rows, fn):
+    """Stage an events-shaped temp view and run fn with relational's
+    load_table patched to return it."""
+    import etl_dagster_service_crawler_spark.workloads.relational as rel
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    df.createOrReplaceTempView("_prop_events_v")
+    orig = rel.load_table
+    rel.load_table = lambda sp, sf, name: sp.table("_prop_events_v")
+    try:
+        return fn()
+    finally:
+        rel.load_table = orig
+
+
+@_slow
+@given(
+    series=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 300)),  # (day, cents)
+        min_size=2,
+        max_size=30,
+    )
+)
+def test_change_point_matches_python(spark, series):
+    """change_point_detect's exact integer argmax must equal a direct
+    Python scan over all split points (cross-multiplied means, floor
+    division, shift DESC / day ASC tiebreak)."""
+    import datetime
+
+    from etl_dagster_service_crawler_spark.workloads.analytics_wl import (
+        q_change_point_detect,
+    )
+
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, epoch + datetime.timedelta(days=d, hours=2), 1, "view", c / 100.0, "{}")
+        for i, (d, c) in enumerate(series)
+    ]
+    import etl_dagster_service_crawler_spark.workloads.analytics_wl as awl
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    )
+    df.createOrReplaceTempView("_cp_events_v")
+    orig = awl.load_table
+    awl.load_table = lambda sp, sf, name: sp.table("_cp_events_v")
+    try:
+        got = q_change_point_detect(spark, "x").collect()
+    finally:
+        awl.load_table = orig
+
+    # python reference
+    daily: dict[str, list[int]] = {}
+    for d, c in series:
+        day = (epoch + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+        daily.setdefault(day, []).append(c)
+    days = sorted(daily)
+    if len(days) < 2:
+        assert got == []
+        return
+    cnts = [len(daily[d]) for d in days]
+    sums = [sum(daily[d]) for d in days]
+    best = None
+    for i in range(len(days) - 1):
+        pre_c, pre_s = sum(cnts[: i + 1]), sum(sums[: i + 1])
+        post_c, post_s = sum(cnts[i + 1 :]), sum(sums[i + 1 :])
+        shift = abs(pre_s * post_c - post_s * pre_c) // (pre_c * post_c)
+        key = (-shift, days[i])
+        if best is None or key < best[0]:
+            best = (key, days[i], shift, pre_c, post_c)
+    assert len(got) == 1
+    r = got[0]
+    assert (r["split_day"], r["shift_c"], r["pre_cnt"], r["post_cnt"]) == (
+        best[1],
+        best[2],
+        best[3],
+        best[4],
+    )
+
+
+@_slow
+@given(
+    days=st.dictionaries(st.integers(0, 20), st.integers(1, 10**6), max_size=15)
+)
+def test_ewma_matches_python(spark, days):
+    """ewma_revenue_daily's integer halving-weight mean must equal the
+    Python recompute, including gap days (absent lags drop out of both
+    numerator and denominator)."""
+    import datetime
+
+    import etl_dagster_service_crawler_spark.workloads.analytics_wl as awl
+    from etl_dagster_service_crawler_spark.workloads.analytics_wl import (
+        _EWMA_W,
+        q_ewma_revenue_daily,
+    )
+
+    if not days:
+        return
+    epoch = datetime.datetime(1995, 1, 1)
+    rows = [
+        (
+            i,
+            i,
+            "O",
+            c / 100.0,
+            epoch + datetime.timedelta(days=d),
+            "1-URGENT",
+        )
+        for i, (d, c) in enumerate(sorted(days.items()))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.createOrReplaceTempView("_ewma_orders_v")
+    orig = awl.load_table
+    awl.load_table = lambda sp, sf, name: sp.table("_ewma_orders_v")
+    try:
+        got = {r["day"]: r["ewma_c"] for r in q_ewma_revenue_daily(spark, "x").collect()}
+    finally:
+        awl.load_table = orig
+
+    day_list = sorted(days)
+    rev = {d: days[d] for d in day_list}
+    for pos, d in enumerate(day_list):
+        num = den = 0
+        for k, w in enumerate(_EWMA_W):
+            if pos - k >= 0:
+                lag_day = day_list[pos - k]
+                num += w * rev[lag_day]
+                den += w
+        day_str = (epoch + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+        assert got[day_str] == num // den, (d, got[day_str], num, den)
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 50000)),  # (hour, cents)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_ohlc_matches_python(spark, events):
+    """events_ohlc_hourly must equal the Python recompute: open/close
+    by the composite (micros, event_id) total order, high/low/volume
+    exact — including same-timestamp ties broken by event_id."""
+    import datetime
+
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_events_ohlc_hourly,
+    )
+
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, epoch + datetime.timedelta(hours=h, microseconds=(c % 3)), 1, "view", c / 100.0, "{}")
+        for i, (h, c) in enumerate(events)
+    ]
+    got = {
+        (r["event_type"], r["hour"]): (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"], r["volume"]
+        )
+        for r in _with_events_view(
+            spark, rows, lambda: q_events_ohlc_hourly(spark, "x").collect()
+        )
+    }
+
+    by_hour: dict[str, list[tuple]] = {}
+    for i, (h, c) in enumerate(events):
+        ts = epoch + datetime.timedelta(hours=h, microseconds=(c % 3))
+        hour = ts.strftime("%Y-%m-%d %H:00")
+        # composite key mirrors the op: (epoch_micros, event_id)
+        key = (int(ts.timestamp() * 1_000_000), i)
+        by_hour.setdefault(hour, []).append((key, c))
+    for hour, vals in by_hour.items():
+        vals.sort()
+        cents = [c for _, c in vals]
+        want = (vals[0][1], max(cents), min(cents), vals[-1][1], len(vals))
+        assert got[("view", hour)] == want, (hour, got[("view", hour)], want)
