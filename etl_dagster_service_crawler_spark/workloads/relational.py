@@ -2395,8 +2395,14 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     first_seen = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("d"))
     per_day = first_seen.groupBy("d").agg(F.count(F.lit(1)).alias("new_users"))
+    # every ACTIVE day gets a row (new_users = 0 when nobody debuts),
+    # so the cumulative series has no holes on days with traffic
+    active_days = e.select(F.to_date("ts").alias("d")).distinct()
+    full = active_days.join(per_day, "d", "left").select(
+        "d", F.coalesce("new_users", F.lit(0)).alias("new_users")
+    )
     w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return per_day.select(
+    return full.select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.col("new_users").cast("bigint").alias("new_users"),
         F.sum("new_users").over(w).cast("bigint").alias("cum_users"),
@@ -2409,11 +2415,16 @@ WITH first_seen AS (
 ),
 per_day AS (
   SELECT d, CAST(count(*) AS BIGINT) AS new_users FROM first_seen GROUP BY d
+),
+active AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+filled AS (
+  SELECT active.d, coalesce(per_day.new_users, 0) AS new_users
+  FROM active LEFT JOIN per_day ON active.d = per_day.d
 )
 SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
        CAST(sum(new_users) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
             PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
-FROM per_day
+FROM filled
 """
 
 

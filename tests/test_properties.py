@@ -805,3 +805,91 @@ def test_ohlc_matches_python(spark, events):
         cents = [c for _, c in vals]
         want = (vals[0][1], max(cents), min(cents), vals[-1][1], len(vals))
         assert got[("view", hour)] == want, (hour, got[("view", hour)], want)
+
+
+@_slow
+@given(
+    obs=st.dictionaries(
+        st.tuples(st.sampled_from(["a", "b"]), st.integers(0, 12)),
+        st.integers(-500, 500),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_fill_forward_locf_matches_python(spark, obs):
+    """LOCF over a per-type daily spine: gap days inherit the last
+    observed total, days before a type's first observation stay NULL.
+    The sf0.01 fixture happens to have NO (type, day) gaps, so the
+    oracle alone never exercises the fill — this test stages gaps."""
+    import datetime
+
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_fill_forward_locf,
+    )
+
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = []
+    i = 0
+    for (typ, d), c in obs.items():
+        rows.append(
+            (i, epoch + datetime.timedelta(days=d, hours=1), 1, typ, c / 100.0, "{}")
+        )
+        i += 1
+    got = {
+        (r["event_type"], r["day"]): (r["day_c"], r["filled_c"])
+        for r in _with_events_view(
+            spark, rows, lambda: q_fill_forward_locf(spark, "x").collect()
+        )
+    }
+
+    days_present = sorted({d for (_, d) in obs})
+    lo, hi = days_present[0], days_present[-1]
+    types = sorted({t for (t, _) in obs})
+    spine = range(lo, hi + 1)
+    for t in types:
+        last = None
+        for d in spine:
+            day = (epoch + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+            day_c = obs.get((t, d))
+            if day_c is not None:
+                last = day_c
+            assert got[(t, day)] == (day_c, last), (t, day)
+    # grid covers every (type in events) x (spine day)
+    assert len(got) == len(types) * len(range(lo, hi + 1))
+
+
+@_slow
+@given(
+    pairs=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 12)), min_size=1, max_size=30
+    )
+)
+def test_cumulative_distinct_matches_python(spark, pairs):
+    """First-seen prefix-sum rewrite == brute-force expanding distinct
+    on arbitrary (user, day) activity sets."""
+    import datetime
+
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_cumulative_distinct_users,
+    )
+
+    epoch = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, epoch + datetime.timedelta(days=d, hours=2), u, "view", 1.0, "{}")
+        for i, (u, d) in enumerate(sorted(pairs))
+    ]
+    got = {
+        r["day"]: (r["new_users"], r["cum_users"])
+        for r in _with_events_view(
+            spark, rows, lambda: q_cumulative_distinct_users(spark, "x").collect()
+        )
+    }
+    days = sorted({d for (_, d) in pairs})
+    seen: set[int] = set()
+    for d in days:
+        before = len(seen)
+        seen |= {u for (u, dd) in pairs if dd == d}
+        day = (epoch + datetime.timedelta(days=d)).strftime("%Y-%m-%d")
+        # every ACTIVE day has a row, new_users = 0 when nobody debuts
+        assert got[day] == (len(seen) - before, len(seen)), day
+    assert len(got) == len(days)
