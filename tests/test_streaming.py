@@ -305,3 +305,45 @@ def test_cdc_apply_idempotent_and_order_independent(spark, tmp_path):
     before = {tuple(r) for r in spark.read.parquet(d).collect()}
     apply(spark.createDataFrame(rows_b, schema), 0)  # same epoch id
     assert {tuple(r) for r in spark.read.parquet(d).collect()} == before
+
+
+def test_cdc_stream_restart_is_noop(spark, sf_dir):
+    """Re-running the availableNow CDC stream against the SAME
+    checkpoint with no new input files must not change the state
+    table (checkpoint offsets + epoch markers make the restart a
+    no-op, the crash-recovery contract)."""
+    import hashlib
+
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_cdc_apply,
+    )
+
+    first = {tuple(r) for r in q_stream_cdc_apply(spark, sf_dir).collect()}
+    # second invocation restages input deterministically and replays
+    # from a FRESH checkpoint (the op rmtree's its base) — to test the
+    # restart path, drive the stream again manually on the surviving
+    # state with the same checkpoint
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/cdc"
+    from etl_dagster_service_crawler_spark.streaming.cdc import cdc_apply_batch
+
+    stream = (
+        spark.readStream.schema("key bigint, seq bigint, op string, new_bal_c bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    state_before = {
+        tuple(r) for r in spark.read.parquet(f"{base}/state").collect()
+    }
+    q = (
+        stream.writeStream.foreachBatch(cdc_apply_batch(f"{base}/state"))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180)
+    state_after = {
+        tuple(r) for r in spark.read.parquet(f"{base}/state").collect()
+    }
+    assert state_after == state_before
+    assert first  # the op returned data on the first pass
