@@ -107,6 +107,8 @@ ALLOW: dict[tuple[str, str], str] = {
     ("funnel_conversion", "BroadcastNestedLoopJoin"): "1-row step aggregates",
     ("important_stock_q11", "SinglePartition"): "1-row total",
     ("join_dpp_partitioned", "SinglePartition"): "above-avg scalar filter",
+    ("segment_migration_matrix", "SinglePartition"): "quintile offsets (distributed_ntile)",
+    ("segment_migration_matrix", "Window"): "offsets frame",
 }
 
 SKIP_PREFIXES = (
