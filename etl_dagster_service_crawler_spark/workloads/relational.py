@@ -2530,7 +2530,12 @@ def q_skew_diagnose_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     key load, in basis points) — the report that decides whether a
     join needs salting or AQE skew handling BEFORE it runs at 100 TB.
     One map-side-combined key aggregation + TakeOrdered; the key-count
-    and total scalars ride along in broadcast (no second fact pass)."""
+    and total scalars ride along in broadcast (no second fact pass).
+
+    Arithmetic bound: hot_bp's cross product 10000*cnt*n_keys stays in
+    BIGINT while cnt*n_keys <= ~9e14 (ANSI mode fails loudly, never
+    wraps) — comfortably above any real diagnostic (1e12-row fact with
+    1e6 keys and 100x skew is ~1e12)."""
     li = load_table(spark, sf_dir, "lineitem")
     per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
     totals = per_key.agg(
