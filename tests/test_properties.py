@@ -893,3 +893,169 @@ def test_cumulative_distinct_matches_python(spark, pairs):
         # every ACTIVE day has a row, new_users = 0 when nobody debuts
         assert got[day] == (len(seen) - before, len(seen)), day
     assert len(got) == len(days)
+
+
+@_slow
+@given(
+    bals=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-10**6, 10**6)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_top_decile_threshold_matches_python(spark, bals):
+    """Per-group p90 threshold filter == Python recompute with linear
+    interpolation over sorted integer cents (both engines interpolate
+    identically on integer inputs; the floor(+0.5) snap pins the
+    boundary)."""
+    import etl_dagster_service_crawler_spark.workloads.relational as rel
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_top_decile_by_group,
+    )
+
+    rows = [
+        (i, f"c{i}", nk, c / 100.0, "BUILDING") for i, (nk, c) in enumerate(bals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "c_custkey bigint, c_name string, c_nationkey bigint,"
+        " c_acctbal double, c_mktsegment string",
+    )
+    df.createOrReplaceTempView("_td_cust_v")
+    orig = rel.load_table
+    rel.load_table = lambda sp, sf, name: sp.table("_td_cust_v")
+    try:
+        got = {r["c_custkey"] for r in q_top_decile_by_group(spark, "x").collect()}
+    finally:
+        rel.load_table = orig
+
+    import math
+
+    def pctl_linear(sorted_vals, q):
+        # identical to Spark percentile / DuckDB quantile_cont
+        pos = (len(sorted_vals) - 1) * q
+        lo, hi = math.floor(pos), math.ceil(pos)
+        if lo == hi:
+            return float(sorted_vals[lo])
+        frac = pos - lo
+        return sorted_vals[lo] * (1 - frac) + sorted_vals[hi] * frac
+
+    by_group: dict[int, list[int]] = {}
+    cents = {}
+    for i, (nk, c) in enumerate(bals):
+        # the op snaps c_acctbal to cents with floor(x*100+0.5); the
+        # inputs here are exact cent doubles so the snap is identity
+        cents[i] = c
+        by_group.setdefault(nk, []).append(c)
+    want = set()
+    for i, (nk, c) in enumerate(bals):
+        thr = math.floor(pctl_linear(sorted(by_group[nk]), 0.9) + 0.5)
+        if c >= thr:
+            want.add(i)
+    assert got == want
+
+
+@_slow
+@given(
+    keys=st.lists(st.integers(0, 6), min_size=1, max_size=60)
+)
+def test_skew_report_matches_python(spark, keys):
+    """Heavy-key shares and hot factors == Python recompute, pinned
+    (cnt DESC, key) tie order."""
+    import etl_dagster_service_crawler_spark.workloads.relational as rel
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        SKEW_TOP_K,
+        q_skew_diagnose_report,
+    )
+
+    rows = [
+        (1, 1, k, i, 1.0, 0.0, 0.0, 0.0, "N", "O", None)
+        for i, k in enumerate(keys)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint,"
+        " l_linenumber bigint, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    )
+    df.createOrReplaceTempView("_skew_li_v")
+    orig = rel.load_table
+    rel.load_table = lambda sp, sf, name: sp.table("_skew_li_v")
+    try:
+        got = [
+            (r["l_suppkey"], r["cnt"], r["share_bp"], r["hot_bp"])
+            for r in q_skew_diagnose_report(spark, "x")
+            .orderBy("l_suppkey")
+            .collect()
+        ]
+    finally:
+        rel.load_table = orig
+
+    from collections import Counter
+
+    cnt = Counter(keys)
+    total, n_keys = len(keys), len(cnt)
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:SKEW_TOP_K]
+    want = sorted(
+        (k, c, (10000 * c) // total, (10000 * c * n_keys) // total)
+        for k, c in top
+    )
+    assert got == want
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["x", "y", "zz"]), min_size=0, max_size=6
+        ).map(" ".join),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bigram_coverage_matches_python(spark, texts):
+    """Coverage-ppm == Python recompute of the documented construction
+    (corpus top-K bigrams by (cnt DESC, bigram), per-doc membership
+    count, floor-div ppm) — including zero-bigram docs."""
+    import etl_dagster_service_crawler_spark.workloads.corpus_wl as cwl
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        BIGRAM_COVERAGE_K,
+        q_bigram_lm_coverage,
+    )
+
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.createOrReplaceTempView("_bg_docs_v")
+    orig = cwl.load_table
+    cwl.load_table = lambda sp, sf, name: sp.table("_bg_docs_v")
+    try:
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["in_top"], r["coverage_ppm"])
+            for r in q_bigram_lm_coverage(spark, "x").collect()
+        }
+    finally:
+        cwl.load_table = orig
+
+    from collections import Counter
+
+    def bigrams(t):
+        toks = t.split(" ")
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])] if len(toks) >= 2 else []
+
+    corpus = Counter()
+    for t in texts:
+        corpus.update(bigrams(t))
+    top = {
+        bg
+        for bg, _ in sorted(corpus.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :BIGRAM_COVERAGE_K
+        ]
+    }
+    for i, t in enumerate(texts):
+        bgs = bigrams(t)
+        in_top = sum(1 for b in bgs if b in top)
+        ppm = (1000000 * in_top) // len(bgs) if bgs else 0
+        assert got[i] == (len(bgs), in_top, ppm), (i, t)
