@@ -487,11 +487,19 @@ def knn_join_cells(
         F.col(vec_col).alias("qvec"),
         F.sqrt(norm2(F.col(vec_col))).alias("qnrm"),
     )
-    if base.rdd.getNumPartitions() < max(2, n_parts // 2):
-        # single-row-group sources scan as one task; the centroid
-        # argmax below is 16 cosine folds per vector — CPU-bound, so
-        # fan out before it (srp_neardup_pairs discipline)
-        base = base.repartition(n_parts, "qid")
+    # ALWAYS hash-partition base by qid before the probe window — not
+    # just when the source scanned narrow. The window below requires
+    # hashpartitioning(qid); when base already satisfies it, Catalyst
+    # plans NO exchange above the broadcast-centroid fan-out, so the
+    # n x C probe-scoring frame (vector payloads included — ~2.9 TB at
+    # the x100 replica) never shuffles. Without this, a wide multi-file
+    # scan (the cluster case) leaves base partitioned by file split and
+    # the window exchanges the FANNED-OUT frame instead of the n-row
+    # base — the costliest silent plan flip in this operator. The
+    # unconditional n-row shuffle is negligible insurance, and also
+    # fans out single-row-group sources for the CPU-bound probe folds
+    # (srp_neardup_pairs discipline).
+    base = base.repartition(n_parts, "qid")
     wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
     probes = (
         base.join(F.broadcast(centroids))
