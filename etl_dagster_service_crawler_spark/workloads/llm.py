@@ -486,14 +486,14 @@ def q_dedup_minhash_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup dedup that survives template-heavy corpora where pair
     enumeration is O(cluster^2) (rows-only: approximate by design)."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_assign_representatives(d, "doc_id", "text").orderBy("doc_id")
+    return minhash_assign_representatives(d, "doc_id", "text")
 
 
 def q_dedup_minhash_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full connected-components near-dup clustering (rows-only:
     iterative, not SQL-expressible; unit-tested chain merging)."""
     d = load_table(spark, sf_dir, "documents")
-    return minhash_cluster_cc(d, "doc_id", "text").orderBy("doc_id")
+    return minhash_cluster_cc(d, "doc_id", "text")
 
 
 def q_dedup_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,9 +505,7 @@ def q_dedup_assign_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
     )
     aug = d.unionByName(dups)
-    return minhash_assign_representatives(
-        aug, "doc_id", "text", exact=True
-    ).orderBy("doc_id")
+    return minhash_assign_representatives(aug, "doc_id", "text", exact=True)
 
 
 SQL_DEDUP_ASSIGN_EXACT = """
@@ -536,7 +534,7 @@ def q_dedup_cc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"), "text"
     )
     aug = d.unionByName(dups)
-    return minhash_cluster_cc(aug, "doc_id", "text", exact=True).orderBy("doc_id")
+    return minhash_cluster_cc(aug, "doc_id", "text", exact=True)
 
 
 SQL_DEDUP_CC_EXACT = """
@@ -554,7 +552,7 @@ FROM aug
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return simhash_near_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+    return simhash_near_pairs(d, "doc_id", "text")
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -631,7 +629,7 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return srp_neardup_pairs(
         e, threshold=0.5, n_tables=8, bits_per_table=4
-    ).orderBy("id_a", "id_b")
+    )
 
 
 # --- similarity search --------------------------------------------------------
