@@ -203,7 +203,6 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", "lang", "source", "n_chars")
-        .orderBy("doc_id")
     )
 
 
@@ -299,11 +298,7 @@ def q_quality_bin_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.lit(t) for t in QBIN_THRESHOLDS]), F.col("qbin")
     )
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    return (
-        scored.where(nib < thr)
-        .select("doc_id", "qbin", "score")
-        .orderBy("doc_id")
-    )
+    return scored.where(nib < thr).select("doc_id", "qbin", "score")
 
 
 _EN_LIST = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
