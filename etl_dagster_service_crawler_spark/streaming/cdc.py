@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from etl_dagster_service_crawler_spark.streaming.rollup import (
     _EPOCH_MARKER,
     applied_epochs,
+    publish_swap,
 )
 
 
@@ -65,7 +66,10 @@ def cdc_apply_batch(state_dir: str, merge_partitions: int = 8):
         merged.unpersist()
         with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
             f.write(" ".join(str(e) for e in sorted(seen | {int(epoch_id)})))
-        shutil.rmtree(state_dir, ignore_errors=True)
-        os.rename(tmp, state_dir)
+        # rename-aside swap (publish_swap): a crash between the old
+        # rmtree+rename pair deleted state AND marker after the
+        # checkpoint committed — unrecoverable; now one of live/_old
+        # survives every crash point and applied_epochs restores it
+        publish_swap(tmp, state_dir)
 
     return apply

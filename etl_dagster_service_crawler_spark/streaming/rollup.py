@@ -36,9 +36,36 @@ from pyspark.sql import functions as F
 from etl_dagster_service_crawler_spark.functions.compat import to_cents
 
 _EPOCH_MARKER = "_applied_epochs"
+_OLD_SUFFIX = "_old"
+
+
+def publish_swap(tmp: str, live: str) -> None:
+    """Swap ``tmp`` into ``live`` keeping a recoverable copy at every
+    instant: the previous rmtree(live)+rename(tmp) pair had a window
+    where a crash deleted both the state and its epoch marker while the
+    stream checkpoint had already committed those offsets — losing the
+    state permanently. Renaming the old dir aside first means every
+    crash point leaves either live or live_old intact; recover_swap
+    restores the latter on the next touch."""
+    old = live + _OLD_SUFFIX
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(live):
+        os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def recover_swap(live: str) -> None:
+    """If a crash hit between publish_swap's two renames, only
+    ``live_old`` exists — restore it so the re-delivered epoch merges
+    against the pre-crash state instead of an empty one."""
+    old = live + _OLD_SUFFIX
+    if not os.path.exists(live) and os.path.exists(old):
+        os.rename(old, live)
 
 
 def applied_epochs(rollup_dir: str) -> set[int]:
+    recover_swap(rollup_dir)
     p = os.path.join(rollup_dir, _EPOCH_MARKER)
     if not os.path.exists(p):
         return set()
@@ -109,7 +136,6 @@ def rollup_merge_batch(rollup_dir: str, merge_partitions: int = 8):
         # its data (or vice versa)
         with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
             f.write(" ".join(str(e) for e in sorted(seen | {int(epoch_id)})))
-        shutil.rmtree(rollup_dir, ignore_errors=True)
-        os.rename(tmp, rollup_dir)
+        publish_swap(tmp, rollup_dir)
 
     return merge

@@ -1615,7 +1615,6 @@ def q_change_point_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w_pick))
         .where(F.col("rn") == 1)
         .select("event_type", F.col("day").alias("split_day"), "shift_c", "pre_cnt", "post_cnt")
-        .orderBy("event_type")
     )
 
 
@@ -2076,7 +2075,6 @@ def q_audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("int((10000 * both_users) div (a_users + b_users - both_users))")
             .alias("jaccard_bp"),
         )
-        .orderBy("ta", "tb")
     )
 
 

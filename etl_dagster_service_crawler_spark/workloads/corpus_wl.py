@@ -965,14 +965,17 @@ def q_bigram_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         exploded.join(F.broadcast(top), "bigram", "left")
         .groupBy("doc_id", "n_bigrams")
-        .agg(F.coalesce(F.sum("hit"), F.lit(0)).cast("int").alias("in_top"))
+        # keep the hit count BIGINT through the ppm arithmetic: with ANSI
+        # mode on, 1000000 * int overflows 32-bit past 2147 hits (a long
+        # document at scale) — cast to int only in the final projection
+        .agg(F.coalesce(F.sum("hit"), F.lit(0)).alias("in_top_l"))
         .select(
             "doc_id",
             F.col("n_bigrams").cast("int").alias("n_bigrams"),
-            "in_top",
+            F.col("in_top_l").cast("int").alias("in_top"),
             F.when(
                 F.col("n_bigrams") > 0,
-                F.expr("(1000000 * in_top) div n_bigrams"),
+                F.expr("(1000000 * in_top_l) div n_bigrams"),
             )
             .otherwise(F.lit(0))
             .cast("int")

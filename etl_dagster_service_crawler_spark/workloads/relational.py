@@ -2196,8 +2196,12 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             # is the PREVIOUS element when visiting index i
             F.transform(
                 a,
+                # explicit guard: element_at is only constructed under the
+                # i > 0 branch so no rewrite/reordering can evaluate
+                # element_at(a, 0) (ANSI INVALID_INDEX_OF_ZERO)
                 lambda x, i: F.when(
-                    (i > 0) & (x != F.element_at(a, i) + 1), F.lit(1)
+                    i > 0,
+                    F.when(x != F.element_at(a, i) + 1, F.lit(1)).otherwise(F.lit(0)),
                 ).otherwise(F.lit(0)),
             ),
             lambda v: v == 1,
@@ -2497,7 +2501,6 @@ def q_events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("v_c", F.col("ok")).alias("close_c"),
             F.count(F.lit(1)).alias("volume"),
         )
-        .orderBy("event_type", "hour")
     )
 
 

@@ -569,9 +569,14 @@ def q_stream_quarantine_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone (every 37th doc truncated mid-record) is streamed file-by-
     file; each micro-batch routes parseable rows to the good sink and
     corrupt raw lines to the quarantine sink, so a poison line can
-    never stall ingestion. The final summary over BOTH sinks must
-    hash-equal the batch quarantine oracle — proving no row is lost or
-    double-routed across batch boundaries."""
+    never stall ingestion. foreachBatch is at-least-once, so each epoch
+    writes its OWN subdirectory with mode=overwrite: a re-delivered
+    epoch (or a crash between the two sink writes) overwrites its own
+    output instead of appending a duplicate — the epoch-idempotence
+    twin of streaming/rollup.py's marker discipline, in sink-partition
+    form. The final summary over BOTH sinks must hash-equal the batch
+    quarantine oracle — proving no row is lost or double-routed across
+    batch boundaries."""
     import hashlib
     import shutil
 
@@ -601,12 +606,13 @@ def q_stream_quarantine_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     def route(batch_df, epoch_id):
         batch_df.persist()
         bad = F.col("_corrupt_record").isNotNull()
+        # per-epoch overwrite = idempotent under epoch re-delivery
         batch_df.where(~bad).select("doc_id", "source", "n_chars").write.mode(
-            "append"
-        ).parquet(good_dir)
+            "overwrite"
+        ).parquet(f"{good_dir}/epoch={int(epoch_id)}")
         batch_df.where(bad).select(
             F.col("_corrupt_record").alias("raw_line")
-        ).write.mode("append").parquet(bad_dir)
+        ).write.mode("overwrite").parquet(f"{bad_dir}/epoch={int(epoch_id)}")
         batch_df.unpersist()
 
     q = (
@@ -620,10 +626,18 @@ def q_stream_quarantine_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise TimeoutError(
             "quarantine stream still running after 300s — sinks incomplete"
         )
-    good = spark.read.schema("doc_id bigint, source string, n_chars bigint").parquet(
-        good_dir
+    # recursiveFileLookup: read the per-epoch subdirs as plain files
+    # (epoch= is an idempotence namespace, not a partition column)
+    good = (
+        spark.read.schema("doc_id bigint, source string, n_chars bigint")
+        .option("recursiveFileLookup", "true")
+        .parquet(good_dir)
     )
-    bad_rows = spark.read.schema("raw_line string").parquet(bad_dir)
+    bad_rows = (
+        spark.read.schema("raw_line string")
+        .option("recursiveFileLookup", "true")
+        .parquet(bad_dir)
+    )
     return good.agg(
         F.count(F.lit(1)).cast("bigint").alias("good_rows"),
         F.lit(bad_rows.count()).cast("bigint").alias("bad_rows"),

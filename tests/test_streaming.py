@@ -347,3 +347,48 @@ def test_cdc_stream_restart_is_noop(spark, sf_dir):
     }
     assert state_after == state_before
     assert first  # the op returned data on the first pass
+
+
+def test_publish_swap_survives_crash_between_renames(spark, tmp_path):
+    """The state publish must keep a recoverable copy at every instant:
+    a crash between 'old aside' and 'tmp in' leaves only state_old, and
+    the next applied_epochs() call restores it — the previous
+    rmtree+rename pair lost both state and epoch marker at that point."""
+    from etl_dagster_service_crawler_spark.streaming.rollup import (
+        _EPOCH_MARKER,
+        applied_epochs,
+        publish_swap,
+        recover_swap,
+    )
+
+    live = str(tmp_path / "state")
+    tmp = live + "_tmp"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, _EPOCH_MARKER), "w") as f:
+        f.write("0 1")
+    publish_swap(tmp, live)
+    assert applied_epochs(live) == {0, 1}
+    assert not os.path.exists(live + "_old")
+
+    # simulate the crash window: old moved aside, tmp never renamed in
+    os.rename(live, live + "_old")
+    assert not os.path.exists(live)
+    recover_swap(live)
+    assert applied_epochs(live) == {0, 1}
+    assert not os.path.exists(live + "_old")
+
+
+def test_quarantine_router_epoch_overwrite_idempotent(spark, tmp_path):
+    """Re-writing the same epoch subdir (at-least-once re-delivery, or
+    a crash between the good and bad sink writes) must not double-count
+    rows in either sink."""
+    good_dir = str(tmp_path / "good")
+    df = spark.range(5).select(F.col("id").alias("doc_id"))
+    for _ in range(2):  # same epoch delivered twice
+        df.write.mode("overwrite").parquet(f"{good_dir}/epoch=0")
+    got = (
+        spark.read.schema("doc_id bigint")
+        .option("recursiveFileLookup", "true")
+        .parquet(good_dir)
+    )
+    assert got.count() == 5

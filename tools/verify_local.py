@@ -96,9 +96,11 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures: list[str] = []
+    checked = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -141,7 +143,7 @@ def main() -> int:
                     print(f"      spark : {a[:200]}")
                     print(f"      oracle: {b[:200]}")
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} checked OK; failures: {failures or 'none'}")
+    print(f"\n{checked - len(failures)}/{checked} checked OK; failures: {failures or 'none'}")
     return 1 if failures else 0
 
 
