@@ -200,6 +200,121 @@ def ivf_index_dir(sf_dir: str, n_centroids: int = 16,
 
 KMEANS_TRAIN_CAP = 100_000
 
+# bounded driver-side sample for nprobe auto-calibration: 2048 vectors
+# x 64 dims is ~0.5 MB — planning-time metadata, independent of corpus
+# size (the same contract as the collected probe-cid list in ivf_search)
+CALIBRATION_SAMPLE = 2048
+CALIBRATION_FILE = "nprobe_calibration.json"
+
+
+def calibrate_nprobe(
+    emb: DataFrame,
+    centroids: DataFrame,
+    target_recall: float = 0.85,
+    k: int = 5,
+    n_sample: int = CALIBRATION_SAMPLE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[int, list[tuple[int, float]]]:
+    """Pick the smallest nprobe whose estimated recall@k reaches
+    target_recall — the FAISS-autotune move, as bounded driver-side
+    planning work. Returns (nprobe, curve) with the full
+    recall-vs-nprobe curve for publication.
+
+    Why a knob-by-measurement instead of a fixed c/8 heuristic: recall
+    at fixed nprobe is a property of the CORPUS, not the index — on a
+    clustered corpus (near-dup-heavy crawl data) a handful of probes
+    reaches ~1.0, while on isotropic vectors recall tracks probed
+    candidate mass almost exactly (measured: recall ~= candidate
+    fraction on the sf0.1 fixture — there is no free structure to
+    exploit, a known property of random high-dim data). A fixed
+    heuristic silently under-delivers on the hard corpus and
+    over-spends on the easy one; calibration detects which corpus it
+    is holding.
+
+    Method: a deterministic hash-spread sample of <= ~n_sample vectors
+    (same xxhash64-modulus idiom as the k-means train cap, so replica
+    copies and appended shards are represented, never just the head
+    row group), exact top-k WITHIN the sample, each neighbor's cell
+    rank in the query's probe order -> recall(p) = fraction of true
+    neighbors whose cell sits within the first p probes. Within-sample
+    recall approximates full-corpus recall at the same probe count
+    because cell-coincidence of true neighbor pairs is distribution-
+    level structure, not sample-size structure. O(m^2) numpy at
+    m <= ~n_sample; no Spark job beyond two bounded collects."""
+    import numpy as np
+
+    cents = sorted(
+        centroids.select("cid", "cvec").collect(), key=lambda r: r["cid"]
+    )
+    C = np.array([r["cvec"] for r in cents], dtype=np.float64)
+    n_cent = len(cents)
+    n = emb.select(id_col).count()
+    sample = emb.select(vec_col)
+    if n > n_sample:
+        m = -(-n // n_sample)  # ceil
+        sample = sample.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    V = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    if len(V) <= k:  # degenerate corpus: everything fits in one probe
+        return 1, [(1, 1.0)]
+    Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    S = Vn @ Cn.T  # m x C cosine affinities (cids ascending by column)
+    # probe order: qcos desc, tie -> smallest cid (matches
+    # knn_join_cells' Window orderBy(qcos desc, cid)); stable argsort
+    # on -S keeps ascending cid within ties
+    order = np.argsort(-S, axis=1, kind="stable")
+    # db assignment: argmax cosine, tie -> smallest cid (matches
+    # assign_cells' max_by(ccos, -cid)); np.argmax takes the first max
+    db_cell = np.argmax(S, axis=1)
+    sims = Vn @ Vn.T
+    np.fill_diagonal(sims, -2.0)
+    kk = min(k, len(V) - 1)
+    truth = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+    # pos[i, j] = rank of cell j in query i's probe order
+    pos = np.empty_like(order)
+    rows = np.arange(len(V))[:, None]
+    pos[rows, order] = np.arange(n_cent)[None, :]
+    ranks = pos[rows, db_cell[truth]]  # m x kk
+    curve = [(p, float((ranks < p).mean())) for p in range(1, n_cent + 1)]
+    nprobe = next((p for p, r in curve if r >= target_recall), n_cent)
+    return nprobe, curve
+
+
+def calibrated_nprobe_cached(
+    emb: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    target_recall: float = 0.85,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """calibrate_nprobe, memoized in the persisted index dir (atomic
+    tmp+rename publish, same discipline as ivf_build): repeated query
+    batches against one index pay calibration once."""
+    import json
+    import os
+    import uuid
+
+    path = os.path.join(index_dir, CALIBRATION_FILE)
+    if os.path.exists(path):
+        with open(path) as fh:
+            rec = json.load(fh)
+        if rec.get("target_recall") == target_recall and rec.get("k") == k:
+            return int(rec["nprobe"])
+    nprobe, curve = calibrate_nprobe(
+        emb, centroids, target_recall, k, id_col=id_col, vec_col=vec_col
+    )
+    tmp = f"{path}.tmp-{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"target_recall": target_recall, "k": k, "nprobe": nprobe, "curve": curve},
+            fh,
+        )
+    os.replace(tmp, path)
+    return nprobe
+
 
 def kmeans_centroids(
     emb: DataFrame, n_centroids: int, vec_col: str = "embedding",

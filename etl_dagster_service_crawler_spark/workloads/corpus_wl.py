@@ -219,6 +219,11 @@ ORDER BY doc_id
 """
 
 
+# production ANN default: calibrated nprobe targets this recall@5 with
+# a small margin over the 0.8 test pin (tests/test_corpus.py)
+KNN_TARGET_RECALL = 0.85
+
+
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch ANN: top-5 neighbors for EVERY embedding via IVF-cell
     blocking (operators/similarity.knn_join_cells). Approximate by
@@ -228,10 +233,21 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reuses the SAME persisted index as similarity_topk_ivf (one
     train+assign per corpus, atomic-rename publish keyed by sf_dir) —
     the batch join then reads centroids + cid-partitioned assignments
-    instead of re-fitting k-means per call."""
+    instead of re-fitting k-means per call.
+
+    nprobe is CALIBRATED, not fixed: the old c//8 heuristic delivered
+    recall@5 0.54-0.60 on the organic fixtures because these vectors
+    are near-isotropic (recall tracks probed candidate mass — there is
+    no cluster structure to exploit). calibrate_nprobe picks the
+    smallest probe count whose estimated recall meets
+    KNN_TARGET_RECALL on THIS corpus, so a clustered (near-dup-heavy)
+    corpus keeps its cheap small-nprobe plan while a structureless one
+    honestly pays for its recall; the choice is cached with the
+    persisted index."""
     import os
 
     from etl_dagster_service_crawler_spark.operators.similarity import (
+        calibrated_nprobe_cached,
         ivf_build,
         ivf_index_dir,
     )
@@ -248,7 +264,6 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
     c = max(16, int(n_rows**0.5 / 2))
-    nprobe = max(4, c // 8)
     # c == 16 shares similarity_topk_ivf's persisted index; a larger
     # corpus gets its own — the dir key includes cell count AND the
     # source file's identity (regenerated fixtures miss, never reuse)
@@ -257,6 +272,9 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_build(emb, index_dir, n_centroids=c)
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     assignments = spark.read.parquet(f"{index_dir}/assignments")
+    nprobe = calibrated_nprobe_cached(
+        emb, centroids, index_dir, target_recall=KNN_TARGET_RECALL, k=5
+    )
     return knn_join_cells(
         emb, k=5, n_centroids=c, nprobe=nprobe,
         centroids=centroids, assignments=assignments,
