@@ -1,12 +1,38 @@
-"""Cross-round bench comparison (VERDICT r2 item 5).
+"""Cross-round bench comparison (VERDICT r2 item 5; r5 item 7 / r6
+item 1 — min-AND-median rule + tail recovery).
 
 Reads every BENCH_r*.json in the repo root plus optional local bench
 output files given as arguments, and prints a per-query table of
-min-of-round values with a REGRESSION flag for any query whose newest
-min exceeds 1.5x its best historical min. Wall clock on this VM swings
-2-6x with neighbor I/O; a min that CREEPS UP across rounds is a real
-regression, a single max spike is noise (bench.py already records the
-full run spread for that distinction).
+min-of-round values with a flag for regressions.
+
+Driver BENCH artifacts come in two shapes: early rounds carry the full
+bench.py JSON under "parsed"; later rounds have "parsed": null and only
+a truncated "tail" of the bench stdout. The tail's suffix is the end of
+the one-line JSON — complete `"name": min` scalar pairs and
+`"name": [runs...]` list pairs are recovered by regex (runs lists are
+sorted by bench.py, so runs[0] reconstructs a min even when the scalar
+pair was truncated away). Rounds recovered this way are marked `*` in
+the header: their query set may be partial, so their TOTAL is not
+comparable across rounds.
+
+Regression rule (min AND median, spread-gated): wall clock on this VM
+swings 2-6x with neighbor I/O, so a single elevated number means
+nothing. A query in the newest round is flagged REGRESSION only when
+
+  newest_min    >= MIN_RATIO x best prior min      (the plan got
+  newest_median >= MED_RATIO x best prior median    slower, not one
+                                                    lucky/unlucky run)
+
+and the newest round's own spread (max/min of its runs) is below
+NOISY_SPREAD — a wide spread means the machine was loaded during the
+measurement window, so the same ratios print `NOISY?` instead: re-run
+locally to adjudicate. That re-run is the designed noise filter: run
+`python bench.py > BENCH_local.json` on a quiet machine and pass it as
+an argument (or leave it in the repo root — it is auto-included while
+it is NEWER than the newest driver artifact, and ignored once the next
+round's BENCH_rN lands, so a stale local run can never masquerade as
+current evidence). The local file then becomes the "newest round" the
+rule judges, with the driver history as the baseline.
 
 Usage: python tools/bench_history.py [extra_bench.json ...]
 """
@@ -15,43 +41,138 @@ from __future__ import annotations
 
 import json
 import re
+import statistics
 import sys
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+# bench.py top-level scalar keys that are NOT query timings
+_META_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus"}
 
-def _queries(doc: dict) -> dict[str, float]:
-    """Accept both bench.py's direct output and the driver's BENCH_r*
-    wrapper (which nests it under 'parsed')."""
+MIN_RATIO = 1.25  # newest min vs best prior min
+MED_RATIO = 1.10  # newest median vs best prior median
+NOISY_SPREAD = 2.0  # newest-round max/min above this => machine noise
+
+
+def _from_tail(tail: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+    """Recover (queries, runs) from a truncated bench stdout tail."""
+    runs: dict[str, list[float]] = {}
+    for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*\[([0-9eE+\-., ]+)\]', tail):
+        try:
+            runs[m.group(1)] = sorted(float(x) for x in m.group(2).split(","))
+        except ValueError:
+            continue
+    queries: dict[str, float] = {}
+    for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(\d+(?:\.\d+)?)(?=\s*[,}])', tail):
+        k = m.group(1)
+        if k not in _META_KEYS:
+            queries[k] = float(m.group(2))
+    # a runs list can stand in for a truncated-away scalar min
+    for k, r in runs.items():
+        queries.setdefault(k, r[0])
+    return queries, runs
+
+
+def _parse_doc(doc: dict) -> tuple[dict[str, float], dict[str, list[float]], bool]:
+    """(queries, runs, partial). Accepts bench.py's direct output, the
+    driver wrapper with a full 'parsed' dict, and the driver wrapper
+    with parsed null + stdout tail."""
     if "queries" in doc:
-        return doc["queries"]
-    return doc["parsed"]["queries"]
+        return doc["queries"], doc.get("runs", {}), False
+    parsed = doc.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return parsed["queries"], parsed.get("runs", {}), False
+    queries, runs = _from_tail(doc.get("tail", ""))
+    if not queries:
+        raise ValueError("no queries in parsed or tail")
+    return queries, runs, True
 
 
-def load_rounds(extra: list[str]) -> dict[str, dict[str, float]]:
-    rounds: dict[str, dict[str, float]] = {}
+class Round:
+    def __init__(self, tag: str, queries: dict[str, float],
+                 runs: dict[str, list[float]], partial: bool):
+        self.tag = tag
+        self.queries = queries
+        self.runs = runs
+        self.partial = partial
+
+    def median(self, name: str) -> float | None:
+        r = self.runs.get(name)
+        if r:
+            return statistics.median(r)
+        return self.queries.get(name)
+
+    def spread(self, name: str) -> float | None:
+        r = self.runs.get(name)
+        if r and min(r) > 0:
+            return max(r) / min(r)
+        return None
+
+
+def load_rounds(extra: list[str]) -> list[Round]:
+    rounds: list[Round] = []
     # sort by the ROUND NUMBER, not the filename: lexicographically an
     # unpadded BENCH_r2.json would sort after BENCH_r10.json and be
     # treated as newer
     numbered = []
+    newest_artifact_mtime = 0.0
     for p in REPO.glob("BENCH_r*.json"):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", p.name)
         if m:
             numbered.append((int(m.group(1)), p))
+            newest_artifact_mtime = max(newest_artifact_mtime, p.stat().st_mtime)
     for n, p in sorted(numbered):
         try:
-            rounds[f"r{n:02d}"] = _queries(json.loads(p.read_text()))
+            q, r, partial = _parse_doc(json.loads(p.read_text()))
+            rounds.append(Round(f"r{n:02d}", q, r, partial))
         except (OSError, ValueError, KeyError) as e:
             print(f"# skipping {p.name}: {e}", file=sys.stderr)
-    for i, arg in enumerate(extra):
-        try:
-            rounds[f"local{i}" if len(extra) > 1 else "local"] = _queries(
-                json.loads(Path(arg).read_text())
+    # auto-include a repo-root local re-run while it is fresher than the
+    # newest driver artifact (stale local evidence is ignored, loudly)
+    local = REPO / "BENCH_local.json"
+    paths = list(extra)
+    if local.exists() and str(local) not in paths and local.name not in paths:
+        if local.stat().st_mtime > newest_artifact_mtime:
+            paths.append(str(local))
+        else:
+            print(
+                f"# {local.name} predates the newest BENCH_r* artifact — "
+                "ignored (re-run bench.py to refresh)",
+                file=sys.stderr,
             )
+    for i, arg in enumerate(paths):
+        try:
+            q, r, partial = _parse_doc(json.loads(Path(arg).read_text()))
+            tag = Path(arg).stem.replace("BENCH_", "")
+            if len(paths) > 1 and tag == "local":
+                tag = f"local{i}"
+            rounds.append(Round(tag, q, r, partial))
         except (OSError, ValueError, KeyError) as e:
             print(f"# skipping {arg}: {e}", file=sys.stderr)
     return rounds
+
+
+def flag_for(name: str, newest: Round, prior: list[Round]) -> str:
+    newest_min = newest.queries.get(name)
+    if newest_min is None:
+        return "absent in latest"
+    prior_mins = [r.queries[name] for r in prior if name in r.queries]
+    if not prior_mins:
+        return "new"
+    best_prior_min = min(prior_mins)
+    if best_prior_min <= 0 or newest_min < MIN_RATIO * best_prior_min:
+        return ""
+    prior_meds = [m for r in prior if (m := r.median(name)) is not None]
+    newest_med = newest.median(name)
+    if prior_meds and newest_med is not None:
+        if newest_med < MED_RATIO * min(prior_meds):
+            return ""  # the min moved but the bulk didn't: one bad run
+    ratio = newest_min / best_prior_min
+    spread = newest.spread(name)
+    if spread is not None and spread >= NOISY_SPREAD:
+        return f"NOISY? {ratio:.1f}x min but spread {spread:.1f}x — re-run locally"
+    return f"REGRESSION {ratio:.1f}x vs best"
 
 
 def main() -> None:
@@ -59,40 +180,39 @@ def main() -> None:
     if not rounds:
         print("no BENCH_r*.json found", file=sys.stderr)
         raise SystemExit(1)
-    tags = list(rounds)
     names: list[str] = []
-    for q in (n for r in rounds.values() for n in r):
+    for q in (n for r in rounds for n in r.queries):
         if q not in names:
             names.append(q)
     width = max(len(n) for n in names)
-    print(f"{'query'.ljust(width)}  " + "  ".join(t.rjust(7) for t in tags) + "  flag")
-    flagged = []
-    latest = tags[-1]
+    header = "  ".join(
+        (t.tag + ("*" if t.partial else "")).rjust(8) for t in rounds
+    )
+    print(f"{'query'.ljust(width)}  {header}  flag")
+    newest, prior = rounds[-1], rounds[:-1]
+    flagged, noisy = [], []
     for n in names:
-        vals = [rounds[t].get(n) for t in tags]
-        known = [v for v in vals if v is not None]
-        # only a query PRESENT in the true latest round can regress;
-        # a last-known value from an older round says nothing about now
-        newest = rounds[latest].get(n)
-        flag = ""
-        if newest is None:
-            flag = "absent in latest"
-        else:
-            prior = [v for t in tags[:-1] if (v := rounds[t].get(n)) is not None]
-            best_prior = min(prior) if prior else None
-            if best_prior is not None and newest > 1.5 * best_prior:
-                flag = f"REGRESSION {newest / best_prior:.1f}x vs best"
-                flagged.append(n)
+        flag = flag_for(n, newest, prior)
+        if flag.startswith("REGRESSION"):
+            flagged.append(n)
+        elif flag.startswith("NOISY?"):
+            noisy.append(n)
         cells = "  ".join(
-            (f"{v:7.3f}" if v is not None else "      -") for v in vals
+            (f"{r.queries[n]:8.3f}" if n in r.queries else "       -")
+            for r in rounds
         )
         print(f"{n.ljust(width)}  {cells}  {flag}")
     totals = "  ".join(
-        f"{sum(v for v in rounds[t].values()):7.3f}" for t in tags
+        f"{sum(r.queries.values()):8.3f}" for r in rounds
     )
     print(f"{'TOTAL'.ljust(width)}  {totals}")
+    if any(r.partial for r in rounds):
+        print("# * = recovered from truncated stdout tail; query set may be "
+              "partial, TOTAL not cross-comparable", file=sys.stderr)
     if flagged:
         print(f"\nflagged: {flagged}")
+    if noisy:
+        print(f"noisy (re-run locally to adjudicate): {noisy}")
 
 
 if __name__ == "__main__":
