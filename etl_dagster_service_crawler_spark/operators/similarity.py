@@ -9,8 +9,10 @@
   nearest centroid buckets per query. Candidate set shrinks by
   ~C/nprobe; at scale the bucket assignment is the only full pass.
 - ivf_build / ivf_search: the persisted form — assignments written
-  partitioned by centroid id once, searches statically prune to the
-  probed partitions. This is the serving shape for repeated queries.
+  once in a bucketed layout (pmod(cid, <=128) partition dirs,
+  cid-sorted files), searches statically prune to the probed buckets'
+  partitions and the probed cells' row groups. This is the serving
+  shape for repeated queries.
 - embedding near-dup pairs ride the same bucketing (same-bucket
   equi-join) — see workloads/llm.py.
 
@@ -20,10 +22,14 @@ no collect.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.functions.vectors import cosine, dot, dot_fixed, norm2
+
+_log = logging.getLogger("spark_graft.similarity")
 
 
 def cosine_topk_bruteforce(
@@ -190,11 +196,14 @@ def ivf_index_dir(sf_dir: str, n_centroids: int = 16,
     import os
 
     f = f"{sf_dir}/{vec_table}.parquet"
+    # |v2 = the pb-bucketed assignment layout (see write_assignments):
+    # bumping the layout version makes every pre-bucketing /tmp index
+    # MISS, so new readers never touch an old cid=-partitioned tree
     try:
         st = os.stat(f)
-        ident = f"{f}|{st.st_size}|{st.st_mtime_ns}|{n_centroids}"
+        ident = f"{f}|{st.st_size}|{st.st_mtime_ns}|{n_centroids}|v2"
     except OSError:
-        ident = f"{f}|missing|{n_centroids}"
+        ident = f"{f}|missing|{n_centroids}|v2"
     return "/tmp/spark_graft_ivf/" + hashlib.sha1(ident.encode()).hexdigest()[:12]
 
 
@@ -250,23 +259,22 @@ def calibrate_nprobe(
     C = np.array([r["cvec"] for r in cents], dtype=np.float64)
     n_cent = len(cents)
     n = emb.select(id_col).count()
-    sample = emb.select(vec_col)
+    sample = emb
     if n > n_sample:
         m = -(-n // n_sample)  # ceil
+        # filter BEFORE projecting id_col away: filtering a projected
+        # frame on the dropped column leans on the analyzer's
+        # missing-reference resolution — it resolves, but fragilely
         sample = sample.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
-    V = np.array([r[0] for r in sample.collect()], dtype=np.float64)
+    V = np.array(
+        [r[0] for r in sample.select(vec_col).collect()], dtype=np.float64
+    )
     if len(V) <= k:  # degenerate corpus: everything fits in one probe
         return 1, [(1, 1.0)]
     Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
     Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
     S = Vn @ Cn.T  # m x C cosine affinities (cids ascending by column)
-    # probe order: qcos desc, tie -> smallest cid (matches
-    # knn_join_cells' Window orderBy(qcos desc, cid)); stable argsort
-    # on -S keeps ascending cid within ties
-    order = np.argsort(-S, axis=1, kind="stable")
-    # db assignment: argmax cosine, tie -> smallest cid (matches
-    # assign_cells' max_by(ccos, -cid)); np.argmax takes the first max
-    db_cell = np.argmax(S, axis=1)
+    order, db_cell = probe_order_and_assignment(S)
     sims = Vn @ Vn.T
     np.fill_diagonal(sims, -2.0)
     kk = min(k, len(V) - 1)
@@ -278,7 +286,46 @@ def calibrate_nprobe(
     ranks = pos[rows, db_cell[truth]]  # m x kk
     curve = [(p, float((ranks < p).mean())) for p in range(1, n_cent + 1)]
     nprobe = next((p for p, r in curve if r >= target_recall), n_cent)
+    if nprobe * 4 > n_cent:
+        # the IVF sizing rationale (candidate volume ~ nprobe/C of the
+        # all-pairs volume) collapses when the calibrated probe count
+        # approaches the cell count: on a structureless (isotropic)
+        # corpus recall tracks probed mass, so hitting the target means
+        # probing most cells — an honest near-brute-force plan, but one
+        # that must be VISIBLE, not silent (docs/SCALE.md "isotropic
+        # ANN envelope"). The recall contract still wins: we warn, we
+        # do not cap.
+        _log.warning(
+            "calibrated nprobe %d of %d cells (%.0f%% probed) — recall "
+            "target %.2f is degenerating this IVF index toward brute "
+            "force; the corpus has little cluster structure. Consider "
+            "exact similarity_topk or a coarse-quantizer re-rank "
+            "design (docs/SCALE.md).",
+            nprobe, n_cent, 100.0 * nprobe / n_cent, target_recall,
+        )
     return nprobe, curve
+
+
+def probe_order_and_assignment(S) -> tuple:
+    """Pure tie-break kernel of the calibration estimator, factored out
+    so tests can pin its parity with the Spark-side operators:
+
+    - probe order: qcos desc, tie -> smallest cid. Matches
+      knn_join_cells / ivf_search's Window orderBy(qcos desc, cid);
+      stable argsort on -S keeps ascending cid within ties.
+    - db assignment: argmax cosine, tie -> smallest cid. Matches
+      assign_cells' max_by(ccos, struct(ccos, -cid)); np.argmax takes
+      the FIRST maximum, i.e. the smallest column index == smallest cid.
+
+    S is the m x C affinity matrix with columns ascending by cid.
+    Returns (order, db_cell): order[i] is query i's cid probe sequence,
+    db_cell[i] is vector i's assigned cid.
+    """
+    import numpy as np
+
+    order = np.argsort(-S, axis=1, kind="stable")
+    db_cell = np.argmax(S, axis=1)
+    return order, db_cell
 
 
 def calibrated_nprobe_cached(
@@ -429,16 +476,62 @@ def ivf_assign(
     return centroids, assign_cells(emb, centroids, id_col, vec_col)
 
 
+# Cap on the number of assignment partition DIRECTORIES. With one dir
+# per cell, the x100 replica's 1118 cells meant 1118 directory creates +
+# commits — the write constant dominated the build (750 s, docs/
+# ROUND5.md). Bucketing pmod(cid, cap) bounds the dir count while the
+# search path keeps partition pruning on the bucket plus parquet
+# row-group pruning on cid (assignments are sorted by cid within each
+# bucket, so every file's row groups carry tight cid min/max stats).
+IVF_MAX_PARTITION_DIRS = 128
+
+
+def ivf_n_dirs(n_centroids: int, cap: int = IVF_MAX_PARTITION_DIRS) -> int:
+    """Directory count of the bucketed assignment layout — derived, not
+    stored: every reader/writer recomputes it from the centroid count,
+    so the layout needs no side-channel metadata file."""
+    return max(1, min(n_centroids, cap))
+
+
+def write_assignments(
+    assignments: DataFrame, out_dir: str, n_centroids: int,
+    mode: str = "error",
+) -> None:
+    """Write (or append) assignment rows in the bucketed index layout:
+    partitioned by pb = pmod(cid, n_dirs), sorted by cid within each
+    bucket. Shared by the batch build (ivf_build) and the streaming
+    ingest (workloads/streaming_wl.q_stream_ivf_ingest) so streamed and
+    batch-built indexes are layout- and row-identical.
+
+    The repartition gives each bucket ONE file per write (without it
+    every write task emits a sliver into every partition); the
+    sortWithinPartitions clusters each cid's rows into contiguous row
+    groups, which is what lets the cid IN-filter skip at row-group
+    granularity when a bucket holds many cells."""
+    nd = ivf_n_dirs(n_centroids)
+    (
+        assignments.withColumn(
+            "pb", F.pmod(F.col("cid"), F.lit(nd)).cast("int")
+        )
+        .repartition(nd, "pb")
+        .sortWithinPartitions("cid")
+        .write.partitionBy("pb")
+        .mode(mode)
+        .parquet(out_dir)
+    )
+
+
 def ivf_build(
     emb: DataFrame, index_dir: str, n_centroids: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> str:
     """Build the PERSISTED IVF index: centroids as a tiny parquet table,
-    assignments written PARTITIONED BY centroid id. This is the ANN
-    shape that serves repeated query batches at 100 TB — the expensive
-    full-corpus pass (train + assign) happens once, and every search
-    after it reads only the probed centroid partitions (static partition
-    pruning on `cid=`), not the corpus.
+    assignments written in the bucketed layout (write_assignments —
+    partition dirs capped at IVF_MAX_PARTITION_DIRS, cid-sorted files).
+    This is the ANN shape that serves repeated query batches at 100 TB —
+    the expensive full-corpus pass (train + assign) happens once, and
+    every search after it prunes to the probed buckets' partitions and
+    the probed cids' row groups, not the corpus.
 
     Publish is atomic: the index is staged under a temp name and
     os.rename'd into place, so a concurrent reader sees either no index
@@ -457,13 +550,7 @@ def ivf_build(
         os.makedirs(parent, exist_ok=True)
     stage = f"{index_dir.rstrip('/')}.stage-{uuid.uuid4().hex[:8]}"
     centroids.write.parquet(f"{stage}/centroids")
-    # repartition by cid first so each cid= directory gets ONE file
-    # (without it every write task emits a sliver into every partition)
-    (
-        assignments.repartition(n_centroids, "cid")
-        .write.partitionBy("cid")
-        .parquet(f"{stage}/assignments")
-    )
+    write_assignments(assignments, f"{stage}/assignments", n_centroids)
     try:
         os.rename(stage, index_dir)
     except OSError:
@@ -482,9 +569,13 @@ def ivf_search(
 
     The probed centroid ids are collected to the driver — bounded
     planning metadata, at most |queries| * nprobe ints — and applied as
-    a LITERAL IN-filter on the cid-partitioned assignments scan, so the
-    file source prunes every unprobed partition before reading a byte
-    (tests pin this via inputFiles). Self-matches (nid == qid) are
+    TWO literal IN-filters on the bucketed assignments scan: the probed
+    buckets (pb = pmod(cid, n_dirs)) land in the scan's
+    PartitionFilters, so every unprobed directory is pruned before a
+    byte is read, and the probed cids land as a pushed data filter that
+    skips unprobed cells' row groups inside shared buckets (the files
+    are cid-sorted — see write_assignments). Tests pin the partition
+    pruning via the executed plan. Self-matches (nid == qid) are
     excluded for parity with ivf_topk/bruteforce."""
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
@@ -500,9 +591,11 @@ def ivf_search(
     probe_cids = sorted(
         int(r["cid"]) for r in probes.select("cid").distinct().collect()
     )
+    nd = ivf_n_dirs(centroids.count())
+    probe_pbs = sorted({c % nd for c in probe_cids})
     assignments = (
         spark.read.parquet(f"{index_dir}/assignments")
-        .where(F.col("cid").isin(probe_cids))
+        .where(F.col("pb").isin(probe_pbs) & F.col("cid").isin(probe_cids))
         .withColumnRenamed(id_col, "nid")
         .withColumnRenamed(vec_col, "nvec")
     )

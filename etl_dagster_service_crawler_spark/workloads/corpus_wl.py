@@ -220,7 +220,9 @@ ORDER BY doc_id
 
 
 # production ANN default: calibrated nprobe targets this recall@5 with
-# a small margin over the 0.8 test pin (tests/test_corpus.py)
+# a small margin over the 0.8 pins in tests/test_corpus.py
+# (test_knn_join_recall_vs_bruteforce) and tools/knn_recall_scale.py
+# (RECALL_FLOOR) — measured organic recall@5 at sf0.1 is 0.849
 KNN_TARGET_RECALL = 0.85
 
 

@@ -668,9 +668,9 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     The index is built once per corpus (atomic rename publish under
     /tmp, keyed by sf_dir) and reused by every subsequent search — the
     expensive train+assign pass is amortized, and the search scan reads
-    only the probed cid= partitions. Results are identical to the
-    one-shot ivf_topk (same seed, same centroids), pinned by unit
-    test."""
+    only the probed buckets' partitions (and, within them, the probed
+    cells' row groups). Results are identical to the one-shot ivf_topk
+    (same seed, same centroids), pinned by unit test."""
     import os
 
     from etl_dagster_service_crawler_spark.operators.similarity import (

@@ -368,10 +368,11 @@ GROUP BY md5(text)
 def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ANN index MAINTENANCE: embeddings arrive as a stream
     (4 files, one per micro-batch) and each batch is assigned against
-    the FROZEN centroids of the persisted IVF index, then appended to a
-    cid-partitioned assignment table — the continuous-ingest shape of a
-    vector index at 100 TB (train rarely, assign always; append-only
-    partitions keep searches prunable while ingest runs).
+    the FROZEN centroids of the persisted IVF index, then appended to
+    the bucketed assignment table (write_assignments — same layout as
+    the batch build) — the continuous-ingest shape of a vector index at
+    100 TB (train rarely, assign always; append-only partitions keep
+    searches prunable while ingest runs).
 
     Returns per-cell vector counts of the streamed index (rows-only:
     centroids are k-means output, not SQL-expressible); the row-level
@@ -386,6 +387,7 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_cells,
         ivf_build,
         ivf_index_dir,
+        write_assignments,
     )
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
@@ -406,11 +408,8 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = f"{base}/assignments"
 
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            assign_cells(batch_df, centroids)
-            .write.mode("append")
-            .partitionBy("cid")
-            .parquet(out_dir)
+        write_assignments(
+            assign_cells(batch_df, centroids), out_dir, 16, mode="append"
         )
 
     q = (

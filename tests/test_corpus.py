@@ -128,7 +128,10 @@ def test_knn_join_recall_vs_bruteforce(spark, sf_dir):
     assert set(counts) == set(sample_ids)
     assert all(c == 5 for c in counts.values())
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.5, f"recall@5 {recall:.2f} too low for nprobe=4"
+    # calibrated nprobe targets KNN_TARGET_RECALL (0.85); the pin leaves
+    # a small sampling margin for the 20-query probe (measured organic
+    # recall@5 at sf0.1: 0.849 — r6 VERDICT)
+    assert recall >= 0.8, f"recall@5 {recall:.2f} below the 0.8 pin"
 
 
 def test_knn_join_has_no_cartesian(spark, sf_dir):

@@ -240,11 +240,13 @@ def test_ivf_persisted_index_matches_one_shot_and_prunes_partitions(
     # persisted index and the in-memory one-shot
     assert got == want
 
-    # the search scan must read ONLY probed cid= partitions: the literal
-    # IN-filter lands in the scan's PartitionFilters, and with nprobe=2
-    # and 2 queries the pruned file source keeps at most 4 of 8
-    # partitions (inputFiles() ignores pushed filters, so inspect the
-    # executed plan's scan node instead)
+    # the search scan must read ONLY probed buckets: the literal
+    # IN-filter on pb (= pmod(cid, n_dirs); n_dirs == n_centroids here,
+    # so one cell per bucket) lands in the scan's PartitionFilters, and
+    # with nprobe=2 and 2 queries the pruned file source keeps at most
+    # 4 of 8 partitions; the probed cids must ALSO be pushed as a data
+    # filter for row-group pruning inside shared buckets (inputFiles()
+    # ignores pushed filters, so inspect the executed plan's scan node)
     import re as _re
 
     fmt = spark._jvm.PythonSQLUtils.explainString(
@@ -254,12 +256,15 @@ def test_ivf_persisted_index_matches_one_shot_and_prunes_partitions(
         m.group(1)
         for ln in fmt.splitlines()
         if "PartitionFilters" in ln
-        for m in [_re.search(r"cid#\d+ IN \(([\d,]+)\)", ln)]
+        for m in [_re.search(r"pb#\d+ IN \(([\d,]+)\)", ln)]
         if m
     ]
     assert in_filters, f"no static partition IN-filter on the assignments scan:\n{fmt}"
     probed = {int(c) for c in in_filters[0].split(",")}
     assert len(probed) <= 4, f"more partitions probed than nprobe allows: {probed}"
+    assert _re.search(
+        r'PushedFilters: \[.*In\(cid', fmt
+    ), f"probed cids not pushed to the assignments scan:\n{fmt}"
 
     # atomic publish: a second build over an existing index either wins
     # by rename or cleanly discards its staging — never a partial dir

@@ -7,7 +7,7 @@ replica: sample query vectors, brute-force their exact top-5 against
 the FULL replica corpus, run the real q_knn_join_ivf, compare.
 
 Usage: python tools/knn_recall_scale.py [replica_dir] [n_sample]
-Prints one line `recall@5 = X.XX (floor 0.50)`; exit 1 below floor.
+Prints one line `recall@5 = X.XX (floor 0.80)`; exit 1 below floor.
 The pytest wrapper (tests/test_corpus.py::test_knn_recall_on_scale_
 replica) runs this automatically when the replica dir exists.
 """
@@ -19,7 +19,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-RECALL_FLOOR = 0.5
+# nprobe is calibrated per corpus to KNN_TARGET_RECALL (0.85); the
+# floor leaves a small margin for query-sample noise
+RECALL_FLOOR = 0.8
 
 
 def measure(spark, replica_dir: str, n_sample: int = 40) -> float:
