@@ -2,10 +2,11 @@
 (`Dockerfile:22` starts dagster-webserver + daemon; `workspace.yaml:2-3`
 loads definitions.py) re-expressed for Spark.
 
-The reference's operational model is: a cron schedule (*/2 min,
-definitions.py:32-37) launches one pipeline RUN per tick, logs the
-returncode per run (definitions.py:20-25), and appends to the JSON +
-relational sinks. This entry point reproduces exactly that shape:
+The reference's operational model is: a cron schedule (*/2 min, tz
+Asia/Taipei, definitions.py:32-37) launches one pipeline RUN per tick,
+logs the returncode per run (definitions.py:20-25), and appends to the
+JSON + relational sinks. This entry point reproduces exactly that
+shape:
 
   one tick == one `ScheduledPipeline.run_once` (availableNow catch-up
   of everything pending — also how a missed window recovers), followed
@@ -15,7 +16,24 @@ relational sinks. This entry point reproduces exactly that shape:
 
 Run modes:
   --once          single tick (CI smoke / backfill), then exit
-  (default)       tick every --interval-seconds forever — the cron
+  --cron EXPR     calendar-aligned ticks: fire at each match of the
+                  5-field cron expression, evaluated on --tz local
+                  wall time (default Asia/Taipei — the reference's
+                  schedule, definitions.py:35-36). A tick that
+                  overruns its window fires the next match
+                  immediately after finishing (missed-tick catch-up).
+  (default)       tick every --interval-seconds forever — the
+                  fixed-cadence fallback
+  --status        no tick: print the run-control report (recent
+                  run_history rows, per-status counts, sink freshness
+                  under --output) and exit — the reference's
+                  dagster-webserver "runs" screen as a one-screen CLI
+
+Other knobs:
+  --transport     crawl jobs only: "http://host/listing" (urllib
+                  transport against a real endpoint) or "pkg.mod:fn"
+                  (dotted-path callable); default is the deterministic
+                  no-network fake
 
 Usage (container):
   docker build -t spark-graft .
@@ -24,6 +42,9 @@ Usage (container):
 Usage (bare / spark-submit):
   python -m etl_dagster_service_crawler_spark.deploy \
       --source /root/testdata/sf0.001 --output /tmp/out --once
+  python -m etl_dagster_service_crawler_spark.deploy \
+      --job crawl_scan_2min --transport http://127.0.0.1:8080/listing \
+      --cron "*/2 * * * *" --tz Asia/Taipei ...
   spark-submit --master local[8] -m ... (any Spark master works: the
   session is built from SPARK_MASTER, default local[*])
 """
@@ -34,6 +55,7 @@ import argparse
 import os
 import sys
 import time
+from datetime import datetime, timezone
 
 from pyspark.sql import SparkSession
 
@@ -43,6 +65,7 @@ from etl_dagster_service_crawler_spark.streaming.jobs import (
 )
 
 DEFAULT_JOB = "corpus_clean_2min"
+DEFAULT_TZ = "Asia/Taipei"  # the reference's execution_timezone
 
 
 def build_session(app_name: str = "spark-graft-deploy") -> SparkSession:
@@ -71,6 +94,7 @@ def run_tick(
     source: str,
     output: str,
     side_cols: list[str],
+    transport: str | None = None,
 ) -> bool:
     """One scheduled tick: run the job, append the dual sinks, ledger
     the outcome. Returns the run's ok flag."""
@@ -78,7 +102,7 @@ def run_tick(
         dual_sink_parquet_foreach_batch,
     )
 
-    job = job_registry()[job_name]
+    job = job_registry(transport)[job_name]
     job.ledger_table = RUN_HISTORY_TABLE
     # K1+K3 dual sink via foreachBatch: micro-batches land columnar
     # files EXECUTOR-side (the memory sink would collect every row
@@ -105,6 +129,82 @@ def run_tick(
     return status.ok
 
 
+def _sink_freshness(output: str) -> list[str]:
+    lines = []
+    for sub in ("main", "side"):
+        d = os.path.join(output, sub)
+        try:
+            files = [
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet")
+            ]
+        except OSError:
+            lines.append(f"  {sub}: <absent>")
+            continue
+        total = sum(os.path.getsize(f) for f in files)
+        newest = max((os.path.getmtime(f) for f in files), default=None)
+        newest_s = (
+            datetime.fromtimestamp(newest, tz=timezone.utc).strftime(
+                "%Y-%m-%d %H:%M:%SZ"
+            )
+            if newest
+            else "-"
+        )
+        lines.append(
+            f"  {sub}: {len(files)} file(s), {total} bytes, newest {newest_s}"
+        )
+    return lines
+
+
+def print_status(spark: SparkSession, output: str, n_recent: int = 10) -> int:
+    """Run-control report — the reference's webserver runs screen as
+    text: recent run_history rows, per-status counts, sink freshness.
+    Returns 0 when a ledger exists, 2 when there is nothing to show."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.sinks import (
+        recover_warehouse_table,
+    )
+
+    print(f"== spark-graft status ({datetime.now(timezone.utc):%Y-%m-%d %H:%M:%SZ}) ==")
+    # a fresh process has a fresh catalog; the ledger's data lives in
+    # the (mounted) warehouse dir — re-register before reading
+    have_ledger = recover_warehouse_table(spark, RUN_HISTORY_TABLE)
+    if not have_ledger:
+        print(f"run_history: no `{RUN_HISTORY_TABLE}` table in this warehouse "
+              "(no runs ledgered yet)")
+    else:
+        hist = spark.table(RUN_HISTORY_TABLE)
+        counts = {
+            r["status"]: r["n"]
+            for r in hist.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        total = sum(counts.values())
+        by = ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+        print(f"run_history: {total} run(s) — {by}")
+        recent = (
+            hist.orderBy(F.col("started_at").desc())
+            .limit(n_recent)
+            .collect()
+        )
+        print(f"last {len(recent)} run(s):")
+        for r in recent:
+            dur = (r["finished_at"] - r["started_at"]).total_seconds()
+            err = f"  err={r['error']}" if r["error"] else ""
+            print(
+                f"  {r['started_at']:%Y-%m-%d %H:%M:%S} {r['job']:<20} "
+                f"{r['mode']:<13} {r['status']:<14} rows={r['n_rows']:<8} "
+                f"bad={r['n_bad']:<5} {dur:6.1f}s{err}"
+            )
+    print("sinks:")
+    for line in _sink_freshness(output):
+        print(line)
+    return 0 if have_ledger else 2
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--job", default=DEFAULT_JOB, choices=sorted(job_registry()))
@@ -112,6 +212,29 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", default=os.environ.get("OUTPUT_DIR", "/output"))
     p.add_argument("--side-cols", default="doc_id")
     p.add_argument("--once", action="store_true", help="single tick, then exit")
+    p.add_argument(
+        "--status",
+        action="store_true",
+        help="print the run-control report (ledger + sinks) and exit",
+    )
+    p.add_argument(
+        "--cron",
+        default=None,
+        help='5-field cron schedule, e.g. "*/2 * * * *" (reference '
+        "definitions.py:35); overrides --interval-seconds",
+    )
+    p.add_argument(
+        "--tz",
+        default=DEFAULT_TZ,
+        help=f"IANA timezone the cron fields are evaluated in "
+        f"(default {DEFAULT_TZ}, the reference's execution_timezone)",
+    )
+    p.add_argument(
+        "--transport",
+        default=None,
+        help="crawl jobs: http(s)://listing-endpoint or pkg.mod:fn "
+        "(default: deterministic no-network fake)",
+    )
     p.add_argument(
         "--interval-seconds",
         type=float,
@@ -123,20 +246,52 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = build_session()
     try:
+        if args.status:
+            return print_status(spark, args.output)
         if args.once:
-            ok = run_tick(spark, args.job, args.source, args.output, side_cols)
+            ok = run_tick(
+                spark, args.job, args.source, args.output, side_cols,
+                transport=args.transport,
+            )
             return 0 if ok else 1
+        spec = None
+        if args.cron:
+            from etl_dagster_service_crawler_spark.streaming.cron import (
+                parse_cron,
+            )
+
+            spec = parse_cron(args.cron)
         ticks = 0
         while True:
             started = time.time()
-            run_tick(spark, args.job, args.source, args.output, side_cols)
+            run_tick(
+                spark, args.job, args.source, args.output, side_cols,
+                transport=args.transport,
+            )
             ticks += 1
             if args.max_ticks and ticks >= args.max_ticks:
                 return 0
-            # cron-style fixed cadence: sleep out the remainder of the
-            # window (a tick longer than the interval fires the next
-            # one immediately — same as a missed cron tick catch-up)
-            time.sleep(max(0.0, args.interval_seconds - (time.time() - started)))
+            if spec is not None:
+                # calendar alignment: sleep until the next cron match
+                # in the configured tz. A tick that overran its window
+                # gets next_fire(now) — the first match after NOW — so
+                # missed matches collapse into one catch-up tick, same
+                # as the fixed-cadence branch below.
+                from etl_dagster_service_crawler_spark.streaming.cron import (
+                    next_fire,
+                )
+
+                nxt = next_fire(spec, datetime.now(timezone.utc), args.tz)
+                time.sleep(
+                    max(0.0, (nxt - datetime.now(timezone.utc)).total_seconds())
+                )
+            else:
+                # cron-style fixed cadence: sleep out the remainder of
+                # the window (a tick longer than the interval fires the
+                # next one immediately — missed-tick catch-up)
+                time.sleep(
+                    max(0.0, args.interval_seconds - (time.time() - started))
+                )
     finally:
         spark.stop()
 

@@ -14,6 +14,7 @@ single-sink writes of small dimension outputs.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -58,9 +59,38 @@ def sink_compacted_parquet(
     )
 
 
+def recover_warehouse_table(spark, name: str) -> bool:
+    """Re-register a table whose DATA outlived the metastore: a
+    restarted container gets a fresh in-memory catalog, but the
+    managed location under spark.sql.warehouse.dir persists (that is
+    the point of mounting it). Without recovery the next append fails
+    with LOCATION_ALREADY_EXISTS and the run ledger dies across
+    restarts. Returns True when the table is registered (already or
+    recovered), False when there is nothing to recover."""
+    if spark.catalog.tableExists(name):
+        return True
+    from urllib.parse import urlparse
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    parsed = urlparse(wh)
+    wh_path = parsed.path if parsed.scheme in ("file", "") else None
+    if not wh_path:
+        return False  # non-local warehouse: nothing to probe cheaply
+    loc = os.path.join(wh_path, name.lower())
+    if not os.path.isdir(loc):
+        return False
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} USING parquet LOCATION '{loc}'"
+    )
+    return True
+
+
 def sink_table(df: DataFrame, name: str) -> None:
     """K2: the SQL-queryable 'jobs'-style table (README.md:64-69 in the
-    reference); downstream query surface is spark.sql."""
+    reference); downstream query surface is spark.sql. Restart-safe:
+    an existing warehouse location from a previous process is
+    re-registered before the append (recover_warehouse_table)."""
+    recover_warehouse_table(df.sparkSession, name)
     df.write.mode("append").format("parquet").saveAsTable(name)
 
 

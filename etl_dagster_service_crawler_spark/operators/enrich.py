@@ -21,8 +21,11 @@ scatters across its crawl loop folded into the operator:
 - swap-point transport: `transport` is any str -> str callable. The
   default is a DETERMINISTIC fake (md5-derived payload — this
   container has no network), which keeps the whole pipeline
-  oracle-checkable; a real deployment passes a urllib/requests-backed
-  callable with timeouts.
+  oracle-checkable; a real deployment passes
+  `operators/transport.http_transport()` (urllib-backed, classifies
+  5xx/timeouts as TransientFetchError and other 4xx as
+  PermanentFetchError — tested against a local fixture HTTP server
+  in tests/test_transport.py).
 
 The stage appends three columns: payload (string, null on failure),
 fetch_status ('ok' | 'error'), n_attempts (int).
@@ -41,6 +44,12 @@ from pyspark.sql import types as T
 
 class TransientFetchError(Exception):
     """Retryable transport failure (timeouts, 5xx, throttling)."""
+
+
+class PermanentFetchError(Exception):
+    """Non-retryable transport failure (4xx, malformed endpoint):
+    the row fails IMMEDIATELY — re-fetching a 404 spends the
+    politeness budget without any chance of a different answer."""
 
 
 def fake_transport(url: str) -> str:
@@ -110,6 +119,8 @@ def http_enrich(
                         payload = fetch(url)
                         status = "ok"
                         break
+                    except PermanentFetchError:
+                        break  # no retry: the answer cannot change
                     except TransientFetchError:
                         if n < max_retries:
                             time.sleep(backoff_s * (2 ** (n - 1)))

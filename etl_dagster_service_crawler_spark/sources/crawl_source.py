@@ -20,9 +20,12 @@ pluggable seam: `option("transport", "my_module:fetch")` names a
 callable `(kidx, keyword, page, slots) -> iterable[tuple]` resolved by
 dotted path INSIDE the reader (worker-side), so a real HTTP fetcher
 drops in via a packaged module or `sc.addPyFile` without editing this
-file. The default is a deterministic fake (the no-network test/CI
-configuration; field derivation is pure arithmetic so the whole source
-is DuckDB-oracle-checkable).
+file; `option("transport", "http://host/listing")` short-cuts to the
+built-in urllib listing transport
+(operators/transport.http_page_transport) against that endpoint. The
+default is a deterministic fake (the no-network test/CI configuration;
+field derivation is pure arithmetic so the whole source is
+DuckDB-oracle-checkable).
 
 Resilience wraps the transport, mirroring the reference's per-fetch
 try/except + give-up counter (test.py:129-144):
@@ -79,12 +82,23 @@ def _fetch_page(kidx: int, keyword: str, page: int, slots: int) -> list[tuple]:
 
 
 def _resolve_transport(spec: str | None) -> Callable[[int, str, int, int], list]:
-    """Dotted-path lookup: "pkg.mod:fn" (or "pkg.mod.fn"). Imported at
-    first fetch, in the process that fetches — workers for batch, the
-    driver for the simple stream reader — so addPyFile-shipped modules
-    resolve."""
+    """Transport lookup, resolved at first fetch IN THE PROCESS THAT
+    FETCHES — workers for batch, the driver for the simple stream
+    reader — so addPyFile-shipped modules resolve:
+
+    - ``http://...`` / ``https://...``: a real listing endpoint —
+      operators/transport.http_page_transport bound to that base URL
+      (one GET per page, JSON rows).
+    - ``pkg.mod:fn`` (or ``pkg.mod.fn``): dotted-path callable.
+    - empty: the deterministic no-network fake."""
     if not spec:
         return _fetch_page
+    if spec.startswith(("http://", "https://")):
+        from etl_dagster_service_crawler_spark.operators.transport import (
+            http_page_transport,
+        )
+
+        return http_page_transport(spec)
     import importlib
 
     mod, _, attr = spec.partition(":")
@@ -121,10 +135,17 @@ class _Fetcher:
             self._fn = _resolve_transport(self.opts.transport)
         if self.opts.delay_ms:
             time.sleep(self.opts.delay_ms / 1000.0)
+        from etl_dagster_service_crawler_spark.operators.enrich import (
+            PermanentFetchError,
+        )
+
         last: Exception | None = None
         for _attempt in range(self.opts.retries + 1):
             try:
                 return list(self._fn(kidx, keyword, page, self.opts.slots))
+            except PermanentFetchError as exc:
+                last = exc
+                break  # 4xx: re-fetching cannot change the answer
             except Exception as exc:  # transport errors only — policy decides
                 last = exc
         self.failed += 1

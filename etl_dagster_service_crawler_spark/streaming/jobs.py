@@ -355,9 +355,39 @@ def _crawl_ingest_job() -> ScheduledPipeline:
     )
 
 
-def job_registry() -> dict[str, ScheduledPipeline]:
+def _crawl_scan_job(transport: str | None = None) -> ScheduledPipeline:
+    """The reference's actual scheduled unit — the crawl itself
+    (definitions.py:27-31 binds the crawler to the */2-min schedule).
+    Incremental listing scan through the registered crawl DataSource;
+    `transport` plugs a real endpoint ("http://host/listing") or a
+    dotted-path callable into the fetch seam (default: the
+    deterministic no-network fake)."""
+
+    def build(spark: SparkSession, source: str) -> DataFrame:
+        from etl_dagster_service_crawler_spark.sources.crawl_source import (
+            register,
+        )
+
+        register(spark)
+        reader = spark.readStream.format("crawl")
+        if transport:
+            reader = reader.option("transport", transport)
+        return reader.load()
+
+    return ScheduledPipeline(
+        name="crawl_scan_2min",
+        build=build,
+        interval="2 minutes",
+        observe_cols=["title", "company_url"],
+        max_errors=None,
+        output_mode="append",
+    )
+
+
+def job_registry(transport: str | None = None) -> dict[str, ScheduledPipeline]:
     """Name -> job, the reference's Definitions(jobs=[...], schedules=
     [...]) surface (definitions.py:27-41). Fresh instances per call —
-    jobs hold per-run state."""
-    jobs = [_corpus_clean_job(), _crawl_ingest_job()]
+    jobs hold per-run state. `transport` parameterizes the crawl job's
+    fetch seam (deploy --transport); other jobs ignore it."""
+    jobs = [_corpus_clean_job(), _crawl_ingest_job(), _crawl_scan_job(transport)]
     return {j.name: j for j in jobs}

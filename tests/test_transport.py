@@ -1,0 +1,131 @@
+"""The REAL network transports (operators/transport.py) against a
+local fixture HTTP server — the first second implementation behind the
+crawl/enrich seams (r5/r6 VERDICT "What's missing" #1). The contract
+under test is the one the retry/budget machinery assumes: transient
+delivery failures retry, permanent ones fail fast, and a crawl through
+HTTP equals a crawl through the deterministic fake."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_dagster_service_crawler_spark.operators.enrich import (
+    PermanentFetchError,
+    TransientFetchError,
+    http_enrich,
+)
+from etl_dagster_service_crawler_spark.operators.transport import (
+    http_page_transport,
+    http_transport,
+)
+from tools.fixture_http_server import start_fixture_server
+
+
+@pytest.fixture(scope="module")
+def httpd():
+    srv, base = start_fixture_server()
+    yield base
+    srv.shutdown()
+
+
+def test_http_transport_ok(httpd):
+    fetch = http_transport()
+    assert fetch(f"{httpd}/detail/abc") == "payload-for-abc"
+
+
+def test_http_transport_404_is_permanent(httpd):
+    fetch = http_transport()
+    with pytest.raises(PermanentFetchError):
+        fetch(f"{httpd}/gone/anything")
+
+
+def test_http_transport_5xx_is_transient(httpd):
+    fetch = http_transport()
+    with pytest.raises(TransientFetchError):
+        fetch(f"{httpd}/flaky/x?fails=99")
+
+
+def test_http_transport_connection_refused_is_transient():
+    fetch = http_transport(timeout_s=2.0)
+    # an unroutable local port: delivery failure, retryable by contract
+    with pytest.raises(TransientFetchError):
+        fetch("http://127.0.0.1:1/detail/never")
+
+
+def test_http_enrich_over_real_transport(spark, httpd):
+    """End-to-end through the mapInPandas stage: ok rows fetch, a
+    flaky URL succeeds on retry (n_attempts > 1), a 404 fails in ONE
+    attempt (PermanentFetchError short-circuits the retry loop), and
+    no row is ever dropped."""
+    df = spark.createDataFrame(
+        [
+            (1, f"{httpd}/detail/one"),
+            (2, f"{httpd}/flaky/two?fails=1"),
+            (3, f"{httpd}/gone/three"),
+        ],
+        "id int, url string",
+    )
+    out = {
+        r["id"]: r
+        for r in http_enrich(
+            df, "url", transport=http_transport(), max_retries=3, backoff_s=0.01
+        ).collect()
+    }
+    assert len(out) == 3
+    assert out[1]["fetch_status"] == "ok"
+    assert out[1]["payload"] == "payload-for-one"
+    assert out[1]["n_attempts"] == 1
+    assert out[2]["fetch_status"] == "ok"
+    assert out[2]["payload"] == "payload-for-two"
+    assert out[2]["n_attempts"] == 2  # one 503, then success
+    assert out[3]["fetch_status"] == "error"
+    assert out[3]["payload"] is None
+    assert out[3]["n_attempts"] == 1  # permanent: no wasted retries
+
+
+def test_page_transport_rows_match_fake(httpd):
+    rows = http_page_transport(f"{httpd}/listing")(1, "etl", 2, 3)
+    assert rows == [
+        ("etl", 2, 0, 10200, "job-etl-10200", "https://example.com/company/25"),
+        ("etl", 2, 1, 10201, "job-etl-10201", "https://example.com/company/26"),
+        ("etl", 2, 2, 10202, "job-etl-10202", "https://example.com/company/27"),
+    ]
+
+
+def test_crawl_source_over_http_equals_fake(spark, httpd):
+    """The registered DataSource with an http:// transport spec must
+    produce exactly the fake-transport scan (the fixture endpoint
+    implements the same arithmetic), resolving the transport
+    worker-side from the option string."""
+    from etl_dagster_service_crawler_spark.sources.crawl_source import register
+
+    register(spark)
+    via_http = (
+        spark.read.format("crawl")
+        .option("transport", f"{httpd}/listing")
+        .load()
+    )
+    via_fake = spark.read.format("crawl").load()
+    assert sorted(map(tuple, via_http.collect())) == sorted(
+        map(tuple, via_fake.collect())
+    )
+
+
+def test_crawl_source_http_error_budget(spark, httpd):
+    """A listing page that always 500s: within budget the page is
+    skipped (its rows are simply absent); with a zero budget the scan
+    raises after exhausting retries."""
+    from etl_dagster_service_crawler_spark.sources.crawl_source import register
+
+    register(spark)
+    reader = (
+        spark.read.format("crawl")
+        .option("transport", f"{httpd}/badlisting")
+        .option("keywords", "spark")
+        .option("fetch_retries", 1)
+    )
+    ok = reader.option("error_budget", 1).load()
+    pages = sorted(r["page"] for r in ok.select("page").distinct().collect())
+    assert pages == [0, 2]  # page 1 failed its budgeted attempts -> skipped
+    with pytest.raises(Exception, match="error budget"):
+        reader.option("error_budget", 0).load().collect()
