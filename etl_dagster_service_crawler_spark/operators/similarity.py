@@ -486,11 +486,13 @@ def ivf_assign(
 IVF_MAX_PARTITION_DIRS = 128
 
 
-def ivf_n_dirs(n_centroids: int, cap: int = IVF_MAX_PARTITION_DIRS) -> int:
+def ivf_n_dirs(n_centroids: int, cap: int | None = None) -> int:
     """Directory count of the bucketed assignment layout — derived, not
     stored: every reader/writer recomputes it from the centroid count,
-    so the layout needs no side-channel metadata file."""
-    return max(1, min(n_centroids, cap))
+    so the layout needs no side-channel metadata file. The cap default
+    reads the module constant at CALL time (a def-time default would
+    freeze it against test monkeypatching)."""
+    return max(1, min(n_centroids, cap if cap is not None else IVF_MAX_PARTITION_DIRS))
 
 
 def write_assignments(
