@@ -54,6 +54,89 @@ def cosine_topk_bruteforce(
     )
 
 
+def quantized_rerank_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5,
+    r_candidates: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Quantized coarse scan + exact re-rank: the ANN shape for the
+    corpora where IVF degenerates (docs/SCALE.md "Isotropic-corpus ANN
+    envelope" — on structureless vectors no partition-pruning index
+    beats a scan, so make the scan CHEAP instead of pretending to
+    prune).
+
+    Two passes, both per broadcast query:
+    1. coarse — int8-quantized cosine (q = floor(x·127/max|x| + 0.5),
+       the embedding_quantize formula) over the whole corpus; keep
+       the top r_candidates per query by (coarse desc, id). At scale
+       the int8 sidecar is materialized once next to the corpus and
+       this pass reads 1/8th the bytes of a float64 scan — memory
+       bandwidth, not arithmetic, is what a 100 TB coarse pass pays
+       for. Integer dots are EXACT, so the coarse ordering is
+       deterministic and engine-independent (no float-summation
+       drift); the only float ops are one sqrt and one divide on
+       exactly-representable integers.
+    2. exact — full-precision cosine on the R survivors only, top-k
+       by (cos desc, id).
+
+    Unlike the IVF operators this is fully DuckDB-oracle-checkable:
+    recall is a DETERMINISTIC function of the quantization, not of a
+    trained index. Exactness property: with r_candidates >= corpus
+    size the result equals cosine_topk_bruteforce row-for-row
+    (pinned by test). Returns (qid, nid, cos, rn).
+    """
+    zero = F.lit(0).cast("bigint")
+    idot = lambda a, b: F.aggregate(  # noqa: E731 - local expr builder
+        F.zip_with(a, b, lambda x, y: (x * y).cast("bigint")),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    absmax = F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    q8 = F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int")
+    )
+    base = emb.select(F.col(id_col), F.col(vec_col), q8.alias("q8"))
+    base = base.withColumn(
+        "qn8", F.sqrt(idot(F.col("q8"), F.col("q8")).cast("double"))
+    )
+    q = base.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.col("q8").alias("qq8"),
+        F.col("qn8").alias("qqn8"),
+    )
+    cand = base.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        F.col("q8").alias("nq8"),
+        F.col("qn8").alias("nqn8"),
+    )
+    denom = F.col("qqn8") * F.col("nqn8")
+    coarse = F.when(
+        denom > 0, idot(F.col("qq8"), F.col("nq8")).cast("double") / denom
+    ).otherwise(F.lit(-2.0))  # zero vectors sort last, deterministically
+    wc = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("nid"))
+    survivors = (
+        cand.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .select("qid", "qvec", "nid", "nvec", coarse.alias("coarse"))
+        .withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= r_candidates)
+    )
+    we = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        survivors.select(
+            "qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", "cos", "rn")
+    )
+
+
 def srp_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,

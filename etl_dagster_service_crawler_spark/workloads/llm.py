@@ -44,6 +44,7 @@ from etl_dagster_service_crawler_spark.operators.similarity import (
     cosine_topk_bruteforce,
     ivf_build,
     ivf_search,
+    quantized_rerank_topk,
     srp_neardup_pairs,
 )
 
@@ -687,6 +688,91 @@ def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
     return ivf_search(spark, index_dir, q, k=5, nprobe=4).orderBy("qid", "rn")
+
+
+RERANK_CANDIDATES = 64
+
+# exact-cosine fragment over the survivor CTE's (qvec, nvec) columns —
+# the _COS_QN shape (parity with Spark's functions/vectors.cosine is
+# proven by similarity_topk's oracle)
+_COS_QN_VEC = (
+    "list_sum(list_transform(list_zip(qvec, nvec),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(qvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(nvec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+def q_similarity_topk_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized coarse scan + exact re-rank top-k
+    (operators/similarity.quantized_rerank_topk) — the ANN shape for
+    corpora where IVF degenerates (isotropic vectors; docs/SCALE.md
+    "Isotropic-corpus ANN envelope"): int8 coarse pass over the whole
+    corpus (1/8th the scan bytes at scale), exact cosine only on the
+    top RERANK_CANDIDATES per query.
+
+    Unlike the IVF family this is fully ORACLE-CHECKED: the coarse
+    ordering is built from exact integer dots of the
+    embedding_quantize formula (floor(x·127/max|x| + 0.5) — cross-
+    engine parity proven by that query), so the candidate cut and the
+    final top-k are deterministic on both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return quantized_rerank_topk(
+        e, TOPK_QUERY_IDS, k=5, r_candidates=RERANK_CANDIDATES
+    )
+
+
+SQL_TOPK_RERANK = f"""
+WITH s AS (
+  SELECT vec_id, embedding,
+         CASE WHEN list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max') > 0
+              THEN 127.0 / list_aggregate(list_transform(embedding,
+                     x -> abs(CAST(x AS DOUBLE))), 'max')
+              ELSE 0.0 END AS scale
+  FROM embeddings
+),
+qz AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT)) AS q8
+  FROM s
+),
+nz AS (
+  SELECT vec_id, embedding, q8,
+         sqrt(CAST(list_sum(list_transform(q8,
+              x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS DOUBLE)) AS qn8
+  FROM qz
+),
+coarse AS (
+  SELECT q.vec_id AS qid, n.vec_id AS nid,
+         q.embedding AS qvec, n.embedding AS nvec,
+         CASE WHEN q.qn8 * n.qn8 > 0
+              THEN CAST(list_sum(list_transform(list_zip(q.q8, n.q8),
+                       p -> CAST(p[1] AS BIGINT) * CAST(p[2] AS BIGINT)))
+                       AS DOUBLE) / (q.qn8 * n.qn8)
+              ELSE -2.0 END AS coarse
+  FROM nz q, nz n
+  WHERE q.vec_id < 8 AND n.vec_id != q.vec_id
+),
+survivors AS (
+  SELECT qid, nid, qvec, nvec
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY qid
+                                 ORDER BY coarse DESC, nid) AS crn
+    FROM coarse
+  )
+  WHERE crn <= {RERANK_CANDIDATES}
+)
+SELECT qid, nid, cos, rn FROM (
+  SELECT qid, nid,
+         {_COS_QN_VEC} AS cos,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY {_COS_QN_VEC} DESC, nid) AS INT) AS rn
+  FROM survivors
+)
+WHERE rn <= 5
+"""
 
 
 # --- multimodal ----------------------------------------------------------------
@@ -1592,6 +1678,7 @@ SPECS = [
     QuerySpec("dedup_embedding_lsh", q_dedup_embedding_lsh, None),
     QuerySpec("similarity_topk", q_similarity_topk, SQL_TOPK, bench=True),
     QuerySpec("similarity_topk_ivf", q_similarity_topk_ivf, None),
+    QuerySpec("similarity_topk_rerank", q_similarity_topk_rerank, SQL_TOPK_RERANK),
     QuerySpec("multimodal_columns", q_multimodal_columns, SQL_MULTIMODAL),
     QuerySpec("multimodal_features", q_multimodal_features, SQL_MM_FEATURES),
 ]

@@ -645,3 +645,49 @@ def test_repetition_exprs_null_text_yields_zero(spark):
     vals = [r[0] for r in df.select(top_bg).collect()]
     assert vals[0] == 0
     assert vals[1] == 3  # "a a" bigram repeats 3x
+
+
+def test_rerank_topk_exact_when_r_covers_corpus(spark, sf_dir):
+    """Exactness property of the quantized re-rank: with r_candidates
+    >= corpus size the coarse cut keeps everything, so the result must
+    equal brute force ROW FOR ROW (same ids, same ranks, same cos)."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        quantized_rerank_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    exact = {
+        (r.qid, r.rn): (r.nid, r.cos)
+        for r in cosine_topk_bruteforce(emb, [0, 1, 2], k=5).collect()
+    }
+    rer = {
+        (r.qid, r.rn): (r.nid, r.cos)
+        for r in quantized_rerank_topk(
+            emb, [0, 1, 2], k=5, r_candidates=n
+        ).collect()
+    }
+    assert rer == exact
+
+
+def test_rerank_topk_default_r_recall(spark, sf_dir):
+    """At the default R the int8 coarse cut must not cost measurable
+    recall on the fixtures (measured 1.0 at sf0.01/sf0.001; pin 0.9
+    to leave quantization-noise margin)."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        TOPK_QUERY_IDS,
+        q_similarity_topk,
+        q_similarity_topk_rerank,
+    )
+
+    truth = {
+        (r.qid, r.nid)
+        for r in q_similarity_topk(spark, sf_dir).collect()
+    }
+    got = {
+        (r.qid, r.nid)
+        for r in q_similarity_topk_rerank(spark, sf_dir).collect()
+    }
+    assert len(got) == len(TOPK_QUERY_IDS) * 5
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"rerank recall@5 {recall:.2f} below 0.9"
