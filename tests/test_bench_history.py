@@ -1,0 +1,209 @@
+"""Unit tests for tools/bench_history.py — the cross-round bench
+regression detector (VERDICT r6 item 1). The r6 round proved what an
+untested trust tool costs: a noise-dominated bench went unflagged
+because the tool crashed on the driver's `"parsed": null` artifacts.
+These tests pin every behavior the tool claims:
+
+- tail recovery of queries/runs from truncated driver stdout,
+- the min-AND-median regression rule,
+- the spread>=2x NOISY? gate,
+- the last-3-prior-rounds baseline window (era drift must not flag a
+  query that settled at a higher-but-stable level forever),
+- BENCH_local.json auto-inclusion only while fresher than the newest
+  driver artifact.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+
+spec = importlib.util.spec_from_file_location(
+    "bench_history", REPO / "tools" / "bench_history.py"
+)
+bh = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(bh)
+
+
+def mk_round(tag, queries, runs=None, partial=False):
+    return bh.Round(tag, queries, runs or {}, partial)
+
+
+# ---------------------------------------------------------------- tail
+
+
+def test_from_tail_recovers_runs_and_scalars():
+    tail = (
+        '...}, "queries": {"q_a": 1.25, "q_b": 0.5}, '
+        '"runs": {"q_a": [1.3, 1.25, 1.9], "q_b": [0.5, 0.6, 0.7]}}'
+    )
+    queries, runs = bh._from_tail(tail)
+    assert queries["q_a"] == 1.25 and queries["q_b"] == 0.5
+    # runs come back sorted regardless of input order
+    assert runs["q_a"] == [1.25, 1.3, 1.9]
+
+
+def test_from_tail_runs_list_reconstructs_truncated_scalar():
+    # the scalar pair for q_a was truncated away; only its runs survive
+    tail = '"q_a": [2.0, 1.5, 3.0], "q_b": 0.25}'
+    queries, runs = bh._from_tail(tail)
+    assert queries["q_a"] == 1.5  # min of the sorted runs
+    assert queries["q_b"] == 0.25
+
+
+def test_from_tail_ignores_meta_keys():
+    tail = '{"metric": 1, "value": 30.5, "sf": 0.1, "q_a": 1.0}'
+    queries, _ = bh._from_tail(tail)
+    assert "value" not in queries and "sf" not in queries
+    assert queries == {"q_a": 1.0}
+
+
+# ----------------------------------------------------------- parse_doc
+
+
+def test_parse_doc_direct_bench_output():
+    q, r, partial = bh._parse_doc({"queries": {"a": 1.0}, "runs": {"a": [1.0]}})
+    assert q == {"a": 1.0} and r == {"a": [1.0]} and not partial
+
+
+def test_parse_doc_driver_parsed_dict():
+    q, _, partial = bh._parse_doc({"parsed": {"queries": {"a": 2.0}}})
+    assert q == {"a": 2.0} and not partial
+
+
+def test_parse_doc_parsed_null_falls_back_to_tail():
+    q, r, partial = bh._parse_doc(
+        {"parsed": None, "tail": '"a": [1.0, 1.1, 1.2]}'}
+    )
+    assert q == {"a": 1.0} and partial
+
+
+def test_parse_doc_raises_when_nothing_recoverable():
+    try:
+        bh._parse_doc({"parsed": None, "tail": "no json here"})
+    except ValueError:
+        pass
+    else:
+        raise AssertionError("expected ValueError")
+
+
+# ------------------------------------------------------------ flag_for
+
+
+def test_flag_clean_when_within_ratio():
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.1, 1.2]})]
+    newest = mk_round("loc", {"a": 1.2}, {"a": [1.2, 1.25, 1.3]})
+    assert bh.flag_for("a", newest, prior) == ""
+
+
+def test_flag_regression_min_and_median_up_quiet_spread():
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 1.55, 1.6]})
+    assert bh.flag_for("a", newest, prior).startswith("REGRESSION 1.5x")
+
+
+def test_flag_suppressed_when_median_holds():
+    # min elevated (one bad first run) but the bulk of runs unchanged
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    newest = mk_round("loc", {"a": 1.4}, {"a": [1.4, 1.05, 1.06]})
+    assert bh.flag_for("a", newest, prior) == ""
+
+
+def test_flag_noisy_when_spread_wide():
+    # both ratios trip but the newest round's own spread is >= 2x: the
+    # machine was loaded, so the verdict is NOISY?, not REGRESSION
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    newest = mk_round("loc", {"a": 1.6}, {"a": [1.6, 3.0, 8.0]})
+    flag = bh.flag_for("a", newest, prior)
+    assert flag.startswith("NOISY?") and "re-run locally" in flag
+
+
+def test_flag_baseline_is_last_three_prior_rounds_only():
+    # an ancient fast round must NOT flag a query stable at a higher
+    # level for the last 3 rounds (era drift)
+    prior = [
+        mk_round("r01", {"a": 0.5}, {"a": [0.5, 0.5, 0.5]}),
+        mk_round("r02", {"a": 1.0}, {"a": [1.0, 1.0, 1.1]}),
+        mk_round("r03", {"a": 1.0}, {"a": [1.0, 1.0, 1.1]}),
+        mk_round("r04", {"a": 1.0}, {"a": [1.0, 1.0, 1.1]}),
+    ]
+    newest = mk_round("loc", {"a": 1.1}, {"a": [1.1, 1.1, 1.15]})
+    assert bh.flag_for("a", newest, prior) == ""
+    # ...but a real regression vs the recent window still flags
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 1.55, 1.6]})
+    assert bh.flag_for("a", newest, prior).startswith("REGRESSION")
+
+
+def test_flag_baseline_window_skips_rounds_missing_the_query():
+    # rounds that never measured the query don't occupy window slots
+    prior = [
+        mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.0, 1.0]}),
+        mk_round("r02", {"b": 9.9}),
+        mk_round("r03", {"b": 9.9}),
+        mk_round("r04", {"b": 9.9}),
+    ]
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 1.5, 1.5]})
+    assert bh.flag_for("a", newest, prior).startswith("REGRESSION")
+
+
+def test_flag_new_and_absent():
+    prior = [mk_round("r01", {"a": 1.0})]
+    assert bh.flag_for("b", mk_round("loc", {"b": 1.0}), prior) == "new"
+    assert bh.flag_for("a", mk_round("loc", {"b": 1.0}), prior) == (
+        "absent in latest"
+    )
+
+
+# --------------------------------------------------------- load_rounds
+
+
+def _write_bench(path: Path, queries, runs=None, mtime=None):
+    path.write_text(json.dumps({"queries": queries, "runs": runs or {}}))
+    if mtime is not None:
+        os.utime(path, (mtime, mtime))
+
+
+def test_load_rounds_orders_by_round_number_and_includes_fresh_local(
+    tmp_path, monkeypatch
+):
+    # unpadded r2 vs r10: numeric order must win over lexicographic
+    _write_bench(tmp_path / "BENCH_r2.json", {"a": 1.0}, mtime=1_000)
+    _write_bench(tmp_path / "BENCH_r10.json", {"a": 2.0}, mtime=2_000)
+    _write_bench(tmp_path / "BENCH_local.json", {"a": 3.0}, mtime=3_000)
+    monkeypatch.setattr(bh, "REPO", tmp_path)
+    rounds = bh.load_rounds([])
+    assert [r.tag for r in rounds] == ["r02", "r10", "local"]
+    assert rounds[-1].queries == {"a": 3.0}
+
+
+def test_load_rounds_ignores_stale_local(tmp_path, monkeypatch, capsys):
+    _write_bench(tmp_path / "BENCH_r1.json", {"a": 1.0}, mtime=5_000)
+    _write_bench(tmp_path / "BENCH_local.json", {"a": 3.0}, mtime=1_000)
+    monkeypatch.setattr(bh, "REPO", tmp_path)
+    rounds = bh.load_rounds([])
+    assert [r.tag for r in rounds] == ["r01"]
+    assert "predates" in capsys.readouterr().err
+
+
+def test_load_rounds_skips_unparseable_artifact(tmp_path, monkeypatch, capsys):
+    (tmp_path / "BENCH_r1.json").write_text('{"parsed": null, "tail": "x"}')
+    _write_bench(tmp_path / "BENCH_r2.json", {"a": 1.0})
+    monkeypatch.setattr(bh, "REPO", tmp_path)
+    rounds = bh.load_rounds([])
+    assert [r.tag for r in rounds] == ["r02"]
+    assert "skipping" in capsys.readouterr().err
+
+
+def test_real_driver_artifacts_all_load():
+    """Every BENCH_r*.json the driver has actually written must parse —
+    this is the exact regression that broke the tool in r5/r6."""
+    artifacts = sorted(REPO.glob("BENCH_r*.json"))
+    assert artifacts, "driver BENCH artifacts missing from repo root"
+    for p in artifacts:
+        q, _, _ = bh._parse_doc(json.loads(p.read_text()))
+        assert q, f"{p.name} recovered zero queries"

@@ -157,10 +157,15 @@ def flag_for(name: str, newest: Round, prior: list[Round]) -> str:
     newest_min = newest.queries.get(name)
     if newest_min is None:
         return "absent in latest"
-    prior_mins = [r.queries[name] for r in prior if name in r.queries]
-    if not prior_mins:
+    # Baseline = best of the LAST <=3 prior rounds that measured this
+    # query, not the all-time best: machine/codebase era drift over
+    # months would otherwise flag every query that settled at a
+    # higher-but-stable level forever. The full table still shows the
+    # long-term trajectory; the flag answers "did THIS round regress".
+    prior = [r for r in prior if name in r.queries][-3:]
+    if not prior:
         return "new"
-    best_prior_min = min(prior_mins)
+    best_prior_min = min(r.queries[name] for r in prior)
     if best_prior_min <= 0 or newest_min < MIN_RATIO * best_prior_min:
         return ""
     prior_meds = [m for r in prior if (m := r.median(name)) is not None]
