@@ -1033,6 +1033,78 @@ FROM db, v
 """
 
 
+BPE_MERGE_TOP_K = 20
+
+
+def q_bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step over the corpus: the top-K adjacent
+    character pairs by corpus frequency — the statistic a tokenizer
+    trainer (BPE / WordPiece) computes to pick its next merge. Uses the
+    same GPT-2-shaped pretokenizer as token_count_bpe
+    (BPE_PRETOKEN_RE), so the two queries describe the same token
+    stream before and after budgeting.
+
+    Scale shape — the production BPE-trainer structure (count words
+    first, then walk the vocabulary, exactly how HF tokenizers trains):
+    the ONLY full-corpus exchange is the pretoken-frequency aggregate,
+    map-side combined down to a Zipf-bounded vocabulary; pair
+    generation then explodes the VOCAB table (millions of rows, not
+    trillions), and the pair aggregate is alphabet^2-bounded. A naive
+    explode-pairs-from-documents formulation would shuffle one row per
+    character of the corpus. Iterating the real trainer just repeats
+    this step on the re-segmented vocab table — each round touches
+    only vocab-sized data, never the corpus again.
+
+    Tie order (pair_count DESC, pair ASC) pinned on both engines;
+    counts stay BIGINT end-to-end."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+            )
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("wcnt"))
+    pairs = wf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wcnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wcnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "pair")
+        .limit(BPE_MERGE_TOP_K)
+    )
+
+
+SQL_BPE_MERGE = f"""
+WITH wf AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS w
+        FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(w)),
+                               i -> substring(w, CAST(i AS INT), 2))) AS pair,
+         wcnt
+  FROM wf
+)
+SELECT pair, CAST(sum(wcnt) AS BIGINT) AS pair_count
+FROM pairs
+GROUP BY pair
+ORDER BY pair_count DESC, pair
+LIMIT {BPE_MERGE_TOP_K}
+"""
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN, bench=True
@@ -1064,4 +1136,5 @@ SPECS: list[QuerySpec] = [
     ),
     QuerySpec("oov_rate_vocab", q_oov_rate_vocab, SQL_OOV_RATE),
     QuerySpec("bigram_lm_coverage", q_bigram_lm_coverage, SQL_BIGRAM_COVERAGE),
+    QuerySpec("bpe_merge_pairs", q_bpe_merge_pairs, SQL_BPE_MERGE),
 ]

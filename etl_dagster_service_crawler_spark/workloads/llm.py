@@ -152,6 +152,75 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 """
 
 
+QC_WEIGHT_BUCKETS = 2001
+QC_KEEP_MIL = 1_000_000
+
+
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference at corpus scale — the
+    fasttext-filter shape every pretraining pipeline runs (score each
+    doc with a bag-of-words linear model, keep above threshold). The
+    model here is a feature-hashed weight table: token w contributes
+    weight md5_60bit(w) % QC_WEIGHT_BUCKETS (deterministic stand-in
+    for learned weights, so the WHOLE inference — hashing, lookup,
+    accumulation, thresholding — is oracle-verified; swap the hash
+    for a broadcast weight-table join and the plan shape is
+    unchanged). Doc score = mean token weight in exact integer
+    milli-units; keep = score >= QC_KEEP_MIL (the weight-scale
+    midpoint).
+
+    Scale: shuffle-free map-only projection — the weight fold is ONE
+    aggregate pass over the token array (md5 per token, no re-walks),
+    entirely JVM-side codegen. 100 TB in, doc-count rows out, zero
+    exchanges. Weights are kept non-negative so the milli-mean uses
+    truncating integer division identically on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    raw = F.aggregate(
+        "t",
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc
+        + F.pmod(
+            F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("bigint"),
+            F.lit(QC_WEIGHT_BUCKETS),
+        ),
+    )
+    scored = dt.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tokens"),
+        raw.alias("raw_score"),
+    )
+    mil = F.when(
+        F.col("n_tokens") > 0,
+        F.expr("(1000 * raw_score) div n_tokens"),
+    ).otherwise(F.lit(0))
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        "raw_score",
+        mil.cast("int").alias("mean_weight_mil"),
+        (mil >= QC_KEEP_MIL).alias("keep"),
+    )
+
+
+SQL_QUALITY_CLASSIFIER = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_tokens,
+         CAST(coalesce(list_sum(list_transform(t,
+              x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)
+                   % {QC_WEIGHT_BUCKETS})), 0) AS BIGINT) AS raw_score
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+SELECT doc_id, n_tokens, raw_score,
+       CAST(CASE WHEN n_tokens > 0 THEN (1000 * raw_score) // n_tokens
+            ELSE 0 END AS INT) AS mean_weight_mil,
+       (CASE WHEN n_tokens > 0 THEN (1000 * raw_score) // n_tokens
+        ELSE 0 END) >= {QC_KEEP_MIL} AS keep
+FROM s
+"""
+
+
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
@@ -1657,6 +1726,11 @@ SPECS = [
     QuerySpec("text_lang_id", q_text_lang_id, _lang_id_sql()),
     QuerySpec("lang_confusion_audit", q_lang_confusion_audit, _lang_confusion_sql()),
     QuerySpec("text_quality_score", q_text_quality_score, SQL_QUALITY_SCORE),
+    QuerySpec(
+        "quality_classifier_score",
+        q_quality_classifier_score,
+        SQL_QUALITY_CLASSIFIER,
+    ),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, SQL_FINGERPRINT),
     QuerySpec("split_train_holdout", q_split_train_holdout, SQL_SPLIT_TRAIN_HOLDOUT),
     QuerySpec("pack_token_budget", q_pack_token_budget, SQL_PACK_TOKEN_BUDGET),

@@ -281,3 +281,39 @@ def test_knn_recall_on_scale_replica(spark):
 
     recall = measure(spark, replica, n_sample=40)
     assert recall >= RECALL_FLOOR, f"recall@5 {recall:.2f} on x10 replica"
+
+
+def test_bpe_merge_pairs_matches_local_recompute(spark, sf_dir):
+    """bpe_merge_pairs: the top-K pair table equals an independent
+    Python recompute (same pretokenizer regex, word-frequency-first
+    counting, identical tie order)."""
+    import re
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        BPE_MERGE_TOP_K,
+        BPE_PRETOKEN_RE,
+        q_bpe_merge_pairs,
+    )
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    wf: Counter[str] = Counter()
+    for text in texts:
+        for w in re.findall(BPE_PRETOKEN_RE, text):
+            if len(w) >= 2:
+                wf[w] += 1
+    pairs: Counter[str] = Counter()
+    for w, cnt in wf.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += cnt
+    expect = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[
+        :BPE_MERGE_TOP_K
+    ]
+    got = [
+        (r["pair"], r["pair_count"])
+        for r in q_bpe_merge_pairs(spark, sf_dir).collect()
+    ]
+    assert got == expect

@@ -691,3 +691,42 @@ def test_rerank_topk_default_r_recall(spark, sf_dir):
     assert len(got) == len(TOPK_QUERY_IDS) * 5
     recall = len(truth & got) / len(truth)
     assert recall >= 0.9, f"rerank recall@5 {recall:.2f} below 0.9"
+
+
+def test_quality_classifier_score_matches_local_recompute(spark, sf_dir):
+    """quality_classifier_score: hash-weight inference equals an
+    independent Python recompute (md5 60-bit bucket weights, exact
+    integer milli-mean, keep threshold)."""
+    import hashlib
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        QC_KEEP_MIL,
+        QC_WEIGHT_BUCKETS,
+        q_quality_classifier_score,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    expect = {}
+    for r in rows:
+        toks = r["text"].split(" ")
+        raw = sum(
+            int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            % QC_WEIGHT_BUCKETS
+            for t in toks
+        )
+        mil = (1000 * raw) // len(toks) if toks else 0
+        expect[r["doc_id"]] = (len(toks), raw, mil, mil >= QC_KEEP_MIL)
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["raw_score"],
+            r["mean_weight_mil"],
+            r["keep"],
+        )
+        for r in q_quality_classifier_score(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the threshold is the weight-scale midpoint: both classes occur
+    # on the fixture corpus
+    keeps = {v[3] for v in got.values()}
+    assert keeps == {True, False} or len(got) < 5
