@@ -50,6 +50,7 @@ ALLOW: dict[tuple[str, str], str] = {
     ("salient_terms_tfidf", "BroadcastNestedLoopJoin"): "1-row corpus count",
     ("dedup_embedding_lsh", "BroadcastNestedLoopJoin"): "1-row SRP plane set",
     ("similarity_topk", "BroadcastNestedLoopJoin"): "probe-vector row",
+    ("similarity_topk_rerank", "BroadcastNestedLoopJoin"): "bounded probe rows (coarse int8 scan)",
     ("similarity_topk_ivf", "BroadcastNestedLoopJoin"): "probe + centroid rows",
     ("knn_join_ivf", "BroadcastNestedLoopJoin"): "centroid array row",
     ("cluster_semantic_kmeans", "BroadcastNestedLoopJoin"): "centroid array row",
