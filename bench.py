@@ -54,6 +54,38 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+
+    # Environment canaries: fixed workloads whose cost depends only on
+    # the machine, never on engine code. A later reader comparing two
+    # bench rounds divides their canaries to separate "the machine was
+    # slower" from "the plan got slower" (bench_history annotates its
+    # REGRESSION flags with exactly that ratio). One CPU-bound codegen
+    # loop and one cold-ish parquet scan (neighbor I/O is the dominant
+    # noise source on this VM).
+    def _canary(fn) -> float:
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            fn()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    canary_cpu = _canary(
+        lambda: spark.range(100_000_000).selectExpr(
+            "sum(id * 2 + 1)"
+        ).collect()
+    )
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    canary_io = _canary(
+        lambda: spark.read.parquet(doc_path).selectExpr(
+            "sum(length(text))"
+        ).collect()
+    )
+    print(
+        f"# canary_cpu={canary_cpu}s canary_io={canary_io}s",
+        file=sys.stderr,
+    )
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in bench_names:
@@ -96,6 +128,8 @@ def main() -> None:
         "queries": timings,
         "runs": spread,
         "sf": sf_val,
+        "canary_cpu": canary_cpu,
+        "canary_io": canary_io,
     }
     print(json.dumps(out))
 

@@ -30,8 +30,8 @@ bh = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(bh)
 
 
-def mk_round(tag, queries, runs=None, partial=False):
-    return bh.Round(tag, queries, runs or {}, partial)
+def mk_round(tag, queries, runs=None, partial=False, canaries=None):
+    return bh.Round(tag, queries, runs or {}, partial, canaries)
 
 
 # ---------------------------------------------------------------- tail
@@ -67,20 +67,29 @@ def test_from_tail_ignores_meta_keys():
 
 
 def test_parse_doc_direct_bench_output():
-    q, r, partial = bh._parse_doc({"queries": {"a": 1.0}, "runs": {"a": [1.0]}})
+    q, r, partial, can = bh._parse_doc(
+        {"queries": {"a": 1.0}, "runs": {"a": [1.0]}, "canary_io": 0.4}
+    )
     assert q == {"a": 1.0} and r == {"a": [1.0]} and not partial
+    assert can == {"canary_io": 0.4}
 
 
 def test_parse_doc_driver_parsed_dict():
-    q, _, partial = bh._parse_doc({"parsed": {"queries": {"a": 2.0}}})
-    assert q == {"a": 2.0} and not partial
+    q, _, partial, can = bh._parse_doc(
+        {"parsed": {"queries": {"a": 2.0}, "canary_cpu": 0.2}}
+    )
+    assert q == {"a": 2.0} and not partial and can == {"canary_cpu": 0.2}
 
 
 def test_parse_doc_parsed_null_falls_back_to_tail():
-    q, r, partial = bh._parse_doc(
-        {"parsed": None, "tail": '"a": [1.0, 1.1, 1.2]}'}
+    q, r, partial, can = bh._parse_doc(
+        {"parsed": None,
+         "tail": '"a": [1.0, 1.1, 1.2]}, "canary_cpu": 0.21, "canary_io": 0.5}'}
     )
     assert q == {"a": 1.0} and partial
+    # canaries recovered from the tail, never mistaken for queries
+    assert can == {"canary_cpu": 0.21, "canary_io": 0.5}
+    assert "canary_cpu" not in q
 
 
 def test_parse_doc_raises_when_nothing_recoverable():
@@ -159,6 +168,33 @@ def test_flag_new_and_absent():
     )
 
 
+# ------------------------------------------------------ env drift note
+
+
+def test_env_drift_note_flags_slower_machine():
+    prior = [mk_round("r01", {"a": 1.0}, canaries={"canary_io": 0.5})]
+    newest = mk_round("loc", {"a": 1.5}, canaries={"canary_io": 0.75})
+    note = bh.env_drift_note(newest, prior)
+    assert "env io 1.5x slower" in note
+
+
+def test_env_drift_note_quiet_when_within_ratio_or_absent():
+    prior = [mk_round("r01", {"a": 1.0}, canaries={"canary_io": 0.5})]
+    newest = mk_round("loc", {"a": 1.5}, canaries={"canary_io": 0.55})
+    assert bh.env_drift_note(newest, prior) == ""
+    # pre-canary artifacts: no canaries anywhere -> no note
+    assert bh.env_drift_note(mk_round("loc", {"a": 1.0}),
+                             [mk_round("r01", {"a": 1.0})]) == ""
+
+
+def test_env_drift_note_picks_worst_canary():
+    prior = [mk_round("r01", {"a": 1.0},
+                      canaries={"canary_cpu": 0.2, "canary_io": 0.5})]
+    newest = mk_round("loc", {"a": 1.0},
+                      canaries={"canary_cpu": 0.44, "canary_io": 0.55})
+    assert "env cpu 2.2x slower" in bh.env_drift_note(newest, prior)
+
+
 # --------------------------------------------------------- load_rounds
 
 
@@ -205,5 +241,5 @@ def test_real_driver_artifacts_all_load():
     artifacts = sorted(REPO.glob("BENCH_r*.json"))
     assert artifacts, "driver BENCH artifacts missing from repo root"
     for p in artifacts:
-        q, _, _ = bh._parse_doc(json.loads(p.read_text()))
+        q, _, _, _ = bh._parse_doc(json.loads(p.read_text()))
         assert q, f"{p.name} recovered zero queries"

@@ -48,11 +48,14 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 
 # bench.py top-level scalar keys that are NOT query timings
-_META_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus"}
+_META_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus",
+              "canary_cpu", "canary_io"}
+_CANARY_KEYS = ("canary_cpu", "canary_io")
 
 MIN_RATIO = 1.25  # newest min vs best prior min
 MED_RATIO = 1.10  # newest median vs best prior median
 NOISY_SPREAD = 2.0  # newest-round max/min above this => machine noise
+ENV_DRIFT_RATIO = 1.2  # canary slower than best prior by this => annotate
 
 
 def _from_tail(tail: str) -> tuple[dict[str, float], dict[str, list[float]]]:
@@ -74,28 +77,41 @@ def _from_tail(tail: str) -> tuple[dict[str, float], dict[str, list[float]]]:
     return queries, runs
 
 
-def _parse_doc(doc: dict) -> tuple[dict[str, float], dict[str, list[float]], bool]:
-    """(queries, runs, partial). Accepts bench.py's direct output, the
-    driver wrapper with a full 'parsed' dict, and the driver wrapper
-    with parsed null + stdout tail."""
-    if "queries" in doc:
-        return doc["queries"], doc.get("runs", {}), False
-    parsed = doc.get("parsed")
-    if isinstance(parsed, dict) and "queries" in parsed:
-        return parsed["queries"], parsed.get("runs", {}), False
-    queries, runs = _from_tail(doc.get("tail", ""))
+def _canaries_from_tail(tail: str) -> dict[str, float]:
+    out = {}
+    for k in _CANARY_KEYS:
+        m = re.search(rf'"{k}":\s*(\d+(?:\.\d+)?)', tail)
+        if m:
+            out[k] = float(m.group(1))
+    return out
+
+
+def _parse_doc(
+    doc: dict,
+) -> tuple[dict[str, float], dict[str, list[float]], bool, dict[str, float]]:
+    """(queries, runs, partial, canaries). Accepts bench.py's direct
+    output, the driver wrapper with a full 'parsed' dict, and the
+    driver wrapper with parsed null + stdout tail."""
+    for src in (doc, doc.get("parsed")):
+        if isinstance(src, dict) and "queries" in src:
+            canaries = {k: src[k] for k in _CANARY_KEYS if k in src}
+            return src["queries"], src.get("runs", {}), False, canaries
+    tail = doc.get("tail", "")
+    queries, runs = _from_tail(tail)
     if not queries:
         raise ValueError("no queries in parsed or tail")
-    return queries, runs, True
+    return queries, runs, True, _canaries_from_tail(tail)
 
 
 class Round:
     def __init__(self, tag: str, queries: dict[str, float],
-                 runs: dict[str, list[float]], partial: bool):
+                 runs: dict[str, list[float]], partial: bool,
+                 canaries: dict[str, float] | None = None):
         self.tag = tag
         self.queries = queries
         self.runs = runs
         self.partial = partial
+        self.canaries = canaries or {}
 
     def median(self, name: str) -> float | None:
         r = self.runs.get(name)
@@ -124,8 +140,8 @@ def load_rounds(extra: list[str]) -> list[Round]:
             newest_artifact_mtime = max(newest_artifact_mtime, p.stat().st_mtime)
     for n, p in sorted(numbered):
         try:
-            q, r, partial = _parse_doc(json.loads(p.read_text()))
-            rounds.append(Round(f"r{n:02d}", q, r, partial))
+            q, r, partial, canaries = _parse_doc(json.loads(p.read_text()))
+            rounds.append(Round(f"r{n:02d}", q, r, partial, canaries))
         except (OSError, ValueError, KeyError) as e:
             print(f"# skipping {p.name}: {e}", file=sys.stderr)
     # auto-include a repo-root local re-run while it is fresher than the
@@ -143,14 +159,37 @@ def load_rounds(extra: list[str]) -> list[Round]:
             )
     for i, arg in enumerate(paths):
         try:
-            q, r, partial = _parse_doc(json.loads(Path(arg).read_text()))
+            q, r, partial, canaries = _parse_doc(json.loads(Path(arg).read_text()))
             tag = Path(arg).stem.replace("BENCH_", "")
             if len(paths) > 1 and tag == "local":
                 tag = f"local{i}"
-            rounds.append(Round(tag, q, r, partial))
+            rounds.append(Round(tag, q, r, partial, canaries))
         except (OSError, ValueError, KeyError) as e:
             print(f"# skipping {arg}: {e}", file=sys.stderr)
     return rounds
+
+
+def env_drift_note(newest: Round, prior: list[Round]) -> str:
+    """Compare the newest round's canaries against the best prior
+    observation of each. Returns a flag suffix like
+    ' (env io 1.4x slower)' when the machine itself measures >=
+    ENV_DRIFT_RATIO slower — REGRESSION flags then carry the caveat,
+    because a slower machine moves every query, plan change or not.
+    Empty string when canaries are absent (pre-canary artifacts) or
+    within the ratio."""
+    worst = 0.0
+    worst_kind = ""
+    for k in _CANARY_KEYS:
+        newest_v = newest.canaries.get(k)
+        prior_vs = [r.canaries[k] for r in prior if k in r.canaries]
+        if newest_v is None or not prior_vs or min(prior_vs) <= 0:
+            continue
+        ratio = newest_v / min(prior_vs)
+        if ratio > worst:
+            worst, worst_kind = ratio, k.removeprefix("canary_")
+    if worst >= ENV_DRIFT_RATIO:
+        return f" (env {worst_kind} {worst:.1f}x slower)"
+    return ""
 
 
 def flag_for(name: str, newest: Round, prior: list[Round]) -> str:
@@ -195,11 +234,13 @@ def main() -> None:
     )
     print(f"{'query'.ljust(width)}  {header}  flag")
     newest, prior = rounds[-1], rounds[:-1]
+    env_note = env_drift_note(newest, prior)
     flagged, noisy = [], []
     for n in names:
         flag = flag_for(n, newest, prior)
         if flag.startswith("REGRESSION"):
             flagged.append(n)
+            flag += env_note
         elif flag.startswith("NOISY?"):
             noisy.append(n)
         cells = "  ".join(
@@ -211,6 +252,16 @@ def main() -> None:
         f"{sum(r.queries.values()):8.3f}" for r in rounds
     )
     print(f"{'TOTAL'.ljust(width)}  {totals}")
+    for k in _CANARY_KEYS:
+        if any(k in r.canaries for r in rounds):
+            cells = "  ".join(
+                (f"{r.canaries[k]:8.3f}" if k in r.canaries else "       -")
+                for r in rounds
+            )
+            print(f"{k.ljust(width)}  {cells}")
+    if env_note:
+        print(f"# machine canary{env_note} than its best prior — REGRESSION "
+              "flags above carry that caveat", file=sys.stderr)
     if any(r.partial for r in rounds):
         print("# * = recovered from truncated stdout tail; query set may be "
               "partial, TOTAL not cross-comparable", file=sys.stderr)
