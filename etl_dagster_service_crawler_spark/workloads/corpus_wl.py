@@ -1105,6 +1105,145 @@ LIMIT {BPE_MERGE_TOP_K}
 """
 
 
+BPE_TRAIN_MERGES = 6
+_BPE_SEP = "\x1f"
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full BPE-trainer loop: BPE_TRAIN_MERGES greedy merge
+    rounds over the corpus, returning the learned merge table
+    (rank, left, right, corpus pair count) — bpe_merge_pairs is one
+    round of this; this is the whole tokenizer-training algorithm.
+
+    Scale shape: the corpus is touched ONCE (the map-side-combined
+    word-frequency aggregate, localCheckpointed so iterations never
+    re-scan it); every merge round then runs on the Zipf-bounded
+    VOCAB frame only — a vocab-local pair aggregate plus a ONE-ROW
+    collect of the winning pair (bounded driver traffic, the
+    calibrate_nprobe/minhash-CC pattern), with a per-round
+    localCheckpoint keeping lineage depth constant. At 100 TB the
+    per-merge cost is independent of corpus size; a production
+    trainer doing 50k merges would batch non-conflicting merges per
+    round to amortize the driver round-trips — the per-round plan is
+    unchanged.
+
+    Cross-engine exactness (full DuckDB oracle, unrolled CTE chain):
+    each word's segmentation is encoded as concat(SEP||sym||SEP) with
+    a DOUBLE separator at internal boundaries, which makes textbook
+    greedy left-to-right non-overlapping pair merging IDENTICAL to
+    standard replace() semantics in both engines (a run "aaaa" under
+    merge (a,a) yields [aa][aa], and a pair can never match across a
+    symbol boundary or against a symbol prefix). The winner tie-break
+    orders by the raw pair key string on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+            )
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    wrapped = F.array_join(
+        F.transform(
+            F.split("w", ""),
+            lambda c: F.concat(F.lit(_BPE_SEP), c, F.lit(_BPE_SEP)),
+        ),
+        "",
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .select(wrapped.alias("r"), "wcnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_TRAIN_MERGES + 1):
+        syms = F.filter(F.split("r", _BPE_SEP), lambda x: x != F.lit(""))
+        s = vocab.select(syms.alias("s"), "wcnt")
+        pk = F.zip_with(
+            F.slice("s", 1, F.size("s") - 1),
+            F.slice("s", 2, F.size("s") - 1),
+            lambda a, b: F.concat(a, F.lit(_BPE_SEP), b),
+        )
+        best = (
+            s.where(F.size("s") >= 2)
+            .select(F.explode(pk).alias("pk"), "wcnt")
+            .groupBy("pk")
+            .agg(F.sum("wcnt").alias("c"))
+            .orderBy(F.desc("c"), "pk")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        left, right = best[0]["pk"].split(_BPE_SEP)
+        merges.append((rank, left, right, int(best[0]["c"])))
+        pat = _BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP
+        rep = _BPE_SEP + left + right + _BPE_SEP
+        vocab = vocab.select(
+            F.replace(F.col("r"), F.lit(pat), F.lit(rep)).alias("r"), "wcnt"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, merge_left string, merge_right string, "
+        "pair_count bigint",
+    )
+
+
+def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Unrolled n-round BPE-trainer oracle: v0 is the wrapped word-
+    frequency vocab; each round i derives pair counts p{i}, the
+    one-row winner b{i}, and the re-segmented vocab v{i} (replace
+    with the winner's wrapped pattern via a 1-row cross join)."""
+    sep = "chr(31)"
+    blocks = [f"""
+v0 AS (
+  SELECT list_aggregate(list_transform(string_split_regex(w, ''),
+             c -> {sep} || c || {sep}), 'string_agg', '') AS r,
+         CAST(count(*) AS BIGINT) AS wcnt
+  FROM (SELECT unnest(regexp_extract_all(text, '{BPE_PRETOKEN_RE}')) AS w
+        FROM documents)
+  WHERE length(w) >= 2
+  GROUP BY w
+)"""]
+    for i in range(1, n_merges + 1):
+        blocks.append(f"""
+p{i} AS (
+  SELECT unnest(list_transform(range(1, len(s)),
+                               j -> s[j] || {sep} || s[j + 1])) AS pk,
+         wcnt
+  FROM (SELECT list_filter(string_split(r, {sep}), x -> x <> '') AS s,
+               wcnt
+        FROM v{i - 1})
+),
+b{i} AS (
+  SELECT pk, CAST(sum(wcnt) AS BIGINT) AS c
+  FROM p{i} GROUP BY pk
+  ORDER BY c DESC, pk LIMIT 1
+),
+v{i} AS (
+  SELECT replace(v.r,
+           {sep} || string_split(b.pk, {sep})[1] || {sep} ||
+           {sep} || string_split(b.pk, {sep})[2] || {sep},
+           {sep} || string_split(b.pk, {sep})[1] ||
+                    string_split(b.pk, {sep})[2] || {sep}) AS r,
+         v.wcnt
+  FROM v{i - 1} v, b{i} b
+)""")
+    selects = "\n  UNION ALL\n".join(
+        f"""  SELECT {i} AS merge_rank,
+         string_split(pk, {sep})[1] AS merge_left,
+         string_split(pk, {sep})[2] AS merge_right,
+         c AS pair_count
+  FROM b{i}"""
+        for i in range(1, n_merges + 1)
+    )
+    return f"WITH {','.join(blocks)}\n{selects}"
+
+
+SQL_BPE_TRAIN = _bpe_train_sql()
+
+
 SPECS: list[QuerySpec] = [
     QuerySpec(
         "quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN, bench=True
@@ -1137,4 +1276,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("oov_rate_vocab", q_oov_rate_vocab, SQL_OOV_RATE),
     QuerySpec("bigram_lm_coverage", q_bigram_lm_coverage, SQL_BIGRAM_COVERAGE),
     QuerySpec("bpe_merge_pairs", q_bpe_merge_pairs, SQL_BPE_MERGE),
+    QuerySpec("bpe_train_merges", q_bpe_train_merges, SQL_BPE_TRAIN),
 ]

@@ -317,3 +317,98 @@ def test_bpe_merge_pairs_matches_local_recompute(spark, sf_dir):
         for r in q_bpe_merge_pairs(spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_bpe_train_merges_matches_textbook_bpe(spark, sf_dir):
+    """bpe_train_merges equals a textbook BPE trainer implemented
+    independently in Python: greedy left-to-right non-overlapping
+    merges, pair counts over the current segmentation weighted by
+    word frequency — proving the wrapped-replace encoding implements
+    real BPE, not merely something both engines agree on."""
+    import re
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        BPE_PRETOKEN_RE,
+        BPE_TRAIN_MERGES,
+        _BPE_SEP,
+        q_bpe_train_merges,
+    )
+
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    wf: Counter[str] = Counter()
+    for text in texts:
+        for w in re.findall(BPE_PRETOKEN_RE, text):
+            if len(w) >= 2:
+                wf[w] += 1
+    vocab: dict[tuple[str, ...], int] = {tuple(w): c for w, c in wf.items()}
+    expect = []
+    for rank in range(1, BPE_TRAIN_MERGES + 1):
+        pc: Counter[tuple[str, str]] = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (left, right), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + _BPE_SEP + kv[0][1])
+        )
+        expect.append((rank, left, right, c))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    got = [
+        (r["merge_rank"], r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in q_bpe_train_merges(spark, sf_dir).orderBy("merge_rank").collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_greedy_merge_run_semantics(spark, tmp_path):
+    """A run of one repeated character merges pairwise left-to-right
+    ([aa][aa] from 'aaaa', with a lone trailing 'a' from 'aaaaa') —
+    the case where a naive single-delimiter replace encoding silently
+    deviates from textbook BPE."""
+    import pandas as pd
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_bpe_train_merges,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["aaaa aaaa aaaaa", "aaaa bb"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [15, 7],
+        }
+    )
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["n_chars"] = pdf["n_chars"].astype("int64")
+    pdf.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    got = {
+        r["merge_rank"]: (r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in q_bpe_train_merges(spark, str(tmp_path)).collect()
+    }
+    # round 1: (a,a) — 'aaaa' has 3 adjacent positions x 3 word
+    # occurrences + 4 positions in 'aaaaa' = 13 (positions, not
+    # greedy applications)
+    assert got[1] == ("a", "a", 13)
+    # round 2: after greedy merging, 'aaaa'->[aa,aa] (x3) and
+    # 'aaaaa'->[aa,aa,a] (NOT [aa,a,a] — pairwise left-to-right), so
+    # (aa,aa) = 3+1 = 4 beats (b,b)=1 and (aa,a)=1
+    assert got[2] == ("aa", "aa", 4)
