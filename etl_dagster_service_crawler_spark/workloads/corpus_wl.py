@@ -1136,6 +1136,20 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol boundary or against a symbol prefix). The winner tie-break
     orders by the raw pair key string on both engines."""
     d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, merge_left string, merge_right string, "
+        "pair_count bigint",
+    )
+
+
+def bpe_train(
+    d: DataFrame, n_merges: int = BPE_TRAIN_MERGES
+) -> list[tuple[int, str, str, int]]:
+    """Run the BPE-trainer loop over a documents-shaped frame; returns
+    the learned merges as (rank, left, right, corpus_pair_count).
+    See q_bpe_train_merges for the scale/exactness contract."""
     words = d.select(
         F.explode(
             F.regexp_extract_all(
@@ -1157,7 +1171,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for rank in range(1, BPE_TRAIN_MERGES + 1):
+    for rank in range(1, n_merges + 1):
         syms = F.filter(F.split("r", _BPE_SEP), lambda x: x != F.lit(""))
         s = vocab.select(syms.alias("s"), "wcnt")
         pk = F.zip_with(
@@ -1183,11 +1197,100 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         vocab = vocab.select(
             F.replace(F.col("r"), F.lit(pat), F.lit(rep)).alias("r"), "wcnt"
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, merge_left string, merge_right string, "
-        "pair_count bigint",
+    return merges
+
+
+def q_tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer INFERENCE over the corpus with the merges the corpus
+    itself trained (train + apply, end-to-end): per document, the
+    pretoken count and the subword count after applying the
+    BPE_TRAIN_MERGES learned merges — the real token budget that
+    token_count_bpe's ceil(len/4) heuristic approximates.
+
+    Applying merges in RANK ORDER, each exhaustively left-to-right,
+    is exactly priority-based BPE segmentation: a merge's output
+    symbol can only ever participate in HIGHER-rank pairs (the merge
+    creating a symbol precedes every merge consuming it), and merging
+    never makes two pre-existing symbols newly adjacent — so once
+    rank r is exhausted, no pair of rank <= r can reappear.
+
+    Scale: training touches the corpus once (see bpe_train); the
+    apply stage embeds the 6 winners as literal expressions — a
+    zero-exchange map-only pass (the 50k-merge production variant
+    broadcasts the merge table into a Pandas-UDF segmenter; this
+    expression form is the exact-oracle demonstrator)."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(d)
+    dt = d.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+        ).alias("ws"),
     )
+
+    def seg_units(w):
+        e = F.array_join(
+            F.transform(
+                F.split(w, ""),
+                lambda c: F.concat(F.lit(_BPE_SEP), c, F.lit(_BPE_SEP)),
+            ),
+            "",
+        )
+        for _, left, right, _ in merges:
+            pat = _BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP
+            rep = _BPE_SEP + left + right + _BPE_SEP
+            e = F.replace(e, F.lit(pat), F.lit(rep))
+        # each symbol is wrapped in exactly two separators
+        return (
+            F.length(e) - F.length(F.replace(e, F.lit(_BPE_SEP), F.lit("")))
+        ) / 2
+
+    units = F.aggregate(
+        "ws", F.lit(0).cast("bigint"),
+        lambda acc, w: acc + seg_units(w).cast("bigint"),
+    )
+    return dt.select(
+        "doc_id",
+        F.size("ws").cast("int").alias("n_pretokens"),
+        units.cast("int").alias("n_subwords"),
+    )
+
+
+def _tokenizer_apply_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Oracle for q_tokenizer_apply_bpe: the trainer CTE chain from
+    _bpe_train_sql, a 1-row m CTE cross-joining the n winners, and a
+    per-doc apply whose replace chain nests the winners in rank
+    order."""
+    sep = "chr(31)"
+    train = _bpe_train_sql(n_merges)
+    # reuse the WITH-block list from the trainer oracle (everything
+    # before its final UNION ALL select)
+    blocks = train.split("\n  SELECT 1 AS merge_rank")[0]
+    m_cols = ", ".join(
+        f"string_split(b{i}.pk, {sep})[1] AS l{i}, "
+        f"string_split(b{i}.pk, {sep})[2] AS r{i}"
+        for i in range(1, n_merges + 1)
+    )
+    m_from = ", ".join(f"b{i}" for i in range(1, n_merges + 1))
+    expr = (
+        f"list_aggregate(list_transform(string_split_regex(w, ''), "
+        f"c -> {sep} || c || {sep}), 'string_agg', '')"
+    )
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, {sep} || l{i} || {sep} || {sep} || r{i} || {sep},"
+            f" {sep} || l{i} || r{i} || {sep})"
+        )
+    return f"""{blocks},
+m AS (SELECT {m_cols} FROM {m_from})
+SELECT doc_id,
+       CAST(len(ws) AS INT) AS n_pretokens,
+       CAST(coalesce(list_sum(list_transform(ws,
+            w -> (length({expr}) - length(replace({expr}, {sep}, ''))) // 2)),
+            0) AS INT) AS n_subwords
+FROM (SELECT doc_id, regexp_extract_all(text, '{BPE_PRETOKEN_RE}') AS ws
+      FROM documents), m
+"""
 
 
 def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
@@ -1242,6 +1345,7 @@ v{i} AS (
 
 
 SQL_BPE_TRAIN = _bpe_train_sql()
+SQL_TOKENIZER_APPLY = _tokenizer_apply_sql()
 
 
 SPECS: list[QuerySpec] = [
@@ -1277,4 +1381,5 @@ SPECS: list[QuerySpec] = [
     QuerySpec("bigram_lm_coverage", q_bigram_lm_coverage, SQL_BIGRAM_COVERAGE),
     QuerySpec("bpe_merge_pairs", q_bpe_merge_pairs, SQL_BPE_MERGE),
     QuerySpec("bpe_train_merges", q_bpe_train_merges, SQL_BPE_TRAIN),
+    QuerySpec("tokenizer_apply_bpe", q_tokenizer_apply_bpe, SQL_TOKENIZER_APPLY),
 ]

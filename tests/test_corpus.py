@@ -412,3 +412,89 @@ def test_bpe_greedy_merge_run_semantics(spark, tmp_path):
     # 'aaaaa'->[aa,aa,a] (NOT [aa,a,a] — pairwise left-to-right), so
     # (aa,aa) = 3+1 = 4 beats (b,b)=1 and (aa,a)=1
     assert got[2] == ("aa", "aa", 4)
+
+
+def test_tokenizer_apply_bpe_matches_textbook_apply(spark, sf_dir):
+    """tokenizer_apply_bpe (train + rank-order exhaustive apply)
+    equals an independent Python pipeline: textbook-BPE train, then
+    per-word priority-based segmentation."""
+    import re
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        BPE_PRETOKEN_RE,
+        BPE_TRAIN_MERGES,
+        _BPE_SEP,
+        q_tokenizer_apply_bpe,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    wf: Counter[str] = Counter()
+    doc_words: dict[int, list[str]] = {}
+    for r in docs:
+        ws = re.findall(BPE_PRETOKEN_RE, r["text"])
+        doc_words[r["doc_id"]] = ws
+        for w in ws:
+            if len(w) >= 2:
+                wf[w] += 1
+    # textbook train (shared recompute shape with the trainer test)
+    vocab: dict[tuple[str, ...], int] = {tuple(w): c for w, c in wf.items()}
+    ranks: dict[tuple[str, str], int] = {}
+    for rank in range(1, BPE_TRAIN_MERGES + 1):
+        pc: Counter[tuple[str, str]] = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (left, right), _c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + _BPE_SEP + kv[0][1])
+        )
+        ranks[(left, right)] = rank
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+
+    def segment(w: str) -> int:
+        """Priority-based BPE apply: repeatedly merge every
+        occurrence of the lowest-rank pair present."""
+        syms = list(w)
+        while True:
+            present = {
+                (syms[i], syms[i + 1])
+                for i in range(len(syms) - 1)
+                if (syms[i], syms[i + 1]) in ranks
+            }
+            if not present:
+                return len(syms)
+            left, right = min(present, key=lambda p: ranks[p])
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+
+    expect = {
+        doc_id: (len(ws), sum(segment(w) for w in ws))
+        for doc_id, ws in doc_words.items()
+    }
+    got = {
+        r["doc_id"]: (r["n_pretokens"], r["n_subwords"])
+        for r in q_tokenizer_apply_bpe(spark, sf_dir).collect()
+    }
+    assert got == expect
