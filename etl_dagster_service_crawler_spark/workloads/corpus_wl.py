@@ -1380,6 +1380,8 @@ SPECS: list[QuerySpec] = [
     QuerySpec("oov_rate_vocab", q_oov_rate_vocab, SQL_OOV_RATE),
     QuerySpec("bigram_lm_coverage", q_bigram_lm_coverage, SQL_BIGRAM_COVERAGE),
     QuerySpec("bpe_merge_pairs", q_bpe_merge_pairs, SQL_BPE_MERGE),
-    QuerySpec("bpe_train_merges", q_bpe_train_merges, SQL_BPE_TRAIN),
+    # bench: the iterative trainer is the novel cost shape here (one
+    # corpus exchange + N vocab-local rounds) — track its curve
+    QuerySpec("bpe_train_merges", q_bpe_train_merges, SQL_BPE_TRAIN, bench=True),
     QuerySpec("tokenizer_apply_bpe", q_tokenizer_apply_bpe, SQL_TOKENIZER_APPLY),
 ]

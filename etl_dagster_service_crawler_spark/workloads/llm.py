@@ -1726,10 +1726,13 @@ SPECS = [
     QuerySpec("text_lang_id", q_text_lang_id, _lang_id_sql()),
     QuerySpec("lang_confusion_audit", q_lang_confusion_audit, _lang_confusion_sql()),
     QuerySpec("text_quality_score", q_text_quality_score, SQL_QUALITY_SCORE),
+    # bench: the model-inference map-only shape — zero exchanges, so
+    # its curve isolates pure scan+expression throughput
     QuerySpec(
         "quality_classifier_score",
         q_quality_classifier_score,
         SQL_QUALITY_CLASSIFIER,
+        bench=True,
     ),
     QuerySpec("doc_fingerprint", q_doc_fingerprint, SQL_FINGERPRINT),
     QuerySpec("split_train_holdout", q_split_train_holdout, SQL_SPLIT_TRAIN_HOLDOUT),
