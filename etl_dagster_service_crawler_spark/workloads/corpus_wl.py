@@ -10,6 +10,8 @@ rows-only with a recall test against the exact brute-force twin
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1256,6 +1258,75 @@ def q_tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_apply_bpe_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION-SCALE twin of q_tokenizer_apply_bpe: identical
+    output (same oracle), but the apply stage is an Arrow-batched
+    pandas UDF running a priority-based segmenter against the
+    broadcast merge-rank table — the shape a real tokenizer needs,
+    because a 50k-merge vocabulary cannot be a 50k-deep nested
+    replace() expression. The UDF memoizes per distinct word, so under
+    a Zipf corpus the effective segmentation work is vocab-sized per
+    executor, not corpus-sized; Arrow batches keep the Python boundary
+    amortized (docs/SCALE.md "Python boundary").
+
+    Equivalence to the expression form (rank-order exhaustive ==
+    priority-based) is proven in q_tokenizer_apply_bpe's docstring and
+    pinned by tests on both variants against the same recompute."""
+    from pyspark.sql.functions import pandas_udf
+
+    d = load_table(spark, sf_dir, "documents")
+    ranks = {(left, right): rank for rank, left, right, _ in bpe_train(d)}
+
+    @pandas_udf("integer")
+    def n_subwords_udf(ws: pd.Series) -> pd.Series:
+        memo: dict[str, int] = {}
+
+        def segment(w: str) -> int:
+            hit = memo.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w)
+            while True:
+                present = [
+                    (syms[i], syms[i + 1])
+                    for i in range(len(syms) - 1)
+                    if (syms[i], syms[i + 1]) in ranks
+                ]
+                if not present:
+                    break
+                left, right = min(present, key=ranks.__getitem__)
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == left
+                        and syms[i + 1] == right
+                    ):
+                        out.append(left + right)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            memo[w] = len(syms)
+            return memo[w]
+
+        return ws.map(lambda words: sum(segment(w) for w in words))
+
+    dt = d.select(
+        "doc_id",
+        F.regexp_extract_all(
+            F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+        ).alias("ws"),
+    )
+    return dt.select(
+        "doc_id",
+        F.size("ws").cast("int").alias("n_pretokens"),
+        n_subwords_udf("ws").alias("n_subwords"),
+    )
+
+
 def _tokenizer_apply_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
     """Oracle for q_tokenizer_apply_bpe: the trainer CTE chain from
     _bpe_train_sql, a 1-row m CTE cross-joining the n winners, and a
@@ -1384,4 +1455,8 @@ SPECS: list[QuerySpec] = [
     # corpus exchange + N vocab-local rounds) — track its curve
     QuerySpec("bpe_train_merges", q_bpe_train_merges, SQL_BPE_TRAIN, bench=True),
     QuerySpec("tokenizer_apply_bpe", q_tokenizer_apply_bpe, SQL_TOKENIZER_APPLY),
+    # identical semantics and output => shares the exact oracle
+    QuerySpec(
+        "tokenizer_apply_bpe_udf", q_tokenizer_apply_bpe_udf, SQL_TOKENIZER_APPLY
+    ),
 ]

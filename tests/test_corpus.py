@@ -498,3 +498,22 @@ def test_tokenizer_apply_bpe_matches_textbook_apply(spark, sf_dir):
         for r in q_tokenizer_apply_bpe(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_tokenizer_apply_udf_equals_expression_variant(spark, sf_dir):
+    """The pandas-UDF production segmenter and the nested-replace
+    expression form must agree row-for-row (they share one oracle)."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_tokenizer_apply_bpe,
+        q_tokenizer_apply_bpe_udf,
+    )
+
+    expr = {
+        r["doc_id"]: (r["n_pretokens"], r["n_subwords"])
+        for r in q_tokenizer_apply_bpe(spark, sf_dir).collect()
+    }
+    udf = {
+        r["doc_id"]: (r["n_pretokens"], r["n_subwords"])
+        for r in q_tokenizer_apply_bpe_udf(spark, sf_dir).collect()
+    }
+    assert udf == expr
