@@ -1333,10 +1333,7 @@ def _tokenizer_apply_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
     per-doc apply whose replace chain nests the winners in rank
     order."""
     sep = "chr(31)"
-    train = _bpe_train_sql(n_merges)
-    # reuse the WITH-block list from the trainer oracle (everything
-    # before its final UNION ALL select)
-    blocks = train.split("\n  SELECT 1 AS merge_rank")[0]
+    blocks = f"WITH {','.join(_bpe_train_blocks(n_merges))}"
     m_cols = ", ".join(
         f"string_split(b{i}.pk, {sep})[1] AS l{i}, "
         f"string_split(b{i}.pk, {sep})[2] AS r{i}"
@@ -1364,11 +1361,12 @@ FROM (SELECT doc_id, regexp_extract_all(text, '{BPE_PRETOKEN_RE}') AS ws
 """
 
 
-def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
-    """Unrolled n-round BPE-trainer oracle: v0 is the wrapped word-
+def _bpe_train_blocks(n_merges: int) -> list[str]:
+    """The unrolled trainer CTE chain: v0 is the wrapped word-
     frequency vocab; each round i derives pair counts p{i}, the
     one-row winner b{i}, and the re-segmented vocab v{i} (replace
-    with the winner's wrapped pattern via a 1-row cross join)."""
+    with the winner's wrapped pattern via a 1-row cross join).
+    Shared by the trainer oracle and the tokenizer-apply oracle."""
     sep = "chr(31)"
     blocks = [f"""
 v0 AS (
@@ -1404,6 +1402,14 @@ v{i} AS (
          v.wcnt
   FROM v{i - 1} v, b{i} b
 )""")
+    return blocks
+
+
+def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
+    """Oracle for q_bpe_train_merges: the trainer CTE chain plus the
+    UNION of the n one-row winners as the merge table."""
+    sep = "chr(31)"
+    blocks = _bpe_train_blocks(n_merges)
     selects = "\n  UNION ALL\n".join(
         f"""  SELECT {i} AS merge_rank,
          string_split(pk, {sep})[1] AS merge_left,
