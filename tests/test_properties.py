@@ -1059,3 +1059,57 @@ def test_bigram_coverage_matches_python(spark, texts):
         in_top = sum(1 for b in bgs if b in top)
         ppm = (1000000 * in_top) // len(bgs) if bgs else 0
         assert got[i] == (len(bgs), in_top, ppm), (i, t)
+
+
+# ---------------------------------------------------------------- BPE encoding
+
+
+def _wrap(syms: list[str]) -> str:
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import _BPE_SEP
+
+    return "".join(_BPE_SEP + s + _BPE_SEP for s in syms)
+
+
+def _unwrap(r: str) -> list[str]:
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import _BPE_SEP
+
+    return [s for s in r.split(_BPE_SEP) if s != ""]
+
+
+def _greedy_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Textbook greedy left-to-right non-overlapping pair merge."""
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+@settings(deadline=None)
+@given(
+    st.lists(st.sampled_from(["a", "b", "ab", "ba", "aa"]), min_size=0, max_size=12),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+    st.sampled_from(["a", "b", "ab", "ba", "aa"]),
+)
+def test_wrapped_replace_equals_textbook_greedy_merge(syms, left, right):
+    """The load-bearing claim behind bpe_train_merges' oracle: on the
+    SEP||sym||SEP encoding, standard replace() (left-to-right,
+    non-overlapping, continue after the replacement) implements
+    textbook greedy BPE pair merging EXACTLY — including adversarial
+    symbol sets where one symbol is a prefix/suffix/concatenation of
+    others ('a', 'ab', 'aa', ...) and repeated runs. Pure Python:
+    str.replace has the same semantics as Spark's and DuckDB's
+    replace."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import _BPE_SEP
+
+    pat = _BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP
+    rep = _BPE_SEP + left + right + _BPE_SEP
+    via_replace = _unwrap(_wrap(syms).replace(pat, rep))
+    assert via_replace == _greedy_merge(syms, left, right)
+    # and the round-trip itself is lossless
+    assert _unwrap(_wrap(syms)) == syms
