@@ -517,3 +517,27 @@ def test_tokenizer_apply_udf_equals_expression_variant(spark, sf_dir):
         for r in q_tokenizer_apply_bpe_udf(spark, sf_dir).collect()
     }
     assert udf == expr
+
+
+def test_bpe_train_merges_empty_when_no_multichar_words(spark, tmp_path):
+    """A corpus with no >=2-char pretokens trains zero merges; the
+    query returns an empty frame with the contract schema (the oracle
+    chain likewise collapses to zero winner rows)."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_bpe_train_merges,
+        q_tokenizer_apply_bpe,
+    )
+
+    rows = [(1, "a b c", "en", "s", 5), (2, "x y", "en", "s", 3)]
+    sf = _write_documents(tmp_path, rows)
+    out = q_bpe_train_merges(spark, sf)
+    assert out.columns == [
+        "merge_rank", "merge_left", "merge_right", "pair_count",
+    ]
+    assert out.count() == 0
+    # apply with zero merges degrades to character counting
+    applied = {
+        r["doc_id"]: (r["n_pretokens"], r["n_subwords"])
+        for r in q_tokenizer_apply_bpe(spark, sf).collect()
+    }
+    assert applied == {1: (3, 3), 2: (2, 2)}
