@@ -541,3 +541,59 @@ def test_bpe_train_merges_empty_when_no_multichar_words(spark, tmp_path):
         for r in q_tokenizer_apply_bpe(spark, sf).collect()
     }
     assert applied == {1: (3, 3), 2: (2, 2)}
+
+
+def test_bpe_train_deeper_merge_count_matches_recompute(spark, sf_dir):
+    """bpe_train's n_merges parameter beyond the registry default (12
+    rounds) still tracks the textbook trainer — later rounds merge
+    multi-char symbols, exercising the encoding on longer patterns."""
+    import re
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        BPE_PRETOKEN_RE,
+        _BPE_SEP,
+        bpe_train,
+    )
+
+    n = 12
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    wf: Counter[str] = Counter()
+    for text in texts:
+        for w in re.findall(BPE_PRETOKEN_RE, text):
+            if len(w) >= 2:
+                wf[w] += 1
+    vocab: dict[tuple[str, ...], int] = {tuple(w): c for w, c in wf.items()}
+    expect = []
+    for rank in range(1, n + 1):
+        pc: Counter[tuple[str, str]] = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (left, right), c = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + _BPE_SEP + kv[0][1])
+        )
+        expect.append((rank, left, right, c))
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for syms, cnt in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + cnt
+        vocab = new_vocab
+    d = load_table(spark, sf_dir, "documents")
+    assert bpe_train(d, n) == expect
+    # deeper rounds actually reached multi-char merge inputs
+    assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in expect)
