@@ -185,6 +185,124 @@ FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
 """
 
 
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE action for q_boilerplate_window_flags' detection:
+    remove every boilerplate window (same BOILER_WINDOW /
+    BOILER_MIN_DOCS contract) and reassemble the document from the
+    surviving windows plus the partial tail — what a CCNet-style
+    pipeline actually feeds the tokenizer after flagging.
+
+    Scale shape: window TEXT never shuffles — only (whash, doc_id,
+    widx) triples take the frequency exchange; the frequent-hash set
+    broadcasts back; the per-doc boiler-index regroup carries only
+    docs that HAVE boilerplate (a small minority by definition of
+    "repeats across >= K docs"... per window); the final doc-key join
+    reattaches those index arrays to the token arrays, and
+    reassembly is pure per-row slicing. Reconstruction is
+    position-exact: kept windows in order + tail, single-space join
+    (the tokenizer's split convention), so a doc with zero boiler
+    windows round-trips byte-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    toks = F.col("t")
+    nwin = F.floor(F.size(toks) / BOILER_WINDOW).cast("int")
+    starts = F.when(
+        nwin > 0, F.sequence(F.lit(1), (nwin - 1) * BOILER_WINDOW + 1,
+                             F.lit(BOILER_WINDOW))
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            ((s - 1) / BOILER_WINDOW).cast("int").alias("widx"),
+            F.md5(
+                F.array_join(F.slice(toks, s, BOILER_WINDOW), " ")
+            ).alias("whash"),
+        ),
+    )
+    exploded = dt.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", "w.widx", "w.whash"
+    )
+    freq = (
+        exploded.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= BOILER_MIN_DOCS)
+        .select("whash")
+    )
+    boiler_idx = (
+        exploded.join(F.broadcast(freq), "whash")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("widx")).alias("bw"))
+    )
+    out = dt.join(boiler_idx, "doc_id", "left")
+    bw = F.coalesce(F.col("bw"), F.array().cast("array<int>"))
+    keep_idx = F.when(
+        nwin > 0,
+        F.filter(
+            F.sequence(F.lit(0), nwin - 1),
+            lambda i: ~F.array_contains(bw, i),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    kept = F.flatten(
+        F.transform(
+            keep_idx, lambda i: F.slice(toks, i * BOILER_WINDOW + 1,
+                                        BOILER_WINDOW)
+        )
+    )
+    tail = F.slice(
+        toks,
+        nwin * BOILER_WINDOW + 1,
+        F.greatest(F.size(toks) - nwin * BOILER_WINDOW, F.lit(0)),
+    )
+    return out.select(
+        "doc_id",
+        F.array_join(F.concat(kept, tail), " ").alias("clean_text"),
+        nwin.alias("n_windows"),
+        F.size(bw).cast("int").alias("n_removed"),
+    )
+
+
+SQL_BOILER_STRIP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST((s - 1) // {BOILER_WINDOW} AS INT) AS widx,
+         md5(array_to_string(t[s:s + {BOILER_WINDOW - 1}], ' ')) AS whash
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(
+             1, (len(t) // {BOILER_WINDOW} - 1) * {BOILER_WINDOW} + 1,
+             {BOILER_WINDOW})) AS s
+    FROM toks WHERE len(t) >= {BOILER_WINDOW}
+  )
+),
+freq AS (
+  SELECT whash FROM wins GROUP BY whash
+  HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+),
+bwd AS (
+  SELECT w.doc_id, list_sort(list(w.widx)) AS bw
+  FROM wins w JOIN freq f ON w.whash = f.whash
+  GROUP BY w.doc_id
+)
+SELECT d.doc_id,
+       array_to_string(
+         list_concat(
+           flatten(list_transform(
+             list_filter(range(0, len(t) // {BOILER_WINDOW}),
+                         i -> NOT list_contains(
+                                coalesce(bw, CAST([] AS INT[])),
+                                CAST(i AS INT))),
+             i -> t[i * {BOILER_WINDOW} + 1 : i * {BOILER_WINDOW}
+                    + {BOILER_WINDOW}])),
+           t[(len(t) // {BOILER_WINDOW}) * {BOILER_WINDOW} + 1 : len(t)]),
+         ' ') AS clean_text,
+       CAST(len(t) // {BOILER_WINDOW} AS INT) AS n_windows,
+       CAST(coalesce(len(bw), 0) AS INT) AS n_removed
+FROM toks d LEFT JOIN bwd ON d.doc_id = bwd.doc_id
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster representative selection: within each
     exact-duplicate cluster (sha2 of text) keep the BEST copy — longest
@@ -1442,6 +1560,7 @@ SPECS: list[QuerySpec] = [
         "boilerplate_window_flags", q_boilerplate_window_flags, SQL_BOILER,
         bench=True,
     ),
+    QuerySpec("boilerplate_strip", q_boilerplate_strip, SQL_BOILER_STRIP),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
     QuerySpec(

@@ -597,3 +597,37 @@ def test_bpe_train_deeper_merge_count_matches_recompute(spark, sf_dir):
     assert bpe_train(d, n) == expect
     # deeper rounds actually reached multi-char merge inputs
     assert any(len(l) > 1 or len(r) > 1 for _, l, r, _ in expect)
+
+
+def test_boilerplate_strip_consistent_with_flags(spark, tmp_path):
+    """strip removes exactly the windows flags counts (n_removed ==
+    n_boiler per doc), excises the injected shared window, and
+    round-trips boiler-free docs byte-identical."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_boilerplate_strip,
+    )
+
+    boiler = " ".join(f"w{i}" for i in range(BOILER_WINDOW))
+    uniq = lambda d: " ".join(f"u{d}_{i}" for i in range(BOILER_WINDOW))  # noqa: E731
+    rows = []
+    for d in range(BOILER_MIN_DOCS):
+        rows.append((d, f"{boiler} {uniq(d)}", "en", "s", 1))
+    rows.append((90, uniq(90) + " " + uniq(91), "en", "s", 1))
+    rows.append((91, "tiny doc", "en", "s", 1))
+    sf = _write_documents(tmp_path, rows)
+    flags = {
+        r["doc_id"]: r for r in q_boilerplate_window_flags(spark, sf).collect()
+    }
+    stripped = {
+        r["doc_id"]: r for r in q_boilerplate_strip(spark, sf).collect()
+    }
+    assert set(stripped) == set(flags)
+    for doc_id, s in stripped.items():
+        assert s["n_removed"] == flags[doc_id]["n_boiler"]
+        assert s["n_windows"] == flags[doc_id]["n_windows"]
+    # the shared window is excised, the unique remainder survives
+    for d in range(BOILER_MIN_DOCS):
+        assert stripped[d]["clean_text"] == uniq(d)
+    # boiler-free docs round-trip byte-identical (incl. the short one)
+    assert stripped[90]["clean_text"] == uniq(90) + " " + uniq(91)
+    assert stripped[91]["clean_text"] == "tiny doc"
