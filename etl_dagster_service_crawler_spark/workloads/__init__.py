@@ -3,8 +3,8 @@ QuerySpec (PySpark query + DuckDB oracle). Assembled by registry().
 
 The driver checks the FIRST 50 registry entries per round, so registry()
 orders queries to rotate coverage: never-driver-checked first, then
-queries whose code changed since their last green verdict, then verified
-queries stalest-first.  The verified set is DERIVED — from the
+verified queries stalest-verdict-first (git-touched-since-verdict breaks
+ties within a round).  The verified set is DERIVED — from the
 ``CORRECTNESS_r*.json`` files the driver drops in the repo root, minus a
 git-touched filter — so rotation cannot be forgotten by hand (the
 round-2 failure mode: a hand-frozen ``_R01_VERIFIED`` set kept rewritten
@@ -86,17 +86,26 @@ def _touched_since(root: Path, round_files: dict[int, str]) -> dict[int, set[str
     The anchor for round N is the commit that last touched
     ``CORRECTNESS_rN.json`` (the driver commits results against the code
     it just checked).  The diff is taken against the WORKING TREE so
-    uncommitted edits also invalidate verdicts.  Best-effort: if git is
-    unavailable the filter degrades to "nothing touched" with a warning
-    (the correctness-file derivation still rotates never-checked
-    queries first).
+    uncommitted edits also invalidate verdicts.  If the artifact is
+    still UNTRACKED (the driver drops it uncommitted at round end), the
+    anchor falls back to HEAD: the code the driver checked is at most
+    HEAD plus the working tree, so diffing HEAD→worktree is a sound
+    over-approximation of "changed since checked" — never "nothing
+    touched", which silently disarmed the filter (r7 verdict, What's
+    wrong #2).  Only a git FAILURE degrades to disabled, with a warning.
     """
     out: dict[int, set[str]] = {}
     for rnd, fname in round_files.items():
         try:
             anchor = _git(root, "log", "-n1", "--format=%H", "--", fname).strip()
             if not anchor:
-                raise ValueError(f"no commit touches {fname}")
+                anchor = "HEAD"
+                _log.info(
+                    "round %s artifact %s untracked; anchoring git-touched "
+                    "filter at HEAD (uncommitted edits still invalidate)",
+                    rnd,
+                    fname,
+                )
             changed = _git(root, "diff", "--name-only", anchor, "--", _PKG_DIR)
             out[rnd] = {f for f in changed.splitlines() if f.strip()}
         except (OSError, ValueError, subprocess.SubprocessError) as e:
@@ -121,17 +130,23 @@ def order_specs(
 ) -> list[QuerySpec]:
     """Rotation policy, pure so tests can drive it directly.
 
-    Tiers (earlier = closer to the driver's 50-entry window):
-      0. never driver-checked   — oracle-backed before rows-only
-      1. checked, but this spec's OWN module file changed since its
-         verdict — the direct-edit class, likeliest to have broken
-      2. checked, and shared non-workload package code changed since
-         (conservatively invalidates every older verdict)
-      3. checked and untouched  — stalest verdict first
+    Never-driver-checked specs come first (oracle-backed before
+    rows-only).  Checked specs follow STALEST VERDICT FIRST: the age of
+    a verdict dominates, because a verdict k rounds old has accumulated
+    k rounds of shared-code drift regardless of which file each edit
+    landed in (the r7 failure mode: touch-class-major ordering let ~109
+    fresher-but-touched entries crowd four r3-stamped queries out to
+    positions 127-130, so their verdicts could never refresh).  Within
+    the same verdict round, the git-touched classes break ties:
+      0. this spec's OWN module file changed since its verdict — the
+         direct-edit class, likeliest to have broken
+      1. shared non-workload package code changed since (conservatively
+         invalidates every verdict older than the change)
+      2. untouched
 
-    A spec with an oracle needs a full hash-green verdict to leave tier
-    0; a rows-only spec only needs a recorded row count.  Within a tier
-    the sort is stable, preserving declaration order.
+    A spec with an oracle needs a full hash-green verdict to leave the
+    never-checked tier; a rows-only spec only needs a recorded row
+    count.  Ties beyond that are stable, preserving declaration order.
     """
     spec_files = {_spec_file(s) for s in specs} - {None}
 
@@ -161,11 +176,8 @@ def order_specs(
     def key(s: QuerySpec) -> tuple[int, int, int]:
         rnd = verdict_round(s)
         if rnd == 0:
-            return (0, 0 if s.oracle is not None else 1, 0)
-        tc = touch_class(s, rnd)
-        if tc < 2:
-            return (1 + tc, 0 if s.oracle is not None else 1, rnd)
-        return (3, rnd, 0)
+            return (0, 0, 0 if s.oracle is not None else 1)
+        return (1, rnd, touch_class(s, rnd))
 
     return sorted(specs, key=key)
 

@@ -1,14 +1,18 @@
 """Rotation policy: the driver checks the first 50 registry entries, so
 ordering IS coverage.  These tests pin the derived-verified-set policy
-(VERDICT.md r2 items 1/9): never-checked first, touched-since-verified
-second, verified stalest-first — with no hand-frozen sets anywhere."""
+(VERDICT.md r2 items 1/9, r7 item 2): never-checked first, then verified
+stalest-verdict-first with git-touched tie-breaks — with no hand-frozen
+sets anywhere."""
 
 from __future__ import annotations
+
+import subprocess
 
 from etl_dagster_service_crawler_spark.core import QuerySpec
 from etl_dagster_service_crawler_spark.workloads import (
     _driver_verdicts,
     _REPO_ROOT,
+    _touched_since,
     order_specs,
     registry,
 )
@@ -66,6 +70,60 @@ def test_verified_sorted_stalest_first():
     specs = [_spec("new"), _spec("old")]
     out = order_specs(specs, {"new": 3, "old": 1}, {}, {1: set(), 3: set()})
     assert [s.name for s in out] == ["old", "new"]
+
+
+def test_staleness_dominates_touch_class():
+    """r7 verdict item 2: an OLD untouched verdict outranks a NEWER
+    verdict whose module was edited — otherwise a wide edit crowds the
+    stalest stamps out of the 50-window forever (r7: four r3-stamped
+    joins_wl queries stuck at positions 127-130 behind ~109 fresher
+    touched entries)."""
+    rel = "etl_dagster_service_crawler_spark.workloads.relational"
+    io = "etl_dagster_service_crawler_spark.workloads.io_wl"
+    specs = [_spec("new_touched", module=rel), _spec("old_clean", module=io)]
+    touched = {
+        1: set(),  # nothing changed since old_clean's verdict... (unused: rnd-keyed)
+        5: {"etl_dagster_service_crawler_spark/workloads/relational.py"},
+    }
+    out = order_specs(specs, {"new_touched": 5, "old_clean": 1}, {}, touched)
+    assert [s.name for s in out] == ["old_clean", "new_touched"]
+    # within the SAME verdict round, the touched spec goes first
+    out2 = order_specs(
+        specs,
+        {"new_touched": 5, "old_clean": 5},
+        {},
+        {5: {"etl_dagster_service_crawler_spark/workloads/relational.py"}},
+    )
+    # old_clean declared second but untouched; new_touched own-module hit
+    assert [s.name for s in out2] == ["new_touched", "old_clean"]
+
+
+def test_untracked_artifact_falls_back_to_head_anchor(tmp_path):
+    """r7 verdict item 3: when the driver's CORRECTNESS file is dropped
+    UNCOMMITTED, the filter must anchor at HEAD — uncommitted package
+    edits still invalidate — instead of silently disarming to 'nothing
+    touched'."""
+    repo = tmp_path / "repo"
+    pkg = repo / "etl_dagster_service_crawler_spark"
+    pkg.mkdir(parents=True)
+    (pkg / "mod.py").write_text("x = 1\n")
+
+    def git(*args):
+        subprocess.run(
+            ["git", *args], cwd=repo, check=True, capture_output=True,
+            env={"GIT_AUTHOR_NAME": "t", "GIT_AUTHOR_EMAIL": "t@t",
+                 "GIT_COMMITTER_NAME": "t", "GIT_COMMITTER_EMAIL": "t@t",
+                 "HOME": str(tmp_path), "PATH": "/usr/bin:/bin:/usr/local/bin"},
+        )
+
+    git("init", "-q")
+    git("add", "-A")
+    git("commit", "-qm", "base")
+    # driver drops the artifact untracked; builder edits package code after
+    (repo / "CORRECTNESS_r09.json").write_text("{}")
+    (pkg / "mod.py").write_text("x = 2\n")
+    touched = _touched_since(repo, {9: "CORRECTNESS_r09.json"})
+    assert touched[9] == {"etl_dagster_service_crawler_spark/mod.py"}
 
 
 def test_driver_verdict_parsing_against_frozen_fixture():
