@@ -261,7 +261,28 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             spec = parse_cron(args.cron)
+        def sleep_until_next_match() -> None:
+            # calendar alignment: sleep until the next cron match in
+            # the configured tz. A tick that overran its window gets
+            # next_fire(now) — the first match after NOW — so missed
+            # matches collapse into one catch-up tick, same as the
+            # fixed-cadence branch below.
+            from etl_dagster_service_crawler_spark.streaming.cron import (
+                next_fire,
+            )
+
+            nxt = next_fire(spec, datetime.now(timezone.utc), args.tz)
+            time.sleep(
+                max(0.0, (nxt - datetime.now(timezone.utc)).total_seconds())
+            )
+
         ticks = 0
+        if spec is not None:
+            # fire ONLY on schedule matches, including the first tick:
+            # the reference's ScheduleDefinition never runs a catch-up
+            # tick at process start (r8 advice — two ticks could land
+            # inside the first window).
+            sleep_until_next_match()
         while True:
             started = time.time()
             run_tick(
@@ -272,19 +293,7 @@ def main(argv: list[str] | None = None) -> int:
             if args.max_ticks and ticks >= args.max_ticks:
                 return 0
             if spec is not None:
-                # calendar alignment: sleep until the next cron match
-                # in the configured tz. A tick that overran its window
-                # gets next_fire(now) — the first match after NOW — so
-                # missed matches collapse into one catch-up tick, same
-                # as the fixed-cadence branch below.
-                from etl_dagster_service_crawler_spark.streaming.cron import (
-                    next_fire,
-                )
-
-                nxt = next_fire(spec, datetime.now(timezone.utc), args.tz)
-                time.sleep(
-                    max(0.0, (nxt - datetime.now(timezone.utc)).total_seconds())
-                )
+                sleep_until_next_match()
             else:
                 # cron-style fixed cadence: sleep out the remainder of
                 # the window (a tick longer than the interval fires the

@@ -178,7 +178,15 @@ def next_fire(spec: CronSpec, after: datetime, tz: str | ZoneInfo) -> datetime:
                 # time. Skip it — "there is no such minute".
                 back = utc.astimezone(zone)
                 if (back.hour, back.minute) == (local.hour, local.minute):
-                    return utc
+                    # fall-back repeated hour: minute arithmetic resets
+                    # fold to 0, so a match here is the FIRST occurrence
+                    # in absolute time. If `after` already sits past it
+                    # (inside or beyond the repeated hour), that fire
+                    # has happened — and by the "fires on its first
+                    # occurrence only" invariant the second occurrence
+                    # must not fire either. Keep scanning forward.
+                    if utc > after:
+                        return utc
             local = local + timedelta(minutes=1)
             if local.hour == 0 and local.minute == 0:
                 break  # rolled into the next day: re-check day fields

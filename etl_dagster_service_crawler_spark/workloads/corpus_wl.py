@@ -497,7 +497,13 @@ LIMIT {VOCAB_TOP_K}
 """
 
 
-BPE_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]+"
+# The catch-all class excludes \x1f: bpe_train wraps symbols with that
+# separator byte, and a pretoken containing it would corrupt the
+# wrapped encoding (3-way split crash). Both engines (Java regex /
+# DuckDB RE2) parse the \x1f escape identically, and the constant is
+# embedded verbatim in the oracle SQL, so the two pretokenizers stay
+# in lockstep.
+BPE_PRETOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 \\x1f]+"
 BPE_MAX_PIECE = 4
 
 

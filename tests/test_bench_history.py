@@ -168,31 +168,61 @@ def test_flag_new_and_absent():
     )
 
 
-# ------------------------------------------------------ env drift note
+# ----------------------------------------------- env drift adjudication
 
 
-def test_env_drift_note_flags_slower_machine():
+def test_env_drift_measures_slower_machine():
     prior = [mk_round("r01", {"a": 1.0}, canaries={"canary_io": 0.5})]
     newest = mk_round("loc", {"a": 1.5}, canaries={"canary_io": 0.75})
-    note = bh.env_drift_note(newest, prior)
-    assert "env io 1.5x slower" in note
+    ratio, kind = bh.env_drift(newest, prior)
+    assert (round(ratio, 2), kind) == (1.5, "io")
 
 
-def test_env_drift_note_quiet_when_within_ratio_or_absent():
-    prior = [mk_round("r01", {"a": 1.0}, canaries={"canary_io": 0.5})]
-    newest = mk_round("loc", {"a": 1.5}, canaries={"canary_io": 0.55})
-    assert bh.env_drift_note(newest, prior) == ""
-    # pre-canary artifacts: no canaries anywhere -> no note
-    assert bh.env_drift_note(mk_round("loc", {"a": 1.0}),
-                             [mk_round("r01", {"a": 1.0})]) == ""
+def test_env_drift_zero_when_canaries_absent():
+    ratio, _ = bh.env_drift(mk_round("loc", {"a": 1.0}),
+                            [mk_round("r01", {"a": 1.0})])
+    assert ratio == 0.0
 
 
-def test_env_drift_note_picks_worst_canary():
+def test_env_drift_picks_worst_canary():
     prior = [mk_round("r01", {"a": 1.0},
                       canaries={"canary_cpu": 0.2, "canary_io": 0.5})]
     newest = mk_round("loc", {"a": 1.0},
                       canaries={"canary_cpu": 0.44, "canary_io": 0.55})
-    assert "env cpu 2.2x slower" in bh.env_drift_note(newest, prior)
+    ratio, kind = bh.env_drift(newest, prior)
+    assert (round(ratio, 2), kind) == (2.2, "cpu")
+
+
+def test_flag_cleared_to_env_when_canary_explains_delta():
+    """r7 item 8: a query 1.5x slower on a machine whose canary is 1.6x
+    slower is machine drift — the flag clears to ENV, not REGRESSION."""
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 1.55, 1.6]})
+    flag = bh.flag_for("a", newest, prior, env_ratio=1.6, env_kind="io")
+    assert flag.startswith("ENV 1.5x")
+    assert "machine drift" in flag
+
+
+def test_flag_survives_when_query_moved_more_than_canary():
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    newest = mk_round("loc", {"a": 2.0}, {"a": [2.0, 2.1, 2.2]})
+    flag = bh.flag_for("a", newest, prior, env_ratio=1.3, env_kind="cpu")
+    assert flag.startswith("REGRESSION 2.0x")
+    assert "env cpu 1.3x slower" in flag
+
+
+def test_flag_unchanged_when_env_drift_below_threshold():
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 1.55, 1.6]})
+    flag = bh.flag_for("a", newest, prior, env_ratio=1.1, env_kind="io")
+    assert flag == "REGRESSION 1.5x vs best"
+
+
+def test_from_tail_scalar_accepts_scientific_notation():
+    q, _ = bh._from_tail('{"queries": {"tiny": 1.2e-05, "b": 3.5}}')
+    assert q["tiny"] == 1.2e-05 and q["b"] == 3.5
+    c = bh._canaries_from_tail('"canary_cpu": 9.7e-02, "canary_io": 0.15')
+    assert c == {"canary_cpu": 0.097, "canary_io": 0.15}
 
 
 # --------------------------------------------------------- load_rounds

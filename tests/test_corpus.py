@@ -631,3 +631,40 @@ def test_boilerplate_strip_consistent_with_flags(spark, tmp_path):
     # boiler-free docs round-trip byte-identical (incl. the short one)
     assert stripped[90]["clean_text"] == uniq(90) + " " + uniq(91)
     assert stripped[91]["clean_text"] == "tiny doc"
+
+
+def test_bpe_separator_byte_in_corpus_is_inert(spark, tmp_path):
+    """A document containing the \\x1f wrapped-encoding separator must
+    not crash the trainer or perturb the learned merges: the
+    pretokenizer's catch-all class excludes \\x1f, so the byte splits
+    runs but never enters a pretoken (r8 advice — previously the
+    3-way pk.split() raised ValueError)."""
+    import pandas as pd
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        bpe_train,
+        load_table,
+    )
+
+    clean = ["the cat sat", "the hat"]
+    dirty = ["the\x1f cat sat", "the \x1fhat\x1f"]
+
+    def frame(texts, sub):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": pd.array(range(len(texts)), dtype="int64"),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+            }
+        )
+        p = tmp_path / sub
+        p.mkdir()
+        pdf.to_parquet(f"{p}/documents.parquet", index=False)
+        return load_table(spark, str(p), "documents")
+
+    got_clean = bpe_train(frame(clean, "clean"), n_merges=4)
+    got_dirty = bpe_train(frame(dirty, "dirty"), n_merges=4)
+    assert got_clean == got_dirty
+    assert got_clean  # the corpus does learn merges

@@ -100,6 +100,28 @@ def test_fall_back_repeat_fires_once():
     assert second == utc(2026, 11, 2, 6, 30)  # 01:30 EST next day
 
 
+def test_fall_back_after_inside_repeated_hour():
+    """`after` strictly INSIDE the repeated hour (06:10 UTC = 01:10 EST,
+    the second pass through 01:xx). Minute arithmetic resets fold to 0,
+    so a naive scan maps the 01:30 match back to 05:30 UTC — BEFORE
+    `after` — and the deploy loop would fire back-to-back ticks (r8
+    advice, medium). next_fire must stay strictly forward in absolute
+    time: the 01:30 EDT fire already happened, the EST repeat must not
+    fire, so the next fire is Nov 2."""
+    spec = parse_cron("30 1 * * *")
+    after = utc(2026, 11, 1, 6, 10)
+    fire = next_fire(spec, after, "America/New_York")
+    assert fire > after
+    assert fire == utc(2026, 11, 2, 6, 30)
+    # a finer schedule: */15 matches 01:15/01:30/01:45 — all already
+    # fired on the EDT pass, so from inside the EST repeat the next
+    # fire is the first unambiguous minute whose wall time is new
+    spec15 = parse_cron("*/15 * * * *")
+    fire15 = next_fire(spec15, utc(2026, 11, 1, 6, 10), "America/New_York")
+    assert fire15 > utc(2026, 11, 1, 6, 10)
+    assert fire15 == utc(2026, 11, 1, 7, 0)  # 02:00 EST
+
+
 def test_ranges_lists_steps():
     spec = parse_cron("15,45 8-10/2 * * *")
     t = utc(2026, 8, 14, 8, 20)

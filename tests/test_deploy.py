@@ -131,3 +131,41 @@ def test_status_report_after_ticks(spark, sf_dir, tmp_path, capsys):
         assert "<absent>" not in text
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+
+
+def test_cron_mode_waits_for_first_match(monkeypatch):
+    """--cron mode must fire ONLY on schedule matches — including the
+    FIRST tick. The reference's ScheduleDefinition never runs a
+    catch-up tick at process start, so an immediate tick could land two
+    runs inside the first window (r8 advice)."""
+    from etl_dagster_service_crawler_spark import deploy
+
+    events = []
+
+    class FakeSpark:
+        def stop(self):
+            events.append("stop")
+
+    monkeypatch.setattr(deploy, "build_session", lambda: FakeSpark())
+    monkeypatch.setattr(
+        deploy,
+        "run_tick",
+        lambda *a, **k: events.append("tick") or True,
+    )
+    monkeypatch.setattr(
+        deploy.time, "sleep", lambda s: events.append(("sleep", s))
+    )
+
+    rc = deploy.main(
+        ["--cron", "*/2 * * * *", "--max-ticks", "2", "--source", "x",
+         "--output", "y"]
+    )
+    assert rc == 0
+    ticks = [i for i, e in enumerate(events) if e == "tick"]
+    sleeps = [i for i, e in enumerate(events) if isinstance(e, tuple)]
+    assert len(ticks) == 2
+    # a sleep-until-match precedes the FIRST tick, and one separates
+    # the two ticks: sleep, tick, sleep, tick
+    assert sleeps[0] < ticks[0] < sleeps[1] < ticks[1]
+    # each requested sleep is bounded by the */2 cadence
+    assert all(0.0 <= e[1] <= 120.0 for e in events if isinstance(e, tuple))

@@ -67,7 +67,11 @@ def _from_tail(tail: str) -> tuple[dict[str, float], dict[str, list[float]]]:
         except ValueError:
             continue
     queries: dict[str, float] = {}
-    for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*(\d+(?:\.\d+)?)(?=\s*[,}])', tail):
+    # exponent suffix included: a 1.2e-05 timing in a truncated tail
+    # must not be silently dropped (the runs-list pattern above already
+    # accepts eE)
+    scalar = r"(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)"
+    for m in re.finditer(rf'"([A-Za-z0-9_]+)":\s*{scalar}(?=\s*[,}}])', tail):
         k = m.group(1)
         if k not in _META_KEYS:
             queries[k] = float(m.group(2))
@@ -80,7 +84,7 @@ def _from_tail(tail: str) -> tuple[dict[str, float], dict[str, list[float]]]:
 def _canaries_from_tail(tail: str) -> dict[str, float]:
     out = {}
     for k in _CANARY_KEYS:
-        m = re.search(rf'"{k}":\s*(\d+(?:\.\d+)?)', tail)
+        m = re.search(rf'"{k}":\s*(\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)', tail)
         if m:
             out[k] = float(m.group(1))
     return out
@@ -169,14 +173,11 @@ def load_rounds(extra: list[str]) -> list[Round]:
     return rounds
 
 
-def env_drift_note(newest: Round, prior: list[Round]) -> str:
+def env_drift(newest: Round, prior: list[Round]) -> tuple[float, str]:
     """Compare the newest round's canaries against the best prior
-    observation of each. Returns a flag suffix like
-    ' (env io 1.4x slower)' when the machine itself measures >=
-    ENV_DRIFT_RATIO slower — REGRESSION flags then carry the caveat,
-    because a slower machine moves every query, plan change or not.
-    Empty string when canaries are absent (pre-canary artifacts) or
-    within the ratio."""
+    observation of each. Returns (worst_ratio, kind) — how much slower
+    the MACHINE itself measures, independent of any query plan. 0.0
+    when canaries are absent (pre-canary artifacts)."""
     worst = 0.0
     worst_kind = ""
     for k in _CANARY_KEYS:
@@ -187,12 +188,13 @@ def env_drift_note(newest: Round, prior: list[Round]) -> str:
         ratio = newest_v / min(prior_vs)
         if ratio > worst:
             worst, worst_kind = ratio, k.removeprefix("canary_")
-    if worst >= ENV_DRIFT_RATIO:
-        return f" (env {worst_kind} {worst:.1f}x slower)"
-    return ""
+    return worst, worst_kind
 
 
-def flag_for(name: str, newest: Round, prior: list[Round]) -> str:
+def flag_for(
+    name: str, newest: Round, prior: list[Round], env_ratio: float = 0.0,
+    env_kind: str = "",
+) -> str:
     newest_min = newest.queries.get(name)
     if newest_min is None:
         return "absent in latest"
@@ -213,10 +215,23 @@ def flag_for(name: str, newest: Round, prior: list[Round]) -> str:
         if newest_med < MED_RATIO * min(prior_meds):
             return ""  # the min moved but the bulk didn't: one bad run
     ratio = newest_min / best_prior_min
+    # canary adjudication (r7 item 8): when the machine's own canaries
+    # moved at least as much as this query, the delta is explained by
+    # the environment — clear the flag to ENV so only plan regressions
+    # survive as REGRESSION. A query that moved MORE than the canaries
+    # keeps its flag, annotated with the measured env share.
+    if env_ratio >= ENV_DRIFT_RATIO and ratio <= env_ratio:
+        return (
+            f"ENV {ratio:.1f}x ~ canary_{env_kind} {env_ratio:.1f}x — "
+            "machine drift, not plan"
+        )
     spread = newest.spread(name)
     if spread is not None and spread >= NOISY_SPREAD:
         return f"NOISY? {ratio:.1f}x min but spread {spread:.1f}x — re-run locally"
-    return f"REGRESSION {ratio:.1f}x vs best"
+    flag = f"REGRESSION {ratio:.1f}x vs best"
+    if env_ratio >= ENV_DRIFT_RATIO:
+        flag += f" (env {env_kind} {env_ratio:.1f}x slower)"
+    return flag
 
 
 def main() -> None:
@@ -234,15 +249,16 @@ def main() -> None:
     )
     print(f"{'query'.ljust(width)}  {header}  flag")
     newest, prior = rounds[-1], rounds[:-1]
-    env_note = env_drift_note(newest, prior)
-    flagged, noisy = [], []
+    env_ratio, env_kind = env_drift(newest, prior)
+    flagged, noisy, env_cleared = [], [], []
     for n in names:
-        flag = flag_for(n, newest, prior)
+        flag = flag_for(n, newest, prior, env_ratio, env_kind)
         if flag.startswith("REGRESSION"):
             flagged.append(n)
-            flag += env_note
         elif flag.startswith("NOISY?"):
             noisy.append(n)
+        elif flag.startswith("ENV"):
+            env_cleared.append(n)
         cells = "  ".join(
             (f"{r.queries[n]:8.3f}" if n in r.queries else "       -")
             for r in rounds
@@ -259,14 +275,17 @@ def main() -> None:
                 for r in rounds
             )
             print(f"{k.ljust(width)}  {cells}")
-    if env_note:
-        print(f"# machine canary{env_note} than its best prior — REGRESSION "
-              "flags above carry that caveat", file=sys.stderr)
+    if env_ratio >= ENV_DRIFT_RATIO:
+        print(f"# machine canary_{env_kind} {env_ratio:.1f}x slower than its "
+              "best prior — flags within that ratio cleared to ENV",
+              file=sys.stderr)
     if any(r.partial for r in rounds):
         print("# * = recovered from truncated stdout tail; query set may be "
               "partial, TOTAL not cross-comparable", file=sys.stderr)
     if flagged:
         print(f"\nflagged: {flagged}")
+    if env_cleared:
+        print(f"env-cleared (canary explains the delta): {env_cleared}")
     if noisy:
         print(f"noisy (re-run locally to adjudicate): {noisy}")
 
