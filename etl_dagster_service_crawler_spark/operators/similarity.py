@@ -17,7 +17,9 @@
   equi-join) — see workloads/llm.py.
 
 All vector math is expression-based (functions/vectors.py) — no UDF,
-no collect.
+no collect — except knn_join_quantized's coarse pass, which is an
+Arrow-batched numpy matmul by design (block brute force: the per-pair
+fold is the whole cost, so it runs vectorized).
 """
 
 from __future__ import annotations
@@ -411,7 +413,7 @@ def probe_order_and_assignment(S) -> tuple:
     return order, db_cell
 
 
-def calibrated_nprobe_cached(
+def calibration_cached(
     emb: DataFrame,
     centroids: DataFrame,
     index_dir: str,
@@ -419,10 +421,11 @@ def calibrated_nprobe_cached(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> int:
+) -> tuple[int, list[tuple[int, float]]]:
     """calibrate_nprobe, memoized in the persisted index dir (atomic
     tmp+rename publish, same discipline as ivf_build): repeated query
-    batches against one index pay calibration once."""
+    batches against one index pay calibration once. Returns
+    (nprobe, curve) — the curve is what route_knn adjudicates on."""
     import json
     import os
     import uuid
@@ -432,7 +435,7 @@ def calibrated_nprobe_cached(
         with open(path) as fh:
             rec = json.load(fh)
         if rec.get("target_recall") == target_recall and rec.get("k") == k:
-            return int(rec["nprobe"])
+            return int(rec["nprobe"]), [tuple(p) for p in rec["curve"]]
     nprobe, curve = calibrate_nprobe(
         emb, centroids, target_recall, k, id_col=id_col, vec_col=vec_col
     )
@@ -443,7 +446,52 @@ def calibrated_nprobe_cached(
             fh,
         )
     os.replace(tmp, path)
-    return nprobe
+    return nprobe, curve
+
+
+def calibrated_nprobe_cached(
+    emb: DataFrame,
+    centroids: DataFrame,
+    index_dir: str,
+    target_recall: float = 0.85,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    return calibration_cached(
+        emb, centroids, index_dir, target_recall, k, id_col, vec_col
+    )[0]
+
+
+# Above this probed fraction at target recall, the IVF candidate join
+# approaches brute force (candidate volume ~ fraction x n^2) while
+# still paying index maintenance — the quantized block scan does the
+# same work on 1/8th the bytes with no index. 0.25 keeps a real
+# pruning margin: at or below it, IVF reads at most a quarter of the
+# all-pairs volume.
+KNN_ROUTE_MAX_PROBED_FRACTION = 0.25
+
+
+def route_knn(
+    curve: list[tuple[int, float]],
+    n_cells: int,
+    target_recall: float,
+    max_probed_fraction: float = KNN_ROUTE_MAX_PROBED_FRACTION,
+) -> tuple[str, int]:
+    """Corpus-adaptive ANN routing (r7 verdict item 1): adjudicate the
+    calibration curve. Returns ('ivf'|'quantized', nprobe).
+
+    On a clustered corpus (near-dup-heavy crawl data) recall reaches
+    the target within a few probes — IVF prunes for real, keep it. On
+    an isotropic corpus recall tracks probed candidate mass, so the
+    honest nprobe probes most cells and the 'index' is a slow brute
+    force — route to the quantized-rerank block scan instead. Pure
+    function of the published curve so tests drive both corpus shapes
+    directly."""
+    nprobe = next((p for p, r in curve if r >= target_recall), n_cells)
+    if nprobe > max_probed_fraction * n_cells:
+        return "quantized", nprobe
+    return "ivf", nprobe
 
 
 def kmeans_centroids(
@@ -864,3 +912,197 @@ def knn_join_cells(
 
 def _pair_dot(a: Column, b: Column, dim: int | None) -> Column:
     return dot_fixed(a, b, dim) if dim else dot(a, b)
+
+
+# Per-task coarse work is bq x bc x dim multiply-adds; 4096^2 x 128
+# ~ 2e9 int ops keeps a task in the seconds range. Beyond this cap the
+# task count grows as (n/4096)^2 — the honest quadratic envelope of
+# brute force (see docs/SCALE.md, isotropic ANN).
+KNN_QUANT_BLOCK_CAP = 4096
+
+
+def knn_join_quantized(
+    emb: DataFrame,
+    k: int = 5,
+    r_candidates: int = 64,
+    block_rows: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Batch kNN self-join for corpora where IVF degenerates (the
+    route_knn 'quantized' arm): block brute force — int8-quantized
+    coarse scan over PACKED block pairs, exact float re-rank of the
+    R survivors per query. The batch twin of quantized_rerank_topk
+    (same quantization, same coarse score, same -2.0 zero-vector
+    sentinel), and the only honest shape on isotropic embeddings,
+    where no partition-pruning index beats a scan — so the scan is
+    made cheap (1/8th the bytes, vectorized integer matmuls) instead
+    of pretending to prune.
+
+    Shape: vectors land in ceil(n/block_rows) hash blocks; each block
+    is packed ONCE into (ids, flattened int8 matrix, norms) — sorted
+    by id, so the pack is deterministic. Query blocks replicate over
+    corpus blocks via an explode(sequence)-equi-join — a plain
+    shuffled join, NEVER a CartesianProduct or an unbounded BNLJ, so
+    AQE/skew machinery applies and plan_lint stays clean. Each
+    block-pair task runs ONE numpy int matmul (Arrow-batched
+    mapInPandas; per-pair expression folds would pay ~100x per pair)
+    and keeps its per-query top-R by (coarse desc, id) — the global
+    top-R per query is a window merge of those partials (correct:
+    global top-R is a subset of the union of per-block top-Rs). The
+    exact re-rank then touches n x R pairs, not n^2.
+
+    Scale: data moved = packed query blocks replicated B_c times
+    (n x dim bytes x n/block_rows) — the standard block-product
+    replication; compute is the unavoidable O(n^2 dim / 8) coarse
+    bytes. Integer dots are exact, so coarse ordering (and therefore
+    the survivor set) is deterministic; with r_candidates >= n the
+    result equals cosine_topk_bruteforce row-for-row (pinned).
+
+    Returns (qid, nid, cos, rn) — the knn_join_cells contract.
+    """
+    # n only sizes the blocks; callers that know it (parquet footer)
+    # pass n_rows and skip the count job
+    n = n_rows if n_rows is not None else emb.count()
+    if n == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, nid long, cos double, rn int"
+        )
+    if block_rows is None:
+        # B^2 ~ P/2 block pairs: enough tasks to fill the cluster once
+        # AQE splits, few enough that per-pair stage overhead doesn't
+        # dominate (measured at n=2000/P=32: B=4 beats B=8 by ~15%
+        # and B=2 loses to both — parallelism vs overhead knee)
+        p = emb.sparkSession.sparkContext.defaultParallelism
+        b_target = max(1, int((p / 2) ** 0.5))
+        block_rows = min(KNN_QUANT_BLOCK_CAP, max(64, -(-n // b_target)))
+    n_blocks = max(1, -(-n // block_rows))
+
+    absmax = F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    q8 = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
+    )
+    izero = F.lit(0).cast("bigint")
+    isq = F.aggregate(
+        F.col("q8"), izero, lambda acc, x: acc + (x * x).cast("bigint")
+    )
+    base = (
+        emb.select(F.col(id_col).alias("id"), q8.alias("q8"))
+        .withColumn("n8", F.sqrt(isq.cast("double")))
+        .withColumn(
+            "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
+        )
+    )
+    packed = (
+        base.groupBy("block")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("id", "q8", "n8"))
+            ).alias("rows")
+        )
+        .select(
+            "block",
+            F.transform("rows", lambda r: r["id"]).alias("ids"),
+            F.flatten(F.transform("rows", lambda r: r["q8"])).alias("mat"),
+            F.transform("rows", lambda r: r["n8"]).alias("norms"),
+        )
+    )
+    qb = packed.select(
+        F.col("ids").alias("qids"),
+        F.col("mat").alias("qmat"),
+        F.col("norms").alias("qnorms"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("nb"),
+    )
+    nb = packed.select(
+        F.col("block").alias("nb"),
+        F.col("ids").alias("nids"),
+        F.col("mat").alias("nmat"),
+        F.col("norms").alias("nnorms"),
+    )
+    n_parts = emb.sparkSession.sparkContext.defaultParallelism
+    pairs = qb.repartition(n_parts, "qids", "nb").join(nb, "nb")
+
+    r_cand = r_candidates
+
+    def coarse_blocks(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_q, out_n, out_c = [], [], []
+            for row in pdf.itertuples(index=False):
+                qids = np.asarray(row.qids, dtype=np.int64)
+                nids = np.asarray(row.nids, dtype=np.int64)
+                if not len(qids) or not len(nids):
+                    continue
+                d = len(row.qmat) // len(qids)
+                q = np.asarray(row.qmat, dtype=np.int64).reshape(len(qids), d)
+                m = np.asarray(row.nmat, dtype=np.int64).reshape(len(nids), d)
+                den = np.outer(
+                    np.asarray(row.qnorms, dtype=np.float64),
+                    np.asarray(row.nnorms, dtype=np.float64),
+                )
+                s = (q @ m.T).astype(np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    c = np.where(den > 0, s / den, -2.0)
+                r = min(r_cand, len(nids))
+                for i in range(len(qids)):
+                    # deterministic top-r: (coarse desc, nid asc), self
+                    # excluded — full lexsort of a <=block_rows row
+                    order = np.lexsort((nids, -c[i]))
+                    keep = order[nids[order] != qids[i]][:r]
+                    out_q.append(np.full(len(keep), qids[i]))
+                    out_n.append(nids[keep])
+                    out_c.append(c[i][keep])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "qid": np.concatenate(out_q),
+                        "nid": np.concatenate(out_n),
+                        "coarse": np.concatenate(out_c),
+                    }
+                )
+
+    partials = pairs.mapInPandas(
+        coarse_blocks, "qid long, nid long, coarse double"
+    )
+    wc = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("nid"))
+    survivors = (
+        partials.withColumn("crn", F.row_number().over(wc))
+        .where(F.col("crn") <= r_candidates)
+        .select("qid", "nid")
+    )
+    v = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.sqrt(norm2(F.col(vec_col))).alias("nrm"),
+    )
+    qv = v.select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    nv = v.select(
+        F.col("id").alias("nid"), F.col("vec").alias("nvec"),
+        F.col("nrm").alias("nnrm"),
+    )
+    we = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    return (
+        survivors.join(qv, "qid")
+        .join(nv, "nid")
+        .select(
+            "qid",
+            "nid",
+            (_pair_dot(F.col("qvec"), F.col("nvec"), dim)
+             / (F.col("qnrm") * F.col("nnrm"))).alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(we))
+        .where(F.col("rn") <= k)
+        .select("qid", "nid", "cos", "rn")
+    )

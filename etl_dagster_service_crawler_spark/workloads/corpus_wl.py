@@ -344,6 +344,11 @@ ORDER BY doc_id
 # (test_knn_join_recall_vs_bruteforce) and tools/knn_recall_scale.py
 # (RECALL_FLOOR) — measured organic recall@5 at sf0.1 is 0.849
 KNN_TARGET_RECALL = 0.85
+# survivors per query for the quantized-rerank arm; measured recall@5
+# = 1.0 on the isotropic fixtures at 32 AND 16 (the coarse int8
+# ordering is nearly the exact ordering — quantization noise, not
+# index loss); 32 keeps 2x margin over the smallest measured-perfect R
+KNN_RERANK_CANDIDATES = 32
 
 
 def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -365,11 +370,29 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     KNN_TARGET_RECALL on THIS corpus, so a clustered (near-dup-heavy)
     corpus keeps its cheap small-nprobe plan while a structureless one
     honestly pays for its recall; the choice is cached with the
-    persisted index."""
+    persisted index.
+
+    This op is EXPLICITLY the IVF arm (the index inspection surface);
+    production batch kNN should call knn_join_auto, which routes away
+    from IVF when the calibration curve shows it degenerating."""
+    emb, c, _index_dir, centroids, assignments, nprobe, _curve = (
+        _knn_ivf_plan(spark, sf_dir)
+    )
+    return knn_join_cells(
+        emb, k=5, n_centroids=c, nprobe=nprobe,
+        centroids=centroids, assignments=assignments,
+    ).orderBy("qid", "rn")
+
+
+def _knn_ivf_plan(spark: SparkSession, sf_dir: str):
+    """Shared IVF planning for the knn_join family: persisted index
+    (built once per corpus), cached calibration. Returns
+    (emb, n_centroids, index_dir, centroids, assignments, nprobe,
+    curve)."""
     import os
 
     from etl_dagster_service_crawler_spark.operators.similarity import (
-        calibrated_nprobe_cached,
+        calibration_cached,
         ivf_build,
         ivf_index_dir,
     )
@@ -394,13 +417,53 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_build(emb, index_dir, n_centroids=c)
     centroids = spark.read.parquet(f"{index_dir}/centroids")
     assignments = spark.read.parquet(f"{index_dir}/assignments")
-    nprobe = calibrated_nprobe_cached(
+    nprobe, curve = calibration_cached(
         emb, centroids, index_dir, target_recall=KNN_TARGET_RECALL, k=5
     )
-    return knn_join_cells(
-        emb, k=5, n_centroids=c, nprobe=nprobe,
-        centroids=centroids, assignments=assignments,
-    ).orderBy("qid", "rn")
+    return emb, c, index_dir, centroids, assignments, nprobe, curve
+
+
+def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-adaptive batch ANN (the production knn_join entry): runs
+    the SAME calibration as knn_join_ivf, then lets route_knn
+    adjudicate the curve. A clustered corpus — recall target reached
+    within a few probes — keeps the IVF cell join (real pruning: the
+    candidate volume is the probed fraction of all-pairs). An
+    isotropic corpus — recall tracks probed mass, honest nprobe probes
+    most cells — routes to knn_join_quantized, the int8 block scan +
+    exact rerank (1/8th the coarse bytes, no index pretending to
+    prune). Both arms return the same (qid, nid, cos, rn) contract and
+    hold the recall pin (tests/test_corpus.py: >= 0.8 on both corpus
+    shapes).
+
+    Approximate by construction — driver-checked rows-only; the
+    routing decision itself is a pure function of the published
+    calibration curve (operators/similarity.route_knn), pinned by
+    tests on both corpus shapes."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        knn_join_quantized,
+        route_knn,
+    )
+
+    emb, c, _index_dir, centroids, assignments, nprobe, curve = (
+        _knn_ivf_plan(spark, sf_dir)
+    )
+    path, nprobe = route_knn(curve, c, KNN_TARGET_RECALL)
+    if path == "ivf":
+        out = knn_join_cells(
+            emb, k=5, n_centroids=c, nprobe=nprobe,
+            centroids=centroids, assignments=assignments,
+        )
+    else:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(
+            f"{sf_dir}/embeddings.parquet"
+        ).metadata.num_rows
+        out = knn_join_quantized(
+            emb, k=5, r_candidates=KNN_RERANK_CANDIDATES, n_rows=n_rows
+        )
+    return out.orderBy("qid", "rn")
 
 
 # per-quality-decile retention thresholds, in md5-nibble sixteenths
@@ -1569,6 +1632,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec("boilerplate_strip", q_boilerplate_strip, SQL_BOILER_STRIP),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
+    # the routed production entry (r7 item 1): IVF when the corpus
+    # clusters, quantized block scan when calibration shows IVF
+    # degenerating — bench tracks the routed cost
+    QuerySpec("knn_join_auto", q_knn_join_auto, None, bench=True),
     QuerySpec(
         "pipeline_rag_ingest", q_pipeline_rag_ingest, _rag_ingest_sql(), bench=True
     ),

@@ -668,3 +668,146 @@ def test_bpe_separator_byte_in_corpus_is_inert(spark, tmp_path):
     got_dirty = bpe_train(frame(dirty, "dirty"), n_merges=4)
     assert got_clean == got_dirty
     assert got_clean  # the corpus does learn merges
+
+
+# ------------------------------------------------ knn routing (r7 #1)
+
+
+def test_route_knn_adjudicates_curve_shapes():
+    """Pure routing pins: an isotropic-shaped curve (recall tracks
+    probed mass, target met only past the fraction threshold) routes
+    to the quantized scan; a clustered-shaped curve (target met in a
+    couple of probes) keeps IVF; the boundary probe count stays IVF."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        route_knn,
+    )
+
+    iso = [(p, p / 22.0) for p in range(1, 23)]
+    assert route_knn(iso, 22, 0.5) == ("quantized", 11)
+    clustered = [(1, 0.92), (2, 0.97)] + [(p, 1.0) for p in range(3, 23)]
+    assert route_knn(clustered, 22, 0.85) == ("ivf", 1)
+    # exactly at the fraction boundary: IVF still prunes 4x, keep it
+    boundary = [(p, 1.0 if p >= 4 else 0.0) for p in range(1, 17)]
+    assert route_knn(boundary, 16, 0.85) == ("ivf", 4)
+    # target unreachable: nprobe degrades to n_cells -> quantized
+    flat = [(p, 0.5) for p in range(1, 17)]
+    assert route_knn(flat, 16, 0.85) == ("quantized", 16)
+
+
+def test_knn_join_quantized_exact_when_r_covers_corpus(spark, sf_dir):
+    """Exactness property: with r_candidates >= corpus size the
+    quantized join IS brute force — every (qid, rn) -> (nid, cos)
+    matches cosine_topk_bruteforce bit-for-bit (same fold order)."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        knn_join_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    exact = {
+        (r["qid"], r["rn"]): (r["nid"], r["cos"])
+        for r in cosine_topk_bruteforce(emb, ids, k=5).collect()
+    }
+    full = {
+        (r["qid"], r["rn"]): (r["nid"], r["cos"])
+        for r in knn_join_quantized(emb, k=5, r_candidates=len(ids)).collect()
+    }
+    assert full == exact
+
+
+def test_knn_join_auto_routes_quantized_on_isotropic(spark, sf_dir):
+    """The organic fixture embeddings are near-isotropic: calibration
+    needs most cells, so the auto op must route to the quantized arm
+    (MapInPandas coarse pass in the plan, no CartesianProduct, no
+    BNLJ) and hold the recall pin."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        route_knn,
+    )
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        KNN_TARGET_RECALL,
+        _knn_ivf_plan,
+        q_knn_join_auto,
+    )
+
+    _emb, c, _d, _ce, _a, _np_, curve = _knn_ivf_plan(spark, sf_dir)
+    path, _ = route_knn(curve, c, KNN_TARGET_RECALL)
+    assert path == "quantized"
+
+    out = q_knn_join_auto(spark, sf_dir)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sample_ids = [r["vec_id"] for r in emb.select("vec_id").limit(20).collect()]
+    truth = {
+        (r["qid"], r["nid"])
+        for r in cosine_topk_bruteforce(emb, sample_ids, k=5).collect()
+    }
+    got = {
+        (r["qid"], r["nid"])
+        for r in out.where(F.col("qid").isin(sample_ids)).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"recall@5 {recall:.2f} below the 0.8 pin"
+
+
+def test_knn_join_auto_routes_ivf_on_clustered(spark, tmp_path):
+    """A clustered replica (10 tight clusters, the near-dup-heavy
+    crawl-corpus shape): calibration reaches the target within a few
+    probes, so the auto op must KEEP the IVF cell join (no MapInPandas
+    coarse pass) and still hold the recall pin."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        route_knn,
+    )
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        KNN_TARGET_RECALL,
+        _knn_ivf_plan,
+        q_knn_join_auto,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs = (
+        centers[np.arange(500) % 10]
+        + 0.01 * rng.normal(size=(500, 64))
+    ).astype(np.float32)
+    pd.DataFrame(
+        {
+            "vec_id": pd.array(range(500), dtype="int64"),
+            "embedding": list(vecs),
+            "label": pd.array(np.arange(500) % 10, dtype="int32"),
+        }
+    ).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+
+    sf = str(tmp_path)
+    _emb, c, _d, _ce, _a, nprobe, curve = _knn_ivf_plan(spark, sf)
+    path, nprobe = route_knn(curve, c, KNN_TARGET_RECALL)
+    assert path == "ivf"
+    assert nprobe <= 0.25 * c
+
+    out = q_knn_join_auto(spark, sf)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert "CartesianProduct" not in plan
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    sample_ids = [r["vec_id"] for r in emb.select("vec_id").limit(20).collect()]
+    truth = {
+        (r["qid"], r["nid"])
+        for r in cosine_topk_bruteforce(emb, sample_ids, k=5).collect()
+    }
+    got = {
+        (r["qid"], r["nid"])
+        for r in out.where(F.col("qid").isin(sample_ids)).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"recall@5 {recall:.2f} below the 0.8 pin"
