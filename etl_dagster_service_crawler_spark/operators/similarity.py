@@ -139,6 +139,45 @@ def quantized_rerank_topk(
     )
 
 
+def srp_planes(
+    dim: int = 64, n_tables: int = 4, bits_per_table: int = 8,
+    seed: int = 42,
+) -> list[tuple[int, int, list[float]]]:
+    """The SRP hyperplane set as plain data: (tbl, bit, plane) rows,
+    table-major RNG consumption. Factored out of srp_neardup_pairs so
+    the oracle-backed bucket export (workloads/llm.py) provably hashes
+    with the PRODUCTION planes — the export's SQL inlines these exact
+    doubles (repr round-trips, DuckDB literal parse is exact)."""
+    import random as _random
+
+    rng = _random.Random(seed)
+    return [
+        (t, b, [rng.gauss(0.0, 1.0) for _ in range(dim)])
+        for t in range(n_tables)
+        for b in range(bits_per_table)
+    ]
+
+
+def probe_cells(
+    queries: DataFrame, centroids: DataFrame, nprobe: int,
+) -> DataFrame:
+    """Per-query probe ranking — the ONE definition of IVF probe order
+    (qcos desc, ties to smallest cid): rows (qid, qvec, cid, qcos, rn)
+    with rn <= nprobe. Shared by ivf_search and the oracle-backed
+    probe export, and mirrored exactly by calibrate_nprobe's numpy
+    kernel (probe_order_and_assignment)."""
+    wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
+    return (
+        queries.join(F.broadcast(centroids))
+        .select(
+            "qid", "qvec", "cid",
+            cosine(F.col("qvec"), F.col("cvec")).alias("qcos"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= nprobe)
+    )
+
+
 def srp_neardup_pairs(
     emb: DataFrame,
     threshold: float = 0.9,
@@ -179,19 +218,12 @@ def srp_neardup_pairs(
     bytes per doc — the right side of the tradeoff whenever dup density
     is non-trivial (the reason one runs near-dup at all). Pinned by
     tests/test_plans.py (no Exchange/HashAggregate above the self-join)."""
-    import random as _random
-
-    rng = _random.Random(seed)
     spark = emb.sparkSession
     # hyperplanes as a broadcast 32-row TABLE, not inline literals — a
     # lit()-array per plane would put ~n_tables*bits*dim nodes into the
     # expression tree and stall the analyzer/codegen.
     planes = spark.createDataFrame(
-        [
-            (t, b, [rng.gauss(0.0, 1.0) for _ in range(dim)])
-            for t in range(n_tables)
-            for b in range(bits_per_table)
-        ],
+        srp_planes(dim, n_tables, bits_per_table, seed),
         "tbl int, bit int, plane array<double>",
     )
 
@@ -711,15 +743,8 @@ def ivf_search(
     pruning via the executed plan. Self-matches (nid == qid) are
     excluded for parity with ivf_topk/bruteforce."""
     centroids = spark.read.parquet(f"{index_dir}/centroids")
-    wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
-    probes = (
-        queries.join(F.broadcast(centroids))
-        .select(
-            "qid", "qvec", "cid", cosine(F.col("qvec"), F.col("cvec")).alias("qcos")
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= nprobe)
-        .select("qid", "qvec", "cid")
+    probes = probe_cells(queries, centroids, nprobe).select(
+        "qid", "qvec", "cid"
     )
     probe_cids = sorted(
         int(r["cid"]) for r in probes.select("cid").distinct().collect()

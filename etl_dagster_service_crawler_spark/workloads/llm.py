@@ -26,7 +26,7 @@ from etl_dagster_service_crawler_spark.functions.text import (
     tokens_ws,
     word_ngrams,
 )
-from etl_dagster_service_crawler_spark.functions.vectors import cosine
+from etl_dagster_service_crawler_spark.functions.vectors import cosine, dot
 from etl_dagster_service_crawler_spark.io.tables import load_table
 from etl_dagster_service_crawler_spark.operators.dedup import (
     dedup_exact,
@@ -1689,6 +1689,222 @@ FROM hv
 SQL_SIMHASH_EXPORT = _simhash_export_sql()
 
 
+# --- SRP / IVF family exports (r7 item 4: shrink the rows-only set) ----------
+
+# dedup_embedding_lsh's exact SRP config (workloads/llm.q_dedup_embedding_lsh)
+SRP_EXPORT_TABLES = 8
+SRP_EXPORT_BITS = 4
+SRP_EXPORT_DIM = 64
+SRP_EXPORT_SEED = 42
+
+
+def q_srp_bucket_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable SRP-LSH bucket artifact: per (vector, table),
+    the signed-random-projection bucket id — the EXACT blocking key
+    dedup_embedding_lsh joins on (operators/similarity.srp_neardup_
+    pairs, same srp_planes(64, 8, 4, seed 42) hyperplanes; the oracle
+    SQL inlines those doubles verbatim, and repr/literal-parse
+    round-trips are exact). Anchors the rows-only near-dup family's
+    candidate generation end-to-end: sign(dot) per plane is
+    bit-identical cross-engine because the dot fold order matches
+    DuckDB's list_sum (functions/vectors.py), and the bucket fold is
+    all-integer from there.
+
+    Scale: shuffle-free per-vector projection (one broadcast of 32
+    plane rows); the groupBy folds 32 sign rows per vector."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        srp_planes,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    planes = spark.createDataFrame(
+        srp_planes(
+            SRP_EXPORT_DIM, SRP_EXPORT_TABLES, SRP_EXPORT_BITS,
+            SRP_EXPORT_SEED,
+        ),
+        "tbl int, bit int, plane array<double>",
+    )
+    sign = F.when(dot(F.col("embedding"), F.col("plane")) > 0, 1).otherwise(0)
+    proj = e.join(F.broadcast(planes)).select(
+        "vec_id", "tbl", "bit", sign.alias("sign")
+    )
+    # sign * 2^bit via pow (exact at these exponents) — shiftleft
+    # needs a literal shift amount; this is the srp_neardup_pairs idiom
+    return proj.groupBy("vec_id", "tbl").agg(
+        F.sum(
+            F.col("sign") * F.pow(F.lit(2.0), F.col("bit")).cast("bigint")
+        ).alias("bkt")
+    )
+
+
+def _srp_bucket_export_sql() -> str:
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        srp_planes,
+    )
+
+    rows = ",\n    ".join(
+        f"({t}, {b}, [{', '.join(repr(v) for v in plane)}])"
+        for t, b, plane in srp_planes(
+            SRP_EXPORT_DIM, SRP_EXPORT_TABLES, SRP_EXPORT_BITS,
+            SRP_EXPORT_SEED,
+        )
+    )
+    return f"""
+WITH planes(tbl, bit, plane) AS (
+  VALUES
+    {rows}
+),
+proj AS (
+  SELECT e.vec_id, p.tbl, p.bit,
+         CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.plane),
+              s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE))) > 0
+              THEN 1 ELSE 0 END AS sign
+  FROM embeddings e, planes p
+)
+SELECT vec_id, CAST(tbl AS INT) AS tbl,
+       CAST(sum(sign << bit) AS BIGINT) AS bkt
+FROM proj
+GROUP BY vec_id, tbl
+"""
+
+
+SQL_SRP_BUCKET_EXPORT = _srp_bucket_export_sql()
+
+
+IVF_EXPORT_CENTROIDS = 16
+IVF_EXPORT_NPROBE = 4
+
+# DuckDB twin of functions/vectors.cosine for (embedding, cvec) pairs
+_COS_EC = (
+    "list_sum(list_transform(list_zip(e.embedding, c.cvec),"
+    " s -> CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(e.embedding,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(c.cvec,"
+    " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+# deterministic 'centroids' both engines can construct: the
+# IVF_EXPORT_CENTROIDS corpus vectors with the smallest
+# (md5(vec_id), vec_id) — a hash-spread pick, no k-means iteration
+# (trained centroids cannot be replayed in an oracle; what these
+# exports anchor is the ASSIGN and PROBE projections the trained
+# index feeds into, which are pure functions of (corpus, centroids))
+_SQL_EXPORT_CENT = f"""
+cent AS (
+  SELECT CAST(rk - 1 AS INT) AS cid, embedding AS cvec
+  FROM (
+    SELECT embedding,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             AS rk
+    FROM embeddings
+  )
+  WHERE rk <= {IVF_EXPORT_CENTROIDS}
+)"""
+
+
+def _export_centroids(e: DataFrame) -> DataFrame:
+    # distributed top-k (sort + limit plans as TakeOrderedAndProject,
+    # never a whole-corpus single-partition window); the rank window
+    # that numbers the survivors runs on a 16-row frame
+    seed = (
+        e.select(
+            "vec_id",
+            "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(IVF_EXPORT_CENTROIDS)
+    )
+    w16 = Window.orderBy("h", "vec_id")
+    return (
+        seed.withColumn("rk", F.row_number().over(w16))
+        .select(
+            (F.col("rk") - 1).cast("int").alias("cid"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+
+
+def q_ivf_assign_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF cell ASSIGNMENT artifact: every corpus
+    vector's cell under the deterministic md5-picked centroid set,
+    computed by the PRODUCTION assign_cells operator (the max_by
+    (ccos, -cid) partial aggregate that every index build runs —
+    operators/similarity.assign_cells). Anchors the rows-only IVF
+    family's assignment semantics — argmax cosine, ties to the
+    smallest cid — with a full value-hash oracle. The single-partition
+    seed-pick window is export-only scaffolding (16 rows); the
+    assignment pass itself is the scale path (broadcast centroids, one
+    corpus-sized aggregate)."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        assign_cells,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return assign_cells(e, _export_centroids(e)).select(
+        "vec_id", F.col("cid").cast("int").alias("cid")
+    )
+
+
+SQL_IVF_ASSIGN_EXPORT = f"""
+WITH {_SQL_EXPORT_CENT},
+sc AS (
+  SELECT e.vec_id, c.cid, {_COS_EC} AS ccos
+  FROM embeddings e, cent c
+)
+SELECT vec_id, CAST(cid AS INT) AS cid FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+           AS rn
+  FROM sc
+)
+WHERE rn = 1
+"""
+
+
+def q_ivf_probe_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF PROBE-ORDER artifact: for each of the 8
+    standing query vectors, the IVF_EXPORT_NPROBE closest cells of the
+    deterministic centroid set in probe order — computed by the
+    PRODUCTION probe ranking (operators/similarity.probe_cells, the
+    (qcos desc, cid) window ivf_search and knn_join_cells both use,
+    mirrored by calibrate_nprobe's numpy kernel). Anchors the probe
+    side of the rows-only IVF family with a full value-hash oracle."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        probe_cells,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    return probe_cells(q, _export_centroids(e), IVF_EXPORT_NPROBE).select(
+        "qid",
+        F.col("rn").cast("int").alias("probe_rank"),
+        F.col("cid").cast("int").alias("cid"),
+    )
+
+
+SQL_IVF_PROBE_EXPORT = f"""
+WITH {_SQL_EXPORT_CENT},
+q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings
+  WHERE vec_id < {len(TOPK_QUERY_IDS)}
+),
+sc AS (
+  SELECT e.qid, c.cid, {_COS_EC} AS qcos
+  FROM q e, cent c
+)
+SELECT qid, CAST(rn AS INT) AS probe_rank, CAST(cid AS INT) AS cid FROM (
+  SELECT qid, cid,
+         row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rn
+  FROM sc
+)
+WHERE rn <= {IVF_EXPORT_NPROBE}
+"""
+
+
 SPECS = [
     QuerySpec("source_lang_mix", q_source_lang_mix, SQL_SOURCE_LANG_MIX),
     QuerySpec(
@@ -1697,6 +1913,10 @@ SPECS = [
     QuerySpec(
         "simhash_signature_export", q_simhash_signature_export, SQL_SIMHASH_EXPORT
     ),
+    # r8: oracle anchors for the rows-only SRP/IVF families
+    QuerySpec("srp_bucket_export", q_srp_bucket_export, SQL_SRP_BUCKET_EXPORT),
+    QuerySpec("ivf_assign_export", q_ivf_assign_export, SQL_IVF_ASSIGN_EXPORT),
+    QuerySpec("ivf_probe_export", q_ivf_probe_export, SQL_IVF_PROBE_EXPORT),
     QuerySpec(
         "embedding_centroids_int", q_embedding_centroids_int, SQL_EMB_CENTROIDS
     ),

@@ -730,3 +730,63 @@ def test_quality_classifier_score_matches_local_recompute(spark, sf_dir):
     # on the fixture corpus
     keeps = {v[3] for v in got.values()}
     assert keeps == {True, False} or len(got) < 5
+
+
+def test_srp_bucket_export_consistent_with_lsh_pairs(spark, sf_dir):
+    """The oracle-backed bucket export and the production LSH join use
+    the SAME planes (similarity.srp_planes): every near-dup pair the
+    join emits must share its bucket in at least one exported table —
+    otherwise the export anchors different keys than production
+    blocks on."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_dedup_embedding_lsh,
+        q_srp_bucket_export,
+    )
+
+    buckets: dict[tuple[int, int], int] = {
+        (r["vec_id"], r["tbl"]): r["bkt"]
+        for r in q_srp_bucket_export(spark, sf_dir).collect()
+    }
+    n_tables = max(t for _, t in buckets) + 1
+    pairs = q_dedup_embedding_lsh(spark, sf_dir).collect()
+    for r in pairs:
+        a, b = r["id_a"], r["id_b"]
+        assert any(
+            buckets[(a, t)] == buckets[(b, t)] for t in range(n_tables)
+        ), f"pair ({a},{b}) shares no exported bucket"
+
+
+def test_ivf_exports_reuse_production_operators(spark, sf_dir):
+    """ivf_assign_export must equal a direct assign_cells run on the
+    deterministic centroid set (it IS that run), and every probe row
+    must reference an existing cell with ranks 1..nprobe per query."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        assign_cells,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        IVF_EXPORT_NPROBE,
+        TOPK_QUERY_IDS,
+        _export_centroids,
+        q_ivf_assign_export,
+        q_ivf_probe_export,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {
+        (r["vec_id"], r["cid"])
+        for r in q_ivf_assign_export(spark, sf_dir).collect()
+    }
+    want = {
+        (r["vec_id"], int(r["cid"]))
+        for r in assign_cells(e, _export_centroids(e)).collect()
+    }
+    assert got == want
+    probes = q_ivf_probe_export(spark, sf_dir).collect()
+    by_q: dict[int, list[int]] = {}
+    for r in probes:
+        by_q.setdefault(r["qid"], []).append(r["probe_rank"])
+    assert set(by_q) == set(TOPK_QUERY_IDS)
+    assert all(
+        sorted(v) == list(range(1, IVF_EXPORT_NPROBE + 1))
+        for v in by_q.values()
+    )

@@ -53,6 +53,14 @@ ALLOW: dict[tuple[str, str], str] = {
     ("similarity_topk_rerank", "BroadcastNestedLoopJoin"): "bounded probe rows (coarse int8 scan)",
     ("similarity_topk_ivf", "BroadcastNestedLoopJoin"): "probe + centroid rows",
     ("knn_join_ivf", "BroadcastNestedLoopJoin"): "centroid array row",
+    # r8 oracle exports: 32-row plane / 16-row centroid broadcasts and
+    # the 16-row seed-rank window (the corpus-sized pick is a
+    # distributed TakeOrdered, not a window)
+    ("srp_bucket_export", "BroadcastNestedLoopJoin"): "32-row SRP plane set",
+    ("ivf_assign_export", "BroadcastNestedLoopJoin"): "16-row centroid set",
+    ("ivf_assign_export", "Window"): "16-row seed-rank frame",
+    ("ivf_probe_export", "BroadcastNestedLoopJoin"): "16-row centroid set",
+    ("ivf_probe_export", "Window"): "16-row seed-rank frame",
     ("cluster_semantic_kmeans", "BroadcastNestedLoopJoin"): "centroid array row",
     ("stream_anomaly_alerts", "BroadcastNestedLoopJoin"): "per-type stats rows",
     # calendar/constant-size frames: unpartitioned windows and single
