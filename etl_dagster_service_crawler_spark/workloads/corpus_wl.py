@@ -1389,6 +1389,169 @@ def bpe_train(
     return merges
 
 
+# Per-WORKER segmentation memo (r7 verdict item 6): module-level state
+# survives across Arrow batches and across tasks inside one reused
+# Python worker (spark.python.worker.reuse default) — the per-batch
+# dict the UDF used to close over reset every batch, so the "vocab-
+# sized per executor" claim was false. Keyed by the merge table's
+# identity: one worker can serve UDFs trained on DIFFERENT corpora
+# (the test suite does exactly that), and a word's segmentation under
+# one merge table must never answer for another. Size is bounded by
+# distinct-words-per-merge-table (Zipf/vocab-bounded by nature).
+_SEGMENT_MEMO: dict[tuple, dict[str, int]] = {}
+
+
+def bpe_segment_count(
+    w: str, ranks: dict[tuple[str, str], int], ranks_key: tuple
+) -> int:
+    """Priority-based BPE segmentation of one pretoken: apply the
+    lowest-rank present merge, exhaustively left-to-right, until no
+    merge applies; returns the surviving symbol count. Memoized in
+    _SEGMENT_MEMO[ranks_key] (see above)."""
+    memo = _SEGMENT_MEMO.setdefault(ranks_key, {})
+    hit = memo.get(w)
+    if hit is not None:
+        return hit
+    syms = list(w)
+    while True:
+        present = [
+            (syms[i], syms[i + 1])
+            for i in range(len(syms) - 1)
+            if (syms[i], syms[i + 1]) in ranks
+        ]
+        if not present:
+            break
+        left, right = min(present, key=ranks.__getitem__)
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if (
+                i + 1 < len(syms)
+                and syms[i] == left
+                and syms[i + 1] == right
+            ):
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    memo[w] = len(syms)
+    return memo[w]
+
+
+# batched-trainer knobs: BPE_BATCH_SIZE merges committed per driver
+# round-trip, greedily picked (count desc, pk) among the TOP
+# BPE_BATCH_WINDOW pairs subject to symbol-disjointness. The window
+# bound is part of the ALGORITHM (both engines implement "greedy over
+# the top-K frontier"), which is what keeps driver traffic bounded AND
+# the oracle exact.
+BPE_BATCH_SIZE = 3
+BPE_BATCH_WINDOW = 48
+
+
+def bpe_train_batched(
+    d: DataFrame,
+    n_rounds: int = BPE_TRAIN_MERGES // BPE_BATCH_SIZE,
+    batch: int = BPE_BATCH_SIZE,
+    window: int = BPE_BATCH_WINDOW,
+) -> list[tuple[int, str, str, int]]:
+    """The batched BPE trainer (r7 verdict item 5): per round, ONE
+    pair-count aggregate, ONE bounded collect (the top-`window`
+    frontier), a greedy symbol-DISJOINT pick of up to `batch` merges,
+    ONE re-segmentation pass and ONE localCheckpoint. Symbol-disjoint
+    picks cannot interact — merging (a,b) can neither create nor
+    destroy occurrences of (c,d) when {a,b} ∩ {c,d} = ∅ — so every
+    committed count is the true round-start corpus count and the
+    replace applications commute. This is the standard trainer
+    amortization: a 50k-merge vocabulary at batch 256 pays ~200
+    driver round-trips instead of 50k (docs/SCALE.md, BPE trainer
+    round-count envelope).
+
+    Deviation from the sequential trainer is the documented batched
+    semantics (a merge created THIS round cannot be consumed until
+    next round); with batch=1 the output equals bpe_train exactly
+    (pinned by test). Ranks are positional — (round-1)*batch + pick
+    index — identically in the oracle, so a short round leaves rank
+    holes rather than disagreeing with the SQL.
+
+    Returns (rank, left, right, round_start_pair_count) rows."""
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0)
+            )
+        ).alias("w")
+    ).where(F.length("w") >= 2)
+    wrapped = F.array_join(
+        F.transform(
+            F.split("w", ""),
+            lambda c: F.concat(F.lit(_BPE_SEP), c, F.lit(_BPE_SEP)),
+        ),
+        "",
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+        .select(wrapped.alias("r"), "wcnt")
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rnd in range(n_rounds):
+        syms = F.filter(F.split("r", _BPE_SEP), lambda x: x != F.lit(""))
+        s = vocab.select(syms.alias("s"), "wcnt")
+        pk = F.zip_with(
+            F.slice("s", 1, F.size("s") - 1),
+            F.slice("s", 2, F.size("s") - 1),
+            lambda a, b: F.concat(a, F.lit(_BPE_SEP), b),
+        )
+        frontier = (
+            s.where(F.size("s") >= 2)
+            .select(F.explode(pk).alias("pk"), "wcnt")
+            .groupBy("pk")
+            .agg(F.sum("wcnt").alias("c"))
+            .orderBy(F.desc("c"), "pk")
+            .limit(window)
+            .collect()
+        )
+        used: set[str] = set()
+        picks: list[tuple[int, str, str, int]] = []
+        for row in frontier:
+            left, right = row["pk"].split(_BPE_SEP)
+            if left in used or right in used:
+                continue
+            picks.append(
+                (rnd * batch + len(picks) + 1, left, right, int(row["c"]))
+            )
+            used.update((left, right))
+            if len(picks) == batch:
+                break
+        if not picks:
+            break
+        merges.extend(picks)
+        col = F.col("r")
+        for _, left, right, _ in picks:
+            pat = _BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP
+            rep = _BPE_SEP + left + right + _BPE_SEP
+            col = F.replace(col, F.lit(pat), F.lit(rep))
+        vocab = vocab.select(col.alias("r"), "wcnt").localCheckpoint()
+    return merges
+
+
+def q_bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batched trainer as a declared capability (full unrolled
+    DuckDB oracle, like the sequential twin): BPE_TRAIN_MERGES //
+    BPE_BATCH_SIZE rounds of greedy symbol-disjoint top-BPE_BATCH_SIZE
+    picks over the top-BPE_BATCH_WINDOW frontier. See bpe_train_batched
+    for the algorithm and the 100 TB rationale."""
+    d = load_table(spark, sf_dir, "documents")
+    return spark.createDataFrame(
+        bpe_train_batched(d),
+        "merge_rank int, merge_left string, merge_right string, "
+        "pair_count bigint",
+    )
+
+
 def q_tokenizer_apply_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer INFERENCE over the corpus with the merges the corpus
     itself trained (train + apply, end-to-end): per document, the
@@ -1451,10 +1614,13 @@ def q_tokenizer_apply_bpe_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas UDF running a priority-based segmenter against the
     broadcast merge-rank table — the shape a real tokenizer needs,
     because a 50k-merge vocabulary cannot be a 50k-deep nested
-    replace() expression. The UDF memoizes per distinct word, so under
-    a Zipf corpus the effective segmentation work is vocab-sized per
-    executor, not corpus-sized; Arrow batches keep the Python boundary
-    amortized (docs/SCALE.md "Python boundary").
+    replace() expression. Segmentation memoizes per distinct word in
+    the module-level _SEGMENT_MEMO — genuinely per Python WORKER
+    (survives Arrow batches and reused-worker tasks, keyed by the
+    merge table so corpora never collide) — so under a Zipf corpus the
+    effective segmentation work is vocab-sized per worker, not
+    corpus-sized; Arrow batches keep the Python boundary amortized
+    (docs/SCALE.md "Python boundary").
 
     Equivalence to the expression form (rank-order exhaustive ==
     priority-based) is proven in q_tokenizer_apply_bpe's docstring and
@@ -1463,43 +1629,15 @@ def q_tokenizer_apply_bpe_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     ranks = {(left, right): rank for rank, left, right, _ in bpe_train(d)}
+    ranks_key = tuple(sorted((l, r, rk) for (l, r), rk in ranks.items()))
 
     @pandas_udf("integer")
     def n_subwords_udf(ws: pd.Series) -> pd.Series:
-        memo: dict[str, int] = {}
-
-        def segment(w: str) -> int:
-            hit = memo.get(w)
-            if hit is not None:
-                return hit
-            syms = list(w)
-            while True:
-                present = [
-                    (syms[i], syms[i + 1])
-                    for i in range(len(syms) - 1)
-                    if (syms[i], syms[i + 1]) in ranks
-                ]
-                if not present:
-                    break
-                left, right = min(present, key=ranks.__getitem__)
-                out: list[str] = []
-                i = 0
-                while i < len(syms):
-                    if (
-                        i + 1 < len(syms)
-                        and syms[i] == left
-                        and syms[i + 1] == right
-                    ):
-                        out.append(left + right)
-                        i += 2
-                    else:
-                        out.append(syms[i])
-                        i += 1
-                syms = out
-            memo[w] = len(syms)
-            return memo[w]
-
-        return ws.map(lambda words: sum(segment(w) for w in words))
+        return ws.map(
+            lambda words: sum(
+                bpe_segment_count(w, ranks, ranks_key) for w in words
+            )
+        )
 
     dt = d.select(
         "doc_id",
@@ -1548,14 +1686,11 @@ FROM (SELECT doc_id, regexp_extract_all(text, '{BPE_PRETOKEN_RE}') AS ws
 """
 
 
-def _bpe_train_blocks(n_merges: int) -> list[str]:
-    """The unrolled trainer CTE chain: v0 is the wrapped word-
-    frequency vocab; each round i derives pair counts p{i}, the
-    one-row winner b{i}, and the re-segmented vocab v{i} (replace
-    with the winner's wrapped pattern via a 1-row cross join).
-    Shared by the trainer oracle and the tokenizer-apply oracle."""
+def _bpe_v0_block() -> str:
+    """The wrapped word-frequency vocab CTE shared by the sequential
+    trainer, the tokenizer-apply, and the batched-trainer oracles."""
     sep = "chr(31)"
-    blocks = [f"""
+    return f"""
 v0 AS (
   SELECT list_aggregate(list_transform(string_split_regex(w, ''),
              c -> {sep} || c || {sep}), 'string_agg', '') AS r,
@@ -1564,7 +1699,17 @@ v0 AS (
         FROM documents)
   WHERE length(w) >= 2
   GROUP BY w
-)"""]
+)"""
+
+
+def _bpe_train_blocks(n_merges: int) -> list[str]:
+    """The unrolled trainer CTE chain: v0 is the wrapped word-
+    frequency vocab; each round i derives pair counts p{i}, the
+    one-row winner b{i}, and the re-segmented vocab v{i} (replace
+    with the winner's wrapped pattern via a 1-row cross join).
+    Shared by the trainer oracle and the tokenizer-apply oracle."""
+    sep = "chr(31)"
+    blocks = [_bpe_v0_block()]
     for i in range(1, n_merges + 1):
         blocks.append(f"""
 p{i} AS (
@@ -1608,7 +1753,85 @@ def _bpe_train_sql(n_merges: int = BPE_TRAIN_MERGES) -> str:
     return f"WITH {','.join(blocks)}\n{selects}"
 
 
+def _bpe_train_batched_sql(
+    n_rounds: int = BPE_TRAIN_MERGES // BPE_BATCH_SIZE,
+    batch: int = BPE_BATCH_SIZE,
+    window: int = BPE_BATCH_WINDOW,
+) -> str:
+    """Oracle for q_bpe_train_merges_batched — the batched trainer
+    unrolled: per round, a top-`window` frontier CTE, `batch` chained
+    greedy-disjoint selection CTEs (pick j = highest (c desc, pk)
+    frontier row sharing no symbol with picks 1..j-1 — exactly the
+    Spark greedy walk), and one apply CTE whose replace chain uses
+    chr(0) no-op sentinels so a short round degrades identically on
+    both engines."""
+    sep = "chr(31)"
+    blocks = [_bpe_v0_block()]
+    selects = []
+    for r in range(1, n_rounds + 1):
+        blocks.append(f"""
+t{r} AS (
+  SELECT pk, CAST(sum(wcnt) AS BIGINT) AS c
+  FROM (SELECT unnest(list_transform(range(1, len(s)),
+                                     j -> s[j] || {sep} || s[j + 1])) AS pk,
+               wcnt
+        FROM (SELECT list_filter(string_split(r, {sep}), x -> x <> '') AS s,
+                     wcnt
+              FROM v{r - 1}))
+  GROUP BY pk
+  ORDER BY c DESC, pk LIMIT {window}
+)""")
+        for j in range(1, batch + 1):
+            if j == 1:
+                blocks.append(
+                    f"\ns{r}_1 AS (SELECT pk, c FROM t{r} "
+                    f"ORDER BY c DESC, pk LIMIT 1)"
+                )
+            else:
+                prior = " UNION ALL ".join(
+                    f"SELECT pk FROM s{r}_{i}" for i in range(1, j)
+                )
+                blocks.append(f"""
+s{r}_{j} AS (
+  SELECT t.pk, t.c FROM t{r} t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM ({prior}) p
+    WHERE string_split(t.pk, {sep})[1]
+            IN (string_split(p.pk, {sep})[1], string_split(p.pk, {sep})[2])
+       OR string_split(t.pk, {sep})[2]
+            IN (string_split(p.pk, {sep})[1], string_split(p.pk, {sep})[2]))
+  ORDER BY t.c DESC, t.pk LIMIT 1
+)""")
+            selects.append(
+                f"""  SELECT CAST({(r - 1) * batch + j} AS INT) AS merge_rank,
+         string_split(pk, {sep})[1] AS merge_left,
+         string_split(pk, {sep})[2] AS merge_right,
+         c AS pair_count
+  FROM s{r}_{j}"""
+            )
+        reps = "v.r"
+        for j in range(1, batch + 1):
+            pat = (
+                f"coalesce((SELECT {sep} || string_split(pk, {sep})[1] || {sep}"
+                f" || {sep} || string_split(pk, {sep})[2] || {sep}"
+                f" FROM s{r}_{j}), chr(0))"
+            )
+            rep = (
+                f"coalesce((SELECT {sep} || string_split(pk, {sep})[1]"
+                f" || string_split(pk, {sep})[2] || {sep}"
+                f" FROM s{r}_{j}), chr(0))"
+            )
+            reps = f"replace({reps}, {pat}, {rep})"
+        blocks.append(f"""
+v{r} AS (
+  SELECT {reps} AS r, v.wcnt FROM v{r - 1} v
+)""")
+    union = "\n  UNION ALL\n".join(selects)
+    return f"WITH {','.join(blocks)}\n{union}"
+
+
 SQL_BPE_TRAIN = _bpe_train_sql()
+SQL_BPE_TRAIN_BATCHED = _bpe_train_batched_sql()
 SQL_TOKENIZER_APPLY = _tokenizer_apply_sql()
 
 
@@ -1652,6 +1875,12 @@ SPECS: list[QuerySpec] = [
     # bench: the iterative trainer is the novel cost shape here (one
     # corpus exchange + N vocab-local rounds) — track its curve
     QuerySpec("bpe_train_merges", q_bpe_train_merges, SQL_BPE_TRAIN, bench=True),
+    # r8: the production round-count amortization (one driver trip per
+    # BATCH of disjoint merges), oracle-unrolled like the sequential twin
+    QuerySpec(
+        "bpe_train_merges_batched", q_bpe_train_merges_batched,
+        SQL_BPE_TRAIN_BATCHED, bench=True,
+    ),
     QuerySpec("tokenizer_apply_bpe", q_tokenizer_apply_bpe, SQL_TOKENIZER_APPLY),
     # identical semantics and output => shares the exact oracle
     QuerySpec(

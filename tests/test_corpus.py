@@ -811,3 +811,73 @@ def test_knn_join_auto_routes_ivf_on_clustered(spark, tmp_path):
     }
     recall = len(truth & got) / len(truth)
     assert recall >= 0.8, f"recall@5 {recall:.2f} below the 0.8 pin"
+
+
+def test_bpe_segment_memo_is_module_level_and_keyed(spark):
+    """r7 item 6: the segmentation memo must survive across calls (it
+    is module state, which is what survives Arrow batches in a reused
+    Python worker) and must be KEYED by the merge table — a word's
+    count under one table must never answer for another."""
+    from etl_dagster_service_crawler_spark.workloads import corpus_wl as cw
+
+    ranks_a = {("a", "b"): 1}
+    key_a = (("a", "b", 1),)
+    ranks_b = {("b", "c"): 1}
+    key_b = (("b", "c", 1),)
+    cw._SEGMENT_MEMO.pop(key_a, None)
+    cw._SEGMENT_MEMO.pop(key_b, None)
+    assert cw.bpe_segment_count("abc", ranks_a, key_a) == 2  # [ab, c]
+    assert cw.bpe_segment_count("abc", ranks_b, key_b) == 2  # [a, bc]
+    # the memo answers the second call: poison the cached value and
+    # observe it served verbatim (proves the hit path + module scope)
+    cw._SEGMENT_MEMO[key_a]["abc"] = 99
+    assert cw.bpe_segment_count("abc", ranks_a, key_a) == 99
+    # ...and the other key is unaffected (no cross-table collision)
+    assert cw.bpe_segment_count("abc", ranks_b, key_b) == 2
+    cw._SEGMENT_MEMO.pop(key_a, None)
+    cw._SEGMENT_MEMO.pop(key_b, None)
+
+
+def test_bpe_batched_equals_sequential_at_batch_one(spark, sf_dir):
+    """With batch=1 every round commits exactly the global best pair —
+    the batched trainer must reproduce the sequential trainer verbatim
+    (ranks, pairs, counts)."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        bpe_train,
+        bpe_train_batched,
+        load_table,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    assert bpe_train_batched(d, n_rounds=6, batch=1) == bpe_train(d, 6)
+
+
+def test_bpe_batched_greedy_skips_overlapping_pairs(spark, tmp_path):
+    """Crafted corpus where the frontier's #2 pair shares a symbol with
+    the #1 pick: the round must skip it and commit the next disjoint
+    pair instead, and the committed counts must be round-START counts."""
+    import pandas as pd
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        bpe_train_batched,
+        load_table,
+    )
+
+    texts = ["ab " * 9 + "bc " * 8 + "cd " * 7]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.array([1], dtype="int64"),
+            "text": texts,
+            "lang": ["en"],
+            "source": ["s"],
+            "n_chars": pd.array([len(texts[0])], dtype="int64"),
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    d = load_table(spark, str(tmp_path), "documents")
+    got = bpe_train_batched(d, n_rounds=1, batch=2)
+    # (a,b)=9 picked; (b,c)=8 shares 'b' -> skipped; (c,d)=7 picked
+    assert got == [(1, "a", "b", 9), (2, "c", "d", 7)]
+    # within-round picks are symbol-disjoint by construction
+    syms = [s for _, l, r, _ in got for s in (l, r)]
+    assert len(syms) == len(set(syms))
