@@ -46,19 +46,35 @@ def http_transport(
     timeout_s: float = DEFAULT_TIMEOUT_S,
     headers: dict[str, str] | None = None,
     max_bytes: int = DEFAULT_MAX_BYTES,
+    user_agents: list[str] | None = None,
 ) -> Callable[[str], str]:
     """str -> str GET transport for the enrich seam (http_enrich).
 
     Returns the decoded body (response charset, utf-8 fallback,
     replacement on bad bytes — a fetch stage must never throw on
-    payload CONTENT, only on delivery)."""
+    payload CONTENT, only on delivery).
+
+    ``user_agents``: optional UA ROTATION (reference parity — the
+    crawler rotates via fake-useragent, test.py:67-68): successive
+    fetches round-robin through the list, per worker (the counter is
+    closure state, so each mapInPandas worker rotates independently —
+    what matters for politeness is that one worker's request stream
+    varies, not global coordination). Default: the pinned engine UA."""
+    _ua_state = {"i": 0}
+
+    def _next_ua() -> str:
+        if not user_agents:
+            return _USER_AGENT
+        ua = user_agents[_ua_state["i"] % len(user_agents)]
+        _ua_state["i"] += 1
+        return ua
 
     def fetch(url: str) -> str:
         import urllib.error
         import urllib.request
 
         req = urllib.request.Request(
-            url, headers={"User-Agent": _USER_AGENT, **(headers or {})}
+            url, headers={"User-Agent": _next_ua(), **(headers or {})}
         )
         try:
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
@@ -83,6 +99,7 @@ def http_page_transport(
     base_url: str,
     timeout_s: float = DEFAULT_TIMEOUT_S,
     headers: dict[str, str] | None = None,
+    user_agents: list[str] | None = None,
 ) -> Callable[[int, str, int, int], list[tuple]]:
     """Listing-page transport for the crawl DataSource seam
     (sources/crawl_source.py `option("transport", "http://...")`).
@@ -94,7 +111,9 @@ def http_page_transport(
     http_transport (the _Fetcher retry/budget wrapper decides policy);
     a non-JSON body raises PermanentFetchError (re-fetching won't fix
     a wrong endpoint)."""
-    get = http_transport(timeout_s=timeout_s, headers=headers)
+    get = http_transport(
+        timeout_s=timeout_s, headers=headers, user_agents=user_agents
+    )
 
     def fetch(kidx: int, keyword: str, page: int, slots: int) -> list[tuple]:
         from urllib.parse import urlencode
@@ -111,5 +130,74 @@ def http_page_transport(
                 f"non-JSON listing body from {base_url} (page {page}): {e}"
             ) from e
         return [tuple(r) for r in rows]
+
+    return fetch
+
+
+def render_transport(
+    driver_factory: Callable[[], object] | None = None,
+    wait_s: float = 0.0,
+) -> Callable[[str], str]:
+    """JS-RENDERING transport contract for the enrich/crawl seams —
+    the parity point for the reference's headless-Chromium fetch (the
+    target site is JS-rendered, reference test.py:66-84, Dockerfile
+    chromium+chromedriver): a static GET returns an empty shell there,
+    so the fetch must drive a browser.
+
+    This engine does not depend on a browser (none exists in the
+    build/test environment); instead the seam takes an injected
+    ``driver_factory`` producing a WebDriver-SHAPED object:
+
+    - ``get(url)``    — navigate (raising on delivery failure),
+    - ``page_source`` — the post-JS DOM as str,
+    - ``quit()``      — teardown.
+
+    ``selenium.webdriver.Chrome`` satisfies it as-is, so wiring a real
+    browser is ``render_transport(lambda: webdriver.Chrome(opts))`` —
+    no engine change. Contract honored here (and tested against a fake
+    driver, the multimodal-stub discipline):
+
+    - ONE driver per worker, created lazily on first fetch and reused
+      across fetches (a browser launch per row would dwarf the fetch);
+    - delivery failures from the driver classify TRANSIENT (navigation
+      timeouts/crashes are retryable by the same budget machinery as
+      http_transport) unless the driver itself raises a
+      Permanent/TransientFetchError, which passes through;
+    - ``wait_s``: optional post-navigation settle delay for pages that
+      render after load (the reference's implicit-wait move).
+
+    With no ``driver_factory`` the factory fails FAST at build time —
+    plan-time, not inside a worker — naming what to supply."""
+    if driver_factory is None:
+        raise NotImplementedError(
+            "render_transport needs a browser: pass driver_factory="
+            "lambda: selenium.webdriver.Chrome(options) (any object "
+            "with .get/.page_source/.quit). No browser is bundled "
+            "with the engine."
+        )
+    state: dict[str, object] = {}
+
+    def fetch(url: str) -> str:
+        import time as _time
+
+        drv = state.get("driver")
+        if drv is None:
+            drv = driver_factory()
+            state["driver"] = drv
+        try:
+            drv.get(url)
+            if wait_s:
+                _time.sleep(wait_s)
+            return str(drv.page_source)
+        except (TransientFetchError, PermanentFetchError):
+            raise
+        except Exception as e:  # noqa: BLE001 - classify driver failures
+            # a wedged browser must not poison every later fetch on
+            # this worker: tear it down so the retry gets a fresh one
+            try:
+                drv.quit()
+            finally:
+                state.pop("driver", None)
+            raise TransientFetchError(f"render failure for {url}: {e}") from e
 
     return fetch

@@ -129,3 +129,65 @@ def test_crawl_source_http_error_budget(spark, httpd):
     assert pages == [0, 2]  # page 1 failed its budgeted attempts -> skipped
     with pytest.raises(Exception, match="error budget"):
         reader.option("error_budget", 0).load().collect()
+
+
+def test_ua_rotation_round_robin(httpd):
+    """user_agents=[...] rotates per fetch (reference parity with
+    fake-useragent, test.py:67-68), observed by the fixture /ua echo;
+    without the option the pinned engine UA is sent every time."""
+    uas = ["ua-alpha/1", "ua-beta/2", "ua-gamma/3"]
+    fetch = http_transport(user_agents=uas)
+    seen = [fetch(f"{httpd}/ua") for _ in range(7)]
+    assert seen == (uas * 3)[:7]
+    plain = http_transport()
+    assert {plain(f"{httpd}/ua") for _ in range(3)} == {
+        "spark-graft-crawler/1.0"
+    }
+
+
+def test_render_transport_contract():
+    """The JS-rendering seam (r7 'What's missing' #1): driver reuse
+    across fetches, transient classification + driver teardown on a
+    wedged browser, fail-fast with guidance when no factory is given."""
+    from etl_dagster_service_crawler_spark.operators.transport import (
+        render_transport,
+    )
+
+    class FakeDriver:
+        launches = 0
+
+        def __init__(self):
+            FakeDriver.launches += 1
+            self.quit_called = False
+            self.fail_next = False
+
+        def get(self, url):
+            if self.fail_next:
+                raise RuntimeError("tab crashed")
+            self.page_source = f"<html>rendered:{url}</html>"
+
+        def quit(self):
+            self.quit_called = True
+
+    made = []
+
+    def factory():
+        d = FakeDriver()
+        made.append(d)
+        return d
+
+    fetch = render_transport(factory, wait_s=0.0)
+    assert fetch("http://x/1") == "<html>rendered:http://x/1</html>"
+    assert fetch("http://x/2") == "<html>rendered:http://x/2</html>"
+    assert FakeDriver.launches == 1  # one driver, reused
+    # a wedged driver: transient error, driver torn down, next fetch
+    # gets a FRESH browser instead of the poisoned one
+    made[0].fail_next = True
+    with pytest.raises(TransientFetchError):
+        fetch("http://x/3")
+    assert made[0].quit_called
+    assert fetch("http://x/4") == "<html>rendered:http://x/4</html>"
+    assert FakeDriver.launches == 2
+    # no browser supplied: fail fast at BUILD time, naming the seam
+    with pytest.raises(NotImplementedError, match="driver_factory"):
+        render_transport()

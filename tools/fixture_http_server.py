@@ -15,6 +15,7 @@ Routes (all GET):
 - ``/flaky/<key>?fails=N`` — 503 for the first N requests of that
   exact path+query, then 200 (exercises transient retry).
 - ``/gone/...`` — 404 (exercises permanent failure, no retry).
+- ``/ua`` — 200, body = the request's User-Agent header (UA rotation).
 - ``/slow/<key>?delay=S`` — sleeps S seconds then 200 (timeouts).
 
 Standalone (for deploy/smoke.sh): ``python tools/fixture_http_server.py
@@ -94,6 +95,9 @@ class FixtureHandler(BaseHTTPRequestHandler):
                 self._send(200, f"payload-for-{key}".encode())
         elif route == "gone":
             self._send(404, b"not here, never will be")
+        elif route == "ua":
+            # echoes the caller's User-Agent — exercises UA rotation
+            self._send(200, (self.headers.get("User-Agent") or "").encode())
         elif route == "slow":
             time.sleep(float(q.get("delay", 1.0)))
             key = parts[1] if len(parts) > 1 else ""
