@@ -157,24 +157,24 @@ def _sink_freshness(output: str) -> list[str]:
     return lines
 
 
-def print_status(spark: SparkSession, output: str, n_recent: int = 10) -> int:
-    """Run-control report — the reference's webserver runs screen as
-    text: recent run_history rows, per-status counts, sink freshness.
-    Returns 0 when a ledger exists, 2 when there is nothing to show."""
+def status_report(
+    spark: SparkSession, output: str, n_recent: int = 10
+) -> dict:
+    """The run-control report as DATA — one source for the CLI text
+    (print_status) and the HTTP surface (serve_status): per-status
+    counts, the n_recent most recent ledger rows, sink freshness."""
     from pyspark.sql import functions as F
 
     from etl_dagster_service_crawler_spark.io.sinks import (
         recover_warehouse_table,
     )
 
-    print(f"== spark-graft status ({datetime.now(timezone.utc):%Y-%m-%d %H:%M:%SZ}) ==")
     # a fresh process has a fresh catalog; the ledger's data lives in
     # the (mounted) warehouse dir — re-register before reading
     have_ledger = recover_warehouse_table(spark, RUN_HISTORY_TABLE)
-    if not have_ledger:
-        print(f"run_history: no `{RUN_HISTORY_TABLE}` table in this warehouse "
-              "(no runs ledgered yet)")
-    else:
+    counts: dict[str, int] = {}
+    recent: list[dict] = []
+    if have_ledger:
         hist = spark.table(RUN_HISTORY_TABLE)
         counts = {
             r["status"]: r["n"]
@@ -182,27 +182,129 @@ def print_status(spark: SparkSession, output: str, n_recent: int = 10) -> int:
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
-        total = sum(counts.values())
-        by = ", ".join(f"{k}={v}" for k, v in sorted(counts.items()))
+        for r in (
+            hist.orderBy(F.col("started_at").desc()).limit(n_recent).collect()
+        ):
+            recent.append(
+                {
+                    "started_at": r["started_at"].isoformat(),
+                    "job": r["job"],
+                    "mode": r["mode"],
+                    "status": r["status"],
+                    "n_rows": r["n_rows"],
+                    "n_bad": r["n_bad"],
+                    "duration_s": round(
+                        (r["finished_at"] - r["started_at"]).total_seconds(), 1
+                    ),
+                    "error": r["error"],
+                }
+            )
+    return {
+        "generated_at": datetime.now(timezone.utc).isoformat(),
+        "have_ledger": have_ledger,
+        "counts": counts,
+        "recent": recent,
+        "sinks": _sink_freshness(output),
+    }
+
+
+def print_status(spark: SparkSession, output: str, n_recent: int = 10) -> int:
+    """Run-control report — the reference's webserver runs screen as
+    text: recent run_history rows, per-status counts, sink freshness.
+    Returns 0 when a ledger exists, 2 when there is nothing to show."""
+    rep = status_report(spark, output, n_recent)
+    print(f"== spark-graft status ({datetime.now(timezone.utc):%Y-%m-%d %H:%M:%SZ}) ==")
+    if not rep["have_ledger"]:
+        print(f"run_history: no `{RUN_HISTORY_TABLE}` table in this warehouse "
+              "(no runs ledgered yet)")
+    else:
+        total = sum(rep["counts"].values())
+        by = ", ".join(f"{k}={v}" for k, v in sorted(rep["counts"].items()))
         print(f"run_history: {total} run(s) — {by}")
-        recent = (
-            hist.orderBy(F.col("started_at").desc())
-            .limit(n_recent)
-            .collect()
-        )
-        print(f"last {len(recent)} run(s):")
-        for r in recent:
-            dur = (r["finished_at"] - r["started_at"]).total_seconds()
+        print(f"last {len(rep['recent'])} run(s):")
+        for r in rep["recent"]:
             err = f"  err={r['error']}" if r["error"] else ""
             print(
-                f"  {r['started_at']:%Y-%m-%d %H:%M:%S} {r['job']:<20} "
+                f"  {r['started_at'][:19]} {r['job']:<20} "
                 f"{r['mode']:<13} {r['status']:<14} rows={r['n_rows']:<8} "
-                f"bad={r['n_bad']:<5} {dur:6.1f}s{err}"
+                f"bad={r['n_bad']:<5} {r['duration_s']:6.1f}s{err}"
             )
     print("sinks:")
-    for line in _sink_freshness(output):
+    for line in rep["sinks"]:
         print(line)
-    return 0 if have_ledger else 2
+    return 0 if rep["have_ledger"] else 2
+
+
+def serve_status(
+    spark: SparkSession, output: str, port: int = 8387, n_recent: int = 25
+):
+    """The web run surface (reference parity: dagster-webserver's runs
+    screen, Dockerfile:22) as a stdlib HTTP server over the SAME
+    report the CLI prints:
+
+    - ``/status.json`` — the status_report dict as JSON,
+    - ``/``            — the same report as a minimal HTML runs table.
+
+    Returns the (started, not yet serving) ThreadingHTTPServer so the
+    caller owns the loop: main() calls serve_forever in the
+    foreground; tests drive it from a thread and shut it down. Every
+    request re-queries the ledger — status is always current, and the
+    handler stays stateless. Single-process planning surface by
+    design (the ledger itself is the scalable artifact: a Spark table
+    any cluster client can query)."""
+    import json as _json
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class StatusHandler(BaseHTTPRequestHandler):
+        def log_message(self, *args) -> None:  # keep stdout for the report
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str) -> None:
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self) -> None:  # noqa: N802 - stdlib naming
+            path = self.path.split("?", 1)[0]
+            if path not in ("/", "/status", "/status.json"):
+                self._send(404, b"unknown route", "text/plain")
+                return
+            try:
+                rep = status_report(spark, output, n_recent)
+            except Exception as e:  # noqa: BLE001 - surface, don't die
+                self._send(500, str(e).encode(), "text/plain")
+                return
+            if path == "/status.json":
+                self._send(
+                    200, _json.dumps(rep).encode(), "application/json"
+                )
+                return
+            rows = "".join(
+                "<tr>" + "".join(
+                    f"<td>{r[k]}</td>"
+                    for k in ("started_at", "job", "mode", "status",
+                              "n_rows", "n_bad", "duration_s", "error")
+                ) + "</tr>"
+                for r in rep["recent"]
+            )
+            counts = ", ".join(
+                f"{k}={v}" for k, v in sorted(rep["counts"].items())
+            )
+            sinks = "".join(f"<li>{s}</li>" for s in rep["sinks"])
+            html = (
+                "<html><head><title>spark-graft runs</title></head><body>"
+                f"<h1>spark-graft runs</h1><p>{counts or 'no ledger yet'}"
+                f" (as of {rep['generated_at']})</p>"
+                "<table border=1><tr><th>started</th><th>job</th>"
+                "<th>mode</th><th>status</th><th>rows</th><th>bad</th>"
+                f"<th>secs</th><th>error</th></tr>{rows}</table>"
+                f"<h2>sinks</h2><ul>{sinks}</ul></body></html>"
+            )
+            self._send(200, html.encode(), "text/html")
+
+    return ThreadingHTTPServer(("127.0.0.1", port), StatusHandler)
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -241,11 +343,31 @@ def main(argv: list[str] | None = None) -> int:
         default=120.0,  # the reference's */2-minute cron
     )
     p.add_argument("--max-ticks", type=int, default=0, help="0 = forever")
+    p.add_argument(
+        "--serve",
+        type=int,
+        default=None,
+        metavar="PORT",
+        help="serve the run-control report over HTTP ('/' HTML, "
+        "'/status.json' JSON) instead of ticking — the reference's "
+        "dagster-webserver runs screen",
+    )
     args = p.parse_args(argv)
     side_cols = [c for c in args.side_cols.split(",") if c]
 
     spark = build_session()
     try:
+        if args.serve is not None:
+            srv = serve_status(spark, args.output, port=args.serve)
+            host, port = srv.server_address[:2]
+            print(f"serving run status on http://{host}:{port}/")
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.server_close()
+            return 0
         if args.status:
             return print_status(spark, args.output)
         if args.once:

@@ -21,3 +21,22 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+def reset_ledger(spark, table: str = "run_history") -> None:
+    """Drop a ledger table AND its managed warehouse directory. With a
+    fresh derby catalog (every pytest session), DROP TABLE alone is a
+    no-op while the previous session's files persist under
+    spark-warehouse/ — recover_warehouse_table would then resurrect
+    those rows into this session (stale-warehouse pollution; the
+    restart-survival behavior itself is the point of
+    recover_warehouse_table and is tested explicitly)."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if wh.scheme in ("file", ""):
+        path = wh.path if wh.scheme == "file" else wh.netloc + wh.path
+        if path:
+            shutil.rmtree(os.path.join(path, table.lower()), ignore_errors=True)

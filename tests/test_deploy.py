@@ -5,6 +5,8 @@ path including session bootstrap is deploy/smoke.sh."""
 
 from __future__ import annotations
 
+from tests.conftest import reset_ledger
+
 import glob
 
 
@@ -15,7 +17,7 @@ def test_run_tick_writes_dual_sinks_and_ledger(spark, sf_dir, tmp_path):
     )
 
     out = str(tmp_path / "out")
-    spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
     try:
         ok = run_tick(spark, DEFAULT_JOB, sf_dir, out, ["doc_id"])
         assert ok
@@ -30,7 +32,7 @@ def test_run_tick_writes_dual_sinks_and_ledger(spark, sf_dir, tmp_path):
         assert ledger[0]["job"] == DEFAULT_JOB
         assert ledger[0]["status"] == "ok"
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+        reset_ledger(spark, RUN_HISTORY_TABLE)
 
 
 def test_append_job_ticks_do_not_duplicate(spark, sf_dir, tmp_path):
@@ -45,7 +47,7 @@ def test_append_job_ticks_do_not_duplicate(spark, sf_dir, tmp_path):
     )
 
     out = str(tmp_path / "out")
-    spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
     try:
         run_tick(spark, "events_ingest_2min", sf_dir, out, ["event_id"])
         run_tick(spark, "events_ingest_2min", sf_dir, out, ["event_id"])
@@ -59,7 +61,7 @@ def test_append_job_ticks_do_not_duplicate(spark, sf_dir, tmp_path):
         assert ledger[0]["n_rows"] == n_events
         assert ledger[1]["n_rows"] == 0  # second tick found nothing new
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+        reset_ledger(spark, RUN_HISTORY_TABLE)
 
 
 def test_crawl_scan_job_tick_and_http_transport(spark, sf_dir, tmp_path):
@@ -73,7 +75,7 @@ def test_crawl_scan_job_tick_and_http_transport(spark, sf_dir, tmp_path):
     )
     from tools.fixture_http_server import start_fixture_server
 
-    spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
     srv, base = start_fixture_server()
     try:
         out_fake = str(tmp_path / "fake")
@@ -100,7 +102,7 @@ def test_crawl_scan_job_tick_and_http_transport(spark, sf_dir, tmp_path):
         assert http_rows == fake_rows
     finally:
         srv.shutdown()
-        spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+        reset_ledger(spark, RUN_HISTORY_TABLE)
 
 
 def test_status_report_after_ticks(spark, sf_dir, tmp_path, capsys):
@@ -117,7 +119,7 @@ def test_status_report_after_ticks(spark, sf_dir, tmp_path, capsys):
     )
 
     out = str(tmp_path / "out")
-    spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
     try:
         assert print_status(spark, out) == 2  # nothing ledgered yet
         assert "no `run_history` table" in capsys.readouterr().out
@@ -130,7 +132,7 @@ def test_status_report_after_ticks(spark, sf_dir, tmp_path, capsys):
         assert "main: " in text and "side: " in text
         assert "<absent>" not in text
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {RUN_HISTORY_TABLE}")
+        reset_ledger(spark, RUN_HISTORY_TABLE)
 
 
 def test_cron_mode_waits_for_first_match(monkeypatch):
@@ -169,3 +171,51 @@ def test_cron_mode_waits_for_first_match(monkeypatch):
     assert sleeps[0] < ticks[0] < sleeps[1] < ticks[1]
     # each requested sleep is bounded by the */2 cadence
     assert all(0.0 <= e[1] <= 120.0 for e in events if isinstance(e, tuple))
+
+
+def test_serve_status_http_surface(spark, sf_dir, tmp_path):
+    """deploy --serve: the web runs screen (reference webserver
+    parity) serves the SAME report the CLI prints — JSON at
+    /status.json with the ledgered tick, HTML at /, 404 elsewhere."""
+    import json
+    import threading
+    import urllib.request
+
+    from etl_dagster_service_crawler_spark.deploy import (
+        DEFAULT_JOB,
+        run_tick,
+        serve_status,
+    )
+    from etl_dagster_service_crawler_spark.streaming.jobs import (
+        RUN_HISTORY_TABLE,
+    )
+
+    out = str(tmp_path / "out")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
+    srv = None
+    try:
+        assert run_tick(spark, DEFAULT_JOB, sf_dir, out, ["doc_id"])
+        srv = serve_status(spark, out, port=0)  # ephemeral port
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        rep = json.loads(
+            urllib.request.urlopen(f"{base}/status.json", timeout=30).read()
+        )
+        assert rep["have_ledger"] is True
+        assert rep["counts"].get("ok") == 1
+        assert rep["recent"][0]["job"] == DEFAULT_JOB
+        assert rep["recent"][0]["status"] == "ok"
+        html = urllib.request.urlopen(f"{base}/", timeout=30).read().decode()
+        assert "spark-graft runs" in html and DEFAULT_JOB in html
+        import urllib.error
+
+        try:
+            urllib.request.urlopen(f"{base}/nope", timeout=30)
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        if srv is not None:
+            srv.shutdown()
+            srv.server_close()
+        reset_ledger(spark, RUN_HISTORY_TABLE)

@@ -4,6 +4,8 @@ error budget."""
 
 from __future__ import annotations
 
+from tests.conftest import reset_ledger
+
 import glob
 import os
 import shutil
@@ -125,7 +127,7 @@ def test_run_history_ledger_records_each_tick(spark, sf_dir, tmp_path):
     src = str(tmp_path / "ledger_src")
     _stage_file(docs.where(F.col("doc_id") < 250), src, "day1")
     table = "run_history_test"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    reset_ledger(spark, table)
 
     def build(spark_, source):
         s = (
@@ -175,7 +177,7 @@ def test_run_history_ledger_records_each_tick(spark, sf_dir, tmp_path):
         assert all(r["mode"] == "available_now" for r in rows)
         assert rows[0]["n_rows"] == 250 and rows[0]["n_bad"] == 3
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        reset_ledger(spark, table)
 
 
 def test_ledger_records_error_row_on_raised_failure(spark, sf_dir):
@@ -186,7 +188,7 @@ def test_ledger_records_error_row_on_raised_failure(spark, sf_dir):
     import pytest
 
     table = "run_history_err_test"
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    reset_ledger(spark, table)
     job = ScheduledPipeline(
         name="badjob",
         build=lambda s, d: load_table(s, d, "documents"),
@@ -202,4 +204,4 @@ def test_ledger_records_error_row_on_raised_failure(spark, sf_dir):
         assert rows[0]["status"] == "error"
         assert "streaming" in rows[0]["error"]
     finally:
-        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        reset_ledger(spark, table)
