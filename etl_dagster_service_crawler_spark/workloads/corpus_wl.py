@@ -460,8 +460,12 @@ def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = pq.ParquetFile(
             f"{sf_dir}/embeddings.parquet"
         ).metadata.num_rows
+        # known dim unrolls the rerank dot (dot_fixed) — one bounded
+        # 1-row probe, only on this route
+        dim = len(emb.select("embedding").first()[0])
         out = knn_join_quantized(
-            emb, k=5, r_candidates=KNN_RERANK_CANDIDATES, n_rows=n_rows
+            emb, k=5, r_candidates=KNN_RERANK_CANDIDATES, n_rows=n_rows,
+            dim=dim,
         )
     return out.orderBy("qid", "rn")
 
