@@ -460,9 +460,14 @@ def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = pq.ParquetFile(
             f"{sf_dir}/embeddings.parquet"
         ).metadata.num_rows
-        # known dim unrolls the rerank dot (dot_fixed) — one bounded
-        # 1-row probe, only on this route
-        dim = len(emb.select("embedding").first()[0])
+        # known dim unrolls the rerank dot (dot_fixed). The 1-row probe
+        # job only pays for itself when the survivor set is large, so
+        # skip it for small corpora (n x R rerank pairs are cheap there)
+        dim = (
+            len(emb.select("embedding").first()[0])
+            if n_rows >= 10_000
+            else None
+        )
         out = knn_join_quantized(
             emb, k=5, r_candidates=KNN_RERANK_CANDIDATES, n_rows=n_rows,
             dim=dim,
