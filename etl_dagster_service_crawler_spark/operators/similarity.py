@@ -946,55 +946,21 @@ def _pair_dot(a: Column, b: Column, dim: int | None) -> Column:
 KNN_QUANT_BLOCK_CAP = 4096
 
 
-def knn_join_quantized(
+def quantized_block_pairs(
     emb: DataFrame,
-    k: int = 5,
-    r_candidates: int = 64,
+    n: int,
     block_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    dim: int | None = None,
-    n_rows: int | None = None,
 ) -> DataFrame:
-    """Batch kNN self-join for corpora where IVF degenerates (the
-    route_knn 'quantized' arm): block brute force — int8-quantized
-    coarse scan over PACKED block pairs, exact float re-rank of the
-    R survivors per query. The batch twin of quantized_rerank_topk
-    (same quantization, same coarse score, same -2.0 zero-vector
-    sentinel), and the only honest shape on isotropic embeddings,
-    where no partition-pruning index beats a scan — so the scan is
-    made cheap (1/8th the bytes, vectorized integer matmuls) instead
-    of pretending to prune.
-
-    Shape: vectors land in ceil(n/block_rows) hash blocks; each block
-    is packed ONCE into (ids, flattened int8 matrix, norms) — sorted
-    by id, so the pack is deterministic. Query blocks replicate over
-    corpus blocks via an explode(sequence)-equi-join — a plain
-    shuffled join, NEVER a CartesianProduct or an unbounded BNLJ, so
-    AQE/skew machinery applies and plan_lint stays clean. Each
-    block-pair task runs ONE numpy int matmul (Arrow-batched
-    mapInPandas; per-pair expression folds would pay ~100x per pair)
-    and keeps its per-query top-R by (coarse desc, id) — the global
-    top-R per query is a window merge of those partials (correct:
-    global top-R is a subset of the union of per-block top-Rs). The
-    exact re-rank then touches n x R pairs, not n^2.
-
-    Scale: data moved = packed query blocks replicated B_c times
-    (n x dim bytes x n/block_rows) — the standard block-product
-    replication; compute is the unavoidable O(n^2 dim / 8) coarse
-    bytes. Integer dots are exact, so coarse ordering (and therefore
-    the survivor set) is deterministic; with r_candidates >= n the
-    result equals cosine_topk_bruteforce row-for-row (pinned).
-
-    Returns (qid, nid, cos, rn) — the knn_join_cells contract.
-    """
-    # n only sizes the blocks; callers that know it (parquet footer)
-    # pass n_rows and skip the count job
-    n = n_rows if n_rows is not None else emb.count()
-    if n == 0:
-        return emb.sparkSession.createDataFrame(
-            [], "qid long, nid long, cos double, rn int"
-        )
+    """The shared block-product stage of the quantized family
+    (knn_join_quantized, similarity_pair_histogram): int8-quantize
+    (the embedding_quantize formula), hash vectors into
+    ceil(n/block_rows) blocks packed ONCE into id-sorted (ids,
+    flattened int8 matrix, int-exact norms), and form every (query
+    block, corpus block) pair via explode(sequence) + plain shuffled
+    EQUI-join — never a CartesianProduct or unbounded BNLJ. Returns
+    rows (nb, qids, qmat, qnorms, nids, nmat, nnorms)."""
     if block_rows is None:
         # B^2 ~ P/2 block pairs: enough tasks to fill the cluster once
         # AQE splits, few enough that per-pair stage overhead doesn't
@@ -1052,7 +1018,59 @@ def knn_join_quantized(
         F.col("norms").alias("nnorms"),
     )
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
-    pairs = qb.repartition(n_parts, "qids", "nb").join(nb, "nb")
+    return qb.repartition(n_parts, "qids", "nb").join(nb, "nb")
+
+
+def knn_join_quantized(
+    emb: DataFrame,
+    k: int = 5,
+    r_candidates: int = 64,
+    block_rows: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Batch kNN self-join for corpora where IVF degenerates (the
+    route_knn 'quantized' arm): block brute force — int8-quantized
+    coarse scan over PACKED block pairs, exact float re-rank of the
+    R survivors per query. The batch twin of quantized_rerank_topk
+    (same quantization, same coarse score, same -2.0 zero-vector
+    sentinel), and the only honest shape on isotropic embeddings,
+    where no partition-pruning index beats a scan — so the scan is
+    made cheap (1/8th the bytes, vectorized integer matmuls) instead
+    of pretending to prune.
+
+    Shape: vectors land in ceil(n/block_rows) hash blocks; each block
+    is packed ONCE into (ids, flattened int8 matrix, norms) — sorted
+    by id, so the pack is deterministic. Query blocks replicate over
+    corpus blocks via an explode(sequence)-equi-join — a plain
+    shuffled join, NEVER a CartesianProduct or an unbounded BNLJ, so
+    AQE/skew machinery applies and plan_lint stays clean. Each
+    block-pair task runs ONE numpy int matmul (Arrow-batched
+    mapInPandas; per-pair expression folds would pay ~100x per pair)
+    and keeps its per-query top-R by (coarse desc, id) — the global
+    top-R per query is a window merge of those partials (correct:
+    global top-R is a subset of the union of per-block top-Rs). The
+    exact re-rank then touches n x R pairs, not n^2.
+
+    Scale: data moved = packed query blocks replicated B_c times
+    (n x dim bytes x n/block_rows) — the standard block-product
+    replication; compute is the unavoidable O(n^2 dim / 8) coarse
+    bytes. Integer dots are exact, so coarse ordering (and therefore
+    the survivor set) is deterministic; with r_candidates >= n the
+    result equals cosine_topk_bruteforce row-for-row (pinned).
+
+    Returns (qid, nid, cos, rn) — the knn_join_cells contract.
+    """
+    # n only sizes the blocks; callers that know it (parquet footer)
+    # pass n_rows and skip the count job
+    n = n_rows if n_rows is not None else emb.count()
+    if n == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "qid long, nid long, cos double, rn int"
+        )
+    pairs = quantized_block_pairs(emb, n, block_rows, id_col, vec_col)
 
     r_cand = r_candidates
 
@@ -1149,4 +1167,96 @@ def knn_join_quantized(
         .withColumn("rn", F.row_number().over(we))
         .where(F.col("rn") <= k)
         .select("qid", "nid", "cos", "rn")
+    )
+
+
+SIM_HIST_BUCKETS = 20
+
+
+def similarity_pair_histogram(
+    emb: DataFrame,
+    block_rows: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Corpus-wide distribution of pairwise quantized cosine — the
+    artifact that picks a near-dup threshold BEFORE running dedup
+    (where does the duplicate mode sit? how fat is the 0.9+ tail?).
+
+    The O(n^2) pair set is never materialized as rows: each
+    quantized_block_pairs task computes its coarse matrix (the exact
+    same BLAS-exact int8 cosine as knn_join_quantized), buckets it,
+    and emits AT MOST 20 (bucket, count) partials — compute is
+    quadratic, data movement is O(blocks x buckets). This is also the
+    quantized family's direct value-hash anchor: unlike top-k (whose
+    oracle would need the same blocking), the histogram is
+    order-insensitive, so a brute-force n^2 DuckDB oracle checks the
+    coarse score of EVERY pair bit-for-bit at the driver scales.
+
+    Bucketing: bucket = min(floor((coarse + 1) * 10), 19) over
+    [-1, 1] (exact duplicates land in bucket 19 via the clamp).
+    Unordered pairs counted once (id_a < id_b); zero-norm vectors
+    excluded (no defined cosine). Determinism: coarse is an exact
+    integer ratio computed identically on both engines, and +1/*10/
+    floor are identically-rounded IEEE ops.
+
+    Returns (bucket int, cos_lo double, pair_count bigint).
+    """
+    n = n_rows if n_rows is not None else emb.count()
+    spark = emb.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], "bucket int, cos_lo double, pair_count bigint"
+        )
+    pairs = quantized_block_pairs(emb, n, block_rows, id_col, vec_col)
+    n_buckets = SIM_HIST_BUCKETS
+
+    def hist_blocks(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            acc = np.zeros(n_buckets, dtype=np.int64)
+            for row in pdf.itertuples(index=False):
+                qids = np.asarray(row.qids, dtype=np.int64)
+                nids = np.asarray(row.nids, dtype=np.int64)
+                if not len(qids) or not len(nids):
+                    continue
+                d = len(row.qmat) // len(qids)
+                q = np.asarray(row.qmat, dtype=np.float64).reshape(
+                    len(qids), d
+                )
+                m = np.asarray(row.nmat, dtype=np.float64).reshape(
+                    len(nids), d
+                )
+                den = np.outer(
+                    np.asarray(row.qnorms, dtype=np.float64),
+                    np.asarray(row.nnorms, dtype=np.float64),
+                )
+                # each unordered pair once, zero-norm pairs excluded
+                mask = (qids[:, None] < nids[None, :]) & (den > 0)
+                if not mask.any():
+                    continue
+                c = (q @ m.T)[mask] / den[mask]
+                b = np.minimum(
+                    np.floor((c + 1.0) * 10.0).astype(np.int64),
+                    n_buckets - 1,
+                )
+                acc += np.bincount(b, minlength=n_buckets)
+            nz = np.nonzero(acc)[0]
+            if len(nz):
+                yield pd.DataFrame(
+                    {"bucket": nz.astype(np.int32), "cnt": acc[nz]}
+                )
+
+    return (
+        pairs.mapInPandas(hist_blocks, "bucket int, cnt bigint")
+        .groupBy("bucket")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .select(
+            "bucket",
+            (F.col("bucket") / F.lit(10.0) - F.lit(1.0)).alias("cos_lo"),
+            "pair_count",
+        )
     )

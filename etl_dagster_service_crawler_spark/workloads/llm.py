@@ -1771,6 +1771,62 @@ GROUP BY vec_id, tbl
 SQL_SRP_BUCKET_EXPORT = _srp_bucket_export_sql()
 
 
+def q_similarity_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide pairwise-similarity distribution (operators/
+    similarity.similarity_pair_histogram): 20 cosine buckets over
+    every unordered vector pair — the threshold-picking artifact a
+    near-dup campaign runs FIRST. The O(n^2) compute rides the same
+    quantized block equi-join as knn_join_auto's routed arm while the
+    output is O(buckets); because the histogram is order-insensitive,
+    a brute-force n^2 DuckDB oracle value-checks the quantized coarse
+    cosine of EVERY pair — the direct hash anchor for the quantized
+    ANN family's arithmetic."""
+    import pyarrow.parquet as pq
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        similarity_pair_histogram,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    return similarity_pair_histogram(e, n_rows=n_rows)
+
+
+SQL_SIM_PAIR_HIST = """
+WITH qe AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * s + 0.5) AS INT)) AS q8
+  FROM (
+    SELECT vec_id, embedding,
+           CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS s
+    FROM (
+      SELECT vec_id, embedding,
+             list_aggregate(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))), 'max') AS mx
+      FROM embeddings))
+),
+qn AS (
+  SELECT vec_id, q8,
+         sqrt(CAST(list_sum(list_transform(q8,
+           x -> CAST(x AS BIGINT) * x)) AS DOUBLE)) AS n8
+  FROM qe
+),
+pr AS (
+  SELECT CAST(list_sum(list_transform(list_zip(a.q8, b.q8),
+           s -> CAST(s[1] AS BIGINT) * s[2])) AS DOUBLE)
+           / (a.n8 * b.n8) AS c
+  FROM qn a, qn b
+  WHERE a.vec_id < b.vec_id AND a.n8 > 0 AND b.n8 > 0
+)
+SELECT bucket, bucket / 10.0 - 1.0 AS cos_lo,
+       CAST(count(*) AS BIGINT) AS pair_count
+FROM (SELECT CAST(least(floor((c + 1.0) * 10.0), 19) AS INT) AS bucket
+      FROM pr)
+GROUP BY bucket
+"""
+
+
 IVF_EXPORT_CENTROIDS = 16
 IVF_EXPORT_NPROBE = 4
 
@@ -1915,6 +1971,12 @@ SPECS = [
     ),
     # r8: oracle anchors for the rows-only SRP/IVF families
     QuerySpec("srp_bucket_export", q_srp_bucket_export, SQL_SRP_BUCKET_EXPORT),
+    # r8: O(n^2)-compute / O(buckets)-movement threshold artifact; the
+    # quantized-cosine value anchor for the routed ANN arm
+    QuerySpec(
+        "similarity_pair_histogram", q_similarity_pair_histogram,
+        SQL_SIM_PAIR_HIST, bench=True,
+    ),
     QuerySpec("ivf_assign_export", q_ivf_assign_export, SQL_IVF_ASSIGN_EXPORT),
     QuerySpec("ivf_probe_export", q_ivf_probe_export, SQL_IVF_PROBE_EXPORT),
     QuerySpec(

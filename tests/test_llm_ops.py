@@ -790,3 +790,40 @@ def test_ivf_exports_reuse_production_operators(spark, sf_dir):
         sorted(v) == list(range(1, IVF_EXPORT_NPROBE + 1))
         for v in by_q.values()
     )
+
+
+def test_similarity_pair_histogram_totals_and_duplicate_mode(spark, sf_dir, tmp_path):
+    """Histogram invariants: bucket counts sum to n(n-1)/2 (every
+    unordered pair once, no zero vectors in the fixture), and a
+    duplicate-heavy corpus concentrates mass in the top bucket (the
+    signal the threshold-picker looks for)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        similarity_pair_histogram,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    rows = similarity_pair_histogram(e).collect()
+    assert sum(r["pair_count"] for r in rows) == n * (n - 1) // 2
+    assert all(0 <= r["bucket"] <= 19 for r in rows)
+    assert all(abs(r["cos_lo"] - (r["bucket"] / 10.0 - 1.0)) < 1e-12 for r in rows)
+
+    # 50 vectors x 4 exact copies: >= C(4,2)*50 = 300 of the 4950
+    # pairs are exact duplicates -> bucket 19 (clamped cos = 1.0)
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(50, 16)).astype(np.float32)
+    vecs = np.repeat(base, 4, axis=0)
+    pd.DataFrame(
+        {
+            "vec_id": pd.array(range(200), dtype="int64"),
+            "embedding": list(vecs),
+            "label": pd.array([0] * 200, dtype="int32"),
+        }
+    ).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
+    dup = spark.read.parquet(f"{tmp_path}/embeddings.parquet")
+    got = {r["bucket"]: r["pair_count"] for r in similarity_pair_histogram(dup).collect()}
+    assert got.get(19, 0) >= 300
+    assert sum(got.values()) == 200 * 199 // 2
