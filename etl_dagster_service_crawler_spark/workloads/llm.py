@@ -1689,6 +1689,49 @@ FROM hv
 SQL_SIMHASH_EXPORT = _simhash_export_sql()
 
 
+MINHASH_EXPORT_BAND_ROWS = 2  # 8 seeds -> 4 bands x 2 rows
+
+
+def q_minhash_band_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable LSH BAND-KEY artifact: the banded join keys on
+    top of minhash_signature_export's oracle-verified signatures —
+    seeds grouped into bands of MINHASH_EXPORT_BAND_ROWS, band key =
+    the '-'-joined signature components in seed order. This is the
+    last un-anchored piece of the production minhash path
+    (operators/dedup.py: signatures -> BANDING -> equi-join on
+    (band, band_hash)): with it, shingling, permutation minima, AND
+    the blocking keys are all value-hash-checked; only the join
+    geometry itself remains approximate-by-nature.
+
+    Scale: derived per doc from the signature projection —
+    shuffle-free until the (doc, band)-sized aggregate."""
+    sigs = q_minhash_signature_export(spark, sf_dir)
+    return (
+        sigs.withColumn(
+            "band", (F.col("seed") / MINHASH_EXPORT_BAND_ROWS).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                    lambda r: r["sig"].cast("string"),
+                ),
+                "-",
+            ).alias("band_key")
+        )
+    )
+
+
+SQL_MINHASH_BAND_EXPORT = f"""
+SELECT doc_id,
+       CAST(seed // {MINHASH_EXPORT_BAND_ROWS} AS INT) AS band,
+       string_agg(CAST(sig AS VARCHAR), '-' ORDER BY seed) AS band_key
+FROM ({SQL_MINHASH_EXPORT})
+GROUP BY doc_id, seed // {MINHASH_EXPORT_BAND_ROWS}
+"""
+
+
 # --- SRP / IVF family exports (r7 item 4: shrink the rows-only set) ----------
 
 # dedup_embedding_lsh's exact SRP config (workloads/llm.q_dedup_embedding_lsh)
@@ -1970,6 +2013,9 @@ SPECS = [
         "simhash_signature_export", q_simhash_signature_export, SQL_SIMHASH_EXPORT
     ),
     # r8: oracle anchors for the rows-only SRP/IVF families
+    QuerySpec(
+        "minhash_band_export", q_minhash_band_export, SQL_MINHASH_BAND_EXPORT
+    ),
     QuerySpec("srp_bucket_export", q_srp_bucket_export, SQL_SRP_BUCKET_EXPORT),
     # r8: O(n^2)-compute / O(buckets)-movement threshold artifact; the
     # quantized-cosine value anchor for the routed ANN arm
