@@ -2101,7 +2101,190 @@ ORDER BY ta, tb
 """
 
 
+def q_shipping_priority_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: the 10 highest-revenue orders not yet shipped
+    as of the cutoff, for one market segment (fixture has no
+    shippriority column; o_orderpriority carries the ranking role).
+    Plan: the segment filter cuts customer to 1/5 and only c_custkey
+    survives projection, so it broadcasts into orders; the only
+    shuffle is the lineitem revenue rollup on l_orderkey; the top-10
+    folds to TakeOrderedAndProject. The sort key is the exact BIGINT
+    unit sum (tie-broken on the unique l_orderkey), so the LIMIT
+    selection is engine-independent."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cust = F.broadcast(
+        c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    return (
+        li.where(F.col("l_shipdate") > F.lit("1998-06-01").cast("date"))
+        .join(
+            o.where(F.col("o_orderdate") < F.lit("1998-06-01").cast("date")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_units()).alias("rev_units"))
+        .orderBy(F.col("rev_units").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            fround(F.col("rev_units").cast("double") / F.lit(1e4), 2).alias(
+                "revenue"
+            ),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+    )
+
+
+SQL_SHIPPING_PRIORITY_Q3 = f"""
+SELECT l_orderkey,
+       {sql_fround("CAST(rev_units AS DOUBLE) / 1e4", 2)} AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+       o_orderpriority
+FROM (
+  SELECT l_orderkey, o_orderdate, o_orderpriority,
+         sum({_SQL_REV_UNITS}) AS rev_units
+  FROM customer
+  JOIN orders ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < DATE '1998-06-01'
+    AND l_shipdate > DATE '1998-06-01'
+  GROUP BY l_orderkey, o_orderdate, o_orderpriority
+)
+ORDER BY rev_units DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_local_supplier_volume_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped: discounted revenue per nation of one region for
+    one order year, counting only LOCAL flows (supplier and customer in
+    the same nation). Plan: region->nation prunes to a handful of keys,
+    so nation-filtered supplier and customer both broadcast; lineitem
+    joins orders on the fact key (the one real shuffle) and the
+    same-nation predicate applies before the tiny final agg."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    nat = F.broadcast(
+        n.join(
+            r.where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    supp = F.broadcast(
+        s.join(nat, F.col("s_nationkey") == F.col("n_nationkey")).select(
+            "s_suppkey", F.col("s_nationkey").alias("supp_nk"), "n_name"
+        )
+    )
+    cust = F.broadcast(
+        c.join(
+            nat.select("n_nationkey"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", F.col("c_nationkey").alias("cust_nk"))
+    )
+    orders_96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+    )
+    return (
+        li.join(orders_96, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .where(F.col("supp_nk") == F.col("cust_nk"))
+        .groupBy("n_name")
+        .agg(
+            fround(F.sum(_rev_units()).cast("double") / F.lit(1e4), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("int").alias("n_lines"),
+        )
+        .orderBy("n_name")
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME_Q5 = f"""
+SELECT n_name,
+       {sql_fround("CAST(sum(" + _SQL_REV_UNITS + ") AS DOUBLE) / 1e4", 2)}
+         AS revenue,
+       CAST(count(*) AS INT) AS n_lines
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= DATE '1996-01-01'
+  AND o_orderdate < DATE '1997-01-01'
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q_forecast_revenue_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-shaped: revenue increase from dropping small-quantity
+    discounted lines in one ship year. Pure scan + scalar agg: all
+    three predicates (date band, discount band, quantity cap) push to
+    the parquet scan, no join, no shuffle beyond the 1-row partial-agg
+    exchange. The discount band compares on the rounded integer
+    percent (the cent idiom), so float storage noise can't flip band
+    membership differently per engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pct = F.floor(F.col("l_discount") * F.lit(1e2) + F.lit(0.5))
+    units = F.floor(F.col("l_extendedprice") * F.lit(1e2) + F.lit(0.5)) * pct
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+            & pct.between(5, 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            fround(F.sum(units).cast("double") / F.lit(1e4), 2).alias(
+                "revenue"
+            ),
+            F.count("*").cast("int").alias("n_lines"),
+        )
+    )
+
+
+_SQL_DISC_PCT = "CAST(floor(l_discount * 1e2 + 0.5) AS BIGINT)"
+
+SQL_FORECAST_REVENUE_Q6 = f"""
+SELECT {sql_fround(
+    "CAST(sum(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT) * "
+    + _SQL_DISC_PCT + ") AS DOUBLE) / 1e4", 2)} AS revenue,
+       CAST(count(*) AS INT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01'
+  AND l_shipdate < DATE '1997-01-01'
+  AND {_SQL_DISC_PCT} BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
 SPECS: list[QuerySpec] = [
+    # r8: the remaining classic TPC-H plan shapes (Q3/Q5/Q6)
+    QuerySpec(
+        "shipping_priority_q3", q_shipping_priority_q3, SQL_SHIPPING_PRIORITY_Q3
+    ),
+    QuerySpec(
+        "local_supplier_volume_q5",
+        q_local_supplier_volume_q5,
+        SQL_LOCAL_SUPPLIER_VOLUME_Q5,
+    ),
+    QuerySpec(
+        "forecast_revenue_q6", q_forecast_revenue_q6, SQL_FORECAST_REVENUE_Q6
+    ),
     QuerySpec(
         "audience_overlap_matrix", q_audience_overlap_matrix, SQL_AUDIENCE_OVERLAP
     ),

@@ -283,6 +283,40 @@ def test_q18_takeordered_and_broadcast_joinback(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+def test_q3_takeordered_broadcast_cust_pushed_dates(spark, sf_dir):
+    """Q3 shape: segment-filtered customer broadcasts; the top-10 folds
+    to TakeOrderedAndProject; both date predicates reach the scans."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_shipping_priority_q3(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+    assert "l_shipdate" in plan and "o_orderdate" in plan
+
+
+def test_q5_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Q5 shape: nation/supplier/customer all broadcast after the
+    region prune — the lineitem-orders fact join is the only
+    potentially shuffled join; no cartesian anywhere."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    plan = _plan(analytics_wl.q_local_supplier_volume_q5(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # supp + cust joinbacks
+
+
+def test_q6_pure_scan_agg_no_join_pushed_predicates(spark, sf_dir):
+    """Q6 shape: no join at all; ship-date band and quantity cap reach
+    the parquet scan as pushed filters."""
+    from etl_dagster_service_crawler_spark.workloads import analytics_wl
+
+    df = analytics_wl.q_forecast_revenue_q6(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+
+
 def test_q21_single_fact_aggregation_no_self_join(spark, sf_dir):
     """The EXISTS / NOT EXISTS pair is ONE per-order aggregation: no
     second lineitem scan, no fact-fact self-join."""
