@@ -1260,3 +1260,147 @@ def similarity_pair_histogram(
             "pair_count",
         )
     )
+
+
+# --- product quantization (PQ) ------------------------------------------------
+#
+# The missing third leg of the ANN triad (exact scan / IVF cells / PQ
+# codes). At 100 TB the ADC scan is the shape that matters: the corpus
+# is read as n_sub CODE BYTES per vector (a 64-dim float64 embedding
+# compresses 128:1 at n_sub=4), the per-query lookup table is
+# n_sub x n_codes integers built once per query, and the distance pass
+# never touches a float. All math here runs in the engine's int8
+# storage domain (the embedding_quantize formula), so distances are
+# exact integers — deterministic, tie-safe, and DuckDB-replayable,
+# which is what makes the PQ family fully oracle-checkable unlike a
+# trained-codebook PQ (same argument as the md5-picked IVF exports).
+
+
+def _q8_expr(vec_col: str):
+    """The embedding_quantize int8 formula as a column expression:
+    q = floor(x * 127 / max|x| + 0.5), zero vectors to zeros."""
+    absmax = F.aggregate(
+        F.col(vec_col), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("bigint"),
+    )
+
+
+def _il2(a, b):
+    """Exact integer squared-L2 between two int lists."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _explode_subvectors(df: DataFrame, n_sub: int, q8_col: str,
+                        out_col: str) -> DataFrame:
+    """One row per (row, subspace): slice the quantized vector into
+    n_sub contiguous blocks. Pure per-row transform, zero exchanges."""
+    sub_dim = (F.size(F.col(q8_col)) / F.lit(n_sub)).cast("int")
+    df = df.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_id")
+    )
+    return df.select(
+        "*",
+        F.slice(
+            F.col(q8_col), F.col("sub_id") * sub_dim + F.lit(1), sub_dim
+        ).alias(out_col),
+    ).drop(q8_col)
+
+
+def pq_codebook(
+    emb: DataFrame, n_sub: int = 4, n_codes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub_id, code, csub): per-subspace codebook from the n_codes
+    hash-spread seed vectors (smallest (md5(id), id) — the same
+    deterministic pick as the IVF exports), int8-quantized and sliced.
+    n_sub x n_codes rows; always broadcast by the consumers."""
+    seed = (
+        emb.select(
+            id_col, vec_col,
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h", id_col)
+        .limit(n_codes)
+    )
+    wk = Window.orderBy("h", id_col)
+    seed = seed.withColumn("code", F.row_number().over(wk) - 1).select(
+        F.col("code").cast("int").alias("code"), _q8_expr(vec_col).alias("q8")
+    )
+    return _explode_subvectors(seed, n_sub, "q8", "csub").select(
+        "sub_id", "code", "csub"
+    )
+
+
+def pq_encode(
+    emb: DataFrame, codebook: DataFrame, n_sub: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub_id, code): nearest codebook entry per subspace by exact
+    integer squared-L2, ties to the smallest code. The argmin is a
+    map-side-combining min_by over the broadcast codebook join — the
+    exchange carries n x n_sub (id, sub_id, code) triples, never a
+    vector (the assign_cells lesson applied to PQ)."""
+    base = emb.select(F.col(id_col), _q8_expr(vec_col).alias("q8"))
+    subs = _explode_subvectors(base, n_sub, "q8", "vsub")
+    best = F.min_by(
+        F.col("code"), F.struct(F.col("d2").alias("d2"), F.col("code"))
+    )
+    return (
+        subs.join(F.broadcast(codebook), "sub_id")
+        .select(
+            id_col, "sub_id", "code",
+            _il2(F.col("vsub"), F.col("csub")).alias("d2"),
+        )
+        .groupBy(id_col, "sub_id")
+        .agg(best.alias("code"))
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5,
+    n_sub: int = 4, n_codes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: per query build the
+    n_sub x n_codes integer lookup table against the codebook, scan the
+    CODES (not the vectors), sum LUT entries per (query, vector), keep
+    the k smallest (adc asc, id asc), self excluded.
+
+    Scale shape: codes are the only corpus-sized input (n x n_sub small
+    ints); the LUT join fans each code row out to the q queries
+    carrying three ints, and the per-(query, vector) sum map-side
+    combines inside the code partitions. No vector payload ever moves
+    after encoding. Returns (qid, rn, nid, adc) — exact integers, fully
+    oracle-checkable."""
+    codebook = pq_codebook(emb, n_sub, n_codes, id_col, vec_col)
+    codes = pq_encode(emb, codebook, n_sub, id_col, vec_col)
+    qbase = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), _q8_expr(vec_col).alias("q8")
+    )
+    qsubs = _explode_subvectors(qbase, n_sub, "q8", "qsub")
+    lut = qsubs.join(F.broadcast(codebook), "sub_id").select(
+        "qid", "sub_id", "code",
+        _il2(F.col("qsub"), F.col("csub")).alias("d"),
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["sub_id", "code"])
+        .where(F.col(id_col) != F.col("qid"))
+        .groupBy("qid", id_col)
+        .agg(F.sum("d").alias("adc"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("adc"), F.col(id_col))
+    return (
+        adc.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("rn").cast("int").alias("rn"),
+                F.col(id_col).alias("nid"), F.col("adc"))
+    )

@@ -2004,6 +2004,145 @@ WHERE rn <= {IVF_EXPORT_NPROBE}
 """
 
 
+PQ_EXPORT_SUB = 4
+PQ_EXPORT_CODES = 8
+_PQ_SUB_DIM = 16  # EMB_EXPECTED_DIM / PQ_EXPORT_SUB
+
+# DuckDB twins of the int8-domain PQ math (operators/similarity.py):
+# the embedding_quantize formula, then integer squared-L2 on slices.
+_SQL_Q8_ABSMAX = (
+    "list_aggregate(list_transform(embedding,"
+    " x -> abs(CAST(x AS DOUBLE))), 'max')"
+)
+_SQL_Q8 = f"""
+q8 AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) *
+           CASE WHEN {_SQL_Q8_ABSMAX} > 0
+                THEN 127.0 / {_SQL_Q8_ABSMAX} ELSE 0.0 END
+           + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+)"""
+_SQL_PQ_CENT = f"""
+pcent AS (
+  SELECT CAST(rk - 1 AS INT) AS code, qv AS cv
+  FROM (
+    SELECT qv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             AS rk
+    FROM q8
+  )
+  WHERE rk <= {PQ_EXPORT_CODES}
+)"""
+_SQL_PQ_SLICES = f"""
+subs AS (
+  SELECT vec_id, m, qv[m*{_PQ_SUB_DIM}+1 : (m+1)*{_PQ_SUB_DIM}] AS vsub
+  FROM q8, (SELECT unnest(range({PQ_EXPORT_SUB})) AS m)
+),
+csubs AS (
+  SELECT code, m, cv[m*{_PQ_SUB_DIM}+1 : (m+1)*{_PQ_SUB_DIM}] AS csub
+  FROM pcent, (SELECT unnest(range({PQ_EXPORT_SUB})) AS m)
+)"""
+
+
+def _sql_il2(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+
+
+_SQL_PQ_ENC = f"""
+enc AS (
+  SELECT vec_id, m AS sub_id, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_sql_il2('s.vsub', 'c.csub')}, c.code)
+             AS rn
+    FROM subs s JOIN csubs c ON s.m = c.m
+  ) WHERE rn = 1
+)"""
+
+
+def q_pq_encode_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization CODES for the whole corpus: nearest
+    codebook entry per subspace by exact integer squared-L2 in the int8
+    storage domain (PQ_EXPORT_SUB=4 subspaces, PQ_EXPORT_CODES=8
+    hash-spread seed codes — the deterministic stand-in for a trained
+    codebook, same argument as ivf_assign_export). At 100 TB this
+    4-byte-per-vector sidecar IS the ANN corpus representation the ADC
+    scan reads (128:1 vs float64). The argmin is a map-side-combining
+    min_by over the broadcast codebook (operators/similarity.pq_encode)
+    — the exchange carries (id, sub_id, code) triples, never a vector."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, PQ_EXPORT_SUB, PQ_EXPORT_CODES)
+    return pq_encode(e, cb, PQ_EXPORT_SUB).select(
+        "vec_id",
+        F.col("sub_id").cast("int").alias("sub_id"),
+        F.col("code").cast("int").alias("code"),
+    )
+
+
+SQL_PQ_ENCODE_EXPORT = f"""
+WITH {_SQL_Q8},
+{_SQL_PQ_CENT},
+{_SQL_PQ_SLICES},
+{_SQL_PQ_ENC}
+SELECT vec_id, CAST(sub_id AS INT) AS sub_id, CAST(code AS INT) AS code
+FROM enc
+"""
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-5 for the 8 standing queries: build
+    the per-query n_sub x n_codes integer LUT once, scan the CODES
+    table (never the vectors), sum LUT entries per (query, vector),
+    keep the 5 nearest (adc asc, id asc), self excluded
+    (operators/similarity.pq_adc_topk). The IVF-PQ search shape at
+    100 TB: after encoding, the quadratic pass moves three small ints
+    per (code row, query) and map-side-combines inside code partitions.
+    Exact integer distances -> fully value-hash oracle-checkable."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        e, TOPK_QUERY_IDS, k=5, n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES
+    )
+
+
+SQL_PQ_ADC_TOPK = f"""
+WITH {_SQL_Q8},
+{_SQL_PQ_CENT},
+{_SQL_PQ_SLICES},
+{_SQL_PQ_ENC},
+lut AS (
+  SELECT q.vec_id AS qid, q.m, c.code, {_sql_il2('q.vsub', 'c.csub')} AS d
+  FROM subs q JOIN csubs c ON q.m = c.m
+  WHERE q.vec_id < {len(TOPK_QUERY_IDS)}
+),
+adc AS (
+  SELECT l.qid, e.vec_id, sum(l.d) AS adc
+  FROM enc e JOIN lut l ON e.sub_id = l.m AND e.code = l.code
+  WHERE e.vec_id <> l.qid
+  GROUP BY l.qid, e.vec_id
+)
+SELECT qid, CAST(rn AS INT) AS rn, vec_id AS nid, CAST(adc AS BIGINT) AS adc
+FROM (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+  FROM adc
+)
+WHERE rn <= 5
+"""
+
+
 SPECS = [
     QuerySpec("source_lang_mix", q_source_lang_mix, SQL_SOURCE_LANG_MIX),
     QuerySpec(
@@ -2025,6 +2164,10 @@ SPECS = [
     ),
     QuerySpec("ivf_assign_export", q_ivf_assign_export, SQL_IVF_ASSIGN_EXPORT),
     QuerySpec("ivf_probe_export", q_ivf_probe_export, SQL_IVF_PROBE_EXPORT),
+    # r8: the PQ leg of the ANN triad — int8-domain codes + ADC search,
+    # both exact-integer and fully oracle-backed
+    QuerySpec("pq_encode_export", q_pq_encode_export, SQL_PQ_ENCODE_EXPORT),
+    QuerySpec("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK, bench=True),
     QuerySpec(
         "embedding_centroids_int", q_embedding_centroids_int, SQL_EMB_CENTROIDS
     ),

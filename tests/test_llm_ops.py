@@ -827,3 +827,74 @@ def test_similarity_pair_histogram_totals_and_duplicate_mode(spark, sf_dir, tmp_
     got = {r["bucket"]: r["pair_count"] for r in similarity_pair_histogram(dup).collect()}
     assert got.get(19, 0) >= 300
     assert sum(got.values()) == 200 * 199 // 2
+
+
+def test_pq_encode_complete_codes_in_range(spark, sf_dir):
+    """Every (vector, subspace) gets exactly one code in
+    [0, PQ_EXPORT_CODES); a codebook seed vector encodes to ITSELF in
+    every subspace (its own subvector is at distance 0)."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        PQ_EXPORT_CODES,
+        PQ_EXPORT_SUB,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    cb = pq_codebook(e, PQ_EXPORT_SUB, PQ_EXPORT_CODES)
+    codes = pq_encode(e, cb, PQ_EXPORT_SUB).collect()
+    assert len(codes) == n * PQ_EXPORT_SUB
+    assert {(r["vec_id"], r["sub_id"]) for r in codes} == {
+        (v, m)
+        for v in [row["vec_id"] for row in e.select("vec_id").collect()]
+        for m in range(PQ_EXPORT_SUB)
+    }
+    assert all(0 <= r["code"] < PQ_EXPORT_CODES for r in codes)
+
+    # seed self-encoding: recover the seed ids (hash-spread pick) and
+    # check each seed's 4 codes are its own codebook index
+    seeds = (
+        e.select("vec_id", F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h", "vec_id")
+        .limit(PQ_EXPORT_CODES)
+        .collect()
+    )
+    seed_code = {r["vec_id"]: i for i, r in enumerate(seeds)}
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], set()).add(r["code"])
+    for vid, want in seed_code.items():
+        assert by_vec[vid] == {want}
+
+
+def test_pq_adc_plan_scans_codes_not_vectors(spark, sf_dir):
+    """ADC plan shape: no CartesianProduct/BNLJ anywhere — the LUT and
+    codebook attach as broadcast equi-joins — and the quadratic stage's
+    exchange carries (qid, id, adc) aggregates, never an embedding."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_adc_topk,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = pq_adc_topk(e, list(range(8)), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        assert r["nid"] != r["qid"]
+        by_q.setdefault(r["qid"], []).append((r["rn"], r["adc"]))
+    assert set(by_q) == set(range(8))
+    for picks in by_q.values():
+        picks.sort()
+        assert [rn for rn, _ in picks] == [1, 2, 3, 4, 5]
+        assert all(
+            picks[i][1] <= picks[i + 1][1] for i in range(len(picks) - 1)
+        )
