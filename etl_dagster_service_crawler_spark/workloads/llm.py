@@ -152,6 +152,89 @@ FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 """
 
 
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (the Rae et al. heuristic
+    battery every pretraining pipeline runs before a learned filter),
+    adapted to the fixture corpus: word-count bounds, mean-word-length
+    band, stopword presence, distinct-word ratio, and short-word share
+    — one boolean per rule plus the conjunction, so downstream can
+    audit WHICH rule rejected a doc (the artifact a curation run
+    actually needs, vs a single opaque score).
+
+    Every rule compares exact integers (counts and cross-multiplied
+    ratios — 3*n <= chars <= 10*n instead of a float mean), so the
+    flags are deterministic and fully value-hash oracle-checkable.
+    Scale: shuffle-free map-only HOF pass, 100 TB in -> doc-count rows
+    out, zero exchanges (plan-pinned)."""
+    d = load_table(spark, sf_dir, "documents")
+    en = LANG_STOPWORDS["en"]
+    t = tokens_ws(F.col("text"))
+    dt = d.select(
+        "doc_id",
+        F.size(t).cast("int").alias("n_words"),
+        F.aggregate(
+            t, F.lit(0).cast("bigint"), lambda a, w: a + F.length(w)
+        ).alias("n_wchars"),
+        F.size(F.array_distinct(t)).cast("int").alias("n_distinct"),
+        F.size(F.filter(t, lambda w: F.length(w) <= 2)).cast("int").alias(
+            "n_short"
+        ),
+        F.size(F.filter(t, lambda w: w.isin(en))).cast("int").alias("n_stop"),
+    )
+    r_words = F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+    r_meanlen = (F.col("n_wchars") >= 3 * F.col("n_words")) & (
+        F.col("n_wchars") <= 10 * F.col("n_words")
+    )
+    r_stop = F.col("n_stop") >= 2
+    r_distinct = 5 * F.col("n_distinct") >= F.col("n_words")
+    r_short = 10 * F.col("n_short") <= 3 * F.col("n_words")
+    return dt.select(
+        "doc_id",
+        "n_words",
+        r_words.cast("int").alias("r_words"),
+        r_meanlen.cast("int").alias("r_meanlen"),
+        r_stop.cast("int").alias("r_stop"),
+        r_distinct.cast("int").alias("r_distinct"),
+        r_short.cast("int").alias("r_short"),
+        (r_words & r_meanlen & r_stop & r_distinct & r_short)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+SQL_GOPHER_RULES = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(t) AS INT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(t, w -> len(w))), 0)
+              AS BIGINT) AS n_wchars,
+         CAST(len(list_distinct(t)) AS INT) AS n_distinct,
+         CAST(len(list_filter(t, w -> len(w) <= 2)) AS INT) AS n_short,
+         CAST(len(list_filter(t, w -> list_contains([{_EN}], w))) AS INT)
+           AS n_stop
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+)
+SELECT doc_id, n_words,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS} AS INT)
+         AS r_words,
+       CAST(n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words AS INT)
+         AS r_meanlen,
+       CAST(n_stop >= 2 AS INT) AS r_stop,
+       CAST(5 * n_distinct >= n_words AS INT) AS r_distinct,
+       CAST(10 * n_short <= 3 * n_words AS INT) AS r_short,
+       CAST(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+            AND n_wchars >= 3 * n_words AND n_wchars <= 10 * n_words
+            AND n_stop >= 2
+            AND 5 * n_distinct >= n_words
+            AND 10 * n_short <= 3 * n_words AS INT) AS keep
+FROM s
+"""
+
+
 QC_WEIGHT_BUCKETS = 2001
 QC_KEEP_MIL = 1_000_000
 
@@ -2197,6 +2280,8 @@ SPECS = [
     QuerySpec("text_lang_id", q_text_lang_id, _lang_id_sql()),
     QuerySpec("lang_confusion_audit", q_lang_confusion_audit, _lang_confusion_sql()),
     QuerySpec("text_quality_score", q_text_quality_score, SQL_QUALITY_SCORE),
+    # r8: the rule-battery curation filter (per-rule audit flags)
+    QuerySpec("gopher_quality_rules", q_gopher_quality_rules, SQL_GOPHER_RULES),
     # bench: the model-inference map-only shape — zero exchanges, so
     # its curve isolates pure scan+expression throughput
     QuerySpec(

@@ -898,3 +898,41 @@ def test_pq_adc_plan_scans_codes_not_vectors(spark, sf_dir):
         assert all(
             picks[i][1] <= picks[i + 1][1] for i in range(len(picks) - 1)
         )
+
+
+def test_gopher_rules_hand_values(spark, tmp_path):
+    """Each rule trips on a purpose-built document and the keep flag is
+    the conjunction."""
+    import pandas as pd
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_gopher_quality_rules,
+    )
+
+    good = "the quick brown fox jumps over a lazy dog " * 5  # 50 words
+    docs = {
+        0: good.strip(),                                # passes everything
+        1: "the quick brown fox and a dog",             # too few words
+        2: ("a " * 25 + good).strip(),                  # short-word share
+        3: " ".join(f"w{i}" * 8 for i in range(50)),    # no stopwords, long
+        4: ("the a " + "word " * 48).strip(),           # distinct ratio
+    }
+    pd.DataFrame(
+        {
+            "doc_id": pd.array(list(docs), dtype="int64"),
+            "text": list(docs.values()),
+            "lang": ["en"] * len(docs),
+            "source": ["t"] * len(docs),
+            "n_chars": pd.array([len(v) for v in docs.values()], dtype="int64"),
+        }
+    ).to_parquet(f"{tmp_path}/documents.parquet", index=False)
+    rows = {r["doc_id"]: r.asDict() for r in
+            q_gopher_quality_rules(spark, str(tmp_path)).collect()}
+    assert rows[0]["keep"] == 1 and all(
+        rows[0][k] == 1 for k in
+        ("r_words", "r_meanlen", "r_stop", "r_distinct", "r_short")
+    )
+    assert rows[1]["r_words"] == 0 and rows[1]["keep"] == 0
+    assert rows[2]["r_short"] == 0 and rows[2]["keep"] == 0
+    assert rows[3]["r_stop"] == 0 and rows[3]["keep"] == 0
+    assert rows[4]["r_distinct"] == 0 and rows[4]["keep"] == 0

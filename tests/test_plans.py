@@ -135,6 +135,16 @@ def test_pii_scrub_is_shuffle_free_codegen(spark, sf_dir):
     assert "*(1) Project" in plan
 
 
+def test_gopher_rules_shuffle_free_map_only(spark, sf_dir):
+    """The rule battery is one HOF projection pass: zero exchanges."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_gopher_quality_rules,
+    )
+
+    plan = _plan(q_gopher_quality_rules(spark, sf_dir))
+    assert "Exchange" not in plan
+
+
 def test_corpus_clean_filters_fused_before_two_exchanges(spark, sf_dir):
     """The composed corpus-clean must keep all three hygiene gates in
     the scan-side narrow stage (BEFORE the first exchange) and pay
