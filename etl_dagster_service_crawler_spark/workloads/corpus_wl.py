@@ -303,6 +303,143 @@ FROM toks d LEFT JOIN bwd ON d.doc_id = bwd.doc_id
 """
 
 
+DUP_SPAN_WINDOW = 8
+_DUP_SPAN_INF = 2_000_000_000
+
+
+def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication report (the Lee et al. "Deduplicating
+    Training Data" statistic, at token-window granularity): slide a
+    DUP_SPAN_WINDOW-token window over every doc with stride 1, call a
+    window DUPLICATED when its text occurs in >=2 distinct documents,
+    and report per doc the exact number of TOKENS covered by the union
+    of its duplicated (overlapping) windows — the quantity a
+    span-removal pass would delete.
+
+    Differs from boilerplate_window_flags on all three axes: sliding
+    (not tiled) windows, >=2-docs cross-doc duplication (not a
+    frequency threshold), and token COVERAGE via exact interval union
+    (not a window count). Coverage folds per doc from the sorted dup
+    start positions: sum(min(W, next_start - start)) — exact integers,
+    fully oracle-checkable.
+
+    Scale shape: windows are hashed in place (md5) — window text never
+    leaves its row; the frequency exchange carries (whash, doc_id,
+    start) triples; the dup-hash set joins back by hash equi-join (NOT
+    broadcast: at 100 TB the duplicated-window set is unbounded), and
+    the coverage fold regroups by doc_id. Three key-hash exchanges
+    total, zero vector/text payloads."""
+    d = load_table(spark, sf_dir, "documents")
+    w = DUP_SPAN_WINDOW
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    toks = F.col("t")
+    starts = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.md5(F.array_join(F.slice(toks, s, w), " ")).alias("whash"),
+        ),
+    )
+    exploded = dt.select(
+        "doc_id", F.size(toks).alias("n_tokens"), F.explode(wins).alias("w")
+    ).select("doc_id", "n_tokens", "w.s", "w.whash")
+    dup = (
+        exploded.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("whash")
+    )
+    per_doc = (
+        exploded.join(dup, "whash")
+        .groupBy("doc_id")
+        .agg(
+            F.sort_array(F.collect_list("s")).alias("ss"),
+            F.first("n_tokens").alias("n_tokens"),
+        )
+    )
+    nxt = F.concat(
+        F.slice(F.col("ss"), 2, F.greatest(F.size("ss") - 1, F.lit(0))),
+        F.array(F.lit(_DUP_SPAN_INF)),
+    )
+    covered = F.aggregate(
+        F.zip_with(F.col("ss"), nxt, lambda a, b: F.least(F.lit(w), b - a)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    cov = per_doc.select(
+        "doc_id",
+        F.size("ss").cast("int").alias("n_dup_windows"),
+        covered.cast("int").alias("covered_tokens"),
+    )
+    base = (
+        dt.select("doc_id", F.size(toks).cast("int").alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        )
+    )
+    # integer div (not float `/` + cast): float division can land an
+    # ulp below an exact multiple and truncate differently than the
+    # oracle's integer floor division
+    return base.withColumn(
+        "dup_frac_bp",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(10000 * covered_tokens) div n_tokens"),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+SQL_DUP_SPAN_COVERAGE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, len(t) AS n_tokens, s,
+         md5(array_to_string(t[s:s + {DUP_SPAN_WINDOW - 1}], ' ')) AS whash
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {DUP_SPAN_WINDOW} + 1)) AS s
+    FROM toks WHERE len(t) >= {DUP_SPAN_WINDOW}
+  )
+),
+dup AS (
+  SELECT whash FROM wins GROUP BY whash
+  HAVING count(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+  SELECT doc_id, list_sort(list(s)) AS ss
+  FROM wins JOIN dup USING (whash)
+  GROUP BY doc_id
+),
+cov AS (
+  SELECT doc_id,
+         CAST(len(ss) AS INT) AS n_dup_windows,
+         CAST(list_sum(list_transform(
+           list_zip(ss, list_concat(ss[2:len(ss)], [{_DUP_SPAN_INF}])),
+           p -> least({DUP_SPAN_WINDOW}, p[2] - p[1]))) AS INT)
+           AS covered_tokens
+  FROM per_doc
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens,
+       coalesce(c.n_dup_windows, 0) AS n_dup_windows,
+       coalesce(c.covered_tokens, 0) AS covered_tokens,
+       CAST(CASE WHEN len(t.t) > 0
+            THEN (10000 * coalesce(c.covered_tokens, 0)) // len(t.t)
+            ELSE 0 END AS INT) AS dup_frac_bp
+FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster representative selection: within each
     exact-duplicate cluster (sha2 of text) keep the BEST copy — longest
@@ -1862,6 +1999,10 @@ SPECS: list[QuerySpec] = [
         bench=True,
     ),
     QuerySpec("boilerplate_strip", q_boilerplate_strip, SQL_BOILER_STRIP),
+    # r8: the Lee-et-al exact-substring duplication statistic
+    QuerySpec(
+        "dup_span_coverage", q_dup_span_coverage, SQL_DUP_SPAN_COVERAGE
+    ),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
     # the routed production entry (r7 item 1): IVF when the corpus

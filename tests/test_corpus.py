@@ -881,3 +881,36 @@ def test_bpe_batched_greedy_skips_overlapping_pairs(spark, tmp_path):
     # within-round picks are symbol-disjoint by construction
     syms = [s for _, l, r, _ in got for s in (l, r)]
     assert len(syms) == len(set(syms))
+
+
+def test_dup_span_coverage_hand_values(spark, tmp_path):
+    """Coverage is the exact interval union of sliding duplicated
+    windows: a shared 10-token prefix between two 20-token docs yields
+    3 dup windows (starts 1..3) covering 10 tokens; a unique doc and a
+    too-short doc report zeros."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        DUP_SPAN_WINDOW,
+        q_dup_span_coverage,
+    )
+
+    assert DUP_SPAN_WINDOW == 8
+    shared = " ".join(f"s{i}" for i in range(10))
+    tail = lambda d: " ".join(f"t{d}_{i}" for i in range(10))  # noqa: E731
+    rows = [
+        (0, f"{shared} {tail(0)}", "en", "s", 1),
+        (1, f"{shared} {tail(1)}", "en", "s", 1),
+        (2, tail(2) + " " + tail(3), "en", "s", 1),
+        (3, "too short", "en", "s", 1),
+    ]
+    sf = _write_documents(tmp_path, rows)
+    got = {r["doc_id"]: r for r in q_dup_span_coverage(spark, sf).collect()}
+    assert len(got) == 4
+    for d in (0, 1):
+        # dup windows start at tokens 1,2,3 (windows 4+ mix in the
+        # unique tail); union of [1,8],[2,9],[3,10] covers tokens 1..10
+        assert got[d]["n_tokens"] == 20
+        assert got[d]["n_dup_windows"] == 3
+        assert got[d]["covered_tokens"] == 10
+        assert got[d]["dup_frac_bp"] == 5000
+    assert got[2]["n_dup_windows"] == 0 and got[2]["covered_tokens"] == 0
+    assert got[3]["n_tokens"] == 2 and got[3]["dup_frac_bp"] == 0
