@@ -1315,26 +1315,45 @@ def _explode_subvectors(df: DataFrame, n_sub: int, q8_col: str,
     ).drop(q8_col)
 
 
-def pq_codebook(
-    emb: DataFrame, n_sub: int = 4, n_codes: int = 8,
+def hash_spread_seeds(
+    emb: DataFrame, n: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    out_idx: str = "cid", out_vec: str = "cvec",
 ) -> DataFrame:
-    """(sub_id, code, csub): per-subspace codebook from the n_codes
-    hash-spread seed vectors (smallest (md5(id), id) — the same
-    deterministic pick as the IVF exports), int8-quantized and sliced.
-    n_sub x n_codes rows; always broadcast by the consumers."""
+    """The deterministic seed pick shared by every oracle-replayable
+    index: the n corpus vectors with the smallest (md5(id), id),
+    numbered 0..n-1 in that order. A hash-spread stand-in for trained
+    centroids/codebooks — what the downstream assign/probe/encode
+    projections anchor is pure function-of-(corpus, seeds), which a
+    DuckDB oracle can replay; a k-means artifact cannot. The top-k
+    plans as TakeOrderedAndProject; the numbering window runs on an
+    n-row frame."""
     seed = (
         emb.select(
             id_col, vec_col,
             F.md5(F.col(id_col).cast("string")).alias("h"),
         )
         .orderBy("h", id_col)
-        .limit(n_codes)
+        .limit(n)
     )
     wk = Window.orderBy("h", id_col)
-    seed = seed.withColumn("code", F.row_number().over(wk) - 1).select(
-        F.col("code").cast("int").alias("code"), _q8_expr(vec_col).alias("q8")
+    return seed.withColumn("rk", F.row_number().over(wk)).select(
+        (F.col("rk") - 1).cast("int").alias(out_idx),
+        F.col(vec_col).alias(out_vec),
     )
+
+
+def pq_codebook(
+    emb: DataFrame, n_sub: int = 4, n_codes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(sub_id, code, csub): per-subspace codebook from the n_codes
+    hash-spread seed vectors (hash_spread_seeds — the same
+    deterministic pick as the IVF exports), int8-quantized and sliced.
+    n_sub x n_codes rows; always broadcast by the consumers."""
+    seed = hash_spread_seeds(
+        emb, n_codes, id_col, vec_col, out_idx="code", out_vec="cvec"
+    ).select("code", _q8_expr("cvec").alias("q8"))
     return _explode_subvectors(seed, n_sub, "q8", "csub").select(
         "sub_id", "code", "csub"
     )
@@ -1394,6 +1413,61 @@ def pq_adc_topk(
     adc = (
         codes.join(F.broadcast(lut), ["sub_id", "code"])
         .where(F.col(id_col) != F.col("qid"))
+        .groupBy("qid", id_col)
+        .agg(F.sum("d").alias("adc"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("adc"), F.col(id_col))
+    return (
+        adc.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .select("qid", F.col("rn").cast("int").alias("rn"),
+                F.col(id_col).alias("nid"), F.col("adc"))
+    )
+
+
+def ivf_pq_search(
+    emb: DataFrame, query_ids: list[int], k: int = 5,
+    n_centroids: int = 16, nprobe: int = 4,
+    n_sub: int = 4, n_codes: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """The full IVF-PQ search — the composition that actually runs at
+    100 TB: IVF cells PRUNE (only vectors in the nprobe closest cells
+    are candidates), PQ codes SCORE (ADC over the 4-byte sidecar, no
+    vector reads), exact integers make every step tie-safe. With the
+    hash-spread seeds standing in for trained centroids/codebook, the
+    whole pipeline is a pure function of the corpus — fully
+    DuckDB-oracle-checkable, unlike the trained-index rows-only family
+    it mirrors (ivf_build/ivf_search).
+
+    Scale shape: assignment and codes are one-time corpus-sized
+    sidecars (id+cid, id+4 codes); the search reads probe lists
+    (q x nprobe, broadcast), prunes the assignment by cell equi-join,
+    and ADC-joins the survivors' CODES against the broadcast LUT —
+    per-query work is |probed cells| x codes, the IVF-PQ contract.
+    Returns (qid, rn, nid, adc)."""
+    cent = hash_spread_seeds(emb, n_centroids, id_col, vec_col)
+    assign = assign_cells(emb, cent, id_col, vec_col).select(id_col, "cid")
+    q = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    probes = probe_cells(q, cent, nprobe).select("qid", "cid")
+    codebook = pq_codebook(emb, n_sub, n_codes, id_col, vec_col)
+    codes = pq_encode(emb, codebook, n_sub, id_col, vec_col)
+    qbase = emb.where(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("qid"), _q8_expr(vec_col).alias("q8")
+    )
+    qsubs = _explode_subvectors(qbase, n_sub, "q8", "qsub")
+    lut = qsubs.join(F.broadcast(codebook), "sub_id").select(
+        "qid", "sub_id", "code",
+        _il2(F.col("qsub"), F.col("csub")).alias("d"),
+    )
+    cand = assign.join(F.broadcast(probes), "cid").where(
+        F.col(id_col) != F.col("qid")
+    )
+    adc = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), ["qid", "sub_id", "code"])
         .groupBy("qid", id_col)
         .agg(F.sum("d").alias("adc"))
     )

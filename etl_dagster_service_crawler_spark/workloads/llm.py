@@ -156,21 +156,11 @@ GOPHER_MIN_WORDS = 40
 GOPHER_MAX_WORDS = 100_000
 
 
-def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style rule-based quality filter (the Rae et al. heuristic
-    battery every pretraining pipeline runs before a learned filter),
-    adapted to the fixture corpus: word-count bounds, mean-word-length
-    band, stopword presence, distinct-word ratio, and short-word share
-    — one boolean per rule plus the conjunction, so downstream can
-    audit WHICH rule rejected a doc (the artifact a curation run
-    actually needs, vs a single opaque score).
-
-    Every rule compares exact integers (counts and cross-multiplied
-    ratios — 3*n <= chars <= 10*n instead of a float mean), so the
-    flags are deterministic and fully value-hash oracle-checkable.
-    Scale: shuffle-free map-only HOF pass, 100 TB in -> doc-count rows
-    out, zero exchanges (plan-pinned)."""
-    d = load_table(spark, sf_dir, "documents")
+def gopher_rules_transform(d: DataFrame) -> DataFrame:
+    """The rule-battery projection over a documents-shaped frame —
+    shared by the batch query and its streaming twin (row-level
+    expressions commute with streaming, so both drain to the same
+    rows and share one oracle)."""
     en = LANG_STOPWORDS["en"]
     t = tokens_ws(F.col("text"))
     dt = d.select(
@@ -204,6 +194,23 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep"),
     )
+
+
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (the Rae et al. heuristic
+    battery every pretraining pipeline runs before a learned filter),
+    adapted to the fixture corpus: word-count bounds, mean-word-length
+    band, stopword presence, distinct-word ratio, and short-word share
+    — one boolean per rule plus the conjunction, so downstream can
+    audit WHICH rule rejected a doc (the artifact a curation run
+    actually needs, vs a single opaque score).
+
+    Every rule compares exact integers (counts and cross-multiplied
+    ratios — 3*n <= chars <= 10*n instead of a float mean), so the
+    flags are deterministic and fully value-hash oracle-checkable.
+    Scale: shuffle-free map-only HOF pass, 100 TB in -> doc-count rows
+    out, zero exchanges (plan-pinned)."""
+    return gopher_rules_transform(load_table(spark, sf_dir, "documents"))
 
 
 SQL_GOPHER_RULES = f"""
@@ -2226,6 +2233,79 @@ WHERE rn <= 5
 """
 
 
+def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full IVF-PQ search for the 8 standing queries: IVF cells
+    prune (nprobe=IVF_EXPORT_NPROBE of IVF_EXPORT_CENTROIDS cells), PQ
+    codes score (exact-integer ADC over the 4-byte sidecar), top-5 by
+    (adc, id), self excluded (operators/similarity.ivf_pq_search).
+    This is the architecture a 100 TB ANN deployment actually runs —
+    and with hash-spread seeds standing in for the trained index, every
+    stage (assign, probe, encode, LUT, ADC) is a pure function of the
+    corpus, so the ENTIRE pipeline is value-hash oracle-checked, not
+    just its exported projections."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        ivf_pq_search,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_search(
+        e, TOPK_QUERY_IDS, k=5,
+        n_centroids=IVF_EXPORT_CENTROIDS, nprobe=IVF_EXPORT_NPROBE,
+        n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
+    )
+
+
+def _sql_ivf_pq_search() -> str:
+    return f"""
+WITH {_SQL_EXPORT_CENT},
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+prb AS (
+  SELECT qid, cid FROM (
+    SELECT e.qid, c.cid,
+           row_number() OVER (PARTITION BY e.qid
+                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
+    FROM (SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id < {len(TOPK_QUERY_IDS)}) e, cent c
+  ) WHERE rn <= {IVF_EXPORT_NPROBE}
+),
+{_SQL_Q8},
+{_SQL_PQ_CENT},
+{_SQL_PQ_SLICES},
+{_SQL_PQ_ENC},
+lut AS (
+  SELECT q.vec_id AS qid, q.m, c.code, {_sql_il2('q.vsub', 'c.csub')} AS d
+  FROM subs q JOIN csubs c ON q.m = c.m
+  WHERE q.vec_id < {len(TOPK_QUERY_IDS)}
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM asg a JOIN prb p ON a.cid = p.cid
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT cd.qid, cd.vec_id, sum(l.d) AS adc
+  FROM cand cd
+  JOIN enc e ON e.vec_id = cd.vec_id
+  JOIN lut l ON l.qid = cd.qid AND l.m = e.sub_id AND l.code = e.code
+  GROUP BY cd.qid, cd.vec_id
+)
+SELECT qid, CAST(rn AS INT) AS rn, vec_id AS nid, CAST(adc AS BIGINT) AS adc
+FROM (
+  SELECT qid, vec_id, adc,
+         row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+  FROM adc
+)
+WHERE rn <= 5
+"""
+
+
 SPECS = [
     QuerySpec("source_lang_mix", q_source_lang_mix, SQL_SOURCE_LANG_MIX),
     QuerySpec(
@@ -2251,6 +2331,7 @@ SPECS = [
     # both exact-integer and fully oracle-backed
     QuerySpec("pq_encode_export", q_pq_encode_export, SQL_PQ_ENCODE_EXPORT),
     QuerySpec("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK, bench=True),
+    QuerySpec("ivf_pq_search", q_ivf_pq_search, _sql_ivf_pq_search()),
     QuerySpec(
         "embedding_centroids_int", q_embedding_centroids_int, SQL_EMB_CENTROIDS
     ),

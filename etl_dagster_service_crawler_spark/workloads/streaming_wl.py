@@ -653,6 +653,28 @@ def _stream_quarantine_sql() -> str:
     return SQL_SCAN_JSON_QUARANTINE
 
 
+def q_stream_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the Gopher rule battery
+    (llm.gopher_rules_transform): curation filtering applied AT INGEST,
+    so rejected documents never land in the lake. Row-level projection
+    commutes with streaming — append-mode drain equals the batch
+    result, sharing the batch oracle verbatim."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        gopher_rules_transform,
+    )
+
+    flags = gopher_rules_transform(stream_documents(spark, sf_dir))
+    return run_available_now(flags, "append")
+
+
+def _stream_gopher_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        SQL_GOPHER_RULES,
+    )
+
+    return SQL_GOPHER_RULES
+
+
 SPECS = [
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, _stream_cdc_sql()),
     QuerySpec(
@@ -667,6 +689,8 @@ SPECS = [
     ),
     QuerySpec("stream_rollup_upsert", q_stream_rollup_upsert, SQL_STREAM_ROLLUP),
     QuerySpec("stream_corpus_clean", q_stream_corpus_clean, _stream_corpus_clean_sql()),
+    # r8: curation filtering at ingest — shares the batch rule oracle
+    QuerySpec("stream_gopher_filter", q_stream_gopher_filter, _stream_gopher_sql()),
     QuerySpec("stream_ingest_project", q_stream_ingest_project, SQL_STREAM_PROJECT),
     QuerySpec("stream_dual_sink", q_stream_dual_sink, SQL_STREAM_DUAL_SINK),
     QuerySpec("stream_window_tumbling", q_stream_window_tumbling, SQL_STREAM_TUMBLING, bench=True),

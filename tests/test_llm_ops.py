@@ -936,3 +936,28 @@ def test_gopher_rules_hand_values(spark, tmp_path):
     assert rows[2]["r_short"] == 0 and rows[2]["keep"] == 0
     assert rows[3]["r_stop"] == 0 and rows[3]["keep"] == 0
     assert rows[4]["r_distinct"] == 0 and rows[4]["keep"] == 0
+
+
+def test_ivf_pq_search_prunes_to_probed_cells(spark, sf_dir):
+    """Composition consistency: every ivf_pq_search result must sit in
+    a cell its query probed (per the oracle-backed assign/probe
+    exports), and the plan never degenerates to a cartesian."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_ivf_assign_export,
+        q_ivf_pq_search,
+        q_ivf_probe_export,
+    )
+
+    cell = {r["vec_id"]: r["cid"]
+            for r in q_ivf_assign_export(spark, sf_dir).collect()}
+    probed = {}
+    for r in q_ivf_probe_export(spark, sf_dir).collect():
+        probed.setdefault(r["qid"], set()).add(r["cid"])
+    df = q_ivf_pq_search(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows, "ivf_pq_search returned nothing"
+    for r in rows:
+        assert r["nid"] != r["qid"]
+        assert cell[r["nid"]] in probed[r["qid"]]
