@@ -67,6 +67,17 @@ ALLOW: dict[tuple[str, str], str] = {
     ("ivf_probe_export", "BroadcastNestedLoopJoin"): "16-row centroid set",
     ("ivf_probe_export", "Window"): "16-row seed-rank frame",
     ("cluster_semantic_kmeans", "BroadcastNestedLoopJoin"): "centroid array row",
+    # r8 PQ family: the seed-rank window runs on the 8/16-row
+    # hash_spread_seeds frame (the corpus-sized pick is a distributed
+    # TakeOrdered); ivf_pq_search's BNLJ is assign_cells/probe_cells
+    # broadcasting the 16-row centroid set, same as the ivf exports
+    ("pq_encode_export", "Window"): "8-row codebook-rank frame",
+    ("pq_adc_topk", "Window"): "8-row codebook-rank frame",
+    ("ivf_pq_search", "Window"): "8/16-row seed-rank frames",
+    ("ivf_pq_search", "BroadcastNestedLoopJoin"): "16-row centroid set",
+    # scalar aggregate -> 1-row final exchange, like the other
+    # 1-row-result analytics
+    ("forecast_revenue_q6", "SinglePartition"): "1-row result",
     ("stream_anomaly_alerts", "BroadcastNestedLoopJoin"): "per-type stats rows",
     # calendar/constant-size frames: unpartitioned windows and single
     # -partition exchanges over days/months/deciles/offsets frames
