@@ -961,3 +961,38 @@ def test_ivf_pq_search_prunes_to_probed_cells(spark, sf_dir):
     for r in rows:
         assert r["nid"] != r["qid"]
         assert cell[r["nid"]] in probed[r["qid"]]
+
+
+def test_pq_rerank_recall_pin_and_exactness(spark, sf_dir):
+    """The production PQ arm meets the repo recall pin (>=0.8 @5) on
+    the isotropic fixture, and with R >= corpus size the rerank is
+    bit-equal to brute force (the ADC prune passes everything)."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        pq_rerank_topk,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        PQ_EXPORT_CODES,
+        PQ_EXPORT_SUB,
+        PQ_RERANK_R,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qids = list(range(8))
+    exact = {}
+    for r in cosine_topk_bruteforce(e, qids, k=5).collect():
+        exact.setdefault(r["qid"], set()).add(r["nid"])
+    got = {}
+    for r in pq_rerank_topk(
+        e, qids, k=5, r_candidates=PQ_RERANK_R,
+        n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
+    ).collect():
+        got.setdefault(r["qid"], set()).add(r["nid"])
+    hits = sum(len(got[q] & exact[q]) for q in qids)
+    assert hits / (5 * len(qids)) >= 0.8
+
+    n = e.count()
+    full = pq_rerank_topk(e, qids, k=5, r_candidates=n).collect()
+    want = {(r["qid"], r["rn"]): r["nid"]
+            for r in cosine_topk_bruteforce(e, qids, k=5).collect()}
+    assert {(r["qid"], r["rn"]): r["nid"] for r in full} == want
