@@ -729,6 +729,51 @@ WHERE l_shipdate >= TIMESTAMP '1997-03-01'
 """
 
 
+def q_sink_pq_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted PQ-codes SIDECAR — the artifact pq_adc_topk /
+    ivf_pq_search read instead of vectors at scale (8 small ints per
+    vector, 64:1 vs float64). One row per vector with the codes pivoted
+    into a sub_id-ordered array, written sorted by vec_id so the exact
+    rerank's join-back prunes row groups on id; read back and returned,
+    so the oracle checks the on-disk bytes round-trip, not just the
+    in-memory frame. Layout twin of the bucketed IVF assignment
+    (SCALE.md 'IVF build path')."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        PQ_EXPORT_CODES,
+        PQ_EXPORT_SUB,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, PQ_EXPORT_SUB, PQ_EXPORT_CODES)
+    codes = (
+        pq_encode(e, cb, PQ_EXPORT_SUB)
+        .groupBy("vec_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                lambda s: s["code"].cast("int"),
+            ).alias("codes")
+        )
+    )
+    path = _scratch(sf_dir, "sink_pq_sidecar/codes")
+    shutil.rmtree(path, ignore_errors=True)
+    codes.sort("vec_id").coalesce(1).write.parquet(path)
+    back = spark.read.parquet(path)
+    return back.select("vec_id", F.posexplode("codes").alias("sub_id", "code"))
+
+
+def _sink_pq_sidecar_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        SQL_PQ_ENCODE_EXPORT,
+    )
+
+    return SQL_PQ_ENCODE_EXPORT
+
+
 SPECS = [
     QuerySpec(
         "scan_schema_evolution", q_scan_schema_evolution, SQL_SCAN_SCHEMA_EVOLUTION
@@ -740,6 +785,8 @@ SPECS = [
     QuerySpec("scan_csv", q_scan_csv, SQL_SCAN_CSV),
     QuerySpec("scan_orc", q_scan_orc, SQL_SCAN_ORC),
     QuerySpec("sink_json_append", q_sink_json_append, SQL_SINK_JSON_APPEND),
+    # r8: the PQ codes sidecar, round-tripped through the on-disk bytes
+    QuerySpec("sink_pq_sidecar", q_sink_pq_sidecar, _sink_pq_sidecar_sql()),
     QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
     QuerySpec("sink_compacted", q_sink_compacted, SQL_SINK_COMPACTED),
     QuerySpec(
