@@ -2141,9 +2141,12 @@ csubs AS (
 
 
 def _sql_il2(a: str, b: str) -> str:
+    # coalesce: list_sum of an EMPTY list is NULL in DuckDB but Spark's
+    # aggregate fold starts at 0 — a zero-length subvector (defective
+    # row) must not diverge the engines
     return (
-        f"list_sum(list_transform(list_zip({a}, {b}),"
-        " s -> (s[1]-s[2])*(s[1]-s[2])))"
+        f"coalesce(list_sum(list_transform(list_zip({a}, {b}),"
+        " s -> (s[1]-s[2])*(s[1]-s[2]))), 0)"
     )
 
 
