@@ -1527,3 +1527,85 @@ def ivf_pq_search(
         .select("qid", F.col("rn").cast("int").alias("rn"),
                 F.col(id_col).alias("nid"), F.col("adc"))
     )
+
+
+def pq_sdc_table(
+    codebook: DataFrame,
+) -> DataFrame:
+    """(sub_id, code_a, code_b, d): symmetric PQ distance table — exact
+    integer squared-L2 between every codebook pair per subspace. The
+    all-pairs twin of the per-query ADC LUT: n_sub x n_codes^2 rows
+    total (8 x 32^2 = 8192 at the export defaults), built once and
+    broadcast, after which ANY pair distance is a code gather + sum —
+    the corpus vectors are never touched again."""
+    a = codebook.select(
+        "sub_id", F.col("code").alias("code_a"), F.col("csub").alias("ca")
+    )
+    b = codebook.select(
+        "sub_id", F.col("code").alias("code_b"), F.col("csub").alias("cb")
+    )
+    return a.join(b, "sub_id").select(
+        "sub_id", "code_a", "code_b",
+        _il2(F.col("ca"), F.col("cb")).alias("d"),
+    )
+
+
+def knn_graph_mutual(
+    emb: DataFrame, k: int = 3,
+    n_centroids: int = 16, n_sub: int = 8, n_codes: int = 32,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Cell-blocked mutual-kNN graph under symmetric PQ distance — the
+    SemDeDup/semantic-clustering backbone: nodes are vectors, an edge
+    (a, b) exists iff b is in a's k nearest SAME-CELL neighbors AND
+    vice versa (mutuality prunes hub nodes; cell blocking makes the
+    pair set Σ|cell|² instead of n² — the standard scalable kNN-graph
+    construction, per-cluster like SemDeDup, not all-pairs).
+
+    Every ingredient is the oracle-replayable kind: hash-spread IVF
+    cells, int8 PQ codes, and the broadcast SDC table, so pair
+    distances are exact integers and the whole graph value-hash
+    oracle-checks. Scale shape: after encoding, the quadratic stage
+    joins CODES with CODES on (cell, subspace) — rows of five small
+    ints — and map-side-combines the per-pair sum; the corpus vectors
+    are read exactly once (encode + assign). Returns (src, dst, d)
+    with src < dst, one row per mutual edge."""
+    cent = hash_spread_seeds(emb, n_centroids, id_col, vec_col)
+    asg = assign_cells(emb, cent, id_col, vec_col).select(
+        F.col(id_col).alias("aid"), "cid"
+    )
+    codebook = pq_codebook(emb, n_sub, n_codes, id_col, vec_col)
+    codes = pq_encode(emb, codebook, n_sub, id_col, vec_col).select(
+        F.col(id_col).alias("aid"), "sub_id", "code"
+    )
+    node = codes.join(asg, "aid")
+    lhs = node.select(
+        F.col("aid"), "cid", "sub_id", F.col("code").alias("code_a")
+    )
+    rhs = node.select(
+        F.col("aid").alias("bid"), "cid", "sub_id",
+        F.col("code").alias("code_b"),
+    )
+    sdc = pq_sdc_table(codebook)
+    pair_d = (
+        lhs.join(rhs, ["cid", "sub_id"])
+        .where(F.col("aid") != F.col("bid"))
+        .join(F.broadcast(sdc), ["sub_id", "code_a", "code_b"])
+        .groupBy("aid", "bid")
+        .agg(F.sum("d").alias("d"))
+    )
+    wk = Window.partitionBy("aid").orderBy(F.col("d"), F.col("bid"))
+    topk = pair_d.withColumn("rn", F.row_number().over(wk)).where(
+        F.col("rn") <= k
+    )
+    fwd = topk.select("aid", "bid", "d")
+    rev = topk.select(
+        F.col("bid").alias("aid"), F.col("aid").alias("bid")
+    )
+    return (
+        fwd.join(rev, ["aid", "bid"])
+        .where(F.col("aid") < F.col("bid"))
+        .select(
+            F.col("aid").alias("src"), F.col("bid").alias("dst"), "d"
+        )
+    )

@@ -2380,6 +2380,75 @@ SELECT qid, CAST(rn AS INT) AS rn, nid, cos FROM (
 """
 
 
+KNN_GRAPH_K = 3
+
+
+def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked mutual-kNN graph under symmetric PQ distance
+    (operators/similarity.knn_graph_mutual) — the SemDeDup-style
+    clustering/near-dup backbone: edge (a, b) iff each is in the
+    other's k=3 nearest same-cell neighbors. Hash-spread cells + int8
+    codes + the broadcast SDC table make every pair distance an exact
+    integer, so the whole GRAPH is value-hash oracle-checked. Scale:
+    the quadratic stage is Σ|cell|² over code rows (five small ints),
+    never n² and never a vector."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        knn_graph_mutual,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return knn_graph_mutual(
+        e, k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
+        n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
+    )
+
+
+def _sql_knn_graph_mutual() -> str:
+    return f"""
+WITH {_SQL_EXPORT_CENT},
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+{_SQL_Q8},
+{_SQL_PQ_CENT},
+{_SQL_PQ_SLICES},
+{_SQL_PQ_ENC},
+sdc AS (
+  SELECT a.m AS sub_id, a.code AS code_a, b.code AS code_b,
+         {_sql_il2('a.csub', 'b.csub')} AS d
+  FROM csubs a JOIN csubs b ON a.m = b.m
+),
+node AS (
+  SELECT e.vec_id, e.sub_id, e.code, g.cid
+  FROM enc e JOIN asg g USING (vec_id)
+),
+pair_d AS (
+  SELECT x.vec_id AS aid, y.vec_id AS bid, sum(s.d) AS d
+  FROM node x
+  JOIN node y ON x.cid = y.cid AND x.sub_id = y.sub_id
+             AND x.vec_id <> y.vec_id
+  JOIN sdc s ON s.sub_id = x.sub_id AND s.code_a = x.code
+            AND s.code_b = y.code
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT aid, bid, d FROM (
+    SELECT aid, bid, d,
+           row_number() OVER (PARTITION BY aid ORDER BY d, bid) AS rn
+    FROM pair_d
+  ) WHERE rn <= {KNN_GRAPH_K}
+)
+SELECT f.aid AS src, f.bid AS dst, CAST(f.d AS BIGINT) AS d
+FROM topk f JOIN topk r ON f.aid = r.bid AND f.bid = r.aid
+WHERE f.aid < f.bid
+"""
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall self-audit as a QUERY (measure, don't guess): for each
     standing query, how many of the exact cosine top-5 each
@@ -2553,6 +2622,9 @@ SPECS = [
     QuerySpec("pq_adc_topk", q_pq_adc_topk, SQL_PQ_ADC_TOPK, bench=True),
     QuerySpec("ivf_pq_search", q_ivf_pq_search, _sql_ivf_pq_search()),
     QuerySpec("pq_rerank_topk", q_pq_rerank_topk, _sql_pq_rerank_topk()),
+    QuerySpec(
+        "knn_graph_mutual", q_knn_graph_mutual, _sql_knn_graph_mutual()
+    ),
     QuerySpec(
         "ann_recall_report", q_ann_recall_report, _sql_ann_recall_report()
     ),

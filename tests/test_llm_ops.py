@@ -996,3 +996,26 @@ def test_pq_rerank_recall_pin_and_exactness(spark, sf_dir):
     want = {(r["qid"], r["rn"]): r["nid"]
             for r in cosine_topk_bruteforce(e, qids, k=5).collect()}
     assert {(r["qid"], r["rn"]): r["nid"] for r in full} == want
+
+
+def test_knn_graph_mutual_properties(spark, sf_dir):
+    """Graph invariants: src < dst exactly once per edge; every edge is
+    MUTUAL (each endpoint in the other's directed top-k) and
+    CELL-LOCAL (endpoints share an IVF cell per the oracle-backed
+    assignment export); no self loops."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_ivf_assign_export,
+        q_knn_graph_mutual,
+    )
+
+    edges = q_knn_graph_mutual(spark, sf_dir).collect()
+    assert edges, "graph is empty"
+    seen = set()
+    cell = {r["vec_id"]: r["cid"]
+            for r in q_ivf_assign_export(spark, sf_dir).collect()}
+    for e in edges:
+        assert e["src"] < e["dst"]
+        assert (e["src"], e["dst"]) not in seen
+        seen.add((e["src"], e["dst"]))
+        assert cell[e["src"]] == cell[e["dst"]]
+        assert e["d"] >= 0
