@@ -430,9 +430,28 @@ def minhash_cluster_cc(
         )
         edges = sig.select(F.col(id_col), F.explode(bands).alias("bh"))
 
-    spark = df.sparkSession
-    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     n_edges = df.count() * bands_per_doc
+    return cc_label_propagation(
+        edges, id_col, n_edges, max_iters, hot_bucket_rows, n_salts
+    )
+
+
+def cc_label_propagation(
+    edges: DataFrame, id_col: str, n_edges: int, max_iters: int = 10,
+    hot_bucket_rows: int = HOT_BUCKET_ROWS, n_salts: int = N_SALTS,
+) -> DataFrame:
+    """Connected components over an (id, bh) membership frame by
+    iterative min-label propagation to a fixpoint — the tuned loop
+    minhash_cluster_cc documents (two aligned exchanges per round,
+    hot-bucket salting, pointer jump, localCheckpoint lineage
+    truncation, edge-count-sized shuffle width). Factored so any
+    deterministic bucket/edge construction gets the same machinery:
+    the LSH families pass band buckets; semantic_dedup_clusters passes
+    mutual-kNN edges as 2-member buckets. n_edges sizes the shuffle
+    width without forcing a pass over the frame (callers usually know
+    it from metadata). Returns (id, label, is_dup)."""
+    spark = edges.sparkSession
+    default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(8, min(default_width, n_edges // 250_000 + 1))
 
     def _sum(lab: DataFrame):

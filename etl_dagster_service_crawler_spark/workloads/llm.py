@@ -2449,6 +2449,104 @@ WHERE f.aid < f.bid
 """
 
 
+def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic clustering: connected components over
+    the mutual-kNN graph (knn_graph_mutual), every corpus vector
+    labeled with the smallest id in its component (singletons label
+    themselves via per-node self-buckets). Runs the SAME tuned
+    label-propagation loop as the LSH dedup family
+    (operators/dedup.cc_label_propagation: two aligned exchanges per
+    round, pointer jump, localCheckpoint lineage truncation) — and
+    because the mutual graph is a pure function of the corpus, the
+    ITERATIVE algorithm itself is value-hash oracle-checked against a
+    DuckDB recursive CTE, not just its exact-bucket twin. Returns
+    (vec_id, label, is_dup)."""
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        cc_label_propagation,
+    )
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        knn_graph_mutual,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph_mutual(
+        e, k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
+        n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
+    )
+    bh = F.concat_ws("-", F.col("src"), F.col("dst"))
+    members = (
+        g.select(F.col("src").alias("vec_id"), bh.alias("bh"))
+        .unionByName(g.select(F.col("dst").alias("vec_id"), bh.alias("bh")))
+        .unionByName(
+            e.select(
+                "vec_id",
+                F.concat(F.lit("self-"), F.col("vec_id")).alias("bh"),
+            )
+        )
+    )
+    n = e.count()
+    return cc_label_propagation(members, "vec_id", n_edges=3 * n).select(
+        "vec_id", "label", "is_dup"
+    )
+
+
+def _sql_semantic_dedup_clusters() -> str:
+    # the mutual-graph CTE chain, then CC as a RECURSIVE min-label
+    # reachability fold (undirected: both edge directions seeded)
+    return f"""
+WITH RECURSIVE {_SQL_EXPORT_CENT},
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
+),
+{_SQL_Q8},
+{_SQL_PQ_CENT},
+{_SQL_PQ_SLICES},
+{_SQL_PQ_ENC},
+sdc AS (
+  SELECT a.m AS sub_id, a.code AS code_a, b.code AS code_b,
+         {_sql_il2('a.csub', 'b.csub')} AS d
+  FROM csubs a JOIN csubs b ON a.m = b.m
+),
+node AS (
+  SELECT e.vec_id, e.sub_id, e.code, g.cid
+  FROM enc e JOIN asg g USING (vec_id)
+),
+pair_d AS (
+  SELECT x.vec_id AS aid, y.vec_id AS bid, sum(s.d) AS d
+  FROM node x
+  JOIN node y ON x.cid = y.cid AND x.sub_id = y.sub_id
+             AND x.vec_id <> y.vec_id
+  JOIN sdc s ON s.sub_id = x.sub_id AND s.code_a = x.code
+            AND s.code_b = y.code
+  GROUP BY 1, 2
+),
+topk AS (
+  SELECT aid, bid FROM (
+    SELECT aid, bid,
+           row_number() OVER (PARTITION BY aid ORDER BY d, bid) AS rn
+    FROM pair_d
+  ) WHERE rn <= {KNN_GRAPH_K}
+),
+und AS (
+  SELECT f.aid AS a, f.bid AS b
+  FROM topk f JOIN topk r ON f.aid = r.bid AND f.bid = r.aid
+),
+reach AS (
+  SELECT vec_id AS n, vec_id AS lab FROM embeddings
+  UNION
+  SELECT u.b AS n, r.lab
+  FROM reach r JOIN und u ON u.a = r.n
+)
+SELECT n AS vec_id, min(lab) AS label, min(lab) <> n AS is_dup
+FROM reach GROUP BY n
+"""
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall self-audit as a QUERY (measure, don't guess): for each
     standing query, how many of the exact cosine top-5 each
@@ -2624,6 +2722,11 @@ SPECS = [
     QuerySpec("pq_rerank_topk", q_pq_rerank_topk, _sql_pq_rerank_topk()),
     QuerySpec(
         "knn_graph_mutual", q_knn_graph_mutual, _sql_knn_graph_mutual()
+    ),
+    QuerySpec(
+        "semantic_dedup_clusters",
+        q_semantic_dedup_clusters,
+        _sql_semantic_dedup_clusters(),
     ),
     QuerySpec(
         "ann_recall_report", q_ann_recall_report, _sql_ann_recall_report()

@@ -1019,3 +1019,28 @@ def test_knn_graph_mutual_properties(spark, sf_dir):
         seen.add((e["src"], e["dst"]))
         assert cell[e["src"]] == cell[e["dst"]]
         assert e["d"] >= 0
+
+
+def test_semantic_dedup_clusters_consistent_with_graph(spark, sf_dir):
+    """Every mutual edge's endpoints share a label; every label is the
+    min id of its member set; singletons label themselves."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_knn_graph_mutual,
+        q_semantic_dedup_clusters,
+    )
+
+    lab = {r["vec_id"]: r["label"]
+           for r in q_semantic_dedup_clusters(spark, sf_dir).collect()}
+    edges = q_knn_graph_mutual(spark, sf_dir).collect()
+    assert edges
+    touched = set()
+    for e in edges:
+        assert lab[e["src"]] == lab[e["dst"]]
+        touched |= {e["src"], e["dst"]}
+    members = {}
+    for v, l in lab.items():
+        members.setdefault(l, []).append(v)
+    for l, vs in members.items():
+        assert l == min(vs)
+    for v in set(lab) - touched:
+        assert lab[v] == v
