@@ -2547,6 +2547,58 @@ FROM reach GROUP BY n
 """
 
 
+def q_pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed SemDeDup pass as one call: embed-space mutual-kNN
+    graph -> connected components -> keep the min-id representative per
+    semantic cluster -> per-source survival report joined back to the
+    documents table (vec_id aligns with doc_id in the fixture corpus).
+    Emits (source, n_docs, n_kept, n_dropped, drop_bp) — the corpus-mix
+    accounting a curation run records after semantic dedup. Everything
+    upstream is deterministic, so the full pipeline (graph, iterative
+    CC, policy, rollup) value-hash oracle-checks end to end."""
+    d = load_table(spark, sf_dir, "documents")
+    labels = q_semantic_dedup_clusters(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        (~F.col("is_dup")).alias("keep"),
+    )
+    return (
+        d.join(labels, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(F.col("keep").cast("int")).cast("int").alias("n_kept"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            (F.col("n_docs") - F.col("n_kept")).cast("int").alias("n_dropped"),
+            F.expr("CAST((10000 * (n_docs - n_kept)) div n_docs AS INT)").alias(
+                "drop_bp"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_pipeline_semantic_dedup() -> str:
+    cc = _sql_semantic_dedup_clusters()
+    # reuse the full recursive chain as a subquery over (vec_id, is_dup)
+    return f"""
+WITH lab AS ({cc})
+SELECT d.source,
+       CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(CASE WHEN l.is_dup THEN 0 ELSE 1 END) AS INT) AS n_kept,
+       CAST(count(*) - sum(CASE WHEN l.is_dup THEN 0 ELSE 1 END) AS INT)
+         AS n_dropped,
+       CAST((10000 * (count(*) - sum(CASE WHEN l.is_dup THEN 0 ELSE 1 END)))
+            // count(*) AS INT) AS drop_bp
+FROM documents d JOIN lab l ON d.doc_id = l.vec_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall self-audit as a QUERY (measure, don't guess): for each
     standing query, how many of the exact cosine top-5 each
@@ -2727,6 +2779,11 @@ SPECS = [
         "semantic_dedup_clusters",
         q_semantic_dedup_clusters,
         _sql_semantic_dedup_clusters(),
+    ),
+    QuerySpec(
+        "pipeline_semantic_dedup",
+        q_pipeline_semantic_dedup,
+        _sql_pipeline_semantic_dedup(),
     ),
     QuerySpec(
         "ann_recall_report", q_ann_recall_report, _sql_ann_recall_report()
