@@ -78,6 +78,16 @@ ALLOW: dict[tuple[str, str], str] = {
     # scalar aggregate -> 1-row final exchange, like the other
     # 1-row-result analytics
     ("forecast_revenue_q6", "SinglePartition"): "1-row result",
+    # r8 session-2: same constant-size frames — the 32-row codebook
+    # rank window, the 16-row centroid broadcasts inside
+    # assign_cells/probe_cells, and the 8-probe-row brute-force arm
+    # of the recall report (the similarity_topk allowlist pattern)
+    ("pq_rerank_topk", "Window"): "32-row codebook-rank frame",
+    ("knn_graph_mutual", "Window"): "16/32-row seed-rank frames",
+    ("knn_graph_mutual", "BroadcastNestedLoopJoin"): "16-row centroid set",
+    ("ann_recall_report", "Window"): "16/32-row seed-rank frames",
+    ("ann_recall_report", "BroadcastNestedLoopJoin"):
+        "probe rows (exact arm) + 16-row centroid set",
     ("stream_anomaly_alerts", "BroadcastNestedLoopJoin"): "per-type stats rows",
     # calendar/constant-size frames: unpartitioned windows and single
     # -partition exchanges over days/months/deciles/offsets frames
