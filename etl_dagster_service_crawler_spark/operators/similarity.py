@@ -1267,7 +1267,7 @@ def similarity_pair_histogram(
 # The missing third leg of the ANN triad (exact scan / IVF cells / PQ
 # codes). At 100 TB the ADC scan is the shape that matters: the corpus
 # is read as n_sub CODE BYTES per vector (a 64-dim float64 embedding
-# compresses 128:1 at n_sub=4), the per-query lookup table is
+# compresses 64:1 at the 8-subspace default), the per-query LUT is
 # n_sub x n_codes integers built once per query, and the distance pass
 # never touches a float. All math here runs in the engine's int8
 # storage domain (the embedding_quantize formula), so distances are
@@ -1278,7 +1278,12 @@ def similarity_pair_histogram(
 
 def _q8_expr(vec_col: str):
     """The embedding_quantize int8 formula as a column expression:
-    q = floor(x * 127 / max|x| + 0.5), zero vectors to zeros."""
+    q = floor(x * 127 / max|x| + 0.5), zero vectors to zeros.
+
+    NB: quantized_rerank_topk and quantized_block_pairs inline the same
+    formula (with an int cast — values fit either way); a change to the
+    quantization invariant must land in all three sites AND the SQL
+    twins (workloads/llm._SQL_Q8, SQL_EMBEDDING_QUANTIZE)."""
     absmax = F.aggregate(
         F.col(vec_col), F.lit(0.0),
         lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
@@ -1299,18 +1304,28 @@ def _il2(a, b):
     )
 
 
+PQ_DIM = 64  # fixture embedding dim; the slice width every oracle pins
+
+
 def _explode_subvectors(df: DataFrame, n_sub: int, q8_col: str,
-                        out_col: str) -> DataFrame:
+                        out_col: str, dim: int = PQ_DIM) -> DataFrame:
     """One row per (row, subspace): slice the quantized vector into
-    n_sub contiguous blocks. Pure per-row transform, zero exchanges."""
-    sub_dim = (F.size(F.col(q8_col)) / F.lit(n_sub)).cast("int")
+    n_sub contiguous dim/n_sub-wide blocks. Pure per-row transform,
+    zero exchanges. The slice width is pinned from the EXPECTED dim,
+    never derived per row from size(): a defective row (wrong-dim
+    vector, the kind embedding_quality_gate quarantines) must slice the
+    same fixed windows the DuckDB twins hardcode, not silently re-shape
+    — engines stay bit-identical even on bad input."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub_dim = dim // n_sub
     df = df.select(
         "*", F.explode(F.sequence(F.lit(0), F.lit(n_sub - 1))).alias("sub_id")
     )
     return df.select(
         "*",
         F.slice(
-            F.col(q8_col), F.col("sub_id") * sub_dim + F.lit(1), sub_dim
+            F.col(q8_col), F.col("sub_id") * F.lit(sub_dim) + F.lit(1), sub_dim
         ).alias(out_col),
     ).drop(q8_col)
 
@@ -1418,6 +1433,7 @@ def pq_adc_topk(
     emb: DataFrame, query_ids: list[int], k: int = 5,
     n_sub: int = 8, n_codes: int = 32,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: per query build the
     n_sub x n_codes integer lookup table against the codebook, scan the
@@ -1426,8 +1442,14 @@ def pq_adc_topk(
     (qid, rn, nid, adc) — exact integers, fully oracle-checkable.
     Recall envelope: coarse codes alone rank weakly on isotropic
     corpora (hash-spread codebooks, no k-means) — pq_rerank_topk is
-    the production shape; ann_recall_report measures both."""
-    adc = _pq_adc_scores(emb, query_ids, n_sub, n_codes, id_col, vec_col)
+    the production shape; ann_recall_report measures both. `scores`
+    lets a caller thread ONE precomputed/materialized ADC frame through
+    several consumers (Spark does not reuse identical subtrees across
+    union branches — measured: 0 ReusedExchange in the recall report
+    without it)."""
+    adc = scores if scores is not None else _pq_adc_scores(
+        emb, query_ids, n_sub, n_codes, id_col, vec_col
+    )
     wk = Window.partitionBy("qid").orderBy(F.col("adc"), F.col(id_col))
     return (
         adc.withColumn("rn", F.row_number().over(wk))
@@ -1442,6 +1464,7 @@ def pq_rerank_topk(
     r_candidates: int = 128,
     n_sub: int = 8, n_codes: int = 32,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    scores: DataFrame | None = None,
 ) -> DataFrame:
     """PQ ADC prune + exact cosine re-rank — the production PQ search:
     the integer ADC pass keeps the top r_candidates per query reading
@@ -1451,8 +1474,11 @@ def pq_rerank_topk(
     isotropic fixture — the deterministic-codebook envelope
     ann_recall_report publishes. Every stage is a pure function of the
     corpus, so the whole search is value-hash oracle-checkable.
-    Returns (qid, rn, nid, cos)."""
-    adc = _pq_adc_scores(emb, query_ids, n_sub, n_codes, id_col, vec_col)
+    Returns (qid, rn, nid, cos). `scores` threads a shared ADC frame
+    (see pq_adc_topk)."""
+    adc = scores if scores is not None else _pq_adc_scores(
+        emb, query_ids, n_sub, n_codes, id_col, vec_col
+    )
     wc = Window.partitionBy("qid").orderBy(F.col("adc"), F.col(id_col))
     surv = (
         adc.withColumn("crn", F.row_number().over(wc))
@@ -1482,7 +1508,7 @@ def ivf_pq_search(
 ) -> DataFrame:
     """The full IVF-PQ search — the composition that actually runs at
     100 TB: IVF cells PRUNE (only vectors in the nprobe closest cells
-    are candidates), PQ codes SCORE (ADC over the 4-byte sidecar, no
+    are candidates), PQ codes SCORE (ADC over the n_sub-byte sidecar, no
     vector reads), exact integers make every step tie-safe. With the
     hash-spread seeds standing in for trained centroids/codebook, the
     whole pipeline is a pure function of the corpus — fully
@@ -1490,7 +1516,7 @@ def ivf_pq_search(
     it mirrors (ivf_build/ivf_search).
 
     Scale shape: assignment and codes are one-time corpus-sized
-    sidecars (id+cid, id+4 codes); the search reads probe lists
+    sidecars (id+cid, id+n_sub codes); the search reads probe lists
     (q x nprobe, broadcast), prunes the assignment by cell equi-join,
     and ADC-joins the survivors' CODES against the broadcast LUT —
     per-query work is |probed cells| x codes, the IVF-PQ contract.

@@ -386,12 +386,14 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # integer div (not float `/` + cast): float division can land an
     # ulp below an exact multiple and truncate differently than the
-    # oracle's integer floor division
+    # oracle's integer floor division. The multiply runs in BIGINT:
+    # 10000 x an int32 covered count overflows at ~215k covered tokens
+    # (a real doc size at crawl scale).
     return base.withColumn(
         "dup_frac_bp",
         F.when(
             F.col("n_tokens") > 0,
-            F.expr("(10000 * covered_tokens) div n_tokens"),
+            F.expr("(10000 * CAST(covered_tokens AS BIGINT)) div n_tokens"),
         )
         .otherwise(F.lit(0))
         .cast("int"),
@@ -434,7 +436,8 @@ SELECT t.doc_id,
        coalesce(c.n_dup_windows, 0) AS n_dup_windows,
        coalesce(c.covered_tokens, 0) AS covered_tokens,
        CAST(CASE WHEN len(t.t) > 0
-            THEN (10000 * coalesce(c.covered_tokens, 0)) // len(t.t)
+            THEN (10000 * CAST(coalesce(c.covered_tokens, 0) AS BIGINT))
+                 // len(t.t)
             ELSE 0 END AS INT) AS dup_frac_bp
 FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
 """

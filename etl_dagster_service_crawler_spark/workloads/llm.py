@@ -1993,26 +1993,16 @@ cent AS (
 
 
 def _export_centroids(e: DataFrame) -> DataFrame:
-    # distributed top-k (sort + limit plans as TakeOrderedAndProject,
-    # never a whole-corpus single-partition window); the rank window
-    # that numbers the survivors runs on a 16-row frame
-    seed = (
-        e.select(
-            "vec_id",
-            "embedding",
-            F.md5(F.col("vec_id").cast("string")).alias("h"),
-        )
-        .orderBy("h", "vec_id")
-        .limit(IVF_EXPORT_CENTROIDS)
+    # ONE definition of the deterministic seed pick (smallest
+    # (md5(id), id), numbered in that order) shared with the PQ family
+    # — _SQL_EXPORT_CENT mirrors it, and the cross-op consistency tests
+    # (ivf_pq prune, knn_graph cells) are only valid while every
+    # consumer uses the same pick
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        hash_spread_seeds,
     )
-    w16 = Window.orderBy("h", "vec_id")
-    return (
-        seed.withColumn("rk", F.row_number().over(w16))
-        .select(
-            (F.col("rk") - 1).cast("int").alias("cid"),
-            F.col("embedding").alias("cvec"),
-        )
-    )
+
+    return hash_spread_seeds(e, IVF_EXPORT_CENTROIDS)
 
 
 def q_ivf_assign_export(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2165,11 +2155,11 @@ enc AS (
 def q_pq_encode_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization CODES for the whole corpus: nearest
     codebook entry per subspace by exact integer squared-L2 in the int8
-    storage domain (PQ_EXPORT_SUB=4 subspaces, PQ_EXPORT_CODES=8
+    storage domain (PQ_EXPORT_SUB=8 subspaces, PQ_EXPORT_CODES=32
     hash-spread seed codes — the deterministic stand-in for a trained
     codebook, same argument as ivf_assign_export). At 100 TB this
-    4-byte-per-vector sidecar IS the ANN corpus representation the ADC
-    scan reads (128:1 vs float64). The argmin is a map-side-combining
+    8-byte-per-vector sidecar IS the ANN corpus representation the ADC
+    scan reads (64:1 vs float64). The argmin is a map-side-combining
     min_by over the broadcast codebook (operators/similarity.pq_encode)
     — the exchange carries (id, sub_id, code) triples, never a vector."""
     from etl_dagster_service_crawler_spark.operators.similarity import (
@@ -2215,27 +2205,50 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_pq_lut() -> str:
+    return f"""
+lut AS (
+  SELECT q.vec_id AS qid, q.m, c.code, {_sql_il2('q.vsub', 'c.csub')} AS d
+  FROM subs q JOIN csubs c ON q.m = c.m
+  WHERE q.vec_id < {len(TOPK_QUERY_IDS)}
+)"""
+
+
+_SQL_ADC_PQ = """
+adc_pq AS (
+  SELECT l.qid, e.vec_id, sum(l.d) AS adc
+  FROM enc e JOIN lut l ON e.sub_id = l.m AND e.code = l.code
+  WHERE e.vec_id <> l.qid
+  GROUP BY l.qid, e.vec_id
+)"""
+
+_SQL_CAND_ADC_IVF = """
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM asg a JOIN prb p ON a.cid = p.cid
+  WHERE a.vec_id <> p.qid
+),
+adc_ivf AS (
+  SELECT cd.qid, cd.vec_id, sum(l.d) AS adc
+  FROM cand cd
+  JOIN enc e ON e.vec_id = cd.vec_id
+  JOIN lut l ON l.qid = cd.qid AND l.m = e.sub_id AND l.code = e.code
+  GROUP BY cd.qid, cd.vec_id
+)"""
+
+
 SQL_PQ_ADC_TOPK = f"""
 WITH {_SQL_Q8},
 {_SQL_PQ_CENT},
 {_SQL_PQ_SLICES},
 {_SQL_PQ_ENC},
-lut AS (
-  SELECT q.vec_id AS qid, q.m, c.code, {_sql_il2('q.vsub', 'c.csub')} AS d
-  FROM subs q JOIN csubs c ON q.m = c.m
-  WHERE q.vec_id < {len(TOPK_QUERY_IDS)}
-),
-adc AS (
-  SELECT l.qid, e.vec_id, sum(l.d) AS adc
-  FROM enc e JOIN lut l ON e.sub_id = l.m AND e.code = l.code
-  WHERE e.vec_id <> l.qid
-  GROUP BY l.qid, e.vec_id
-)
+{_sql_pq_lut()},
+{_SQL_ADC_PQ}
 SELECT qid, CAST(rn AS INT) AS rn, vec_id AS nid, CAST(adc AS BIGINT) AS adc
 FROM (
   SELECT qid, vec_id, adc,
          row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
-  FROM adc
+  FROM adc_pq
 )
 WHERE rn <= 5
 """
@@ -2244,7 +2257,7 @@ WHERE rn <= 5
 def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full IVF-PQ search for the 8 standing queries: IVF cells
     prune (nprobe=IVF_EXPORT_NPROBE of IVF_EXPORT_CENTROIDS cells), PQ
-    codes score (exact-integer ADC over the 4-byte sidecar), top-5 by
+    codes score (exact-integer ADC over the 8-byte sidecar), top-5 by
     (adc, id), self excluded (operators/similarity.ivf_pq_search).
     This is the architecture a 100 TB ANN deployment actually runs —
     and with hash-spread seeds standing in for the trained index, every
@@ -2266,49 +2279,19 @@ def q_ivf_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_ivf_pq_search() -> str:
     return f"""
 WITH {_SQL_EXPORT_CENT},
-asg AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
-    FROM embeddings e, cent c
-  ) WHERE rn = 1
-),
-prb AS (
-  SELECT qid, cid FROM (
-    SELECT e.qid, c.cid,
-           row_number() OVER (PARTITION BY e.qid
-                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
-    FROM (SELECT vec_id AS qid, embedding FROM embeddings
-          WHERE vec_id < {len(TOPK_QUERY_IDS)}) e, cent c
-  ) WHERE rn <= {IVF_EXPORT_NPROBE}
-),
+{_SQL_IVF_ASG},
+{_sql_ivf_prb()},
 {_SQL_Q8},
 {_SQL_PQ_CENT},
 {_SQL_PQ_SLICES},
 {_SQL_PQ_ENC},
-lut AS (
-  SELECT q.vec_id AS qid, q.m, c.code, {_sql_il2('q.vsub', 'c.csub')} AS d
-  FROM subs q JOIN csubs c ON q.m = c.m
-  WHERE q.vec_id < {len(TOPK_QUERY_IDS)}
-),
-cand AS (
-  SELECT p.qid, a.vec_id
-  FROM asg a JOIN prb p ON a.cid = p.cid
-  WHERE a.vec_id <> p.qid
-),
-adc AS (
-  SELECT cd.qid, cd.vec_id, sum(l.d) AS adc
-  FROM cand cd
-  JOIN enc e ON e.vec_id = cd.vec_id
-  JOIN lut l ON l.qid = cd.qid AND l.m = e.sub_id AND l.code = e.code
-  GROUP BY cd.qid, cd.vec_id
-)
+{_sql_pq_lut()},
+{_SQL_CAND_ADC_IVF}
 SELECT qid, CAST(rn AS INT) AS rn, vec_id AS nid, CAST(adc AS BIGINT) AS adc
 FROM (
   SELECT qid, vec_id, adc,
          row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
-  FROM adc
+  FROM adc_ivf
 )
 WHERE rn <= 5
 """
@@ -2332,21 +2315,55 @@ def q_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_ADC_PQ = """
-adc_pq AS (
-  SELECT l.qid, e.vec_id, sum(l.d) AS adc
-  FROM enc e JOIN lut l ON e.sub_id = l.m AND e.code = l.code
-  WHERE e.vec_id <> l.qid
-  GROUP BY l.qid, e.vec_id
+
+# shared DuckDB blocks for the composed ANN oracles — ONE text for each
+# invariant (IVF assignment argmax, probe ranking, SDC table, the
+# cell-blocked mutual-graph chain); every consumer composes these so a
+# tie-break fix cannot silently diverge sibling oracles
+_SQL_IVF_ASG = f"""
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
+    FROM embeddings e, cent c
+  ) WHERE rn = 1
 )"""
 
 
-def _sql_pq_lut() -> str:
+def _sql_ivf_prb() -> str:
     return f"""
-lut AS (
-  SELECT q.vec_id AS qid, q.m, c.code, {_sql_il2('q.vsub', 'c.csub')} AS d
-  FROM subs q JOIN csubs c ON q.m = c.m
-  WHERE q.vec_id < {len(TOPK_QUERY_IDS)}
+prb AS (
+  SELECT qid, cid FROM (
+    SELECT e.qid, c.cid,
+           row_number() OVER (PARTITION BY e.qid
+                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
+    FROM (SELECT vec_id AS qid, embedding FROM embeddings
+          WHERE vec_id < {len(TOPK_QUERY_IDS)}) e, cent c
+  ) WHERE rn <= {IVF_EXPORT_NPROBE}
+)"""
+
+
+_SQL_SDC = f"""
+sdc AS (
+  SELECT a.m AS sub_id, a.code AS code_a, b.code AS code_b,
+         {_sql_il2('a.csub', 'b.csub')} AS d
+  FROM csubs a JOIN csubs b ON a.m = b.m
+)"""
+
+_SQL_GRAPH_PAIRS = f"""
+node AS (
+  SELECT e.vec_id, e.sub_id, e.code, g.cid
+  FROM enc e JOIN asg g USING (vec_id)
+),
+pair_d AS (
+  SELECT x.vec_id AS aid, y.vec_id AS bid, sum(s.d) AS d
+  FROM node x
+  JOIN node y ON x.cid = y.cid AND x.sub_id = y.sub_id
+             AND x.vec_id <> y.vec_id
+  JOIN sdc s ON s.sub_id = x.sub_id AND s.code_a = x.code
+            AND s.code_b = y.code
+  GROUP BY 1, 2
 )"""
 
 
@@ -2406,36 +2423,13 @@ def q_knn_graph_mutual(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_knn_graph_mutual() -> str:
     return f"""
 WITH {_SQL_EXPORT_CENT},
-asg AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
-    FROM embeddings e, cent c
-  ) WHERE rn = 1
-),
+{_SQL_IVF_ASG},
 {_SQL_Q8},
 {_SQL_PQ_CENT},
 {_SQL_PQ_SLICES},
 {_SQL_PQ_ENC},
-sdc AS (
-  SELECT a.m AS sub_id, a.code AS code_a, b.code AS code_b,
-         {_sql_il2('a.csub', 'b.csub')} AS d
-  FROM csubs a JOIN csubs b ON a.m = b.m
-),
-node AS (
-  SELECT e.vec_id, e.sub_id, e.code, g.cid
-  FROM enc e JOIN asg g USING (vec_id)
-),
-pair_d AS (
-  SELECT x.vec_id AS aid, y.vec_id AS bid, sum(s.d) AS d
-  FROM node x
-  JOIN node y ON x.cid = y.cid AND x.sub_id = y.sub_id
-             AND x.vec_id <> y.vec_id
-  JOIN sdc s ON s.sub_id = x.sub_id AND s.code_a = x.code
-            AND s.code_b = y.code
-  GROUP BY 1, 2
-),
+{_SQL_SDC},
+{_SQL_GRAPH_PAIRS},
 topk AS (
   SELECT aid, bid, d FROM (
     SELECT aid, bid, d,
@@ -2495,36 +2489,13 @@ def _sql_semantic_dedup_clusters() -> str:
     # reachability fold (undirected: both edge directions seeded)
     return f"""
 WITH RECURSIVE {_SQL_EXPORT_CENT},
-asg AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
-    FROM embeddings e, cent c
-  ) WHERE rn = 1
-),
+{_SQL_IVF_ASG},
 {_SQL_Q8},
 {_SQL_PQ_CENT},
 {_SQL_PQ_SLICES},
 {_SQL_PQ_ENC},
-sdc AS (
-  SELECT a.m AS sub_id, a.code AS code_a, b.code AS code_b,
-         {_sql_il2('a.csub', 'b.csub')} AS d
-  FROM csubs a JOIN csubs b ON a.m = b.m
-),
-node AS (
-  SELECT e.vec_id, e.sub_id, e.code, g.cid
-  FROM enc e JOIN asg g USING (vec_id)
-),
-pair_d AS (
-  SELECT x.vec_id AS aid, y.vec_id AS bid, sum(s.d) AS d
-  FROM node x
-  JOIN node y ON x.cid = y.cid AND x.sub_id = y.sub_id
-             AND x.vec_id <> y.vec_id
-  JOIN sdc s ON s.sub_id = x.sub_id AND s.code_a = x.code
-            AND s.code_b = y.code
-  GROUP BY 1, 2
-),
+{_SQL_SDC},
+{_SQL_GRAPH_PAIRS},
 topk AS (
   SELECT aid, bid FROM (
     SELECT aid, bid,
@@ -2573,9 +2544,12 @@ def q_pipeline_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "n_kept",
             (F.col("n_docs") - F.col("n_kept")).cast("int").alias("n_dropped"),
-            F.expr("CAST((10000 * (n_docs - n_kept)) div n_docs AS INT)").alias(
-                "drop_bp"
-            ),
+            # BIGINT multiply: 10000 x an int32 drop count overflows at
+            # ~215k dropped docs per source
+            F.expr(
+                "CAST((10000 * CAST(n_docs - n_kept AS BIGINT)) div n_docs"
+                " AS INT)"
+            ).alias("drop_bp"),
         )
         .orderBy("source")
     )
@@ -2591,7 +2565,8 @@ SELECT d.source,
        CAST(sum(CASE WHEN l.is_dup THEN 0 ELSE 1 END) AS INT) AS n_kept,
        CAST(count(*) - sum(CASE WHEN l.is_dup THEN 0 ELSE 1 END) AS INT)
          AS n_dropped,
-       CAST((10000 * (count(*) - sum(CASE WHEN l.is_dup THEN 0 ELSE 1 END)))
+       CAST((10000 * CAST(count(*) - sum(CASE WHEN l.is_dup THEN 0 ELSE 1 END)
+                          AS BIGINT))
             // count(*) AS INT) AS drop_bp
 FROM documents d JOIN lab l ON d.doc_id = l.vec_id
 GROUP BY d.source
@@ -2610,8 +2585,10 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     would persist next to the index to decide nprobe/code/R budgets.
     Returns (method, qid, hits, recall_bp), hits out of k=5."""
     from etl_dagster_service_crawler_spark.operators.similarity import (
+        _pq_adc_scores,
         ivf_pq_search,
         pq_adc_topk,
+        pq_rerank_topk,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
@@ -2619,17 +2596,29 @@ def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine_topk_bruteforce(e, TOPK_QUERY_IDS, k=5)
         .select("qid", "nid", F.lit(1).alias("hit"))
     )
+    # ONE whole-corpus ADC pass shared by the pq_adc and pq_rerank arms:
+    # Spark does not dedupe identical subtrees across union branches
+    # (0 ReusedExchange measured), so the shared frame is lazily
+    # localCheckpointed — computed once at the first action, reused by
+    # both arms (the ivf arm's cell-pruned chain is distinct by design)
+    adc = _pq_adc_scores(
+        e, TOPK_QUERY_IDS, PQ_EXPORT_SUB, PQ_EXPORT_CODES,
+        "vec_id", "embedding",
+    ).localCheckpoint(eager=False)
     arms = [
         ("pq_adc", pq_adc_topk(
             e, TOPK_QUERY_IDS, k=5,
-            n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
+            n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES, scores=adc,
         )),
         ("ivf_pq", ivf_pq_search(
             e, TOPK_QUERY_IDS, k=5,
             n_centroids=IVF_EXPORT_CENTROIDS, nprobe=IVF_EXPORT_NPROBE,
             n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
         )),
-        ("pq_rerank", q_pq_rerank_topk(spark, sf_dir)),
+        ("pq_rerank", pq_rerank_topk(
+            e, TOPK_QUERY_IDS, k=5, r_candidates=PQ_RERANK_R,
+            n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES, scores=adc,
+        )),
     ]
     appr = None
     for name, df in arms:
@@ -2650,50 +2639,15 @@ def _sql_ann_recall_report() -> str:
     nq = len(TOPK_QUERY_IDS)
     return f"""
 WITH {_SQL_EXPORT_CENT},
-asg AS (
-  SELECT vec_id, cid FROM (
-    SELECT e.vec_id, c.cid,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
-    FROM embeddings e, cent c
-  ) WHERE rn = 1
-),
-prb AS (
-  SELECT qid, cid FROM (
-    SELECT e.qid, c.cid,
-           row_number() OVER (PARTITION BY e.qid
-                              ORDER BY {_COS_EC} DESC, c.cid) AS rn
-    FROM (SELECT vec_id AS qid, embedding FROM embeddings
-          WHERE vec_id < {nq}) e, cent c
-  ) WHERE rn <= {IVF_EXPORT_NPROBE}
-),
+{_SQL_IVF_ASG},
+{_sql_ivf_prb()},
 {_SQL_Q8},
 {_SQL_PQ_CENT},
 {_SQL_PQ_SLICES},
 {_SQL_PQ_ENC},
-lut AS (
-  SELECT q.vec_id AS qid, q.m, c.code, {_sql_il2('q.vsub', 'c.csub')} AS d
-  FROM subs q JOIN csubs c ON q.m = c.m
-  WHERE q.vec_id < {nq}
-),
-adc_pq AS (
-  SELECT l.qid, e.vec_id, sum(l.d) AS adc
-  FROM enc e JOIN lut l ON e.sub_id = l.m AND e.code = l.code
-  WHERE e.vec_id <> l.qid
-  GROUP BY l.qid, e.vec_id
-),
-cand AS (
-  SELECT p.qid, a.vec_id
-  FROM asg a JOIN prb p ON a.cid = p.cid
-  WHERE a.vec_id <> p.qid
-),
-adc_ivf AS (
-  SELECT cd.qid, cd.vec_id, sum(l.d) AS adc
-  FROM cand cd
-  JOIN enc e ON e.vec_id = cd.vec_id
-  JOIN lut l ON l.qid = cd.qid AND l.m = e.sub_id AND l.code = e.code
-  GROUP BY cd.qid, cd.vec_id
-),
+{_sql_pq_lut()},
+{_SQL_ADC_PQ},
+{_SQL_CAND_ADC_IVF},
 surv AS (
   SELECT qid, vec_id AS nid FROM (
     SELECT qid, vec_id,

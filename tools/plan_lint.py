@@ -71,9 +71,9 @@ ALLOW: dict[tuple[str, str], str] = {
     # hash_spread_seeds frame (the corpus-sized pick is a distributed
     # TakeOrdered); ivf_pq_search's BNLJ is assign_cells/probe_cells
     # broadcasting the 16-row centroid set, same as the ivf exports
-    ("pq_encode_export", "Window"): "8-row codebook-rank frame",
-    ("pq_adc_topk", "Window"): "8-row codebook-rank frame",
-    ("ivf_pq_search", "Window"): "8/16-row seed-rank frames",
+    ("pq_encode_export", "Window"): "32-row codebook-rank frame",
+    ("pq_adc_topk", "Window"): "32-row codebook-rank frame",
+    ("ivf_pq_search", "Window"): "16/32-row seed-rank frames",
     ("ivf_pq_search", "BroadcastNestedLoopJoin"): "16-row centroid set",
     # scalar aggregate -> 1-row final exchange, like the other
     # 1-row-result analytics
@@ -88,6 +88,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("ann_recall_report", "Window"): "16/32-row seed-rank frames",
     ("ann_recall_report", "BroadcastNestedLoopJoin"):
         "probe rows (exact arm) + 16-row centroid set",
+    # Spark-injected runtime bloom-filter build (1-row aggregate) on
+    # the checkpointed shared-ADC frame — SCALE.md 'Runtime row-level
+    # filtering', not a data-sized single-partition exchange
+    ("ann_recall_report", "SinglePartition"): "runtime bloom-filter build",
     ("stream_anomaly_alerts", "BroadcastNestedLoopJoin"): "per-type stats rows",
     # calendar/constant-size frames: unpartitioned windows and single
     # -partition exchanges over days/months/deciles/offsets frames
