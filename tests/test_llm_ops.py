@@ -1044,3 +1044,18 @@ def test_semantic_dedup_clusters_consistent_with_graph(spark, sf_dir):
         assert l == min(vs)
     for v in set(lab) - touched:
         assert lab[v] == v
+
+
+def test_pq_rejects_indivisible_subspace_split(spark, sf_dir):
+    """The PQ slice width is pinned from the expected dim; an n_sub
+    that does not divide it must fail loudly at plan time, never
+    silently truncate tail dimensions."""
+    import pytest
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_codebook,
+    )
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_codebook(e, n_sub=7, n_codes=8)
