@@ -1113,3 +1113,59 @@ def test_wrapped_replace_equals_textbook_greedy_merge(syms, left, right):
     assert via_replace == _greedy_merge(syms, left, right)
     # and the round-trip itself is lossless
     assert _unwrap(_wrap(syms)) == syms
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=40),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_dup_span_coverage_matches_python_recompute(spark, tmp_path_factory, docs):
+    """dup_span_coverage's interval-union fold equals a brute-force
+    Python recompute (mark every covered token position) on random
+    small-alphabet corpora — small alphabets force heavy cross-doc
+    window collisions, the hard case for the union math."""
+    import pandas as pd
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        DUP_SPAN_WINDOW,
+        q_dup_span_coverage,
+    )
+
+    w = DUP_SPAN_WINDOW
+    texts = [" ".join(toks) for toks in docs]
+    tmp = tmp_path_factory.mktemp("dupspan")
+    pd.DataFrame(
+        {
+            "doc_id": pd.array(range(len(texts)), dtype="int64"),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": pd.array([len(t) for t in texts], dtype="int64"),
+        }
+    ).to_parquet(f"{tmp}/documents.parquet", index=False)
+
+    # brute-force recompute: window -> set of docs; covered positions
+    toks = [t.split(" ") for t in texts]
+    owners: dict[tuple, set] = {}
+    for d, ts in enumerate(toks):
+        for s0 in range(len(ts) - w + 1):
+            owners.setdefault(tuple(ts[s0:s0 + w]), set()).add(d)
+    want = {}
+    for d, ts in enumerate(toks):
+        covered = set()
+        ndup = 0
+        for s0 in range(len(ts) - w + 1):
+            if len(owners[tuple(ts[s0:s0 + w])]) >= 2:
+                ndup += 1
+                covered.update(range(s0, s0 + w))
+        want[d] = (len(ts), ndup, len(covered))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_dup_windows"], r["covered_tokens"])
+        for r in q_dup_span_coverage(spark, str(tmp)).collect()
+    }
+    assert got == want
