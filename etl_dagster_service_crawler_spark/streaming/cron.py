@@ -14,10 +14,15 @@ evaluated on LOCAL WALL TIME in a named IANA timezone:
   restricted, that one decides.
 - DST: matching is done on the local wall clock. A wall time skipped
   by a spring-forward transition does not fire (there is no such
-  minute); a wall time repeated by a fall-back transition fires on its
-  first occurrence only (next_fire always moves strictly forward in
-  ABSOLUTE time, so the repeat is not a second match of the same
-  minute).
+  minute). A fall-back repeated hour follows cron's wildcard rule:
+  FIXED-TIME specs (both minute and hour fields non-star, e.g.
+  ``30 1 * * *``) fire a repeated wall time on its first occurrence
+  only; INTERVAL-LIKE specs (star-based minute or hour, e.g.
+  ``*/2 * * * *`` or ``30 * * * *``) keep firing at every absolute
+  interval straight through the repeated hour — a ``*/2`` schedule
+  ticks 60 times in the 2-wall-hour fall-back window, never goes
+  silent for it. next_fire always moves strictly forward in ABSOLUTE
+  time either way.
 
 next_fire() is a pure function of (spec, after) — the deploy loop
 sleeps until it, and the fake-clock tests (tests/test_deploy.py) drive
@@ -104,6 +109,17 @@ class CronSpec:
     dom_restricted: bool
     dow_restricted: bool
     expr: str
+    # Vixie cron's DST rule keys on the FIELD TEXT: a job whose minute
+    # or hour field is star-based ('*' or '*/n', incl. in a list) is
+    # "wildcard" — it fires at every absolute interval straight through
+    # a fall-back repeated hour; fixed-time jobs fire on the first
+    # occurrence of a repeated wall time only.
+    minute_wildcard: bool = False
+    hour_wildcard: bool = False
+
+    @property
+    def interval_like(self) -> bool:
+        return self.minute_wildcard or self.hour_wildcard
 
     def day_matches(self, local: datetime) -> bool:
         dom_ok = local.day in self.day_of_month
@@ -138,6 +154,9 @@ def parse_cron(expr: str) -> CronSpec:
         allowed, restricted = _parse_field(text, name, lo, hi, names)
         vals.append(allowed)
         restr.append(restricted)
+    def _star_based(text: str) -> bool:
+        return any(p.strip().startswith("*") for p in text.split(","))
+
     return CronSpec(
         minute=vals[0],
         hour=vals[1],
@@ -147,18 +166,57 @@ def parse_cron(expr: str) -> CronSpec:
         dom_restricted=restr[2],
         dow_restricted=restr[4],
         expr=expr,
+        minute_wildcard=_star_based(parts[0]),
+        hour_wildcard=_star_based(parts[1]),
     )
+
+
+def _next_fire_absolute(
+    spec: CronSpec, after: datetime, zone: ZoneInfo
+) -> datetime:
+    """Interval-like (wildcard minute/hour) schedules walk ABSOLUTE
+    time: every UTC minute of a day whose local date matches the day
+    fields is tested against the wall-clock spec. Both occurrences of
+    a fall-back repeated hour are therefore real candidates (cron's
+    wildcard-job DST rule) and spring-forward gaps skip naturally —
+    no fold arithmetic at all. Non-matching days jump to the next
+    local midnight, so the worst case (wildcard minute on a Feb 29
+    spec) is ~1460 day-hops + one 25-hour minute walk."""
+    utc = (after + timedelta(minutes=1)).replace(
+        second=0, microsecond=0
+    ).astimezone(timezone.utc)
+    one = timedelta(minutes=1)
+    for _ in range(366 * 8):
+        local = utc.astimezone(zone)
+        if not (local.month in spec.month and spec.day_matches(local)):
+            nxt = (local + timedelta(days=1)).replace(
+                hour=0, minute=0, second=0, microsecond=0, fold=0
+            )
+            utc = nxt.astimezone(timezone.utc)
+            continue
+        day = local.date()
+        while local.date() == day:
+            if spec.matches(local):
+                return utc
+            utc += one
+            local = utc.astimezone(zone)
+    raise ValueError(f"cron {spec.expr!r} never fires (no matching date)")
 
 
 def next_fire(spec: CronSpec, after: datetime, tz: str | ZoneInfo) -> datetime:
     """First absolute instant STRICTLY after `after` whose local wall
     time in `tz` matches the spec. `after` may be naive (assumed UTC)
-    or aware. The scan walks whole days on the day fields and minutes
-    within matching days, so worst case (Feb 29 spec) is ~1500 checks,
-    not half a million."""
+    or aware. Interval-like specs (wildcard minute or hour field) use
+    the absolute-time walk — they fire straight through a fall-back
+    repeated hour, like cron's wildcard jobs; fixed-time specs use the
+    wall walk below and fire a repeated wall time on its first
+    occurrence only. The wall scan jumps whole days on the day fields,
+    so worst case (Feb 29 spec) is ~1500 checks, not half a million."""
     zone = ZoneInfo(tz) if isinstance(tz, str) else tz
     if after.tzinfo is None:
         after = after.replace(tzinfo=timezone.utc)
+    if spec.interval_like:
+        return _next_fire_absolute(spec, after, zone)
     local = after.astimezone(zone)
     # advance to the next whole minute
     local = (local + timedelta(minutes=1)).replace(second=0, microsecond=0)

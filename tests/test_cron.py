@@ -113,13 +113,64 @@ def test_fall_back_after_inside_repeated_hour():
     fire = next_fire(spec, after, "America/New_York")
     assert fire > after
     assert fire == utc(2026, 11, 2, 6, 30)
-    # a finer schedule: */15 matches 01:15/01:30/01:45 — all already
-    # fired on the EDT pass, so from inside the EST repeat the next
-    # fire is the first unambiguous minute whose wall time is new
+    # an INTERVAL-LIKE schedule is the opposite case (cron's wildcard
+    # DST rule): */15 keeps firing at every absolute 15 minutes through
+    # the repeated hour — 06:15 UTC (01:15 EST), not a silent hour
     spec15 = parse_cron("*/15 * * * *")
     fire15 = next_fire(spec15, utc(2026, 11, 1, 6, 10), "America/New_York")
-    assert fire15 > utc(2026, 11, 1, 6, 10)
-    assert fire15 == utc(2026, 11, 1, 7, 0)  # 02:00 EST
+    assert fire15 == utc(2026, 11, 1, 6, 15)  # 01:15 EST second pass
+
+
+def test_fall_back_wildcard_fires_every_absolute_interval():
+    """Cron's wildcard DST rule (the reference's own */2 schedule):
+    star-based minute/hour specs never go silent across a fall-back —
+    ticks stay exactly 2 minutes apart in ABSOLUTE time through both
+    passes of the repeated hour, with no back-to-back storm."""
+    from datetime import timedelta
+
+    spec = parse_cron("*/2 * * * *")
+    cur = utc(2026, 11, 1, 4, 57)
+    ticks = []
+    while cur < utc(2026, 11, 1, 7, 5):
+        cur = next_fire(spec, cur, "America/New_York")
+        ticks.append(cur)
+    assert {b - a for a, b in zip(ticks, ticks[1:])} == {
+        timedelta(minutes=2)
+    }
+    # both occurrences of wall 01:30 fire (EDT then EST)
+    assert utc(2026, 11, 1, 5, 30) in ticks
+    assert utc(2026, 11, 1, 6, 30) in ticks
+
+
+def test_fall_back_hourly_at_minute_fires_both_passes():
+    """'30 * * * *' has a wildcard hour: the repeated wall 01:30 is two
+    distinct absolute hours and BOTH fire — while the fixed '30 1'
+    twin (test above) fires once. The field text decides, matching
+    vixie cron."""
+    spec = parse_cron("30 * * * *")
+    first = next_fire(spec, utc(2026, 11, 1, 5, 0), "America/New_York")
+    second = next_fire(spec, first, "America/New_York")
+    third = next_fire(spec, second, "America/New_York")
+    assert first == utc(2026, 11, 1, 5, 30)  # 01:30 EDT
+    assert second == utc(2026, 11, 1, 6, 30)  # 01:30 EST
+    assert third == utc(2026, 11, 1, 7, 30)  # 02:30 EST
+
+
+def test_spring_forward_gap_skips_for_interval_specs_too():
+    """The absolute walk handles the spring gap naturally: */30 around
+    2026-03-08 07:00 UTC (02:00->03:00 EST jump) stays strictly
+    30-absolute-minutes apart; wall 02:30 never exists."""
+    from datetime import timedelta
+
+    spec = parse_cron("*/30 * * * *")
+    cur = utc(2026, 3, 8, 6, 45)
+    ticks = []
+    while cur < utc(2026, 3, 8, 8, 15):
+        cur = next_fire(spec, cur, "America/New_York")
+        ticks.append(cur)
+    assert {b - a for a, b in zip(ticks, ticks[1:])} == {
+        timedelta(minutes=30)
+    }
 
 
 def test_ranges_lists_steps():
