@@ -218,6 +218,39 @@ def test_flag_unchanged_when_env_drift_below_threshold():
     assert flag == "REGRESSION 1.5x vs best"
 
 
+def test_env_drift_windows_match_query_baseline():
+    """env_drift must use the SAME last-3-rounds window flag_for uses:
+    a quiet-era canary from four rounds back must not inflate the env
+    ratio and clear a real regression measured against recent rounds
+    (post-review fix). Here the machine has been flat (canary 1.0) for
+    the entire window the query is judged in."""
+    prior = [
+        mk_round("r01", {"a": 1.0}, canaries={"canary_io": 0.5}),
+        mk_round("r02", {"a": 1.0}, canaries={"canary_io": 1.0}),
+        mk_round("r03", {"a": 1.0}, canaries={"canary_io": 1.0}),
+        mk_round("r04", {"a": 1.0}, canaries={"canary_io": 1.0}),
+    ]
+    newest = mk_round(
+        "loc", {"a": 1.5}, {"a": [1.5, 1.52, 1.55]},
+        canaries={"canary_io": 1.0},
+    )
+    ratio, kind = bh.env_drift(newest, prior)
+    assert round(ratio, 2) == 1.0  # NOT 2.0 vs the stale r01 canary
+    flag = bh.flag_for("a", newest, prior, ratio, kind)
+    assert flag.startswith("REGRESSION 1.5x")
+
+
+def test_noisy_spread_gates_before_env_clearing():
+    """A newest-round spread past NOISY_SPREAD means the measurement
+    itself is untrusted — it must route to 'NOISY? re-run locally',
+    never be confidently cleared to ENV (post-review fix)."""
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 2.2, 4.6]})
+    flag = bh.flag_for("a", newest, prior, env_ratio=1.6, env_kind="io")
+    assert flag.startswith("NOISY?")
+    assert "re-run locally" in flag
+
+
 def test_from_tail_scalar_accepts_scientific_notation():
     q, _ = bh._from_tail('{"queries": {"tiny": 1.2e-05, "b": 3.5}}')
     assert q["tiny"] == 1.2e-05 and q["b"] == 3.5

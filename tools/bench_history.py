@@ -174,15 +174,19 @@ def load_rounds(extra: list[str]) -> list[Round]:
 
 
 def env_drift(newest: Round, prior: list[Round]) -> tuple[float, str]:
-    """Compare the newest round's canaries against the best prior
-    observation of each. Returns (worst_ratio, kind) — how much slower
-    the MACHINE itself measures, independent of any query plan. 0.0
+    """Compare the newest round's canaries against the best of the LAST
+    <=3 prior canary-bearing rounds — the SAME windowing flag_for uses
+    for its query baseline. Ratios from mismatched windows adjudicate
+    wrongly: an all-time-best canary from a quiet era months back makes
+    env_ratio permanently large, and a real plan regression measured
+    against a recent baseline would clear to ENV on a machine that has
+    been flat for the whole window. Returns (worst_ratio, kind); 0.0
     when canaries are absent (pre-canary artifacts)."""
     worst = 0.0
     worst_kind = ""
     for k in _CANARY_KEYS:
         newest_v = newest.canaries.get(k)
-        prior_vs = [r.canaries[k] for r in prior if k in r.canaries]
+        prior_vs = [r.canaries[k] for r in prior if k in r.canaries][-3:]
         if newest_v is None or not prior_vs or min(prior_vs) <= 0:
             continue
         ratio = newest_v / min(prior_vs)
@@ -215,9 +219,18 @@ def flag_for(
         if newest_med < MED_RATIO * min(prior_meds):
             return ""  # the min moved but the bulk didn't: one bad run
     ratio = newest_min / best_prior_min
+    # The spread gate runs FIRST: a newest-round spread past
+    # NOISY_SPREAD means the machine was loaded during the measurement
+    # window, so neither the ratio nor its comparison to the canaries
+    # is trustworthy — route to the designed re-run-locally path
+    # instead of confidently adjudicating from an untrusted number.
+    spread = newest.spread(name)
+    if spread is not None and spread >= NOISY_SPREAD:
+        return f"NOISY? {ratio:.1f}x min but spread {spread:.1f}x — re-run locally"
     # canary adjudication (r7 item 8): when the machine's own canaries
-    # moved at least as much as this query, the delta is explained by
-    # the environment — clear the flag to ENV so only plan regressions
+    # moved at least as much as this query (over the SAME last-3
+    # window the query baseline uses), the delta is explained by the
+    # environment — clear the flag to ENV so only plan regressions
     # survive as REGRESSION. A query that moved MORE than the canaries
     # keeps its flag, annotated with the measured env share.
     if env_ratio >= ENV_DRIFT_RATIO and ratio <= env_ratio:
@@ -225,9 +238,6 @@ def flag_for(
             f"ENV {ratio:.1f}x ~ canary_{env_kind} {env_ratio:.1f}x — "
             "machine drift, not plan"
         )
-    spread = newest.spread(name)
-    if spread is not None and spread >= NOISY_SPREAD:
-        return f"NOISY? {ratio:.1f}x min but spread {spread:.1f}x — re-run locally"
     flag = f"REGRESSION {ratio:.1f}x vs best"
     if env_ratio >= ENV_DRIFT_RATIO:
         flag += f" (env {env_kind} {env_ratio:.1f}x slower)"
