@@ -1296,9 +1296,21 @@ def _q8_expr(vec_col: str):
 
 
 def _il2(a, b):
-    """Exact integer squared-L2 between two int lists."""
+    """Exact integer squared-L2 between two int lists.
+
+    Each squared term is coalesced to 0: zip_with pads the shorter list
+    with NULL, and without the coalesce a wrong-dim row (the kind
+    embedding_quality_gate quarantines) would fold the whole sum to
+    NULL here while DuckDB's list_sum skips NULL terms and returns a
+    partial sum — the engines must agree term-by-term even on bad
+    input (the same invariant llm._sql_il2 states on its side)."""
     return F.aggregate(
-        F.zip_with(a, b, lambda x, y: ((x - y) * (x - y)).cast("bigint")),
+        F.zip_with(
+            a, b,
+            lambda x, y: F.coalesce(
+                ((x - y) * (x - y)).cast("bigint"), F.lit(0).cast("bigint")
+            ),
+        ),
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )

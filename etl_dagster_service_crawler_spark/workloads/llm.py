@@ -2131,12 +2131,15 @@ csubs AS (
 
 
 def _sql_il2(a: str, b: str) -> str:
-    # coalesce: list_sum of an EMPTY list is NULL in DuckDB but Spark's
-    # aggregate fold starts at 0 — a zero-length subvector (defective
-    # row) must not diverge the engines
+    # Two NULL seams closed, matching similarity._il2 exactly: the
+    # outer coalesce covers list_sum([]) = NULL (Spark's fold starts at
+    # 0), and the PER-TERM coalesce covers length-mismatched lists —
+    # list_zip/zip_with both pad with NULL, but DuckDB's list_sum skips
+    # NULL terms while Spark's fold would propagate; both engines now
+    # count a padded term as 0.
     return (
         f"coalesce(list_sum(list_transform(list_zip({a}, {b}),"
-        " s -> (s[1]-s[2])*(s[1]-s[2]))), 0)"
+        " s -> coalesce((s[1]-s[2])*(s[1]-s[2]), 0))), 0)"
     )
 
 

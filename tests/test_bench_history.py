@@ -240,6 +240,41 @@ def test_env_drift_windows_match_query_baseline():
     assert flag.startswith("REGRESSION 1.5x")
 
 
+def test_env_ratio_recomputed_from_query_own_window():
+    """Post-review fix (r9): a query measured only in rounds where the
+    machine was QUIET must not have its regression cleared by a global
+    env ratio inflated by canary-less or slow rounds the query never
+    appeared in — flag_for recomputes env drift from the query's own
+    baseline subset whenever that subset carries canaries."""
+    prior = [
+        mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.0, 1.0]},
+                 canaries={"canary_io": 1.0}),
+        mk_round("r02", {"a": 1.0}, {"a": [1.0, 1.0, 1.0]},
+                 canaries={"canary_io": 1.0}),
+        mk_round("r03", {"b": 9.9}),  # query absent; no canaries
+        mk_round("r04", {"b": 9.9}),
+    ]
+    newest = mk_round(
+        "loc", {"a": 1.5}, {"a": [1.5, 1.52, 1.55]},
+        canaries={"canary_io": 1.0},
+    )
+    # caller passes a (wrongly) inflated global ratio — ignored because
+    # the query's own window has canary data saying the machine is flat
+    flag = bh.flag_for("a", newest, prior, env_ratio=1.6, env_kind="io")
+    assert flag.startswith("REGRESSION 1.5x")
+
+
+def test_env_global_fallback_when_query_window_lacks_canaries():
+    """When the query's baseline rounds carry no canaries (pre-canary
+    artifacts), the caller's global ratio is the only evidence and is
+    still honored."""
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 1.55, 1.6]},
+                      canaries={"canary_io": 1.6})
+    flag = bh.flag_for("a", newest, prior, env_ratio=1.6, env_kind="io")
+    assert flag.startswith("ENV 1.5x")
+
+
 def test_noisy_spread_gates_before_env_clearing():
     """A newest-round spread past NOISY_SPREAD means the measurement
     itself is untrusted — it must route to 'NOISY? re-run locally',

@@ -1059,3 +1059,42 @@ def test_pq_rejects_indivisible_subspace_split(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     with pytest.raises(ValueError, match="not divisible"):
         pq_codebook(e, n_sub=7, n_codes=8)
+
+
+def test_il2_wrong_dim_matches_duckdb_twin(spark):
+    """Post-review fix (r9 ADVICE): a wrong-dim vector pair — zip_with
+    pads the shorter list with NULL — must produce the SAME distance in
+    both engines. Spark coalesces each padded squared term to 0 (else
+    the fold would go NULL); DuckDB's list_sum skips NULL terms, and
+    _sql_il2 now coalesces per-term too. Both = partial sum over the
+    overlapping prefix."""
+    import duckdb
+
+    from etl_dagster_service_crawler_spark.operators.similarity import _il2
+    from etl_dagster_service_crawler_spark.workloads.llm import _sql_il2
+
+    pairs = [
+        ([1, 2, 3], [1, 2, 3]),      # equal dims, zero distance
+        ([1, 2, 3], [4, 6]),          # b short: padded term -> 0
+        ([5], [1, 2, 3, 4]),          # a short
+        ([], [7, 8]),                 # empty side
+        ([], []),                     # both empty
+    ]
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(pairs)],
+        "i int, a array<bigint>, b array<bigint>",
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select("i", _il2(F.col("a"), F.col("b")).alias("d")).collect()
+    }
+
+    con = duckdb.connect()
+    for i, (a, b) in enumerate(pairs):
+        (want,) = con.execute(
+            f"SELECT {_sql_il2('?::BIGINT[]', '?::BIGINT[]')}", [a, b]
+        ).fetchone()
+        assert got[i] == want, (i, a, b, got[i], want)
+    # and the values are the overlapping-prefix partial sums
+    assert got[0] == 0 and got[1] == 9 + 16 and got[2] == 16
+    assert got[3] == 0 and got[4] == 0

@@ -174,14 +174,16 @@ def load_rounds(extra: list[str]) -> list[Round]:
 
 
 def env_drift(newest: Round, prior: list[Round]) -> tuple[float, str]:
-    """Compare the newest round's canaries against the best of the LAST
-    <=3 prior canary-bearing rounds — the SAME windowing flag_for uses
-    for its query baseline. Ratios from mismatched windows adjudicate
-    wrongly: an all-time-best canary from a quiet era months back makes
-    env_ratio permanently large, and a real plan regression measured
-    against a recent baseline would clear to ENV on a machine that has
-    been flat for the whole window. Returns (worst_ratio, kind); 0.0
-    when canaries are absent (pre-canary artifacts)."""
+    """Compare the newest round's canaries against the best canary in
+    `prior` (capped at the last <=3 canary-bearing rounds). Ratios from
+    mismatched windows adjudicate wrongly: an all-time-best canary from
+    a quiet era months back makes env_ratio permanently large, and a
+    real plan regression measured against a recent baseline would clear
+    to ENV on a machine that has been flat for the whole window. For
+    exact alignment, flag_for passes the SAME round subset it uses as
+    the query's baseline; main() passes the full history for the
+    display-only summary note. Returns (worst_ratio, kind); 0.0 when
+    canaries are absent (pre-canary artifacts)."""
     worst = 0.0
     worst_kind = ""
     for k in _CANARY_KEYS:
@@ -210,6 +212,16 @@ def flag_for(
     prior = [r for r in prior if name in r.queries][-3:]
     if not prior:
         return "new"
+    # Per-query env alignment (post-review fix): recompute the canary
+    # ratio from EXACTLY the rounds that form this query's baseline.
+    # A query missing from some rounds (or judged across a round with
+    # no canaries) must not be adjudicated against a canary era it was
+    # never measured in. The caller-supplied global ratio remains only
+    # as a fallback for windows with no canary data at all (pre-canary
+    # artifacts), where the recent global window is the best evidence
+    # available.
+    if any(k in r.canaries for r in prior for k in _CANARY_KEYS):
+        env_ratio, env_kind = env_drift(newest, prior)
     best_prior_min = min(r.queries[name] for r in prior)
     if best_prior_min <= 0 or newest_min < MIN_RATIO * best_prior_min:
         return ""
@@ -228,11 +240,12 @@ def flag_for(
     if spread is not None and spread >= NOISY_SPREAD:
         return f"NOISY? {ratio:.1f}x min but spread {spread:.1f}x — re-run locally"
     # canary adjudication (r7 item 8): when the machine's own canaries
-    # moved at least as much as this query (over the SAME last-3
-    # window the query baseline uses), the delta is explained by the
-    # environment — clear the flag to ENV so only plan regressions
-    # survive as REGRESSION. A query that moved MORE than the canaries
-    # keeps its flag, annotated with the measured env share.
+    # moved at least as much as this query (measured over the exact
+    # round subset forming this query's baseline, per above), the
+    # delta is explained by the environment — clear the flag to ENV so
+    # only plan regressions survive as REGRESSION. A query that moved
+    # MORE than the canaries keeps its flag, annotated with the
+    # measured env share.
     if env_ratio >= ENV_DRIFT_RATIO and ratio <= env_ratio:
         return (
             f"ENV {ratio:.1f}x ~ canary_{env_kind} {env_ratio:.1f}x — "

@@ -150,6 +150,32 @@ ALLOW: dict[tuple[str, str], str] = {
     ("segment_migration_matrix", "Window"): "offsets frame",
 }
 
+# Context-tightened exemptions (post-review fix, r9): these ALLOW keys
+# additionally require EVERY occurrence of the pattern to sit in the
+# stated plan context — the substring must appear within the window of
+# plan text that follows each occurrence. Without this, an allowlist
+# entry keyed only by (query, operator) would silently accept a future
+# DATA-SIZED exchange introduced into the same query's plan.
+ALLOW_CONTEXT: dict[tuple[str, str], str] = {
+    # the Spark-injected 1-row runtime bloom-filter build: the
+    # exchange's direct child is the partial bloom_filter_agg node
+    ("ann_recall_report", "SinglePartition"): "partial_bloom_filter_agg",
+}
+
+_PATTERN_TEXT = {"SinglePartition": "Exchange SinglePartition"}
+
+
+def _context_ok(plan: str, key: tuple[str, str]) -> bool:
+    """True when every occurrence of key's pattern is followed (within
+    the next plan node, ~600 chars covers deep indentation) by the
+    required context substring — or when key has no context rule."""
+    ctx = ALLOW_CONTEXT.get(key)
+    if ctx is None:
+        return True
+    node = _PATTERN_TEXT.get(key[1], key[1])
+    return all(ctx in seg[:600] for seg in plan.split(node)[1:])
+
+
 SKIP_PREFIXES = (
     # streaming ops RUN a query at construction; sinks write data; the
     # staged scans rewrite fixtures. Their plan properties are pinned
@@ -191,8 +217,14 @@ def main() -> int:
                 else:
                     findings.append(f"{name}: {pattern} (not allowlisted)")
         if "Exchange SinglePartition" in plan:
-            if (name, "SinglePartition") in ALLOW:
-                used_allow.add((name, "SinglePartition"))
+            key = (name, "SinglePartition")
+            if key in ALLOW and _context_ok(plan, key):
+                used_allow.add(key)
+            elif key in ALLOW:
+                findings.append(
+                    f"{name}: Exchange SinglePartition outside its "
+                    f"allowlisted context ({ALLOW_CONTEXT[key]!r})"
+                )
             else:
                 findings.append(f"{name}: Exchange SinglePartition (not allowlisted)")
         # unpartitioned Window: 'Window [' ... 'windowspecdefinition(' with
