@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import random
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 # Universal-hash family h_i(x) = (a_i * x + b_i) mod P over Z_P.
 # P = 2^31 - 1 keeps a*x < 2^62 (no bigint overflow).
@@ -454,27 +454,36 @@ def cc_label_propagation(
     default_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
     width = max(8, min(default_width, n_edges // 250_000 + 1))
 
-    def _sum(lab: DataFrame):
-        return lab.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-
     spark.conf.set("spark.sql.shuffle.partitions", str(width))
     try:
         by_id = edges.repartition(width, F.col(id_col)).persist()
-        # skew hardening (static across iterations, so probed ONCE):
+        # ONE bucket-stats pass does double duty (r9: the separate
+        # skew probe + iteration-0 aggregation cost a full extra
+        # exchange over the edge frame each — fused here): the count
+        # side is the hot-bucket probe, the min side IS iteration 0's
+        # bucket_min (labels start as the identity, so the first
+        # bucket-min is just min(id) per bucket).
+        #
+        # Skew hardening (static across iterations, so probed ONCE):
         # hot buckets — the near-constant-corpus mega bucket — get
         # their members salted over n_salts sub-keys; each iteration's
         # label side is replicated across those salts, keeping results
         # bit-identical while the per-iteration members<-label join
         # spreads the hot key over n_salts tasks. The salted loop
         # (broadcast barriers, 2-key join, replicate generate) is built
-        # ONLY when the one cheap probe over the cached edges finds a
-        # hot bucket — the no-skew plan is byte-for-byte the old one.
-        hot = (
+        # ONLY when the probe finds a hot bucket — the no-skew plan is
+        # byte-for-byte the old one.
+        stats = (
             by_id.groupBy("bh")
-            .agg(F.count(F.lit(1)).alias("bn"))
-            .where(F.col("bn") > hot_bucket_rows)
-            .select("bh", F.lit(True).alias("is_hot"))
+            .agg(
+                F.count(F.lit(1)).alias("bn"),
+                F.min(id_col).alias("bucket_label"),
+            )
             .persist()
+        )
+        hot = (
+            stats.where(F.col("bn") > hot_bucket_rows)
+            .select("bh", F.lit(True).alias("is_hot"))
         )
         has_hot = hot.limit(1).count() > 0
         if has_hot:
@@ -485,18 +494,17 @@ def cc_label_propagation(
             )
             join_keys = ["bh", "salt"]
         else:
-            hot.unpersist()
             by_bh = by_id.repartition(width, F.col("bh")).persist()
             join_keys = "bh"
-        by_bh.count()
+        # no eager by_bh.count(): iteration 0's action populates the
+        # cache as part of its own job — same work, one fewer driver
+        # round-trip
 
         labels: DataFrame | None = None
         prev_sum = None
         for it in range(max_iters):
             if it == 0:
-                bucket_min = by_bh.groupBy("bh").agg(
-                    F.min(id_col).alias("bucket_label")
-                )
+                bucket_min = stats.select("bh", "bucket_label")
             else:
                 bucket_min = (
                     by_id.join(labels, id_col)
@@ -528,12 +536,22 @@ def cc_label_propagation(
             # LogicalRDD each round: plan depth is O(1) in iterations,
             # which is the property that actually matters at 100 TB
             # (on a cluster: reliable checkpoint dir, same call shape).
+            #
+            # The fixpoint sum rides the checkpoint action as an
+            # observed metric (r9): one job per iteration instead of
+            # checkpoint + a separate agg/collect — the loop is
+            # driver-latency-bound at small SF, and the observed sum
+            # is computed on exactly the rows the checkpoint writes.
+            obs = Observation(f"cc_labsum_{it}")
             new_labels = (
                 hop.join(lmap, "label", "left")
                 .select(F.col(id_col), F.coalesce("label2", "label").alias("label"))
+                .observe(
+                    obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+                )
                 .localCheckpoint(eager=True)
             )
-            new_sum = _sum(new_labels)
+            new_sum = obs.get["s"]
             if labels is not None:
                 labels.unpersist()
             labels = new_labels
@@ -546,8 +564,7 @@ def cc_label_propagation(
         # clearCache() should be a no-op, not the cleanup mechanism)
         by_id.unpersist()
         by_bh.unpersist()
-        if has_hot:
-            hot.unpersist()
+        stats.unpersist()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", str(default_width))
     return labels.withColumn("is_dup", F.col(id_col) != F.col("label"))
