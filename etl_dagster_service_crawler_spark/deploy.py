@@ -236,14 +236,28 @@ def print_status(spark: SparkSession, output: str, n_recent: int = 10) -> int:
 
 
 def serve_status(
-    spark: SparkSession, output: str, port: int = 8387, n_recent: int = 25
+    spark: SparkSession, output: str, port: int = 8387, n_recent: int = 25,
+    run_job: str | None = None, run_source: str | None = None,
+    side_cols: list[str] | None = None, transport: str | None = None,
 ):
     """The web run surface (reference parity: dagster-webserver's runs
-    screen, Dockerfile:22) as a stdlib HTTP server over the SAME
-    report the CLI prints:
+    screen + launch button, Dockerfile:22, definitions.py:27-30) as a
+    stdlib HTTP server over the SAME report the CLI prints:
 
     - ``/status.json`` — the status_report dict as JSON,
-    - ``/``            — the same report as a minimal HTML runs table.
+    - ``/``            — the same report as a minimal HTML runs table,
+    - ``POST /run``    — trigger ONE tick (availableNow catch-up +
+      dual sink + ledger row) of the configured job, synchronously;
+      the response carries the tick's ok flag and the refreshed
+      counts. Enabled only when run_job/run_source are configured
+      (main() passes its --job/--source); otherwise 403. One tick at
+      a time: a concurrent POST gets 409 instead of racing a second
+      Spark query against the same checkpoint dir.
+
+    Auth story: the server binds 127.0.0.1 ONLY (same default as the
+    reference's dagster dev webserver) — the run trigger is reachable
+    from the local host, never the network; put a reverse proxy with
+    auth in front to expose it, as you would dagster-webserver.
 
     Returns the (started, not yet serving) ThreadingHTTPServer so the
     caller owns the loop: main() calls serve_forever in the
@@ -253,7 +267,10 @@ def serve_status(
     design (the ledger itself is the scalable artifact: a Spark table
     any cluster client can query)."""
     import json as _json
+    import threading
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    tick_lock = threading.Lock()
 
     class StatusHandler(BaseHTTPRequestHandler):
         def log_message(self, *args) -> None:  # keep stdout for the report
@@ -304,6 +321,42 @@ def serve_status(
             )
             self._send(200, html.encode(), "text/html")
 
+        def do_POST(self) -> None:  # noqa: N802 - stdlib naming
+            path = self.path.split("?", 1)[0]
+            if path != "/run":
+                self._send(404, b"unknown route", "text/plain")
+                return
+            if run_job is None or run_source is None:
+                self._send(
+                    403,
+                    b"run trigger not configured (start deploy --serve "
+                    b"with --job/--source)",
+                    "text/plain",
+                )
+                return
+            if not tick_lock.acquire(blocking=False):
+                self._send(409, b"a tick is already running", "text/plain")
+                return
+            try:
+                ok = run_tick(
+                    spark, run_job, run_source, output,
+                    side_cols or ["doc_id"], transport=transport,
+                )
+                body = _json.dumps(
+                    {
+                        "ok": ok,
+                        "job": run_job,
+                        "triggered_at": datetime.now(
+                            timezone.utc
+                        ).isoformat(),
+                    }
+                ).encode()
+                self._send(200, body, "application/json")
+            except Exception as e:  # noqa: BLE001 - surface, don't die
+                self._send(500, str(e).encode(), "text/plain")
+            finally:
+                tick_lock.release()
+
     return ThreadingHTTPServer(("127.0.0.1", port), StatusHandler)
 
 
@@ -349,8 +402,9 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         metavar="PORT",
         help="serve the run-control report over HTTP ('/' HTML, "
-        "'/status.json' JSON) instead of ticking — the reference's "
-        "dagster-webserver runs screen",
+        "'/status.json' JSON, 'POST /run' triggers one tick of --job) "
+        "— the reference's dagster-webserver runs screen + launch "
+        "button; binds 127.0.0.1 only",
     )
     args = p.parse_args(argv)
     side_cols = [c for c in args.side_cols.split(",") if c]
@@ -358,9 +412,14 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session()
     try:
         if args.serve is not None:
-            srv = serve_status(spark, args.output, port=args.serve)
+            srv = serve_status(
+                spark, args.output, port=args.serve,
+                run_job=args.job, run_source=args.source,
+                side_cols=side_cols, transport=args.transport,
+            )
             host, port = srv.server_address[:2]
-            print(f"serving run status on http://{host}:{port}/")
+            print(f"serving run status on http://{host}:{port}/ "
+                  f"(POST /run triggers one {args.job} tick)")
             try:
                 srv.serve_forever()
             except KeyboardInterrupt:

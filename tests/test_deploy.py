@@ -219,3 +219,78 @@ def test_serve_status_http_surface(spark, sf_dir, tmp_path):
             srv.shutdown()
             srv.server_close()
         reset_ledger(spark, RUN_HISTORY_TABLE)
+
+
+def test_serve_run_trigger_endpoint(spark, sf_dir, tmp_path):
+    """deploy --serve run trigger (reference parity: the webserver's
+    launch button, definitions.py:27-30): POST /run executes one
+    availableNow tick synchronously — the response carries the ok
+    flag, and /status.json then shows the new ledger row. A server
+    started WITHOUT run config refuses the POST (403), and unknown
+    POST routes 404."""
+    import json
+    import threading
+    import urllib.error
+    import urllib.request
+
+    from etl_dagster_service_crawler_spark.deploy import (
+        DEFAULT_JOB,
+        serve_status,
+    )
+    from etl_dagster_service_crawler_spark.streaming.jobs import (
+        RUN_HISTORY_TABLE,
+    )
+
+    def post(url):
+        return urllib.request.urlopen(
+            urllib.request.Request(url, method="POST", data=b""), timeout=120
+        )
+
+    out = str(tmp_path / "out")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
+    srv = ro_srv = None
+    try:
+        srv = serve_status(
+            spark, out, port=0, run_job=DEFAULT_JOB, run_source=sf_dir,
+            side_cols=["doc_id"],
+        )
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+        # empty ledger before the trigger
+        rep = json.loads(
+            urllib.request.urlopen(f"{base}/status.json", timeout=30).read()
+        )
+        assert rep["counts"].get("ok") is None
+
+        body = json.loads(post(f"{base}/run").read())
+        assert body["ok"] is True and body["job"] == DEFAULT_JOB
+
+        rep = json.loads(
+            urllib.request.urlopen(f"{base}/status.json", timeout=30).read()
+        )
+        assert rep["counts"].get("ok") == 1
+        assert rep["recent"][0]["job"] == DEFAULT_JOB
+        assert rep["recent"][0]["status"] == "ok"
+
+        try:
+            post(f"{base}/nope")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+        # a status-only server (no run config) refuses the trigger
+        ro_srv = serve_status(spark, out, port=0)
+        threading.Thread(target=ro_srv.serve_forever, daemon=True).start()
+        ro = f"http://127.0.0.1:{ro_srv.server_address[1]}"
+        try:
+            post(f"{ro}/run")
+            raise AssertionError("expected 403")
+        except urllib.error.HTTPError as e:
+            assert e.code == 403
+    finally:
+        reset_ledger(spark, RUN_HISTORY_TABLE)
+        for s in (srv, ro_srv):
+            if s is not None:
+                s.shutdown()
+                s.server_close()
