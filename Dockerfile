@@ -4,7 +4,16 @@
 # Spark instead of chromium for selenium, and the scheduler is the
 # engine's own cron-cadence tick loop (deploy.py) instead of
 # dagster-webserver + daemon.
-FROM python:3.11-slim
+#
+# Two build targets:
+#   docker build -t spark-graft .                   # default: no browser
+#   docker build --target browser -t spark-graft:browser .
+# The `browser` stage adds chromium + chromedriver + selenium (the
+# reference image's rendering stack, reference Dockerfile:10) for
+# crawling JS-rendered sites via render_transport; the gated test
+# tests/test_transport.py::test_render_transport_real_chromium_smoke
+# runs (instead of skipping) inside it.
+FROM python:3.11-slim AS base
 
 # Spark needs a JVM; headless JRE keeps the image small.
 RUN apt-get update \
@@ -26,3 +35,16 @@ ENV DATA_DIR=/data \
 # Default: the 2-minute schedule loop (the reference's cron); pass
 # --once for a single availableNow tick (CI smoke / backfill).
 ENTRYPOINT ["python", "-m", "etl_dagster_service_crawler_spark.deploy"]
+
+# ---- browser stage: JS-rendering crawl (reference Dockerfile:10) ----
+# chromium + matching chromedriver from the distro (version-locked to
+# each other, the pairing the reference manages by hand), selenium for
+# the WebDriver client. Wire it with:
+#   render_transport(lambda: webdriver.Chrome(service=Service(
+#       "/usr/bin/chromedriver"), options=headless_opts))
+FROM base AS browser
+RUN apt-get update \
+    && apt-get install -y --no-install-recommends \
+        chromium chromium-driver fonts-liberation \
+    && rm -rf /var/lib/apt/lists/* \
+    && pip install --no-cache-dir selenium

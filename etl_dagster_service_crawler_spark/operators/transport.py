@@ -25,6 +25,7 @@ DataSource readers.
 from __future__ import annotations
 
 import json
+import random
 from collections.abc import Callable
 
 from etl_dagster_service_crawler_spark.operators.enrich import (
@@ -40,6 +41,64 @@ _USER_AGENT = "spark-graft-crawler/1.0"
 
 # retryable HTTP statuses besides 5xx: request-timeout and throttling
 _TRANSIENT_STATUSES = {408, 429}
+
+# UA synthesis templates (reference parity: the crawler synthesizes a
+# fresh UA per session via fake-useragent, reference requirements.txt:8
+# + test.py:67-68). Component pools are public, current-ish browser/OS
+# strings; the synthesizer combines them DETERMINISTICALLY from a seed
+# so a crawl run is reproducible — same seed, same pool, same rotation
+# order — unlike fake-useragent's network-fetched randomness.
+_UA_OSES = (
+    "Windows NT 10.0; Win64; x64",
+    "Macintosh; Intel Mac OS X 10_15_7",
+    "X11; Linux x86_64",
+    "Windows NT 11.0; Win64; x64",
+    "X11; Ubuntu; Linux x86_64",
+)
+_UA_CHROME_MAJORS = tuple(range(118, 132))
+_UA_FIREFOX_MAJORS = tuple(range(118, 134))
+_UA_SAFARI_VERSIONS = ("16.6", "17.0", "17.2", "17.4")
+
+
+def synth_user_agents(n: int, seed: int = 0) -> list[str]:
+    """Synthesize ``n`` plausible browser User-Agent strings from a
+    seed — the deterministic stand-in for the reference's
+    fake-useragent pool. Chrome/Firefox/Safari shapes over the OS pool,
+    chosen by a seeded PRNG (``random.Random(seed)`` — stable across
+    processes and Python versions for these ops), deduplicated while
+    preserving draw order. Feed the result straight into
+    ``http_transport(user_agents=...)``."""
+    rng = random.Random(seed)
+    out: list[str] = []
+    seen: set[str] = set()
+    while len(out) < n:
+        kind = rng.randrange(3)
+        os_part = rng.choice(_UA_OSES)
+        if kind == 0:
+            major = rng.choice(_UA_CHROME_MAJORS)
+            build = rng.randrange(1000, 6500)
+            ua = (
+                f"Mozilla/5.0 ({os_part}) AppleWebKit/537.36 "
+                f"(KHTML, like Gecko) Chrome/{major}.0.{build}.0 "
+                "Safari/537.36"
+            )
+        elif kind == 1:
+            major = rng.choice(_UA_FIREFOX_MAJORS)
+            ua = (
+                f"Mozilla/5.0 ({os_part}; rv:{major}.0) "
+                f"Gecko/20100101 Firefox/{major}.0"
+            )
+        else:
+            ver = rng.choice(_UA_SAFARI_VERSIONS)
+            ua = (
+                "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
+                f"AppleWebKit/605.1.15 (KHTML, like Gecko) "
+                f"Version/{ver} Safari/605.1.15"
+            )
+        if ua not in seen:
+            seen.add(ua)
+            out.append(ua)
+    return out
 
 
 def http_transport(

@@ -191,3 +191,84 @@ def test_render_transport_contract():
     # no browser supplied: fail fast at BUILD time, naming the seam
     with pytest.raises(NotImplementedError, match="driver_factory"):
         render_transport()
+
+
+def test_synth_user_agents_deterministic_pool(httpd):
+    """Generated UA pool (reference parity: fake-useragent,
+    requirements.txt:8): n DISTINCT plausible browser UAs from a seed,
+    rerun-stable (same seed => identical pool, different seed =>
+    different pool), and the fixture /ua echo sees every one when fed
+    through http_transport's rotation."""
+    from etl_dagster_service_crawler_spark.operators.transport import (
+        synth_user_agents,
+    )
+
+    pool = synth_user_agents(8, seed=42)
+    assert len(pool) == 8 and len(set(pool)) == 8
+    assert pool == synth_user_agents(8, seed=42)  # rerun-stable
+    assert pool != synth_user_agents(8, seed=43)
+    assert all(ua.startswith("Mozilla/5.0 (") for ua in pool)
+    assert any("Chrome/" in ua for ua in pool)
+    assert any("Firefox/" in ua for ua in pool)
+
+    fetch = http_transport(user_agents=pool)
+    seen = [fetch(f"{httpd}/ua") for _ in range(8)]
+    assert seen == pool  # every synthesized UA went over the wire
+
+
+def test_render_transport_real_chromium_smoke(httpd):
+    """Browser-integration smoke (r8 'What's missing' #1): drive the
+    REAL WebDriver contract against the fixture HTTP server. Runs only
+    where selenium + a chromium binary exist (the reference container
+    ships both, Dockerfile:10; this sandbox does not — skip cleanly).
+    docker build --target browser provides the environment."""
+    import shutil
+
+    selenium = pytest.importorskip("selenium")
+    chrome_bin = next(
+        (
+            p
+            for c in ("chromium", "chromium-browser", "google-chrome")
+            if (p := shutil.which(c))
+        ),
+        None,
+    )
+    if chrome_bin is None or shutil.which("chromedriver") is None:
+        pytest.skip("no chromium/chromedriver on PATH")
+
+    from selenium.webdriver.chrome.options import Options
+    from selenium.webdriver.chrome.service import Service
+
+    from etl_dagster_service_crawler_spark.operators.transport import (
+        render_transport,
+    )
+
+    made = []
+
+    def factory():
+        opts = Options()
+        opts.binary_location = chrome_bin
+        for flag in ("--headless=new", "--no-sandbox",
+                     "--disable-dev-shm-usage", "--disable-gpu"):
+            opts.add_argument(flag)
+        drv = selenium.webdriver.Chrome(
+            service=Service(shutil.which("chromedriver")), options=opts
+        )
+        made.append(drv)
+        return drv
+
+    fetch = render_transport(factory)
+    try:
+        # page_source is the parsed DOM: the fixture detail payload
+        # must round-trip through the real renderer
+        body = fetch(f"{httpd}/detail/smoke7")
+        assert "payload-for-smoke7" in body
+        body2 = fetch(f"{httpd}/detail/smoke8")
+        assert "payload-for-smoke8" in body2
+        assert len(made) == 1  # one browser launch, reused across fetches
+    finally:
+        for drv in made:
+            try:
+                drv.quit()
+            except Exception:  # noqa: BLE001 - teardown best-effort
+                pass
