@@ -6,10 +6,13 @@ Arrow-batched mapInPandas stage so bytes never round-trip through
 Python row-by-row. Partitioning: payloads stay where they were read —
 feature extraction is a narrow map, no shuffle.
 
-The container has no image/audio libraries, so the real decoders are
-stubbed behind import-guards (NotImplementedError); the Spark-side
-plumbing — schema, batch iteration, UDF signature — is real and
-exercised by a deterministic fake extractor.
+The container has no image/audio libraries; pillow is the image fast
+path where installed, and PNG payloads decode/resize through the
+engine's pure-python codec (operators/png_codec) everywhere else — so
+the image path executes for real in this container (r9). Audio decode
+remains import-guarded (NotImplementedError names the library); the
+Spark-side plumbing — schema, batch iteration, UDF signature — is real
+and exercised end-to-end.
 """
 
 from __future__ import annotations
@@ -42,15 +45,26 @@ def build_multimodal(docs: DataFrame) -> DataFrame:
 def decode_image(payload: bytes):
     """Decode an image payload to an HxWx3 uint8 RGB array.
 
-    Executable wherever pillow is installed (tests use importorskip and
-    run green there; in images-less containers this raises a clear
-    NotImplementedError instead of failing deep inside a worker)."""
+    Pillow is the cluster fast path (any format it reads); without it,
+    PNG payloads decode through the engine's pure-python codec
+    (operators/png_codec — stdlib zlib + numpy), so the decode stage is
+    genuinely executable in this container, not an importorskip stub.
+    Non-PNG payloads in a pillow-less environment raise a clear
+    NotImplementedError instead of failing deep inside a worker."""
     try:
         from PIL import Image
-    except ImportError as e:
+    except ImportError:
+        from etl_dagster_service_crawler_spark.operators.png_codec import (
+            PNG_MAGIC,
+            decode_png,
+        )
+
+        if bytes(payload).startswith(PNG_MAGIC):
+            return decode_png(bytes(payload))
         raise NotImplementedError(
-            "image decode requires PIL; install pillow on the cluster image"
-        ) from e
+            "non-PNG image decode requires PIL; install pillow on the "
+            "cluster image (PNG decodes via the built-in pure-python codec)"
+        ) from None
     import io
 
     import numpy as np
@@ -79,13 +93,28 @@ def decode_audio(payload: bytes) -> object:
 
 def resize_image(payload: bytes, w: int, h: int) -> bytes:
     """Resize an image payload, returning PNG bytes (deterministic
-    lossless container so the operator is testable byte-for-byte)."""
+    lossless container so the operator is testable byte-for-byte).
+
+    Pillow path: its default resampling. Fallback path (no pillow, PNG
+    input): the pure-python codec with nearest-neighbor — a different
+    resampling policy, but stable; within one engine installation the
+    choice never varies, which is the property the tests pin."""
     try:
         from PIL import Image
-    except ImportError as e:
+    except ImportError:
+        from etl_dagster_service_crawler_spark.operators.png_codec import (
+            PNG_MAGIC,
+            decode_png,
+            encode_png,
+            resize_nearest,
+        )
+
+        if bytes(payload).startswith(PNG_MAGIC):
+            return encode_png(resize_nearest(decode_png(bytes(payload)), w, h))
         raise NotImplementedError(
-            "image resize requires PIL; install pillow on the cluster image"
-        ) from e
+            "non-PNG image resize requires PIL; install pillow on the "
+            "cluster image (PNG resizes via the built-in pure-python codec)"
+        ) from None
     import io
 
     with Image.open(io.BytesIO(payload)) as img:
