@@ -1588,9 +1588,17 @@ def pq_sdc_table(
     )
 
 
+def auto_graph_cells(n: int) -> int:
+    """The √n cell-count rule for cell-blocked graph construction
+    (SCALE.md 'Graph cell sizing (measured)'): pair volume is Σ|cell|²,
+    so C ~ √n keeps the candidate envelope at O(n^1.5) as the corpus
+    grows — a fixed C degrades toward n²/C."""
+    return max(1, round(n ** 0.5))
+
+
 def knn_graph_mutual(
     emb: DataFrame, k: int = 3,
-    n_centroids: int = 16, n_sub: int = 8, n_codes: int = 32,
+    n_centroids: int | None = None, n_sub: int = 8, n_codes: int = 32,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Cell-blocked mutual-kNN graph under symmetric PQ distance — the
@@ -1607,7 +1615,17 @@ def knn_graph_mutual(
     joins CODES with CODES on (cell, subspace) — rows of five small
     ints — and map-side-combines the per-pair sum; the corpus vectors
     are read exactly once (encode + assign). Returns (src, dst, d)
-    with src < dst, one row per mutual edge."""
+    with src < dst, one row per mutual edge.
+
+    ``n_centroids=None`` (the default) sizes the cells to ~√n — the
+    measured rule from SCALE.md 'Graph cell sizing': a fixed cell count
+    degrades the pair volume toward n²/C, while C ~ √n keeps it at the
+    O(n^1.5) candidate envelope WITHOUT a caller hint. The count() that
+    sizes it is parquet-metadata-only on the usual scan input. Callers
+    replaying a pinned configuration (the DuckDB oracle uses 16) pass
+    the knob explicitly."""
+    if n_centroids is None:
+        n_centroids = auto_graph_cells(emb.count())
     cent = hash_spread_seeds(emb, n_centroids, id_col, vec_col)
     asg = assign_cells(emb, cent, id_col, vec_col).select(
         F.col(id_col).alias("aid"), "cid"

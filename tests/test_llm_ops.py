@@ -1245,3 +1245,31 @@ def test_image_decode_distributed_over_map_in_pandas(spark):
     for i in range(6):
         assert out[i]["h"] == 4 + i and out[i]["w"] == 5
         assert out[i]["mean_r"] == float(i * 10)
+
+
+def test_knn_graph_autosizes_cells_to_sqrt_n(spark, sf_dir):
+    """r8 verdict item 7: with no caller hint, knn_graph_mutual sizes
+    its cells to ~√n (the measured SCALE.md rule keeping pair volume at
+    O(n^1.5)) — at 20k vectors that is ~141 cells, not the fixture 16 —
+    and the default call equals the explicit-√n call edge-for-edge."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        auto_graph_cells,
+        knn_graph_mutual,
+    )
+
+    assert auto_graph_cells(20_000) == 141  # ~sqrt(20000)=141.4
+    assert auto_graph_cells(2_000) == 45
+    assert auto_graph_cells(1) == 1
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = e.count()
+    want_cells = auto_graph_cells(n)
+    assert want_cells != 16  # the default is the rule, not the pin
+
+    key = lambda r: (r["src"], r["dst"])  # noqa: E731
+    auto = sorted(knn_graph_mutual(e, k=2).collect(), key=key)
+    explicit = sorted(
+        knn_graph_mutual(e, k=2, n_centroids=want_cells).collect(), key=key
+    )
+    assert [key(r) for r in auto] == [key(r) for r in explicit]
+    assert auto  # the graph is non-trivial on the fixture
