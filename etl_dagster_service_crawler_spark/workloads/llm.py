@@ -2702,6 +2702,243 @@ SELECT method, qid, hits, CAST(hits * 2000 AS INT) AS recall_bp FROM (
 """
 
 
+# --- r9: oracle anchors for knn_join_auto's routing and the IVF
+# candidate cut (VERDICT r8 item 9 — shrink rows-only further) --------
+
+# The export calibration runs over a deterministic md5-spread sample
+# (the hash_spread idiom) instead of calibrate_nprobe's xxhash64
+# modulus — same argument as hash_spread_seeds vs trained k-means: the
+# deterministic twin anchors the MACHINERY (cell ranks -> recall curve
+# -> route adjudication) with a full value hash, while the production
+# sampler keeps its unit tests. 512 keeps the sample² truth pass
+# bounded planning-size work in both engines.
+KNN_ROUTE_SAMPLE = 512
+KNN_ROUTE_TARGET_BP = 8500  # 0.85 — corpus_wl.KNN_TARGET_RECALL in bp
+
+
+def q_knn_route_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable ANN ROUTING artifact: the full recall-vs-nprobe
+    curve of the deterministic calibration twin, plus the adjudicated
+    (nprobe, route) that knn_join_auto's rule derives from it — one row
+    per probe count p with integer hit counts, so the whole decision
+    value-hash oracle-checks.
+
+    Method mirrors calibrate_nprobe step for step, through PRODUCTION
+    operators: md5-spread sample, probe order over every deterministic
+    cell (probe_cells, the (qcos desc, cid) window), cell assignment
+    (assign_cells), exact in-sample cosine top-5 truth, recall(p) =
+    hits(p)/total as exact integers. The route column applies
+    route_knn's published thresholds (recall >= 0.85 in basis points;
+    quantized when 4*nprobe > C) — parity with the float rule is
+    pinned by unit test. Scale: sample and cell count are planning
+    constants; the sample² truth pass is ~512² rows of matched-fold
+    cosine, independent of corpus size."""
+    from etl_dagster_service_crawler_spark.functions.vectors import cosine
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        assign_cells,
+        probe_cells,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    c_cells = IVF_EXPORT_CENTROIDS
+    cent = _export_centroids(e)
+    samp = (
+        e.select(
+            "vec_id", "embedding",
+            F.md5(F.col("vec_id").cast("string")).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(KNN_ROUTE_SAMPLE)
+        .select("vec_id", "embedding")
+    )
+    q = samp.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    pos = probe_cells(q, cent, c_cells).select(
+        "qid", "cid", F.col("rn").alias("pos")
+    )
+    cell = assign_cells(samp, cent).select(
+        F.col("vec_id").alias("nid"), F.col("cid").alias("ncid")
+    )
+    a = samp.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    b = samp.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nvec")
+    )
+    wt = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid"))
+    truth = (
+        a.join(F.broadcast(b), F.col("qid") != F.col("nid"))
+        .select(
+            "qid", "nid", cosine(F.col("qvec"), F.col("nvec")).alias("cos")
+        )
+        .withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= 5)
+        .select("qid", "nid")
+    )
+    ranked = (
+        truth.join(cell, "nid")
+        .join(pos, ["qid"])
+        .where(F.col("cid") == F.col("ncid"))
+        .select("qid", "pos")
+    )
+    tot = ranked.agg(F.count(F.lit(1)).alias("total"))
+    base = cent.select((F.col("cid") + 1).cast("int").alias("p"))
+    hb = ranked.groupBy("pos").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, 0)
+    curve = (
+        base.join(hb, base["p"] == hb["pos"], "left")
+        .select("p", F.coalesce("cnt", F.lit(0)).alias("cnt"))
+        .withColumn("hits", F.sum("cnt").over(wcum).cast("bigint"))
+        .select("p", "hits")
+        .crossJoin(F.broadcast(tot))
+    )
+    dec = (
+        curve.where(
+            F.col("hits") * 10000 >= F.lit(KNN_ROUTE_TARGET_BP) * F.col("total")
+        )
+        .agg(F.min("p").alias("np_raw"))
+        .select(
+            F.coalesce("np_raw", F.lit(c_cells)).cast("int").alias("nprobe")
+        )
+    )
+    return curve.crossJoin(F.broadcast(dec)).select(
+        "p",
+        "hits",
+        F.col("total").cast("bigint").alias("total"),
+        F.expr("CAST((hits * 10000) DIV total AS INT)").alias("recall_bp"),
+        "nprobe",
+        F.when(F.lit(4) * F.col("nprobe") > F.lit(c_cells), F.lit("quantized"))
+        .otherwise(F.lit("ivf"))
+        .alias("route"),
+    )
+
+
+SQL_KNN_ROUTE_EXPORT = f"""
+WITH {_SQL_EXPORT_CENT},
+samp AS (
+  SELECT vec_id, embedding FROM (
+    SELECT vec_id, embedding,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             AS rk
+    FROM embeddings
+  ) WHERE rk <= {KNN_ROUTE_SAMPLE}
+),
+sc AS (
+  SELECT e.vec_id AS qid, c.cid, {_COS_EC} AS qcos
+  FROM samp e, cent c
+),
+pos AS (
+  SELECT qid, cid,
+         CAST(row_number() OVER (PARTITION BY qid
+                                 ORDER BY qcos DESC, cid) AS INT) AS pos
+  FROM sc
+),
+cell AS (SELECT qid AS nid, cid FROM pos WHERE pos = 1),
+truth AS (
+  SELECT qid, nid FROM (
+    SELECT q.vec_id AS qid, n.vec_id AS nid,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_COS_QN} DESC, n.vec_id) AS rn
+    FROM samp q, samp n WHERE q.vec_id != n.vec_id
+  ) WHERE rn <= 5
+),
+ranked AS (
+  SELECT t.qid, p.pos FROM truth t
+  JOIN cell cl ON cl.nid = t.nid
+  JOIN pos p ON p.qid = t.qid AND p.cid = cl.cid
+),
+tot AS (SELECT count(*) AS total FROM ranked),
+curve AS (
+  SELECT c.cid + 1 AS p,
+         (SELECT count(*) FROM ranked r WHERE r.pos <= c.cid + 1) AS hits
+  FROM cent c
+),
+dec AS (
+  SELECT coalesce(min(p), {IVF_EXPORT_CENTROIDS}) AS nprobe
+  FROM curve, tot
+  WHERE hits * 10000 >= {KNN_ROUTE_TARGET_BP} * total
+)
+SELECT CAST(p AS INT) AS p, CAST(hits AS BIGINT) AS hits,
+       CAST(total AS BIGINT) AS total,
+       CAST((hits * 10000) // total AS INT) AS recall_bp,
+       CAST(nprobe AS INT) AS nprobe,
+       CASE WHEN 4 * nprobe > {IVF_EXPORT_CENTROIDS}
+            THEN 'quantized' ELSE 'ivf' END AS route
+FROM curve, tot, dec
+"""
+
+
+def q_ivf_candidates_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable IVF CANDIDATE-SET artifact: for each standing
+    query, every corpus vector the probe cut admits — the composition
+    of the two r8 exports (assign_cells x probe_cells over the
+    deterministic centroid set) that similarity_topk_ivf / knn_join_ivf
+    actually score. Anchors the PRUNING semantics of the rows-only IVF
+    searches with a full value hash: which rows are in play, per query,
+    before any distance ranking. Self-matches excluded for parity with
+    ivf_search."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        assign_cells,
+        probe_cells,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = _export_centroids(e)
+    asg = assign_cells(e, cent).select("vec_id", "cid")
+    q = e.where(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    probes = probe_cells(q, cent, IVF_EXPORT_NPROBE).select(
+        "qid", "cid", F.col("rn").alias("probe_rank")
+    )
+    return (
+        probes.join(asg, "cid")
+        .where(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.col("cid").cast("int").alias("cid"),
+            F.col("probe_rank").cast("int").alias("probe_rank"),
+        )
+    )
+
+
+SQL_IVF_CANDIDATES_EXPORT = f"""
+WITH {_SQL_EXPORT_CENT},
+sc AS (
+  SELECT e.vec_id, c.cid, {_COS_EC} AS ccos
+  FROM embeddings e, cent c
+),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid)
+             AS rn
+    FROM sc
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, embedding FROM embeddings
+  WHERE vec_id < {len(TOPK_QUERY_IDS)}
+),
+qsc AS (
+  SELECT e.qid, c.cid, {_COS_EC} AS qcos
+  FROM q e, cent c
+),
+prb AS (
+  SELECT qid, cid, CAST(rn AS INT) AS probe_rank FROM (
+    SELECT qid, cid,
+           row_number() OVER (PARTITION BY qid ORDER BY qcos DESC, cid) AS rn
+    FROM qsc
+  ) WHERE rn <= {IVF_EXPORT_NPROBE}
+)
+SELECT p.qid, a.vec_id AS nid, CAST(p.cid AS INT) AS cid, p.probe_rank
+FROM prb p JOIN asg a ON a.cid = p.cid
+WHERE a.vec_id != p.qid
+"""
+
+
 SPECS = [
     QuerySpec("source_lang_mix", q_source_lang_mix, SQL_SOURCE_LANG_MIX),
     QuerySpec(
@@ -2744,6 +2981,14 @@ SPECS = [
     ),
     QuerySpec(
         "ann_recall_report", q_ann_recall_report, _sql_ann_recall_report()
+    ),
+    # r9: oracle anchors for knn_join_auto's route adjudication and
+    # the IVF candidate cut (rows-only shrink, VERDICT r8 item 9)
+    QuerySpec("knn_route_export", q_knn_route_export, SQL_KNN_ROUTE_EXPORT),
+    QuerySpec(
+        "ivf_candidates_export",
+        q_ivf_candidates_export,
+        SQL_IVF_CANDIDATES_EXPORT,
     ),
     QuerySpec(
         "embedding_centroids_int", q_embedding_centroids_int, SQL_EMB_CENTROIDS

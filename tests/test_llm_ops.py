@@ -1273,3 +1273,48 @@ def test_knn_graph_autosizes_cells_to_sqrt_n(spark, sf_dir):
     )
     assert [key(r) for r in auto] == [key(r) for r in explicit]
     assert auto  # the graph is non-trivial on the fixture
+
+
+def test_knn_route_export_matches_route_knn_rule(spark, sf_dir):
+    """The exported (nprobe, route) must equal route_knn applied to the
+    exported curve — the export is an oracle-checkable projection of
+    the SAME published adjudication rule knn_join_auto runs, not a
+    parallel reimplementation that could drift."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        route_knn,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        IVF_EXPORT_CENTROIDS,
+        q_knn_route_export,
+    )
+
+    rows = q_knn_route_export(spark, sf_dir).collect()
+    assert len(rows) == IVF_EXPORT_CENTROIDS
+    curve = sorted((r["p"], r["hits"] / r["total"]) for r in rows)
+    want_route, want_nprobe = route_knn(curve, IVF_EXPORT_CENTROIDS, 0.85)
+    got = {(r["route"], r["nprobe"]) for r in rows}
+    assert got == {(want_route, want_nprobe)}
+    # curve sanity: hits cumulative, recall(C) == 1 (every true
+    # neighbor's cell is SOMEWHERE in the full probe order)
+    hits = [r["hits"] for r in sorted(rows, key=lambda r: r["p"])]
+    assert hits == sorted(hits)
+    assert hits[-1] == rows[0]["total"]
+
+
+def test_ivf_pq_results_within_exported_candidates(spark, sf_dir):
+    """Composition pin: every ivf_pq_search hit (same deterministic
+    cells, same nprobe) must sit inside the exported candidate set —
+    the export IS the prune that search applies."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_ivf_candidates_export,
+        q_ivf_pq_search,
+    )
+
+    cand = {
+        (r["qid"], r["nid"])
+        for r in q_ivf_candidates_export(spark, sf_dir).collect()
+    }
+    hits = q_ivf_pq_search(spark, sf_dir).collect()
+    assert hits
+    for r in hits:
+        assert (r["qid"], r["nid"]) in cand

@@ -78,6 +78,17 @@ ALLOW: dict[tuple[str, str], str] = {
     # scalar aggregate -> 1-row final exchange, like the other
     # 1-row-result analytics
     ("forecast_revenue_q6", "SinglePartition"): "1-row result",
+    # r9 routing/candidate exports: every frame here is a planning
+    # constant — the 512-row calibration sample (self-pairs via BNLJ),
+    # the 16-row centroid broadcasts, the 16-row curve's cumulative
+    # window, and the 1-row total/decision aggregates
+    ("knn_route_export", "BroadcastNestedLoopJoin"):
+        "512-row sample self-pairs + 16-row centroid/1-row decision",
+    ("knn_route_export", "Window"): "16-row seed-rank + curve frames",
+    ("knn_route_export", "SinglePartition"): "1-row total/decision aggs",
+    ("ivf_candidates_export", "BroadcastNestedLoopJoin"):
+        "16-row centroid set",
+    ("ivf_candidates_export", "Window"): "16-row seed-rank frame",
     # r8 session-2: same constant-size frames — the 32-row codebook
     # rank window, the 16-row centroid broadcasts inside
     # assign_cells/probe_cells, and the 8-probe-row brute-force arm
