@@ -1984,7 +1984,148 @@ SQL_BPE_TRAIN_BATCHED = _bpe_train_batched_sql()
 SQL_TOKENIZER_APPLY = _tokenizer_apply_sql()
 
 
+# --- r9: segment-level dedup + cross-source overlap --------------------------
+
+SEG_TOKENS = 32
+
+
+def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (the MassiveText/CCNet 'paragraph
+    dedup' shape on a corpus with no line structure): chunk every doc
+    into non-overlapping SEG_TOKENS-word segments, keep the first
+    occurrence of each distinct segment corpus-wide (smallest
+    (doc_id, seg_idx)), and report per doc how much survives — the
+    within-and-across-document repetition remover that whole-doc dedup
+    cannot express (a doc that copies half of another is untouched by
+    dedup_exact, halved here).
+
+    Scale: segments are hashed IN PLACE (md5) — segment text never
+    shuffles; the one exchange carries (hash, doc_id, seg_idx) triples;
+    the keeper rule is a hash-partitioned window; the per-doc rollup
+    regroups by doc_id. Same discipline as boilerplate_window_flags."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(SEG_TOKENS)
+    )
+    segs = dt.select(
+        "doc_id", F.explode(starts).alias("s"), F.col("t")
+    ).select(
+        "doc_id",
+        ((F.col("s") - 1) / SEG_TOKENS).cast("int").alias("seg_idx"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), SEG_TOKENS)))
+        .alias("h"),
+    )
+    wk = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
+    kept = segs.withColumn(
+        "k", F.when(F.row_number().over(wk) == 1, 1).otherwise(0)
+    )
+    n = F.count(F.lit(1))
+    return kept.groupBy("doc_id").agg(
+        n.cast("int").alias("n_segments"),
+        F.sum("k").cast("int").alias("kept_segments"),
+        (n - F.sum("k")).cast("int").alias("dropped_segments"),
+        F.expr(
+            "CAST(((count(1) - sum(k)) * 10000) DIV count(1) AS INT)"
+        ).alias("drop_bp"),
+    )
+
+
+SQL_DEDUP_SEGMENT = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+segs AS (
+  SELECT doc_id,
+         CAST((s - 1) // {SEG_TOKENS} AS INT) AS seg_idx,
+         md5(array_to_string(t[s:s + {SEG_TOKENS - 1}], ' ')) AS h
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(len(t), 1), {SEG_TOKENS})) AS s
+    FROM toks
+  )
+),
+kept AS (
+  SELECT doc_id,
+         CASE WHEN row_number() OVER (PARTITION BY h
+                                      ORDER BY doc_id, seg_idx) = 1
+              THEN 1 ELSE 0 END AS k
+  FROM segs
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_segments,
+       CAST(sum(k) AS INT) AS kept_segments,
+       CAST(count(*) - sum(k) AS INT) AS dropped_segments,
+       CAST(((count(*) - sum(k)) * 10000) // count(*) AS INT) AS drop_bp
+FROM kept GROUP BY doc_id
+"""
+
+
+def q_cross_source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every unordered source
+    pair, how many distinct SEG_TOKENS-word segments appear in BOTH —
+    the diagnostic that tells a mixture designer which 'independent'
+    sources actually share material (and that dedup/decontamination
+    must run across, not within, them). Segment granularity, not
+    whole-doc: mirrors rarely ship byte-identical documents, they
+    ship overlapping content.
+
+    Scale: segments hash to md5 scan-side — segment text never
+    shuffles; the (source, hash) frame is distinct-reduced BEFORE the
+    self-join (shared material is small by definition), and the pair
+    join is an equi-join on the hash — Σ per-hash |sources|², never
+    corpus-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("source", tokens_ws(F.col("text")).alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(SEG_TOKENS)
+    )
+    sh = (
+        dt.select("source", F.explode(starts).alias("s"), F.col("t"))
+        .select(
+            "source",
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), SEG_TOKENS))
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_segments"))
+    )
+
+
+SQL_CROSS_SOURCE_DUP = f"""
+WITH toks AS (
+  SELECT source, string_split(text, ' ') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT source,
+         md5(array_to_string(t[s:s + {SEG_TOKENS - 1}], ' ')) AS h
+  FROM (
+    SELECT source, t,
+           unnest(generate_series(1, greatest(len(t), 1), {SEG_TOKENS})) AS s
+    FROM toks
+  )
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(count(*) AS INT) AS shared_segments
+FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 SPECS: list[QuerySpec] = [
+    QuerySpec("dedup_segment_exact", q_dedup_segment_exact, SQL_DEDUP_SEGMENT),
+    QuerySpec(
+        "cross_source_dup_overlap",
+        q_cross_source_dup_overlap,
+        SQL_CROSS_SOURCE_DUP,
+    ),
     QuerySpec(
         "quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN, bench=True
     ),

@@ -1262,6 +1262,63 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
 """
 
 
+def q_mix_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (the multilingual-LM α<1
+    sampling move): per-source keep budget = floor(sqrt(n_src · n_min))
+    — the geometric mean with the SMALLEST source — so over-represented
+    sources are compressed toward the small ones while ratios keep
+    their order (α=0.5 in spirit, but integer-exact: one sqrt of an
+    integer product per source, never a cross-row float sum that could
+    fold differently per engine). Selection inside a source is the
+    hash-rank idiom: keep the budget smallest by (md5(id), id) —
+    rerun-, repartition-, and append-stable.
+
+    Scale: one count aggregate by source, a 1-row min broadcast, a
+    per-source rank window (sources are the partition key — the
+    natural parallelism of mixture work), and a broadcast budget join.
+    No rand(), no shuffle beyond the rank."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    nmin = cnt.agg(F.min("n_src").alias("n_min"))
+    budget = cnt.crossJoin(F.broadcast(nmin)).select(
+        "source",
+        F.floor(F.sqrt(F.col("n_src") * F.col("n_min")))
+        .cast("int")
+        .alias("budget"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "rk", F.row_number().over(w).cast("int")
+    )
+    return ranked.join(F.broadcast(budget), "source").where(
+        F.col("rk") <= F.col("budget")
+    ).select("doc_id", "source", "rk")
+
+
+SQL_MIX_SQRT_TEMPERATURE = """
+WITH cnt AS (
+  SELECT source, count(*) AS n_src FROM documents GROUP BY source
+),
+nmin AS (SELECT min(n_src) AS n_min FROM cnt),
+budget AS (
+  SELECT source, CAST(floor(sqrt(n_src * n_min)) AS INT) AS budget
+  FROM cnt, nmin
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                          doc_id) AS INT) AS rk
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.rk
+FROM ranked r JOIN budget b ON r.source = b.source
+WHERE r.rk <= b.budget
+"""
+
+
 CLEAN_QUALITY_MIN = 0.2
 CLEAN_REP_MAX = 0.65
 CLEAN_PACK_BUDGET = 2048
@@ -3008,6 +3065,9 @@ SPECS = [
     ),
     QuerySpec("decontaminate_ngram", q_decontaminate_ngram, SQL_DECONTAMINATE),
     QuerySpec("mix_weighted_sample", q_mix_weighted_sample, SQL_MIX_WEIGHTED_SAMPLE),
+    QuerySpec(
+        "mix_sqrt_temperature", q_mix_sqrt_temperature, SQL_MIX_SQRT_TEMPERATURE
+    ),
     QuerySpec("cluster_semantic_kmeans", q_cluster_semantic_kmeans, None),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),

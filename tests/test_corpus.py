@@ -914,3 +914,119 @@ def test_dup_span_coverage_hand_values(spark, tmp_path):
         assert got[d]["dup_frac_bp"] == 5000
     assert got[2]["n_dup_windows"] == 0 and got[2]["covered_tokens"] == 0
     assert got[3]["n_tokens"] == 2 and got[3]["dup_frac_bp"] == 0
+
+
+# --- r9: segment dedup / cross-source overlap / interval join / mixing -------
+
+
+def _docs_dir(spark, tmp_path, rows):
+    """rows = [(doc_id, text, source)] written in the pinned documents
+    schema."""
+    full = [(i, t, "en", s, len(t)) for i, t, s in rows]
+    spark.createDataFrame(
+        full,
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_dedup_segment_exact_hand_values(spark, tmp_path):
+    """doc0 = segments A|B; doc1 = B|C: the shared 32-word block B is
+    kept only at its first occurrence (doc0), so doc1 drops 1 of 2."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_dedup_segment_exact,
+    )
+
+    seg_a = " ".join(f"a{i}" for i in range(32))
+    seg_b = " ".join(f"b{i}" for i in range(32))
+    seg_c = " ".join(f"c{i}" for i in range(32))
+    sf = _docs_dir(
+        spark, tmp_path,
+        [(0, f"{seg_a} {seg_b}", "s0"), (1, f"{seg_b} {seg_c}", "s1")],
+    )
+    got = {r["doc_id"]: r for r in q_dedup_segment_exact(spark, sf).collect()}
+    assert got[0]["n_segments"] == 2 and got[0]["dropped_segments"] == 0
+    assert got[1]["n_segments"] == 2 and got[1]["dropped_segments"] == 1
+    assert got[1]["kept_segments"] == 1 and got[1]["drop_bp"] == 5000
+
+
+def test_cross_source_dup_overlap_hand_values(spark, tmp_path):
+    """A 32-word segment shared by s0 and s1 counts once per pair,
+    regardless of how many docs carry it; disjoint sources produce no
+    row."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_cross_source_dup_overlap,
+    )
+
+    shared = " ".join(f"x{i}" for i in range(32))
+    other = " ".join(f"y{i}" for i in range(32))
+    sf = _docs_dir(
+        spark, tmp_path,
+        [
+            (0, shared, "s0"),
+            (1, shared, "s1"),
+            (2, shared, "s1"),  # second carrier in s1: still 1 distinct
+            (3, other, "s2"),
+        ],
+    )
+    rows = q_cross_source_dup_overlap(spark, sf).collect()
+    assert {(r["src_a"], r["src_b"], r["shared_segments"]) for r in rows} == {
+        ("s0", "s1", 1)
+    }
+
+
+def test_mix_sqrt_temperature_budgets(spark, tmp_path):
+    """Sources of 4/9/16 docs with n_min=4: budgets are the geometric
+    means floor(sqrt(n*4)) = 4/6/8 — large sources compressed, order
+    preserved — and the selection is the md5-rank prefix (rerun-stable)."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_mix_sqrt_temperature,
+    )
+
+    rows, did = [], 0
+    for src, n in (("sa", 4), ("sb", 9), ("sc", 16)):
+        for _ in range(n):
+            rows.append((did, f"w{did}", src))
+            did += 1
+    sf = _docs_dir(spark, tmp_path, rows)
+    got = q_mix_sqrt_temperature(spark, sf).collect()
+    kept = {}
+    for r in got:
+        kept.setdefault(r["source"], set()).add(r["doc_id"])
+    assert {s: len(v) for s, v in kept.items()} == {"sa": 4, "sb": 6, "sc": 8}
+    again = q_mix_sqrt_temperature(spark, sf).collect()
+    assert {(r["doc_id"], r["rk"]) for r in got} == {
+        (r["doc_id"], r["rk"]) for r in again
+    }
+
+
+def test_join_interval_overlap_hand_values(spark, tmp_path):
+    """Containment + bucket decomposition: a click inside the interval
+    matches (including when the interval spans a bucket boundary), one
+    outside or cross-user does not."""
+    from datetime import datetime
+
+    from etl_dagster_service_crawler_spark.workloads.joins_wl import (
+        q_join_interval_overlap,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 50, 0)  # 10 min before the hour bucket edge
+    rows = [
+        # view: 20-minute interval crossing the 01:00 bucket boundary
+        (0, t0, 1, "view", 20.0, "{}"),
+        # click 15 min later: inside, in the NEXT bucket
+        (1, datetime(2024, 1, 1, 1, 5, 0), 1, "click", 1.0, "{}"),
+        # click 25 min later: outside
+        (2, datetime(2024, 1, 1, 1, 15, 0), 1, "click", 1.0, "{}"),
+        # same instant as the in-window click but another user: no match
+        (3, datetime(2024, 1, 1, 1, 5, 0), 2, "click", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = q_join_interval_overlap(spark, str(tmp_path)).collect()
+    assert [(r["click_id"], r["view_id"], r["lag_us"]) for r in got] == [
+        (1, 0, 15 * 60 * 1_000_000)
+    ]

@@ -89,6 +89,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("ivf_candidates_export", "BroadcastNestedLoopJoin"):
         "16-row centroid set",
     ("ivf_candidates_export", "Window"): "16-row seed-rank frame",
+    # temperature mixing: the 1-row min(n_src) broadcast onto the
+    # source-count frame
+    ("mix_sqrt_temperature", "BroadcastNestedLoopJoin"): "1-row n_min",
+    ("mix_sqrt_temperature", "SinglePartition"): "1-row n_min agg",
     # r8 session-2: same constant-size frames — the 32-row codebook
     # rank window, the 16-row centroid broadcasts inside
     # assign_cells/probe_cells, and the 8-probe-row brute-force arm
