@@ -48,3 +48,8 @@ RUN apt-get update \
         chromium chromium-driver fonts-liberation \
     && rm -rf /var/lib/apt/lists/* \
     && pip install --no-cache-dir selenium
+
+# LAST stage wins as the default target: re-select the minimal image so
+# a plain `docker build .` ships WITHOUT the browser stack (post-review
+# fix — the browser stage being last silently made it the default).
+FROM base AS release

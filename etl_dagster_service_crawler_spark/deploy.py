@@ -338,9 +338,14 @@ def serve_status(
                 self._send(409, b"a tick is already running", "text/plain")
                 return
             try:
+                # side_cols passes VERBATIM (None -> the CLI default):
+                # a web-triggered tick must write the same side sink a
+                # scheduled tick of this config writes, including an
+                # explicitly-empty column list (post-review fix)
+                cols = side_cols if side_cols is not None else ["doc_id"]
                 ok = run_tick(
                     spark, run_job, run_source, output,
-                    side_cols or ["doc_id"], transport=transport,
+                    cols, transport=transport,
                 )
                 body = _json.dumps(
                     {

@@ -67,7 +67,17 @@ def synth_user_agents(n: int, seed: int = 0) -> list[str]:
     chosen by a seeded PRNG (``random.Random(seed)`` — stable across
     processes and Python versions for these ops), deduplicated while
     preserving draw order. Feed the result straight into
-    ``http_transport(user_agents=...)``."""
+    ``http_transport(user_agents=...)``.
+
+    n caps at 4096: the template space is finite (the Safari arm alone
+    has a handful of shapes), and near capacity the dedup loop would
+    spin re-drawing collisions forever (post-review fix). No crawl
+    rotation needs more — politeness comes from variety, not
+    cardinality."""
+    if n > 4096:
+        raise ValueError(
+            f"synth_user_agents caps at 4096 distinct UAs (asked {n})"
+        )
     rng = random.Random(seed)
     out: list[str] = []
     seen: set[str] = set()

@@ -1989,6 +1989,44 @@ SQL_TOKENIZER_APPLY = _tokenizer_apply_sql()
 SEG_TOKENS = 32
 
 
+def _segment_hashes(d: DataFrame, key_col: str) -> DataFrame:
+    """(key_col, seg_idx, h): md5 of every non-overlapping
+    SEG_TOKENS-word window — the ONE definition of segment identity,
+    shared by dedup_segment_exact and cross_source_dup_overlap and
+    mirrored exactly by _sql_segment_hashes (post-review factoring:
+    four copies of the boundary rule would drift). Segment text hashes
+    in place and never leaves its row."""
+    dt = d.select(key_col, tokens_ws(F.col("text")).alias("t"))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(SEG_TOKENS)
+    )
+    return dt.select(
+        key_col, F.explode(starts).alias("s"), F.col("t")
+    ).select(
+        key_col,
+        ((F.col("s") - 1) / SEG_TOKENS).cast("int").alias("seg_idx"),
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), SEG_TOKENS)))
+        .alias("h"),
+    )
+
+
+def _sql_segment_hashes(key_col: str) -> str:
+    """DuckDB twin of _segment_hashes as a `toks`+`segs` CTE pair."""
+    return f"""toks AS (
+  SELECT {key_col}, string_split(text, ' ') AS t FROM documents
+),
+segs AS (
+  SELECT {key_col},
+         CAST((s - 1) // {SEG_TOKENS} AS INT) AS seg_idx,
+         md5(array_to_string(t[s:s + {SEG_TOKENS - 1}], ' ')) AS h
+  FROM (
+    SELECT {key_col}, t,
+           unnest(generate_series(1, greatest(len(t), 1), {SEG_TOKENS})) AS s
+    FROM toks
+  )
+)"""
+
+
 def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level exact dedup (the MassiveText/CCNet 'paragraph
     dedup' shape on a corpus with no line structure): chunk every doc
@@ -2004,18 +2042,7 @@ def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     the keeper rule is a hash-partitioned window; the per-doc rollup
     regroups by doc_id. Same discipline as boilerplate_window_flags."""
     d = load_table(spark, sf_dir, "documents")
-    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(SEG_TOKENS)
-    )
-    segs = dt.select(
-        "doc_id", F.explode(starts).alias("s"), F.col("t")
-    ).select(
-        "doc_id",
-        ((F.col("s") - 1) / SEG_TOKENS).cast("int").alias("seg_idx"),
-        F.md5(F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), SEG_TOKENS)))
-        .alias("h"),
-    )
+    segs = _segment_hashes(d, "doc_id")
     wk = Window.partitionBy("h").orderBy("doc_id", "seg_idx")
     kept = segs.withColumn(
         "k", F.when(F.row_number().over(wk) == 1, 1).otherwise(0)
@@ -2032,19 +2059,7 @@ def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_SEGMENT = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-),
-segs AS (
-  SELECT doc_id,
-         CAST((s - 1) // {SEG_TOKENS} AS INT) AS seg_idx,
-         md5(array_to_string(t[s:s + {SEG_TOKENS - 1}], ' ')) AS h
-  FROM (
-    SELECT doc_id, t,
-           unnest(generate_series(1, greatest(len(t), 1), {SEG_TOKENS})) AS s
-    FROM toks
-  )
-),
+WITH {_sql_segment_hashes("doc_id")},
 kept AS (
   SELECT doc_id,
          CASE WHEN row_number() OVER (PARTITION BY h
@@ -2075,20 +2090,7 @@ def q_cross_source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     join is an equi-join on the hash — Σ per-hash |sources|², never
     corpus-sized."""
     d = load_table(spark, sf_dir, "documents")
-    dt = d.select("source", tokens_ws(F.col("text")).alias("t"))
-    starts = F.sequence(
-        F.lit(1), F.greatest(F.size("t"), F.lit(1)), F.lit(SEG_TOKENS)
-    )
-    sh = (
-        dt.select("source", F.explode(starts).alias("s"), F.col("t"))
-        .select(
-            "source",
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("t"), F.col("s"), SEG_TOKENS))
-            ).alias("h"),
-        )
-        .distinct()
-    )
+    sh = _segment_hashes(d, "source").select("source", "h").distinct()
     a = sh.select(F.col("source").alias("src_a"), "h")
     b = sh.select(F.col("source").alias("src_b"), "h")
     return (
@@ -2100,18 +2102,8 @@ def q_cross_source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_CROSS_SOURCE_DUP = f"""
-WITH toks AS (
-  SELECT source, string_split(text, ' ') AS t FROM documents
-),
-sh AS (
-  SELECT DISTINCT source,
-         md5(array_to_string(t[s:s + {SEG_TOKENS - 1}], ' ')) AS h
-  FROM (
-    SELECT source, t,
-           unnest(generate_series(1, greatest(len(t), 1), {SEG_TOKENS})) AS s
-    FROM toks
-  )
-)
+WITH {_sql_segment_hashes("source")},
+sh AS (SELECT DISTINCT source, h FROM segs)
 SELECT a.source AS src_a, b.source AS src_b,
        CAST(count(*) AS INT) AS shared_segments
 FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source

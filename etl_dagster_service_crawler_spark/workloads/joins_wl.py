@@ -516,7 +516,8 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     user 'click' landing inside it matches. A naive formulation is a
     theta join (t BETWEEN start AND end) — a per-user cross product.
     The scalable decomposition: explode each interval to the fixed
-    time BUCKETS it covers (<= len/bucket + 1 rows, here <= 2), bucket
+    time BUCKETS it covers (<= len/bucket + 1 rows — here ~9 worst
+    case for the longest ~500-min interval, far less on average), bucket
     the probes once, equi-join on (user, bucket), exact-filter the
     survivors. Every engine that range-joins at scale (Spark's own
     range-join hints included) plays this trick; here it is explicit

@@ -272,3 +272,15 @@ def test_render_transport_real_chromium_smoke(httpd):
                 drv.quit()
             except Exception:  # noqa: BLE001 - teardown best-effort
                 pass
+
+
+def test_synth_user_agents_caps_pool_size():
+    """The finite template space must fail loudly, never spin: n past
+    the 4096 cap raises (post-review fix)."""
+    from etl_dagster_service_crawler_spark.operators.transport import (
+        synth_user_agents,
+    )
+
+    with pytest.raises(ValueError, match="4096"):
+        synth_user_agents(400_000)
+    assert len(synth_user_agents(4096, seed=1)) == 4096

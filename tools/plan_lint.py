@@ -181,14 +181,25 @@ _PATTERN_TEXT = {"SinglePartition": "Exchange SinglePartition"}
 
 
 def _context_ok(plan: str, key: tuple[str, str]) -> bool:
-    """True when every occurrence of key's pattern is followed (within
-    the next plan node, ~600 chars covers deep indentation) by the
-    required context substring — or when key has no context rule."""
+    """True when every occurrence of key's pattern has the required
+    context substring as its DIRECT child — i.e. the context text
+    appears after the occurrence but BEFORE any further Exchange node
+    (and within ~600 chars, covering deep indentation). Checking only
+    'nearby' would let a rogue data-sized exchange stacked just above
+    the legitimate one borrow its neighbor's context (post-review
+    fix). No context rule => pass."""
     ctx = ALLOW_CONTEXT.get(key)
     if ctx is None:
         return True
     node = _PATTERN_TEXT.get(key[1], key[1])
-    return all(ctx in seg[:600] for seg in plan.split(node)[1:])
+    for seg in plan.split(node)[1:]:
+        head = seg[:600]
+        nxt = head.find("Exchange")
+        if nxt != -1:
+            head = head[:nxt]
+        if ctx not in head:
+            return False
+    return True
 
 
 SKIP_PREFIXES = (
@@ -236,6 +247,9 @@ def main() -> int:
             if key in ALLOW and _context_ok(plan, key):
                 used_allow.add(key)
             elif key in ALLOW:
+                # the entry was consulted — a context violation must
+                # not ALSO report it as unused/prunable
+                used_allow.add(key)
                 findings.append(
                     f"{name}: Exchange SinglePartition outside its "
                     f"allowlisted context ({ALLOW_CONTEXT[key]!r})"
