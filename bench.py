@@ -70,19 +70,18 @@ def main() -> None:
             runs.append(time.time() - t0)
         return round(min(runs), 3)
 
-    canary_cpu = _canary(
-        lambda: spark.range(100_000_000).selectExpr(
-            "sum(id * 2 + 1)"
-        ).collect()
-    )
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    canary_io = _canary(
-        lambda: spark.read.parquet(doc_path).selectExpr(
-            "sum(length(text))"
-        ).collect()
-    )
+
+    def _cpu_probe():
+        spark.range(100_000_000).selectExpr("sum(id * 2 + 1)").collect()
+
+    def _io_probe():
+        spark.read.parquet(doc_path).selectExpr("sum(length(text))").collect()
+
+    canary_cpu = _canary(_cpu_probe)
+    canary_io = _canary(_io_probe)
     print(
-        f"# canary_cpu={canary_cpu}s canary_io={canary_io}s",
+        f"# canary_cpu={canary_cpu}s canary_io={canary_io}s (pre-run)",
         file=sys.stderr,
     )
 
@@ -115,6 +114,20 @@ def main() -> None:
             f"runs={spread[name]})",
             file=sys.stderr,
         )
+
+    # Re-probe AFTER the query loop and publish the WORST of the two
+    # windows: a neighbor-load burst that arrives mid-bench inflates
+    # every query it overlaps while a start-only canary stays clean —
+    # r9 saw exactly that (10 untouched queries flagged 1.3-2.0x under
+    # a best-ever pre-run canary). The worst-of-both canary lets
+    # bench_history's ENV adjudication see the load the queries saw.
+    canary_cpu = max(canary_cpu, _canary(_cpu_probe))
+    canary_io = max(canary_io, _canary(_io_probe))
+    print(
+        f"# canary_cpu={canary_cpu}s canary_io={canary_io}s "
+        "(worst of pre/post-run)",
+        file=sys.stderr,
+    )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
