@@ -526,6 +526,14 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each (view, click) pair meets in EXACTLY one bucket (the click's),
     so no post-join dedup is needed."""
     e = load_table(spark, sf_dir, "events")
+    return attribute_clicks(interval_buckets_views(e), bucket_clicks(e))
+
+
+def interval_buckets_views(e: DataFrame) -> DataFrame:
+    """'view' rows -> (view_id, user_id, start_us, end_us, b): one row
+    per time bucket the interval [ts, ts + value min] covers. The ONE
+    definition of the interval index shape, shared by the batch join
+    and the streaming twin (stream_interval_attrib)."""
     dur = F.floor(F.col("value") * F.lit(60e6) + F.lit(0.5)).cast("bigint")
     views = e.where(F.col("event_type") == "view").select(
         F.col("event_id").alias("view_id"),
@@ -533,13 +541,7 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("start_us"),
         (F.unix_micros("ts") + dur).alias("end_us"),
     )
-    clicks = e.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"),
-        "user_id",
-        F.unix_micros("ts").alias("t_us"),
-        F.floor(F.unix_micros("ts") / INTERVAL_BUCKET_US).alias("b"),
-    )
-    vb = views.select(
+    return views.select(
         "*",
         F.explode(
             F.sequence(
@@ -548,6 +550,22 @@ def q_join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     )
+
+
+def bucket_clicks(e: DataFrame) -> DataFrame:
+    """'click' rows -> (click_id, user_id, t_us, b). A stateless
+    projection — applies identically to a batch frame and a stream."""
+    return e.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        F.floor(F.unix_micros("ts") / INTERVAL_BUCKET_US).alias("b"),
+    )
+
+
+def attribute_clicks(vb: DataFrame, clicks: DataFrame) -> DataFrame:
+    """(user, bucket) equi-join + exact containment filter over the
+    decomposed frames; (click_id, view_id, user_id, lag_us)."""
     return (
         vb.join(clicks, ["user_id", "b"])
         .where(F.col("t_us").between(F.col("start_us"), F.col("end_us")))

@@ -675,8 +675,45 @@ def _stream_gopher_sql() -> str:
     return SQL_GOPHER_RULES
 
 
+def q_stream_interval_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of join_interval_overlap: exposure attribution AT
+    INGEST — each arriving click is attributed against the static
+    view-interval index through the same bounded bucket decomposition
+    (the static side pre-exploded to time buckets once, the stream side
+    bucketed in projection, equi-join on (user, bucket) + exact
+    integer-micros containment). A stateless stream-static equi join
+    commutes with streaming, so the append-mode drain equals the batch
+    result and shares the batch oracle verbatim. At 100 TB of stream
+    the interval index is the slowly-changing side (re-read per
+    micro-batch, broadcastable when recent); the click stream itself
+    never shuffles."""
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.joins_wl import (
+        attribute_clicks,
+        bucket_clicks,
+        interval_buckets_views,
+    )
+
+    vb = interval_buckets_views(load_table(spark, sf_dir, "events"))
+    clicks = bucket_clicks(stream_events(spark, sf_dir))
+    return run_available_now(attribute_clicks(vb, clicks), "append")
+
+
+def _stream_interval_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.joins_wl import (
+        SQL_INTERVAL_OVERLAP,
+    )
+
+    return SQL_INTERVAL_OVERLAP
+
+
 SPECS = [
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, _stream_cdc_sql()),
+    # r9: exposure attribution at ingest — shares the batch interval
+    # oracle verbatim (stateless stream-static equi join)
+    QuerySpec(
+        "stream_interval_attrib", q_stream_interval_attrib, _stream_interval_sql()
+    ),
     QuerySpec(
         "stream_quarantine_router", q_stream_quarantine_router, _stream_quarantine_sql()
     ),

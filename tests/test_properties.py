@@ -1169,3 +1169,55 @@ def test_dup_span_coverage_matches_python_recompute(spark, tmp_path_factory, doc
         for r in q_dup_span_coverage(spark, str(tmp)).collect()
     }
     assert got == want
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_codec_roundtrip_property(h, w, gray, seed):
+    """Any uint8 image round-trips the pure-python PNG codec exactly
+    (gray broadcasts to RGB); encoding is deterministic."""
+    import numpy as np
+
+    from etl_dagster_service_crawler_spark.operators.png_codec import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w) if gray else (h, w, 3)
+    arr = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    data = encode_png(arr)
+    assert data == encode_png(arr)
+    back = decode_png(data)
+    want = np.repeat(arr[:, :, None], 3, axis=2) if gray else arr
+    assert back.shape == want.shape and (back == want).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 10), w=st.integers(1, 10),
+    oh=st.integers(1, 10), ow=st.integers(1, 10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_resize_nearest_properties(h, w, oh, ow, seed):
+    """Nearest-neighbor resize: output shape is exactly (oh, ow, 3),
+    every output pixel is SOME input pixel, and the top-left corner is
+    preserved."""
+    import numpy as np
+
+    from etl_dagster_service_crawler_spark.operators.png_codec import (
+        resize_nearest,
+    )
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = resize_nearest(arr, ow, oh)
+    assert out.shape == (oh, ow, 3)
+    assert (out[0, 0] == arr[0, 0]).all()
+    pixels = {tuple(p) for row in arr for p in row}
+    assert all(tuple(p) in pixels for row in out for p in row)

@@ -392,3 +392,25 @@ def test_quarantine_router_epoch_overwrite_idempotent(spark, tmp_path):
         .parquet(good_dir)
     )
     assert got.count() == 5
+
+
+def test_stream_interval_attrib_equals_batch(spark, sf_dir):
+    """r9 streaming twin: the availableNow drain of the stream-static
+    interval attribution equals the batch join_interval_overlap row
+    set exactly (stateless equi join commutes with streaming)."""
+    from etl_dagster_service_crawler_spark.workloads.joins_wl import (
+        q_join_interval_overlap,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_interval_attrib,
+    )
+
+    batch = {
+        (r["click_id"], r["view_id"], r["lag_us"])
+        for r in q_join_interval_overlap(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r["click_id"], r["view_id"], r["lag_us"])
+        for r in q_stream_interval_attrib(spark, sf_dir).collect()
+    }
+    assert streamed == batch and batch
