@@ -443,6 +443,124 @@ FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
 """
 
 
+def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE action for dup_span_coverage (the Lee et al.
+    deduplication itself, not just its statistic): every duplicated
+    DUP_SPAN_WINDOW-token window is removed from all but its FIRST
+    occurrence (smallest (doc_id, start) corpus-wide; later repeats
+    inside the SAME doc strip too once the window is cross-doc
+    duplicated), and each doc is reassembled from its surviving
+    tokens. Returns (doc_id, n_tokens, removed_tokens, kept_text) —
+    kept_text is the rewritten document, so the whole rewrite is
+    value-hash oracle-checked.
+
+    Scale shape: identical exchanges to dup_span_coverage (window text
+    hashes in place; frequency + ownership run on (whash, doc, start)
+    triples; the removable-start list regroups by doc) plus the final
+    token filter, a NARROW per-row map: token kept iff no removable
+    start s has s <= i < s + W. The per-token check is O(|removable
+    starts in the doc|) — dup spans are sparse in healthy corpora, and
+    a doc that is mostly removable is exactly the doc you want
+    rewritten."""
+    d = load_table(spark, sf_dir, "documents")
+    w = DUP_SPAN_WINDOW
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    toks = F.col("t")
+    starts = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.md5(F.array_join(F.slice(toks, s, w), " ")).alias("whash"),
+        ),
+    )
+    exploded = dt.select(
+        "doc_id", F.explode(wins).alias("w")
+    ).select("doc_id", "w.s", "w.whash")
+    dup = (
+        exploded.groupBy("whash")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("whash")
+    )
+    wk = Window.partitionBy("whash").orderBy("doc_id", "s")
+    removable = (
+        exploded.join(dup, "whash")
+        .withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") > 1)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
+    )
+    joined = dt.join(removable, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("t"),
+        F.coalesce("ss", F.array().cast("array<int>")).alias("ss"),
+    )
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("t")),
+        lambda i: ~F.exists(
+            F.col("ss"), lambda s: (s <= i) & (i < s + w)
+        ),
+    )
+    kept = F.when(F.size("t") > 0, kept_idx).otherwise(
+        F.array().cast("array<int>")
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("int").alias("n_tokens"),
+        (F.size("t") - F.size(kept)).cast("int").alias("removed_tokens"),
+        F.concat_ws(
+            " ", F.transform(kept, lambda i: F.element_at(F.col("t"), i))
+        ).alias("kept_text"),
+    )
+
+
+SQL_DEDUP_SPAN_STRIP = f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, s,
+         md5(array_to_string(t[s:s + {DUP_SPAN_WINDOW - 1}], ' ')) AS whash
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {DUP_SPAN_WINDOW} + 1)) AS s
+    FROM toks WHERE len(t) >= {DUP_SPAN_WINDOW}
+  )
+),
+dup AS (
+  SELECT whash FROM wins GROUP BY whash
+  HAVING count(DISTINCT doc_id) >= 2
+),
+removable AS (
+  SELECT doc_id, list_sort(list(s)) AS ss FROM (
+    SELECT w.doc_id, w.s,
+           row_number() OVER (PARTITION BY w.whash
+                              ORDER BY w.doc_id, w.s) AS rn
+    FROM wins w JOIN dup USING (whash)
+  ) WHERE rn > 1
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS INT) AS n_tokens,
+       CAST(len(t.t) - len(kept) AS INT) AS removed_tokens,
+       coalesce(array_to_string(list_transform(kept, i -> t.t[i]), ' '), '')
+         AS kept_text
+FROM (
+  SELECT t.doc_id, t.t,
+         list_filter(
+           generate_series(1, len(t.t)),
+           i -> len(list_filter(coalesce(r.ss, []),
+                                s -> s <= i AND i < s + {DUP_SPAN_WINDOW}))
+                = 0
+         ) AS kept
+  FROM toks t LEFT JOIN removable r ON t.doc_id = r.doc_id
+) t
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster representative selection: within each
     exact-duplicate cluster (sha2 of text) keep the BEST copy — longest
@@ -2139,6 +2257,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dup_span_coverage", q_dup_span_coverage, SQL_DUP_SPAN_COVERAGE
     ),
+    QuerySpec("dedup_span_strip", q_dedup_span_strip, SQL_DEDUP_SPAN_STRIP),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
     # the routed production entry (r7 item 1): IVF when the corpus

@@ -1262,6 +1262,61 @@ WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <
 """
 
 
+def q_embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health profile — the monitoring artifact
+    an embedding pipeline persists to catch dead dimensions (all-zero),
+    saturated ones (pinned at ±127 after quantization), and drifting
+    magnitudes. Stats run in the int8 storage domain (the
+    embedding_quantize formula, parity proven by that oracle), so every
+    number is an exact integer and the whole profile value-hash
+    oracle-checks — a float per-dim mean would fold in engine-specific
+    order.
+
+    Scale: one posexplode (narrow, 64 rows per vector of two small
+    ints) + one 64-group aggregate with map-side combine. The exchange
+    carries dim-partial sums, never vectors."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        _q8_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("v")
+    return (
+        e.select(F.posexplode(_q8_expr("embedding")).alias("dim", "v"))
+        .groupBy(F.col("dim").cast("int").alias("dim"))
+        .agg(
+            F.sum(v).cast("bigint").alias("sum_q8"),
+            F.min(v).cast("int").alias("min_q8"),
+            F.max(v).cast("int").alias("max_q8"),
+            F.sum(F.when(v == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+            F.sum(F.when(F.abs(v) == 127, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_saturated"),
+        )
+    )
+
+
+def _sql_embedding_dim_profile() -> str:
+    # deferred: _SQL_Q8 is defined further down in the PQ section
+    return f"""
+WITH {_SQL_Q8},
+ex AS (
+  SELECT CAST(i - 1 AS INT) AS dim, qv[i] AS v
+  FROM (
+    SELECT qv, unnest(generate_series(1, len(qv))) AS i FROM q8
+  )
+)
+SELECT dim,
+       CAST(sum(v) AS BIGINT) AS sum_q8,
+       CAST(min(v) AS INT) AS min_q8,
+       CAST(max(v) AS INT) AS max_q8,
+       CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       CAST(sum(CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_saturated
+FROM ex GROUP BY dim
+"""
+
+
 def q_mix_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened source mixing (the multilingual-LM α<1
     sampling move): per-source keep budget = floor(sqrt(n_src · n_min))
@@ -3067,6 +3122,11 @@ SPECS = [
     QuerySpec("mix_weighted_sample", q_mix_weighted_sample, SQL_MIX_WEIGHTED_SAMPLE),
     QuerySpec(
         "mix_sqrt_temperature", q_mix_sqrt_temperature, SQL_MIX_SQRT_TEMPERATURE
+    ),
+    QuerySpec(
+        "embedding_dim_profile",
+        q_embedding_dim_profile,
+        _sql_embedding_dim_profile(),
     ),
     QuerySpec("cluster_semantic_kmeans", q_cluster_semantic_kmeans, None),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),

@@ -1030,3 +1030,58 @@ def test_join_interval_overlap_hand_values(spark, tmp_path):
     assert [(r["click_id"], r["view_id"], r["lag_us"]) for r in got] == [
         (1, 0, 15 * 60 * 1_000_000)
     ]
+
+
+def test_dedup_span_strip_hand_values(spark, tmp_path):
+    """doc0 = A+B, doc1 = A+C (A = the same 8-token block): the shared
+    window's first occurrence (doc0) survives, doc1 loses exactly A's
+    8 tokens and reassembles to C; a doc with no dup spans round-trips
+    byte-identical."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_dedup_span_strip,
+    )
+
+    a = " ".join(f"a{i}" for i in range(8))
+    b = " ".join(f"b{i}" for i in range(8))
+    c = " ".join(f"c{i}" for i in range(8))
+    other = " ".join(f"z{i}" for i in range(10))
+    sf = _docs_dir(
+        spark, tmp_path,
+        [(0, f"{a} {b}", "s0"), (1, f"{a} {c}", "s1"), (2, other, "s2")],
+    )
+    got = {r["doc_id"]: r for r in q_dedup_span_strip(spark, sf).collect()}
+    assert got[0]["removed_tokens"] == 0
+    assert got[0]["kept_text"] == f"{a} {b}"
+    assert got[1]["removed_tokens"] == 8
+    assert got[1]["kept_text"] == c
+    assert got[2]["removed_tokens"] == 0 and got[2]["kept_text"] == other
+    # conservation: kept + removed == n_tokens everywhere
+    for r in got.values():
+        kept_n = len(r["kept_text"].split()) if r["kept_text"] else 0
+        assert kept_n + r["removed_tokens"] == r["n_tokens"]
+
+
+def test_embedding_dim_profile_hand_values(spark, tmp_path):
+    """Two hand vectors: quantization pins the max-|x| dim at ±127, a
+    zero dim counts n_zero, and sums are exact integers."""
+    import pandas as pd
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_embedding_dim_profile,
+    )
+
+    # dim0: 1.0 and -1.0 (the absmax of each vector -> ±127)
+    # dim1: 0.5 and 0.0  -> round(0.5*127)=64 ... and 0
+    vecs = [[1.0, 0.5], [-1.0, 0.0]]
+    pd.DataFrame(
+        {"vec_id": [0, 1], "embedding": vecs, "label": [0, 0]}
+    ).astype({"vec_id": "int64", "label": "int32"}).to_parquet(
+        f"{tmp_path}/embeddings.parquet", index=False
+    )
+    got = {
+        r["dim"]: r for r in q_embedding_dim_profile(spark, str(tmp_path)).collect()
+    }
+    assert got[0]["min_q8"] == -127 and got[0]["max_q8"] == 127
+    assert got[0]["sum_q8"] == 0 and got[0]["n_saturated"] == 2
+    assert got[1]["max_q8"] == 64 and got[1]["n_zero"] == 1
+    assert got[1]["sum_q8"] == 64 and got[1]["n_saturated"] == 0
