@@ -307,6 +307,60 @@ DUP_SPAN_WINDOW = 8
 _DUP_SPAN_INF = 2_000_000_000
 
 
+def _dup_window_frames(d):
+    """(dt, exploded, dup) — the ONE definition of the sliding
+    dup-window machinery shared by dup_span_coverage (the statistic)
+    and dedup_span_strip (the rewrite), mirrored by _sql_dup_windows:
+    dt = (doc_id, t tokens); exploded = one row per (doc, start,
+    window md5) with n_tokens carried; dup = window hashes seen in
+    >= 2 distinct docs. A change to the window rule lands HERE or the
+    statistic and the rewrite silently diverge (post-review
+    factoring, same as the segment family)."""
+    w = DUP_SPAN_WINDOW
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    toks = F.col("t")
+    starts = F.when(
+        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - w + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("s"),
+            F.md5(F.array_join(F.slice(toks, s, w), " ")).alias("whash"),
+        ),
+    )
+    exploded = dt.select(
+        "doc_id", F.size(toks).alias("n_tokens"), F.explode(wins).alias("w")
+    ).select("doc_id", "n_tokens", "w.s", "w.whash")
+    dup = (
+        exploded.groupBy("whash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("whash")
+    )
+    return dt, exploded, dup
+
+
+def _sql_dup_windows() -> str:
+    """DuckDB twin of _dup_window_frames as toks/wins/dup CTEs."""
+    return f"""toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+wins AS (
+  SELECT doc_id, len(t) AS n_tokens, s,
+         md5(array_to_string(t[s:s + {DUP_SPAN_WINDOW - 1}], ' ')) AS whash
+  FROM (
+    SELECT doc_id, t,
+           unnest(generate_series(1, len(t) - {DUP_SPAN_WINDOW} + 1)) AS s
+    FROM toks WHERE len(t) >= {DUP_SPAN_WINDOW}
+  )
+),
+dup AS (
+  SELECT whash FROM wins GROUP BY whash
+  HAVING count(DISTINCT doc_id) >= 2
+)"""
+
+
 def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplication report (the Lee et al. "Deduplicating
     Training Data" statistic, at token-window granularity): slide a
@@ -331,27 +385,8 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, zero vector/text payloads."""
     d = load_table(spark, sf_dir, "documents")
     w = DUP_SPAN_WINDOW
-    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    dt, exploded, dup = _dup_window_frames(d)
     toks = F.col("t")
-    starts = F.when(
-        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - w + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.alias("s"),
-            F.md5(F.array_join(F.slice(toks, s, w), " ")).alias("whash"),
-        ),
-    )
-    exploded = dt.select(
-        "doc_id", F.size(toks).alias("n_tokens"), F.explode(wins).alias("w")
-    ).select("doc_id", "n_tokens", "w.s", "w.whash")
-    dup = (
-        exploded.groupBy("whash")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("whash")
-    )
     per_doc = (
         exploded.join(dup, "whash")
         .groupBy("doc_id")
@@ -401,22 +436,7 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DUP_SPAN_COVERAGE = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-),
-wins AS (
-  SELECT doc_id, len(t) AS n_tokens, s,
-         md5(array_to_string(t[s:s + {DUP_SPAN_WINDOW - 1}], ' ')) AS whash
-  FROM (
-    SELECT doc_id, t,
-           unnest(generate_series(1, len(t) - {DUP_SPAN_WINDOW} + 1)) AS s
-    FROM toks WHERE len(t) >= {DUP_SPAN_WINDOW}
-  )
-),
-dup AS (
-  SELECT whash FROM wins GROUP BY whash
-  HAVING count(DISTINCT doc_id) >= 2
-),
+WITH {_sql_dup_windows()},
 per_doc AS (
   SELECT doc_id, list_sort(list(s)) AS ss
   FROM wins JOIN dup USING (whash)
@@ -464,27 +484,8 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten."""
     d = load_table(spark, sf_dir, "documents")
     w = DUP_SPAN_WINDOW
-    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    dt, exploded, dup = _dup_window_frames(d)
     toks = F.col("t")
-    starts = F.when(
-        F.size(toks) >= w, F.sequence(F.lit(1), F.size(toks) - w + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    wins = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.alias("s"),
-            F.md5(F.array_join(F.slice(toks, s, w), " ")).alias("whash"),
-        ),
-    )
-    exploded = dt.select(
-        "doc_id", F.explode(wins).alias("w")
-    ).select("doc_id", "w.s", "w.whash")
-    dup = (
-        exploded.groupBy("whash")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("whash")
-    )
     wk = Window.partitionBy("whash").orderBy("doc_id", "s")
     removable = (
         exploded.join(dup, "whash")
@@ -518,22 +519,7 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SQL_DEDUP_SPAN_STRIP = f"""
-WITH toks AS (
-  SELECT doc_id, string_split(text, ' ') AS t FROM documents
-),
-wins AS (
-  SELECT doc_id, s,
-         md5(array_to_string(t[s:s + {DUP_SPAN_WINDOW - 1}], ' ')) AS whash
-  FROM (
-    SELECT doc_id, t,
-           unnest(generate_series(1, len(t) - {DUP_SPAN_WINDOW} + 1)) AS s
-    FROM toks WHERE len(t) >= {DUP_SPAN_WINDOW}
-  )
-),
-dup AS (
-  SELECT whash FROM wins GROUP BY whash
-  HAVING count(DISTINCT doc_id) >= 2
-),
+WITH {_sql_dup_windows()},
 removable AS (
   SELECT doc_id, list_sort(list(s)) AS ss FROM (
     SELECT w.doc_id, w.s,
