@@ -547,6 +547,99 @@ FROM (
 """
 
 
+MIRROR_MIN_SHARED = 1
+
+
+def q_source_mirror_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-community detection: connected components over the
+    source-overlap graph (an edge wherever two sources share >=
+    MIRROR_MIN_SHARED distinct 32-word segments — the
+    cross_source_dup_overlap relation), labeling every source with the
+    smallest source number in its community. The mixture-design
+    companion to the pairwise matrix: pairs say WHICH sources touch,
+    communities say how many INDEPENDENT content pools the corpus
+    actually has.
+
+    Runs the SAME tuned label-propagation loop as the LSH/semantic
+    dedup families (operators/dedup.cc_label_propagation — pair edges
+    as 2-member buckets, per-source self-buckets keep singletons), and
+    like semantic_dedup_clusters the ITERATIVE loop itself value-hash
+    oracle-checks against a DuckDB recursive CTE. Scale: the node set
+    is the source vocabulary (tiny by construction); the expensive part
+    is the segment overlap, whose exchanges are the ones
+    cross_source_dup_overlap documents."""
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        cc_label_propagation,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = _segment_hashes(d, "source").select("source", "h").distinct()
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    pairs = (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.col("shared") >= MIRROR_MIN_SHARED)
+    )
+    sn = lambda c: F.regexp_extract(F.col(c), r"(\d+)", 1).cast("int")  # noqa: E731
+    bh = F.concat_ws("|", F.lit("p"), "src_a", "src_b")
+    members = pairs.select(sn("src_a").alias("sn"), bh.alias("bh")).unionByName(
+        pairs.select(sn("src_b").alias("sn"), bh.alias("bh"))
+    )
+    srcs = d.select("source").distinct().select(
+        "source", sn("source").alias("sn")
+    )
+    selfb = srcs.select(
+        "sn", F.concat_ws("|", F.lit("self"), "source").alias("bh")
+    )
+    edges = members.unionByName(selfb)
+    labels = cc_label_propagation(edges, "sn", n_edges=1024).select(
+        "sn", F.col("label").cast("int").alias("community")
+    )
+    return srcs.join(labels, "sn").select(
+        "source",
+        "community",
+        (F.col("community") != F.col("sn")).alias("is_mirror"),
+    )
+
+
+def _sql_source_mirror() -> str:
+    # deferred: _sql_segment_hashes is defined further down with the
+    # segment-dedup family
+    return rf"""
+WITH RECURSIVE {_sql_segment_hashes("source")},
+sh AS (SELECT DISTINCT source, h FROM segs),
+pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+  HAVING count(*) >= {MIRROR_MIN_SHARED}
+),
+e AS (
+  SELECT CAST(regexp_extract(sa, '(\d+)', 1) AS INT) AS a,
+         CAST(regexp_extract(sb, '(\d+)', 1) AS INT) AS b
+  FROM pairs
+),
+und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
+srcs AS (
+  SELECT DISTINCT source,
+         CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn
+  FROM documents
+),
+reach AS (
+  SELECT sn AS n, sn AS lab FROM srcs
+  UNION
+  SELECT u.b AS n, r.lab FROM reach r JOIN und u ON u.a = r.n
+)
+SELECT s.source, CAST(min(r.lab) AS INT) AS community,
+       min(r.lab) <> s.sn AS is_mirror
+FROM srcs s JOIN reach r ON r.n = s.sn
+GROUP BY s.source, s.sn
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster representative selection: within each
     exact-duplicate cluster (sha2 of text) keep the BEST copy — longest
@@ -2221,6 +2314,14 @@ SPECS: list[QuerySpec] = [
         "cross_source_dup_overlap",
         q_cross_source_dup_overlap,
         SQL_CROSS_SOURCE_DUP,
+    ),
+    # r9: CC over the source-overlap graph through the shared
+    # label-propagation loop; iterative loop oracle-checked via
+    # recursive CTE (the semantic_dedup_clusters pattern)
+    QuerySpec(
+        "source_mirror_communities",
+        q_source_mirror_communities,
+        _sql_source_mirror(),
     ),
     QuerySpec(
         "quality_bin_sample", q_quality_bin_sample, SQL_QUALITY_BIN, bench=True

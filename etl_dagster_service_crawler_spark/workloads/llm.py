@@ -2558,6 +2558,130 @@ WHERE f.aid < f.bid
 """
 
 
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 1_000_000_000  # ranks in parts-per-billion
+
+
+def q_pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the mutual-kNN graph — the centrality layer of the
+    semantic-dedup stack (which cluster members are HUBS vs periphery:
+    the standard pick-the-prototype signal, and the second iterative
+    numeric algorithm in the repo after the CC fixpoint).
+
+    All arithmetic is INTEGER-scaled so both engines agree bit-for-bit:
+    ranks live in parts-per-billion (bigint), every division is
+    integer DIV — r_{i+1}(v) = (15·(S DIV n)) DIV 100 +
+    (85·Σ_{u→v} (r_i(u) DIV deg(u))) DIV 100 with S = 1e9. A float
+    PageRank would drift by summation order; this one value-hash
+    oracle-checks against a PAGERANK_ITERS-deep unrolled CTE chain
+    (the bpe_train unroll pattern). Dangling mass is dropped, the
+    standard simplification — both engines drop it identically.
+
+    Scale: each iteration is one (rank ⋈ degree) edge join + one
+    group-by-destination aggregate — the textbook Pregel step as two
+    aligned exchanges of (node, bigint) rows; the graph builds once.
+    Fixed iteration count keeps the plan depth constant; a
+    convergence-driven variant would reuse the CC loop's checkpoint
+    discipline."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        knn_graph_mutual,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    g = knn_graph_mutual(
+        e, k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
+        n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
+    ).select("src", "dst")
+    und = g.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionByName(
+        g.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    nodes = e.select("vec_id")
+    n1 = nodes.agg(F.count(F.lit(1)).alias("cnt"))
+    base = nodes.crossJoin(F.broadcast(n1))
+    ranks = base.select(
+        "vec_id",
+        F.expr(f"CAST({PAGERANK_SCALE} DIV cnt AS BIGINT)").alias("r"),
+    )
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            und.join(ranks, und["u"] == ranks["vec_id"])
+            .join(deg, "u")
+            .select(F.col("v"), F.expr("CAST(r DIV d AS BIGINT)").alias("c"))
+        )
+        inc = contrib.groupBy("v").agg(F.sum("c").alias("inc"))
+        ranks = (
+            base.join(inc, base["vec_id"] == inc["v"], "left")
+            .select(
+                "vec_id",
+                F.expr(
+                    f"CAST((15 * ({PAGERANK_SCALE} DIV cnt)) DIV 100"
+                    " + (85 * coalesce(inc, CAST(0 AS BIGINT))) DIV 100"
+                    " AS BIGINT)"
+                ).alias("r"),
+            )
+        )
+    return (
+        nodes.join(deg, nodes["vec_id"] == deg["u"], "left")
+        .select("vec_id", F.coalesce("d", F.lit(0)).cast("int").alias("deg"))
+        .join(ranks, "vec_id")
+        .select("vec_id", "deg", F.col("r").alias("rank_ppb"))
+    )
+
+
+def _sql_pagerank_knn_graph() -> str:
+    s = PAGERANK_SCALE
+    its = []
+    prev = "r0"
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(f"""i{i} AS (
+  SELECT e.vec_id,
+         CAST((15 * ({s} // n.cnt)) // 100
+              + (85 * coalesce(sm.inc, 0)) // 100 AS BIGINT) AS r
+  FROM embeddings e CROSS JOIN n
+  LEFT JOIN (
+    SELECT u.b AS v, sum({prev}.r // deg.d) AS inc
+    FROM und u JOIN {prev} ON {prev}.vec_id = u.a
+    JOIN deg ON deg.u = u.a
+    GROUP BY u.b
+  ) sm ON sm.v = e.vec_id
+)""")
+        prev = f"i{i}"
+    chain = ",\n".join(its)
+    return f"""
+WITH {_SQL_EXPORT_CENT},
+{_SQL_IVF_ASG},
+{_SQL_Q8},
+{_SQL_PQ_CENT},
+{_SQL_PQ_SLICES},
+{_SQL_PQ_ENC},
+{_SQL_SDC},
+{_SQL_GRAPH_PAIRS},
+topk AS (
+  SELECT aid, bid FROM (
+    SELECT aid, bid,
+           row_number() OVER (PARTITION BY aid ORDER BY d, bid) AS rn
+    FROM pair_d
+  ) WHERE rn <= {KNN_GRAPH_K}
+),
+und AS (
+  SELECT f.aid AS a, f.bid AS b
+  FROM topk f JOIN topk r ON f.aid = r.bid AND f.bid = r.aid
+),
+deg AS (SELECT a AS u, count(*) AS d FROM und GROUP BY a),
+n AS (SELECT count(*) AS cnt FROM embeddings),
+r0 AS (
+  SELECT vec_id, CAST({s} // cnt AS BIGINT) AS r FROM embeddings, n
+),
+{chain}
+SELECT e.vec_id, CAST(coalesce(deg.d, 0) AS INT) AS deg,
+       {prev}.r AS rank_ppb
+FROM embeddings e
+LEFT JOIN deg ON deg.u = e.vec_id
+JOIN {prev} ON {prev}.vec_id = e.vec_id
+"""
+
+
 def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic clustering: connected components over
     the mutual-kNN graph (knn_graph_mutual), every corpus vector
@@ -3085,6 +3209,11 @@ SPECS = [
         "semantic_dedup_clusters",
         q_semantic_dedup_clusters,
         _sql_semantic_dedup_clusters(),
+    ),
+    # r9: integer-scaled fixed-iteration PageRank over the mutual-kNN
+    # graph, oracle-checked against an unrolled CTE chain
+    QuerySpec(
+        "pagerank_knn_graph", q_pagerank_knn_graph, _sql_pagerank_knn_graph()
     ),
     QuerySpec(
         "pipeline_semantic_dedup",

@@ -1085,3 +1085,54 @@ def test_embedding_dim_profile_hand_values(spark, tmp_path):
     assert got[0]["sum_q8"] == 0 and got[0]["n_saturated"] == 2
     assert got[1]["max_q8"] == 64 and got[1]["n_zero"] == 1
     assert got[1]["sum_q8"] == 64 and got[1]["n_saturated"] == 0
+
+
+def test_source_mirror_communities_hand_values(spark, tmp_path):
+    """src0 and src2 share a 32-word segment, src1 is independent:
+    {src0, src2} form one community labeled 0 (min source number),
+    src1 labels itself; is_mirror marks exactly the non-representative
+    members."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_source_mirror_communities,
+    )
+
+    shared = " ".join(f"m{i}" for i in range(32))
+    lone = " ".join(f"q{i}" for i in range(32))
+    sf = _docs_dir(
+        spark, tmp_path,
+        [(0, shared, "src0"), (1, shared, "src2"), (2, lone, "src1")],
+    )
+    got = {
+        r["source"]: (r["community"], r["is_mirror"])
+        for r in q_source_mirror_communities(spark, sf).collect()
+    }
+    assert got == {
+        "src0": (0, False),
+        "src2": (0, True),
+        "src1": (1, False),
+    }
+
+
+def test_pagerank_knn_graph_invariants(spark, sf_dir):
+    """Integer PageRank invariants on the fixture graph: an isolated
+    node's rank is EXACTLY the teleport constant (15·(S DIV n)) DIV
+    100; total mass never exceeds S; some connected node out-ranks
+    every isolated one; rerun is bit-stable."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        PAGERANK_SCALE,
+        q_pagerank_knn_graph,
+    )
+
+    rows = q_pagerank_knn_graph(spark, sf_dir).collect()
+    n = len(rows)
+    teleport = (15 * (PAGERANK_SCALE // n)) // 100
+    isolated = [r for r in rows if r["deg"] == 0]
+    connected = [r for r in rows if r["deg"] > 0]
+    assert isolated and connected
+    assert all(r["rank_ppb"] == teleport for r in isolated)
+    assert sum(r["rank_ppb"] for r in rows) <= PAGERANK_SCALE
+    assert max(r["rank_ppb"] for r in connected) > teleport
+    again = q_pagerank_knn_graph(spark, sf_dir).collect()
+    assert {(r["vec_id"], r["rank_ppb"]) for r in rows} == {
+        (r["vec_id"], r["rank_ppb"]) for r in again
+    }

@@ -93,6 +93,12 @@ ALLOW: dict[tuple[str, str], str] = {
     # source-count frame
     ("mix_sqrt_temperature", "BroadcastNestedLoopJoin"): "1-row n_min",
     ("mix_sqrt_temperature", "SinglePartition"): "1-row n_min agg",
+    # PageRank: the 1-row node-count broadcast (teleport constant) +
+    # the graph build's 16-row centroid/seed frames
+    ("pagerank_knn_graph", "BroadcastNestedLoopJoin"):
+        "1-row node count + 16-row centroid set",
+    ("pagerank_knn_graph", "SinglePartition"): "1-row node-count agg",
+    ("pagerank_knn_graph", "Window"): "16/32-row seed-rank frames",
     # r8 session-2: same constant-size frames — the 32-row codebook
     # rank window, the 16-row centroid broadcasts inside
     # assign_cells/probe_cells, and the 8-probe-row brute-force arm
