@@ -554,89 +554,87 @@ def q_source_mirror_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mirror-community detection: connected components over the
     source-overlap graph (an edge wherever two sources share >=
     MIRROR_MIN_SHARED distinct 32-word segments — the
-    cross_source_dup_overlap relation), labeling every source with the
-    smallest source number in its community. The mixture-design
-    companion to the pairwise matrix: pairs say WHICH sources touch,
-    communities say how many INDEPENDENT content pools the corpus
-    actually has.
+    _source_overlap_pairs relation), labeling every source with its
+    community's REPRESENTATIVE: the lexicographically-smallest member.
+    The mixture-design companion to the pairwise matrix: pairs say
+    WHICH sources touch, communities say how many INDEPENDENT content
+    pools the corpus actually has.
 
+    Node ids are the source's rank in the sorted source vocabulary —
+    a pure function of the source STRINGS (no format assumption; a
+    digitless source name works) computed identically in both engines.
     Runs the SAME tuned label-propagation loop as the LSH/semantic
     dedup families (operators/dedup.cc_label_propagation — pair edges
     as 2-member buckets, per-source self-buckets keep singletons), and
     like semantic_dedup_clusters the ITERATIVE loop itself value-hash
     oracle-checks against a DuckDB recursive CTE. Scale: the node set
-    is the source vocabulary (tiny by construction); the expensive part
-    is the segment overlap, whose exchanges are the ones
-    cross_source_dup_overlap documents."""
+    is the source vocabulary (tiny by construction; the rank window is
+    vocabulary-sized); the expensive part is the segment overlap,
+    whose exchanges _source_overlap_pairs documents."""
     from etl_dagster_service_crawler_spark.operators.dedup import (
         cc_label_propagation,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    sh = _segment_hashes(d, "source").select("source", "h").distinct()
-    a = sh.select(F.col("source").alias("src_a"), "h")
-    b = sh.select(F.col("source").alias("src_b"), "h")
-    pairs = (
-        a.join(b, "h")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .where(F.col("shared") >= MIRROR_MIN_SHARED)
+    pairs = _source_overlap_pairs(d).where(
+        F.col("shared_segments") >= MIRROR_MIN_SHARED
     )
-    sn = lambda c: F.regexp_extract(F.col(c), r"(\d+)", 1).cast("int")  # noqa: E731
+    w_src = Window.orderBy("source")
+    srcs = (
+        d.select("source")
+        .distinct()
+        .withColumn("sn", (F.row_number().over(w_src) - 1).cast("int"))
+    )
     bh = F.concat_ws("|", F.lit("p"), "src_a", "src_b")
-    members = pairs.select(sn("src_a").alias("sn"), bh.alias("bh")).unionByName(
-        pairs.select(sn("src_b").alias("sn"), bh.alias("bh"))
-    )
-    srcs = d.select("source").distinct().select(
-        "source", sn("source").alias("sn")
-    )
+    members = pairs.select(F.col("src_a").alias("source"), bh.alias("bh")).unionByName(
+        pairs.select(F.col("src_b").alias("source"), bh.alias("bh"))
+    ).join(srcs, "source").select("sn", "bh")
     selfb = srcs.select(
         "sn", F.concat_ws("|", F.lit("self"), "source").alias("bh")
     )
     edges = members.unionByName(selfb)
     labels = cc_label_propagation(edges, "sn", n_edges=1024).select(
-        "sn", F.col("label").cast("int").alias("community")
+        "sn", F.col("label").cast("int").alias("lab")
     )
-    return srcs.join(labels, "sn").select(
-        "source",
-        "community",
-        (F.col("community") != F.col("sn")).alias("is_mirror"),
+    rep = srcs.select(F.col("sn").alias("lab"), F.col("source").alias("community_rep"))
+    return (
+        srcs.join(labels, "sn")
+        .join(rep, "lab")
+        .select(
+            "source",
+            "community_rep",
+            (F.col("source") != F.col("community_rep")).alias("is_mirror"),
+        )
     )
 
 
 def _sql_source_mirror() -> str:
-    # deferred: _sql_segment_hashes is defined further down with the
-    # segment-dedup family
-    return rf"""
-WITH RECURSIVE {_sql_segment_hashes("source")},
-sh AS (SELECT DISTINCT source, h FROM segs),
-pairs AS (
-  SELECT a.source AS sa, b.source AS sb
-  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
-  GROUP BY a.source, b.source
-  HAVING count(*) >= {MIRROR_MIN_SHARED}
+    return f"""
+WITH RECURSIVE {_sql_source_overlap()},
+srcs AS (
+  SELECT source,
+         CAST(row_number() OVER (ORDER BY source) - 1 AS INT) AS sn
+  FROM (SELECT DISTINCT source FROM documents)
 ),
 e AS (
-  SELECT CAST(regexp_extract(sa, '(\d+)', 1) AS INT) AS a,
-         CAST(regexp_extract(sb, '(\d+)', 1) AS INT) AS b
-  FROM pairs
+  SELECT sa.sn AS a, sb.sn AS b
+  FROM pairs p
+  JOIN srcs sa ON sa.source = p.src_a
+  JOIN srcs sb ON sb.source = p.src_b
+  WHERE p.shared_segments >= {MIRROR_MIN_SHARED}
 ),
 und AS (SELECT a, b FROM e UNION ALL SELECT b AS a, a AS b FROM e),
-srcs AS (
-  SELECT DISTINCT source,
-         CAST(regexp_extract(source, '(\d+)', 1) AS INT) AS sn
-  FROM documents
-),
 reach AS (
   SELECT sn AS n, sn AS lab FROM srcs
   UNION
   SELECT u.b AS n, r.lab FROM reach r JOIN und u ON u.a = r.n
-)
-SELECT s.source, CAST(min(r.lab) AS INT) AS community,
-       min(r.lab) <> s.sn AS is_mirror
-FROM srcs s JOIN reach r ON r.n = s.sn
-GROUP BY s.source, s.sn
+),
+lab AS (SELECT n, min(lab) AS lab FROM reach GROUP BY n)
+SELECT s.source, rep.source AS community_rep,
+       s.source <> rep.source AS is_mirror
+FROM srcs s
+JOIN lab ON lab.n = s.sn
+JOIN srcs rep ON rep.sn = lab.lab
 """
 
 
@@ -2224,6 +2222,37 @@ segs AS (
 )"""
 
 
+def _source_overlap_pairs(d: DataFrame) -> DataFrame:
+    """(src_a, src_b, shared_segments): distinct shared SEG_TOKENS-word
+    segments per unordered source pair — the ONE definition of the
+    source-overlap relation, shared by cross_source_dup_overlap (the
+    matrix) and source_mirror_communities (the graph) and mirrored by
+    _sql_source_overlap (post-review factoring, same argument as
+    _segment_hashes)."""
+    sh = _segment_hashes(d, "source").select("source", "h").distinct()
+    a = sh.select(F.col("source").alias("src_a"), "h")
+    b = sh.select(F.col("source").alias("src_b"), "h")
+    return (
+        a.join(b, "h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("int").alias("shared_segments"))
+    )
+
+
+def _sql_source_overlap() -> str:
+    """DuckDB twin of _source_overlap_pairs: the segment CTEs plus
+    sh/pairs, with pairs carrying shared_segments."""
+    return f"""{_sql_segment_hashes("source")},
+sh AS (SELECT DISTINCT source, h FROM segs),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS INT) AS shared_segments
+  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+  GROUP BY a.source, b.source
+)"""
+
+
 def q_dedup_segment_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level exact dedup (the MassiveText/CCNet 'paragraph
     dedup' shape on a corpus with no line structure): chunk every doc
@@ -2286,25 +2315,13 @@ def q_cross_source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (shared material is small by definition), and the pair
     join is an equi-join on the hash — Σ per-hash |sources|², never
     corpus-sized."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = _segment_hashes(d, "source").select("source", "h").distinct()
-    a = sh.select(F.col("source").alias("src_a"), "h")
-    b = sh.select(F.col("source").alias("src_b"), "h")
-    return (
-        a.join(b, "h")
-        .where(F.col("src_a") < F.col("src_b"))
-        .groupBy("src_a", "src_b")
-        .agg(F.count(F.lit(1)).cast("int").alias("shared_segments"))
-    )
+    return _source_overlap_pairs(load_table(spark, sf_dir, "documents"))
 
 
-SQL_CROSS_SOURCE_DUP = f"""
-WITH {_sql_segment_hashes("source")},
-sh AS (SELECT DISTINCT source, h FROM segs)
-SELECT a.source AS src_a, b.source AS src_b,
-       CAST(count(*) AS INT) AS shared_segments
-FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
-GROUP BY a.source, b.source
+def _sql_cross_source_dup() -> str:
+    return f"""
+WITH {_sql_source_overlap()}
+SELECT src_a, src_b, shared_segments FROM pairs
 """
 
 
@@ -2313,7 +2330,7 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "cross_source_dup_overlap",
         q_cross_source_dup_overlap,
-        SQL_CROSS_SOURCE_DUP,
+        _sql_cross_source_dup(),
     ),
     # r9: CC over the source-overlap graph through the shared
     # label-propagation loop; iterative loop oracle-checked via

@@ -1089,9 +1089,11 @@ def test_embedding_dim_profile_hand_values(spark, tmp_path):
 
 def test_source_mirror_communities_hand_values(spark, tmp_path):
     """src0 and src2 share a 32-word segment, src1 is independent:
-    {src0, src2} form one community labeled 0 (min source number),
-    src1 labels itself; is_mirror marks exactly the non-representative
-    members."""
+    {src0, src2} form one community represented by src0 (the
+    lexicographically smallest member), src1 represents itself;
+    is_mirror marks exactly the non-representative members. A
+    digitless source name must work too (ids are name ranks, not
+    parsed digits)."""
     from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
         q_source_mirror_communities,
     )
@@ -1100,16 +1102,16 @@ def test_source_mirror_communities_hand_values(spark, tmp_path):
     lone = " ".join(f"q{i}" for i in range(32))
     sf = _docs_dir(
         spark, tmp_path,
-        [(0, shared, "src0"), (1, shared, "src2"), (2, lone, "src1")],
+        [(0, shared, "src0"), (1, shared, "web"), (2, lone, "src1")],
     )
     got = {
-        r["source"]: (r["community"], r["is_mirror"])
+        r["source"]: (r["community_rep"], r["is_mirror"])
         for r in q_source_mirror_communities(spark, sf).collect()
     }
     assert got == {
-        "src0": (0, False),
-        "src2": (0, True),
-        "src1": (1, False),
+        "src0": ("src0", False),
+        "web": ("src0", True),
+        "src1": ("src1", False),
     }
 
 
