@@ -99,6 +99,12 @@ ALLOW: dict[tuple[str, str], str] = {
         "1-row node count + 16-row centroid set",
     ("pagerank_knn_graph", "SinglePartition"): "1-row node-count agg",
     ("pagerank_knn_graph", "Window"): "16/32-row seed-rank frames",
+    # source vocabulary rank: the node-id window runs on the DISTINCT
+    # source set — tiny by construction (mixture vocabularies are
+    # human-scale), same class as the seed-rank frames
+    ("source_mirror_communities", "SinglePartition"):
+        "source-vocabulary rank frame",
+    ("source_mirror_communities", "Window"): "source-vocabulary rank frame",
     # r8 session-2: same constant-size frames — the 32-row codebook
     # rank window, the 16-row centroid broadcasts inside
     # assign_cells/probe_cells, and the 8-probe-row brute-force arm
