@@ -2361,7 +2361,10 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "dup_span_coverage", q_dup_span_coverage, SQL_DUP_SPAN_COVERAGE
     ),
-    QuerySpec("dedup_span_strip", q_dedup_span_strip, SQL_DEDUP_SPAN_STRIP),
+    QuerySpec(
+        "dedup_span_strip", q_dedup_span_strip, SQL_DEDUP_SPAN_STRIP,
+        bench=True,
+    ),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
     # the routed production entry (r7 item 1): IVF when the corpus

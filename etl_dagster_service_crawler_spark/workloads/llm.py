@@ -3213,7 +3213,8 @@ SPECS = [
     # r9: integer-scaled fixed-iteration PageRank over the mutual-kNN
     # graph, oracle-checked against an unrolled CTE chain
     QuerySpec(
-        "pagerank_knn_graph", q_pagerank_knn_graph, _sql_pagerank_knn_graph()
+        "pagerank_knn_graph", q_pagerank_knn_graph, _sql_pagerank_knn_graph(),
+        bench=True,
     ),
     QuerySpec(
         "pipeline_semantic_dedup",
