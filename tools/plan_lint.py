@@ -93,12 +93,11 @@ ALLOW: dict[tuple[str, str], str] = {
     # source-count frame
     ("mix_sqrt_temperature", "BroadcastNestedLoopJoin"): "1-row n_min",
     ("mix_sqrt_temperature", "SinglePartition"): "1-row n_min agg",
-    # PageRank: the 1-row node-count broadcast (teleport constant) +
-    # the graph build's 16-row centroid/seed frames
-    ("pagerank_knn_graph", "BroadcastNestedLoopJoin"):
-        "1-row node count + 16-row centroid set",
-    ("pagerank_knn_graph", "SinglePartition"): "1-row node-count agg",
-    ("pagerank_knn_graph", "Window"): "16/32-row seed-rank frames",
+    # PageRank needs no entries: the graph build and the 1-row
+    # node-count broadcast execute at construction behind eager
+    # localCheckpoints, so the returned plan reads LogicalRDDs only
+    # (their constant-size frames are the same ones knn_graph_mutual's
+    # own entries cover)
     # source vocabulary rank: the node-id window runs on the DISTINCT
     # source set — tiny by construction (mixture vocabularies are
     # human-scale), same class as the seed-rank frames
