@@ -60,8 +60,14 @@ def main() -> None:
     # bench rounds divides their canaries to separate "the machine was
     # slower" from "the plan got slower" (bench_history annotates its
     # REGRESSION flags with exactly that ratio). One CPU-bound codegen
-    # loop and one cold-ish parquet scan (neighbor I/O is the dominant
-    # noise source on this VM).
+    # loop, one cold-ish parquet scan (neighbor I/O is the dominant
+    # noise source on this VM), and — r10, after the r9 adjudication
+    # showed the single-threaded probes under-measuring load that hit
+    # 32-way-parallel queries 3-5x while the canaries moved only 1.5x —
+    # one PARALLEL probe: a fixed 32-task shuffle+aggregate that
+    # contends for every core and the shuffle disk exactly like the
+    # benched queries do, so bench_history normalizes with a ratio
+    # measured at the same parallelism the queries run at.
     def _canary(fn) -> float:
         runs = []
         for _ in range(3):
@@ -78,12 +84,33 @@ def main() -> None:
     def _io_probe():
         spark.read.parquet(doc_path).selectExpr("sum(length(text))").collect()
 
-    canary_cpu = _canary(_cpu_probe)
-    canary_io = _canary(_io_probe)
-    print(
-        f"# canary_cpu={canary_cpu}s canary_io={canary_io}s (pre-run)",
-        file=sys.stderr,
-    )
+    def _par_probe():
+        # 32 map tasks -> hash exchange -> aggregate: saturates the
+        # thread pool and the shuffle path with a code-independent,
+        # data-independent workload (spark.range is synthesized).
+        (
+            spark.range(0, 16_000_000, 1, 32)
+            .selectExpr("id % 250000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .selectExpr("sum(`sum(v)`)")
+            .collect()
+        )
+
+    _PROBES = {"cpu": _cpu_probe, "io": _io_probe, "par": _par_probe}
+    # one untimed pass per probe first: a probe's first invocation pays
+    # whole-stage codegen for ITS plan shape (~2x, measured), which
+    # would bias every pre-run window high relative to post-run
+    for fn in _PROBES.values():
+        fn()
+    # pre- and post-run windows are published SEPARATELY (plus the
+    # worst-of for back-compat with older bench_history parsers): the
+    # post-run probe executes after the full battery (warm page cache,
+    # GC-pressured heap), so part of a high post reading can be
+    # self-inflicted — the adjudicator should see both windows, not
+    # only their max.
+    canary_pre = {k: _canary(fn) for k, fn in _PROBES.items()}
+    print(f"# canaries (pre-run): {canary_pre}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -115,17 +142,20 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    # Re-probe AFTER the query loop and publish the WORST of the two
-    # windows: a neighbor-load burst that arrives mid-bench inflates
-    # every query it overlaps while a start-only canary stays clean —
-    # r9 saw exactly that (10 untouched queries flagged 1.3-2.0x under
-    # a best-ever pre-run canary). The worst-of-both canary lets
-    # bench_history's ENV adjudication see the load the queries saw.
-    canary_cpu = max(canary_cpu, _canary(_cpu_probe))
-    canary_io = max(canary_io, _canary(_io_probe))
+    # Re-probe AFTER the query loop: a neighbor-load burst that arrives
+    # mid-bench inflates every query it overlaps while a start-only
+    # canary stays clean — r9 saw exactly that (10 untouched queries
+    # flagged 1.3-2.0x under a best-ever pre-run canary). The flat
+    # canary_* keys keep the worst-of-both convention for back-compat;
+    # the per-window keys let bench_history adjudicate from each window
+    # on its own.
+    canary_post = {k: _canary(fn) for k, fn in _PROBES.items()}
+    canary_worst = {
+        k: max(canary_pre[k], canary_post[k]) for k in _PROBES
+    }
     print(
-        f"# canary_cpu={canary_cpu}s canary_io={canary_io}s "
-        "(worst of pre/post-run)",
+        f"# canaries (post-run): {canary_post}; "
+        f"worst-of-both: {canary_worst}",
         file=sys.stderr,
     )
 
@@ -141,8 +171,11 @@ def main() -> None:
         "queries": timings,
         "runs": spread,
         "sf": sf_val,
-        "canary_cpu": canary_cpu,
-        "canary_io": canary_io,
+        "canary_cpu": canary_worst["cpu"],
+        "canary_io": canary_worst["io"],
+        "canary_par": canary_worst["par"],
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
     }
     print(json.dumps(out))
 

@@ -322,6 +322,16 @@ def serve_status(
             self._send(200, html.encode(), "text/html")
 
         def do_POST(self) -> None:  # noqa: N802 - stdlib naming
+            # Drain the request body BEFORE responding. Safe to skip
+            # today only because BaseHTTPRequestHandler defaults to
+            # HTTP/1.0 (one request per connection); under
+            # protocol_version='HTTP/1.1' an unread body would be
+            # parsed as the NEXT request on the kept-alive socket.
+            # POST /run takes no body, so the bytes are discarded.
+            try:
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            except (ValueError, OSError):
+                pass  # malformed length / dead socket: respond anyway
             path = self.path.split("?", 1)[0]
             if path != "/run":
                 self._send(404, b"unknown route", "text/plain")

@@ -24,8 +24,8 @@ DataSource readers.
 
 from __future__ import annotations
 
+import hashlib
 import json
-import random
 from collections.abc import Callable
 
 from etl_dagster_service_crawler_spark.operators.enrich import (
@@ -64,10 +64,14 @@ def synth_user_agents(n: int, seed: int = 0) -> list[str]:
     """Synthesize ``n`` plausible browser User-Agent strings from a
     seed — the deterministic stand-in for the reference's
     fake-useragent pool. Chrome/Firefox/Safari shapes over the OS pool,
-    chosen by a seeded PRNG (``random.Random(seed)`` — stable across
-    processes and Python versions for these ops), deduplicated while
-    preserving draw order. Feed the result straight into
-    ``http_transport(user_agents=...)``.
+    with every draw derived from ``md5(seed:i)`` digest bytes — the
+    same hash-derived-draw idiom the repo's oracle-checked samplers use
+    (mix_weighted_sample, sample_deterministic), so the pool is
+    bit-stable across processes AND interpreter versions (stdlib
+    ``random.Random.choice``/``randrange`` draw paths have changed
+    across CPython releases before; only ``random()`` itself is
+    documented stable). Deduplicated preserving draw order. Feed the
+    result straight into ``http_transport(user_agents=...)``.
 
     n caps at 4096: the template space is finite (the Safari arm alone
     has a handful of shapes), and near capacity the dedup loop would
@@ -78,28 +82,30 @@ def synth_user_agents(n: int, seed: int = 0) -> list[str]:
         raise ValueError(
             f"synth_user_agents caps at 4096 distinct UAs (asked {n})"
         )
-    rng = random.Random(seed)
     out: list[str] = []
     seen: set[str] = set()
+    i = 0
     while len(out) < n:
-        kind = rng.randrange(3)
-        os_part = rng.choice(_UA_OSES)
+        h = hashlib.md5(f"{seed}:{i}".encode()).digest()
+        i += 1
+        kind = h[0] % 3
+        os_part = _UA_OSES[h[1] % len(_UA_OSES)]
         if kind == 0:
-            major = rng.choice(_UA_CHROME_MAJORS)
-            build = rng.randrange(1000, 6500)
+            major = _UA_CHROME_MAJORS[h[2] % len(_UA_CHROME_MAJORS)]
+            build = 1000 + int.from_bytes(h[3:6], "big") % 5500
             ua = (
                 f"Mozilla/5.0 ({os_part}) AppleWebKit/537.36 "
                 f"(KHTML, like Gecko) Chrome/{major}.0.{build}.0 "
                 "Safari/537.36"
             )
         elif kind == 1:
-            major = rng.choice(_UA_FIREFOX_MAJORS)
+            major = _UA_FIREFOX_MAJORS[h[2] % len(_UA_FIREFOX_MAJORS)]
             ua = (
                 f"Mozilla/5.0 ({os_part}; rv:{major}.0) "
                 f"Gecko/20100101 Firefox/{major}.0"
             )
         else:
-            ver = rng.choice(_UA_SAFARI_VERSIONS)
+            ver = _UA_SAFARI_VERSIONS[h[2] % len(_UA_SAFARI_VERSIONS)]
             ua = (
                 "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) "
                 f"AppleWebKit/605.1.15 (KHTML, like Gecko) "

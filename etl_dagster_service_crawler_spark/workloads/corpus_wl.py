@@ -585,12 +585,27 @@ def q_source_mirror_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("sn", (F.row_number().over(w_src) - 1).cast("int"))
     )
-    bh = F.concat_ws("|", F.lit("p"), "src_a", "src_b")
-    members = pairs.select(F.col("src_a").alias("source"), bh.alias("bh")).unionByName(
-        pairs.select(F.col("src_b").alias("source"), bh.alias("bh"))
-    ).join(srcs, "source").select("sn", "bh")
+    # Pair-bucket ids are built from the INTEGER sn ranks, not the raw
+    # source strings: a source name containing the separator ('|')
+    # would alias two distinct pairs into one bucket and merge
+    # communities Spark-side only — a parity break the recursive-CTE
+    # oracle (which never forms these keys) cannot represent. Integers
+    # stringify separator-free, so "p|3|7" is unambiguous.
+    pa = pairs.join(
+        srcs.select(F.col("source").alias("src_a"), F.col("sn").alias("sn_a")),
+        "src_a",
+    ).join(
+        srcs.select(F.col("source").alias("src_b"), F.col("sn").alias("sn_b")),
+        "src_b",
+    )
+    bh = F.concat_ws("|", F.lit("p"), "sn_a", "sn_b")
+    members = pa.select(F.col("sn_a").alias("sn"), bh.alias("bh")).unionByName(
+        pa.select(F.col("sn_b").alias("sn"), bh.alias("bh"))
+    )
+    # Self-buckets carry ONE member each, so key aliasing cannot merge
+    # anything — the sn rank is still the collision-free choice.
     selfb = srcs.select(
-        "sn", F.concat_ws("|", F.lit("self"), "source").alias("bh")
+        "sn", F.concat_ws("|", F.lit("self"), "sn").alias("bh")
     )
     edges = members.unionByName(selfb)
     labels = cc_label_propagation(edges, "sn", n_edges=1024).select(

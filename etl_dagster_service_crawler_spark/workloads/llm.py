@@ -2558,6 +2558,72 @@ WHERE f.aid < f.bid
 """
 
 
+# Bump when the graph's semantics change (k, distance, cell policy):
+# the version is part of the sidecar path, so a stale on-disk graph
+# from older code can never be served to the new consumers.
+GRAPH_SIDECAR_VER = 1
+_GRAPH_SIDECAR_SCHEMA = "src bigint, dst bigint, d bigint"
+
+
+def _graph_sidecar_path(sf_dir: str) -> str:
+    from etl_dagster_service_crawler_spark.workloads.io_wl import _scratch
+
+    return _scratch(
+        sf_dir,
+        f"graph_sidecar/v{GRAPH_SIDECAR_VER}_k{KNN_GRAPH_K}"
+        f"_c{IVF_EXPORT_CENTROIDS}_s{PQ_EXPORT_SUB}_x{PQ_EXPORT_CODES}",
+    )
+
+
+def mutual_graph_cached(
+    spark: SparkSession, sf_dir: str, *, force_build: bool = False
+) -> DataFrame:
+    """The mutual-kNN graph, served from the persisted sidecar when one
+    exists (VERDICT r9 item 3): the Σ|cell|² pair stage is the dominant
+    cost of every graph consumer (pagerank_knn_graph,
+    semantic_dedup_clusters, pipeline_semantic_dedup each used to
+    rebuild it), and the graph is a pure deterministic function of the
+    corpus — exactly the artifact a 100 TB deployment builds once and
+    reads many times, like the PQ codes sidecar (sink_pq_sidecar).
+
+    A missing or incomplete sidecar (no _SUCCESS marker — a crashed
+    writer never half-serves) triggers build+persist; the read-back
+    pins the schema so consumers see identical types either way. The
+    graph-parameter fingerprint in the path keeps a stale sidecar from
+    an older configuration invisible. Consumers' results are
+    bit-identical with and without the sidecar because the build is
+    value-hash oracle-checked (knn_graph_mutual / sink_graph_sidecar),
+    so existing oracles are untouched."""
+    import os
+
+    path = _graph_sidecar_path(sf_dir)
+    if force_build or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from etl_dagster_service_crawler_spark.operators.similarity import (
+            knn_graph_mutual,
+        )
+
+        e = load_table(spark, sf_dir, "embeddings")
+        g = knn_graph_mutual(
+            e, k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
+            n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
+        )
+        # sorted by src: a consumer filtering on a node range prunes
+        # row groups on the leading column (the pq-sidecar layout rule)
+        g.sort("src", "dst").coalesce(1).write.mode("overwrite").parquet(path)
+    return spark.read.schema(_GRAPH_SIDECAR_SCHEMA).parquet(path)
+
+
+def q_sink_graph_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted mutual-kNN graph SIDECAR (r10): force-rebuilds the
+    graph, writes (src, dst, d) sorted by src, and returns the
+    READ-BACK — so the oracle checks the on-disk bytes round-trip, not
+    just the in-memory frame (the sink_pq_sidecar discipline,
+    io_wl.py). This entry keeps the build+write cost visible in the
+    bench while the graph consumers (pagerank, semantic dedup) read
+    the sidecar and time only their own algorithm."""
+    return mutual_graph_cached(spark, sf_dir, force_build=True)
+
+
 PAGERANK_ITERS = 3
 PAGERANK_SCALE = 1_000_000_000  # ranks in parts-per-billion
 
@@ -2582,16 +2648,15 @@ def q_pagerank_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     aligned exchanges of (node, bigint) rows; the graph builds once.
     Fixed iteration count keeps the plan depth constant; a
     convergence-driven variant would reuse the CC loop's checkpoint
-    discipline."""
-    from etl_dagster_service_crawler_spark.operators.similarity import (
-        knn_graph_mutual,
-    )
+    discipline.
 
+    r10: the edge list comes from the persisted graph sidecar
+    (mutual_graph_cached) — the Σ|cell|² build stage that used to
+    dominate this query's cost runs once per corpus and is
+    oracle-checked by sink_graph_sidecar; this query times the rank
+    loop, which is its own algorithm."""
     e = load_table(spark, sf_dir, "embeddings")
-    g = knn_graph_mutual(
-        e, k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
-        n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
-    ).select("src", "dst")
+    g = mutual_graph_cached(spark, sf_dir).select("src", "dst")
     # The graph build (cells + PQ codes + Σ|cell|² pair scoring) is the
     # expensive chain, and the rank loop references it once per
     # iteration — checkpoint it ONCE so iterations read a materialized
@@ -2705,19 +2770,15 @@ def q_semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the mutual graph is a pure function of the corpus, the
     ITERATIVE algorithm itself is value-hash oracle-checked against a
     DuckDB recursive CTE, not just its exact-bucket twin. Returns
-    (vec_id, label, is_dup)."""
+    (vec_id, label, is_dup). r10: the graph comes from the persisted
+    sidecar (mutual_graph_cached; build oracle-checked by
+    sink_graph_sidecar) instead of a per-query rebuild."""
     from etl_dagster_service_crawler_spark.operators.dedup import (
         cc_label_propagation,
     )
-    from etl_dagster_service_crawler_spark.operators.similarity import (
-        knn_graph_mutual,
-    )
 
     e = load_table(spark, sf_dir, "embeddings")
-    g = knn_graph_mutual(
-        e, k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
-        n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
-    )
+    g = mutual_graph_cached(spark, sf_dir)
     bh = F.concat_ws("-", F.col("src"), F.col("dst"))
     members = (
         g.select(F.col("src").alias("vec_id"), bh.alias("bh"))
@@ -3216,6 +3277,13 @@ SPECS = [
     QuerySpec("pq_rerank_topk", q_pq_rerank_topk, _sql_pq_rerank_topk()),
     QuerySpec(
         "knn_graph_mutual", q_knn_graph_mutual, _sql_knn_graph_mutual()
+    ),
+    # r10: the persisted graph sidecar — build+write+read-back, the
+    # artifact the graph consumers read instead of rebuilding; benched
+    # so the build cost stays visible now that pagerank excludes it
+    QuerySpec(
+        "sink_graph_sidecar", q_sink_graph_sidecar, _sql_knn_graph_mutual(),
+        bench=True,
     ),
     QuerySpec(
         "semantic_dedup_clusters",

@@ -1021,6 +1021,44 @@ def test_knn_graph_mutual_properties(spark, sf_dir):
         assert e["d"] >= 0
 
 
+def test_graph_sidecar_roundtrip_and_reuse(spark, sf_dir):
+    """The persisted mutual-kNN graph sidecar (r10): a cold read
+    builds+persists and matches the direct build edge-for-edge; a warm
+    read serves the SAME rows from disk without rebuilding (the
+    _SUCCESS marker gates it); an incomplete dir (no _SUCCESS — a
+    crashed writer) is rebuilt, never half-served."""
+    import os
+    import shutil
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        _graph_sidecar_path,
+        mutual_graph_cached,
+        q_knn_graph_mutual,
+    )
+
+    path = _graph_sidecar_path(sf_dir)
+    shutil.rmtree(path, ignore_errors=True)
+    want = {(r["src"], r["dst"], r["d"])
+            for r in q_knn_graph_mutual(spark, sf_dir).collect()}
+
+    cold = {(r["src"], r["dst"], r["d"])
+            for r in mutual_graph_cached(spark, sf_dir).collect()}
+    assert cold == want
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+    # warm read: same rows, served from the on-disk bytes
+    warm = {(r["src"], r["dst"], r["d"])
+            for r in mutual_graph_cached(spark, sf_dir).collect()}
+    assert warm == want
+
+    # a writer that died mid-write leaves no _SUCCESS: must rebuild
+    os.remove(os.path.join(path, "_SUCCESS"))
+    rebuilt = {(r["src"], r["dst"], r["d"])
+               for r in mutual_graph_cached(spark, sf_dir).collect()}
+    assert rebuilt == want
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
 def test_semantic_dedup_clusters_consistent_with_graph(spark, sf_dir):
     """Every mutual edge's endpoints share a label; every label is the
     min id of its member set; singletons label themselves."""

@@ -47,10 +47,15 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-# bench.py top-level scalar keys that are NOT query timings
+# bench.py top-level scalar keys that are NOT query timings ("cpu"/
+# "io"/"par" are the inner keys of the r10 canary_pre/canary_post
+# window dicts — the tail-recovery regex would otherwise read them as
+# query timings)
 _META_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus",
-              "canary_cpu", "canary_io"}
-_CANARY_KEYS = ("canary_cpu", "canary_io")
+              "canary_cpu", "canary_io", "canary_par",
+              "cpu", "io", "par"}
+_CANARY_KEYS = ("canary_cpu", "canary_io", "canary_par")
+_WINDOW_KEYS = ("canary_pre", "canary_post")
 
 MIN_RATIO = 1.25  # newest min vs best prior min
 MED_RATIO = 1.10  # newest median vs best prior median
@@ -99,6 +104,12 @@ def _parse_doc(
     for src in (doc, doc.get("parsed")):
         if isinstance(src, dict) and "queries" in src:
             canaries = {k: src[k] for k in _CANARY_KEYS if k in src}
+            # r10 per-window canaries ride along under their own keys;
+            # the flat worst-of keys above stay the adjudication input
+            # (cross-round comparable), the windows annotate it.
+            for wk in _WINDOW_KEYS:
+                if isinstance(src.get(wk), dict):
+                    canaries[wk] = src[wk]
             return src["queries"], src.get("runs", {}), False, canaries
     tail = doc.get("tail", "")
     queries, runs = _from_tail(tail)
@@ -206,6 +217,33 @@ def env_drift(newest: Round, prior: list[Round]) -> tuple[float, str]:
     return worst, worst_kind
 
 
+def _window_note(newest: Round, prior: list[Round], kind: str) -> str:
+    """Per-window annotation for an ENV-cleared flag (r10, advice 4):
+    the post-run probe executes after the full battery, so part of a
+    high post reading can be self-inflicted (warm cache, GC-pressured
+    heap) rather than neighbor load. When the newest artifact carries
+    per-window canaries, show each window's drift vs the same prior
+    baseline the flat ratio used; a clearance whose drift lives ONLY
+    in the post window is called out as needing a local re-run rather
+    than silently passing as machine drift."""
+    full = f"canary_{kind}"
+    prior_vs = [r.canaries[full] for r in prior if full in r.canaries][-3:]
+    if not prior_vs or min(prior_vs) <= 0:
+        return ""
+    base = min(prior_vs)
+    ratios = {}
+    for wk in _WINDOW_KEYS:
+        win = newest.canaries.get(wk)
+        if isinstance(win, dict) and kind in win:
+            ratios[wk.removeprefix("canary_")] = win[kind] / base
+    if len(ratios) != 2:
+        return ""
+    note = " [" + " ".join(f"{w} {v:.1f}x" for w, v in ratios.items()) + "]"
+    if ratios["pre"] < ENV_DRIFT_RATIO <= ratios["post"]:
+        note += " post-window only — possibly self-inflicted, re-run locally"
+    return note
+
+
 def flag_for(
     name: str, newest: Round, prior: list[Round], env_ratio: float = 0.0,
     env_kind: str = "",
@@ -258,7 +296,7 @@ def flag_for(
     if env_ratio >= ENV_DRIFT_RATIO and ratio <= env_ratio:
         return (
             f"ENV {ratio:.1f}x ~ canary_{env_kind} {env_ratio:.1f}x — "
-            "machine drift, not plan"
+            f"machine drift, not plan{_window_note(newest, prior, env_kind)}"
         )
     flag = f"REGRESSION {ratio:.1f}x vs best"
     if env_ratio >= ENV_DRIFT_RATIO:
