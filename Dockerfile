@@ -2,8 +2,12 @@
 # (/root/reference/Dockerfile: python-slim base + runtime deps + a
 # long-lived scheduler process). Here the runtime dep is a JVM for
 # Spark instead of chromium for selenium, and the scheduler is the
-# engine's own cron-cadence tick loop (deploy.py) instead of
-# dagster-webserver + daemon.
+# engine's own cron-cadence tick loop (deploy.py). The reference
+# starts dagster-webserver AND dagster-daemon in ONE container
+# (reference Dockerfile:22); the matching shape here is the combined
+# mode: `docker run ... --serve 8387 --daemon` (or --cron, which
+# implies --daemon) serves the run screen while firing scheduled
+# ticks from the same process.
 #
 # Two build targets:
 #   docker build -t spark-graft .                   # default: no browser
@@ -33,7 +37,8 @@ ENV DATA_DIR=/data \
     SPARK_MASTER=local[*]
 
 # Default: the 2-minute schedule loop (the reference's cron); pass
-# --once for a single availableNow tick (CI smoke / backfill).
+# --once for a single availableNow tick (CI smoke / backfill), or
+# --serve 8387 --daemon for the reference's webserver+daemon pair.
 ENTRYPOINT ["python", "-m", "etl_dagster_service_crawler_spark.deploy"]
 
 # ---- browser stage: JS-rendering crawl (reference Dockerfile:10) ----

@@ -28,6 +28,13 @@ Run modes:
                   run_history rows, per-status counts, sink freshness
                   under --output) and exit — the reference's
                   dagster-webserver "runs" screen as a one-screen CLI
+  --serve PORT    HTTP run surface; ALONE it only serves. With
+                  --daemon (or --cron, which implies it) the SAME
+                  process also runs the scheduled tick loop — the
+                  reference container's webserver+daemon pair
+                  (Dockerfile:22 starts both concurrently); scheduled
+                  ticks share POST /run's lock, so a web trigger
+                  during a scheduled tick gets 409
 
 Other knobs:
   --transport     crawl jobs only: "http://host/listing" (urllib
@@ -372,7 +379,14 @@ def serve_status(
             finally:
                 tick_lock.release()
 
-    return ThreadingHTTPServer(("127.0.0.1", port), StatusHandler)
+    srv = ThreadingHTTPServer(("127.0.0.1", port), StatusHandler)
+    # exposed so a combined serve+daemon process (main --serve --daemon/
+    # --cron) runs its SCHEDULED ticks under the same lock POST /run
+    # uses: a web-triggered tick during a scheduled one gets 409, and a
+    # scheduled tick waits out an in-flight web tick instead of racing
+    # a second Spark query against the same checkpoint dir.
+    srv.tick_lock = tick_lock
+    return srv
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -421,10 +435,20 @@ def main(argv: list[str] | None = None) -> int:
         "— the reference's dagster-webserver runs screen + launch "
         "button; binds 127.0.0.1 only",
     )
+    p.add_argument(
+        "--daemon",
+        action="store_true",
+        help="with --serve: ALSO run the scheduled tick loop in this "
+        "process — the reference container's webserver+daemon pair "
+        "(Dockerfile:22 starts both concurrently). --serve with "
+        "--cron implies --daemon. Scheduled ticks share POST /run's "
+        "lock: a web trigger during a scheduled tick gets 409.",
+    )
     args = p.parse_args(argv)
     side_cols = [c for c in args.side_cols.split(",") if c]
 
     spark = build_session()
+    bg_srv = None
     try:
         if args.serve is not None:
             srv = serve_status(
@@ -433,15 +457,27 @@ def main(argv: list[str] | None = None) -> int:
                 side_cols=side_cols, transport=args.transport,
             )
             host, port = srv.server_address[:2]
+            combined = args.daemon or args.cron is not None
             print(f"serving run status on http://{host}:{port}/ "
-                  f"(POST /run triggers one {args.job} tick)")
-            try:
-                srv.serve_forever()
-            except KeyboardInterrupt:
-                pass
-            finally:
-                srv.server_close()
-            return 0
+                  f"(POST /run triggers one {args.job} tick)"
+                  + (" + scheduled tick daemon" if combined else ""))
+            if not combined:
+                try:
+                    srv.serve_forever()
+                except KeyboardInterrupt:
+                    pass
+                finally:
+                    srv.server_close()
+                return 0
+            # combined webserver + daemon (reference Dockerfile:22
+            # parity: one container runs BOTH): serve from a background
+            # thread, run the tick loop in the foreground below. The
+            # thread is daemonized so a loop crash still exits the
+            # process instead of leaving a zombie status server.
+            import threading
+
+            bg_srv = srv
+            threading.Thread(target=bg_srv.serve_forever, daemon=True).start()
         if args.status:
             return print_status(spark, args.output)
         if args.once:
@@ -479,12 +515,20 @@ def main(argv: list[str] | None = None) -> int:
             # tick at process start (r8 advice — two ticks could land
             # inside the first window).
             sleep_until_next_match()
+        # combined mode: scheduled ticks hold the SAME lock POST /run
+        # uses (409 arbitration); solo daemon mode ticks uncontended
+        import contextlib
+
+        tick_gate = (
+            bg_srv.tick_lock if bg_srv is not None else contextlib.nullcontext()
+        )
         while True:
             started = time.time()
-            run_tick(
-                spark, args.job, args.source, args.output, side_cols,
-                transport=args.transport,
-            )
+            with tick_gate:
+                run_tick(
+                    spark, args.job, args.source, args.output, side_cols,
+                    transport=args.transport,
+                )
             ticks += 1
             if args.max_ticks and ticks >= args.max_ticks:
                 return 0
@@ -498,6 +542,9 @@ def main(argv: list[str] | None = None) -> int:
                     max(0.0, args.interval_seconds - (time.time() - started))
                 )
     finally:
+        if bg_srv is not None:
+            bg_srv.shutdown()
+            bg_srv.server_close()
         spark.stop()
 
 

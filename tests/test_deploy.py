@@ -294,3 +294,99 @@ def test_serve_run_trigger_endpoint(spark, sf_dir, tmp_path):
             if s is not None:
                 s.shutdown()
                 s.server_close()
+
+
+def test_serve_daemon_combined_mode(spark, sf_dir, tmp_path, monkeypatch):
+    """--serve --daemon (r10, reference Dockerfile:22 parity): ONE
+    process serves the status surface AND fires scheduled ticks.
+    E2E: the server answers /status.json while the tick loop lands
+    real ledger rows; a POST /run while the scheduled tick holds the
+    shared lock returns 409; the loop's --max-ticks exit shuts the
+    server down cleanly."""
+    import json
+    import threading
+    import time as _time
+    import urllib.error
+    import urllib.request
+
+    from etl_dagster_service_crawler_spark import deploy
+    from etl_dagster_service_crawler_spark.streaming.jobs import (
+        RUN_HISTORY_TABLE,
+    )
+
+    out = str(tmp_path / "out")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
+
+    # main() owns its session and stops it on exit; hand it the pytest
+    # session through a stop-proof proxy so the fixture survives.
+    class _NoStop:
+        def __getattr__(self, name):
+            if name == "stop":
+                return lambda: None
+            return getattr(spark, name)
+
+    monkeypatch.setattr(deploy, "build_session", lambda: _NoStop())
+
+    captured = {}
+    real_serve = deploy.serve_status
+
+    def capture(*a, **k):
+        srv = real_serve(*a, **k)
+        captured["srv"] = srv
+        return srv
+
+    monkeypatch.setattr(deploy, "serve_status", capture)
+
+    rcs = []
+    t = threading.Thread(
+        target=lambda: rcs.append(deploy.main(
+            ["--serve", "0", "--daemon", "--interval-seconds", "0.2",
+             "--max-ticks", "2", "--source", sf_dir, "--output", out]
+        )),
+        daemon=True,
+    )
+    t.start()
+    deadline = _time.time() + 60
+    while "srv" not in captured and _time.time() < deadline:
+        _time.sleep(0.05)
+    srv = captured["srv"]
+    base = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    # Hold the shared tick lock while probing: the loop cannot finish
+    # its remaining ticks (each needs the lock) and so cannot shut the
+    # server down under the probes — deterministic, no sleep-tuning.
+    # Acquisition itself may wait out an in-flight tick first.
+    with srv.tick_lock:
+        # the status surface answers WHILE the tick loop runs
+        rep = json.loads(
+            urllib.request.urlopen(f"{base}/status.json", timeout=30).read()
+        )
+        assert "counts" in rep and "sinks" in rep
+
+        # a web trigger while the scheduled-tick side holds the shared
+        # lock is refused with 409
+        try:
+            urllib.request.urlopen(
+                urllib.request.Request(
+                    f"{base}/run", method="POST", data=b""
+                ),
+                timeout=30,
+            )
+            raise AssertionError("expected 409")
+        except urllib.error.HTTPError as e:
+            assert e.code == 409
+
+    t.join(timeout=600)
+    assert not t.is_alive() and rcs == [0]
+    # both scheduled ticks landed real ledger rows
+    n = spark.sql(
+        f"SELECT count(*) AS n FROM {RUN_HISTORY_TABLE}"
+    ).collect()[0]["n"]
+    assert n == 2
+    # server is down after the loop exits
+    try:
+        urllib.request.urlopen(f"{base}/status.json", timeout=5)
+        raise AssertionError("server should be shut down")
+    except (urllib.error.URLError, OSError):
+        pass
+    reset_ledger(spark, RUN_HISTORY_TABLE)
