@@ -9,10 +9,11 @@ feature extraction is a narrow map, no shuffle.
 The container has no image/audio libraries; pillow is the image fast
 path where installed, and PNG payloads decode/resize through the
 engine's pure-python codec (operators/png_codec) everywhere else — so
-the image path executes for real in this container (r9). Audio decode
-remains import-guarded (NotImplementedError names the library); the
-Spark-side plumbing — schema, batch iteration, UDF signature — is real
-and exercised end-to-end.
+the image path executes for real in this container (r9). Audio gets
+the same treatment in r10: soundfile is the fast path where installed,
+and WAV/PCM payloads decode/resample through the pure-python
+operators/wav_codec everywhere else; only non-WAV formats without
+soundfile raise (NotImplementedError names the library).
 """
 
 from __future__ import annotations
@@ -84,11 +85,54 @@ def _fake_features(payload: bytes) -> list[float]:
     ]
 
 
-def decode_audio(payload: bytes) -> object:
-    """Real decoder — requires an audio library not in this container."""
-    raise NotImplementedError(
-        "audio decode requires soundfile/librosa; install on the cluster image"
+def decode_audio(payload: bytes) -> tuple:
+    """Decode an audio payload to ((n, ch) int16 samples, sample_rate).
+
+    soundfile is the cluster fast path (any container format it
+    reads); without it, WAV payloads decode through the engine's
+    pure-python codec (operators/wav_codec — stdlib wave + numpy, the
+    r10 analogue of the image path's png_codec), so the audio decode
+    stage is genuinely executable in this container. Non-WAV payloads
+    in a soundfile-less environment raise a clear NotImplementedError
+    instead of failing deep inside a worker."""
+    try:
+        import soundfile
+    except ImportError:
+        from etl_dagster_service_crawler_spark.operators.wav_codec import (
+            WAV_MAGIC,
+            decode_wav,
+        )
+
+        if bytes(payload).startswith(WAV_MAGIC):
+            return decode_wav(bytes(payload))
+        raise NotImplementedError(
+            "non-WAV audio decode requires soundfile; install it on the "
+            "cluster image (WAV decodes via the built-in pure-python codec)"
+        ) from None
+    import io
+
+    import numpy as np
+
+    data, rate = soundfile.read(io.BytesIO(bytes(payload)), dtype="int16")
+    a = np.asarray(data, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    return a, int(rate)
+
+
+def resample_audio(payload: bytes, dst_rate: int) -> bytes:
+    """Resample an audio payload, returning WAV bytes (deterministic
+    lossless container so the operator is testable byte-for-byte) —
+    the audio twin of resize_image. Decode goes through decode_audio
+    (fast path or pure-python fallback); the resample policy is the
+    codec's nearest-index rule."""
+    from etl_dagster_service_crawler_spark.operators.wav_codec import (
+        encode_wav,
+        resample_nearest,
     )
+
+    samples, src_rate = decode_audio(payload)
+    return encode_wav(resample_nearest(samples, src_rate, dst_rate), dst_rate)
 
 
 def resize_image(payload: bytes, w: int, h: int) -> bytes:
