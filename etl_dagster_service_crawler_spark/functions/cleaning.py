@@ -69,3 +69,49 @@ def parse_range(col: Column, sep: str = "~") -> tuple[Column, Column]:
 def extract_url_key(col: Column) -> Column:
     """Last path segment without query string (reference test.py:417-419)."""
     return F.regexp_extract(col, r"/([^/?]+)(\?.*)?$", 1)
+
+
+# Tracking params canonicalize_url strips, anchored with '=' so a
+# legitimate 'referrer_policy'/'refresh' param survives: the standard
+# analytics/click-id families plus bare 'ref' (the reference's detail
+# URLs carry exactly such per-crawl ref params, test.py:417-419).
+URL_TRACKING_RE = "^(utm_[^=]*|ref|fbclid|gclid)="
+
+
+def canonicalize_url(col: Column) -> Column:
+    """Canonical crawl-record URL identity — the dedup key the
+    reference effectively uses for its incremental skip (Q2 dedups on
+    job_url, test.py:155-165, after stripping the query to derive the
+    job key, test.py:417-419):
+
+    - scheme and host lowercased (the case-insensitive parts per the
+      URL spec; path/query case is preserved),
+    - fragment stripped (never sent to the server),
+    - tracking params removed (URL_TRACKING_RE), real params kept in
+      their original order — a '?page=2' listing page stays distinct
+      from page 1,
+    - a query left empty by the strip loses its '?'.
+
+    Pure Catalyst expression chain (regexp + higher-order filter), no
+    UDF — stays inside whole-stage codegen at 100 TB scan width."""
+    nofrag = F.regexp_replace(col, "#.*$", "")
+    qpos = F.instr(nofrag, "?")
+    # split at the FIRST '?' (substring is 1-based; qpos==0 means none)
+    base = F.when(qpos > 0, nofrag.substr(F.lit(1), qpos - 1)).otherwise(nofrag)
+    qs = F.when(
+        qpos > 0, nofrag.substr(qpos + 1, F.length(nofrag))
+    ).otherwise(F.lit(""))
+    prefix = F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
+    rest = base.substr(F.length(prefix) + 1, F.length(base))
+    kept = F.array_join(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "") & ~p.rlike(URL_TRACKING_RE),
+        ),
+        "&",
+    )
+    return F.concat(
+        F.lower(prefix),
+        rest,
+        F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
+    )

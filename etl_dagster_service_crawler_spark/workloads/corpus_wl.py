@@ -689,6 +689,113 @@ ORDER BY doc_id
 """
 
 
+def _messy_url(col_expr: str, div: str) -> str:
+    """Deterministic messy-URL synthesis shared by both engines: the
+    documents table has no URL column, so crawl-record URLs are
+    fabricated from doc_id — doc_id % 200 is the item key (collisions
+    = re-crawls of the same listing) and the crawl ROUND
+    (doc_id div 200) % 4 picks the mess, so one item key accumulates
+    DIFFERENT messy forms across rounds (the cross-variant merge is
+    what the canonicalizer must deliver): mixed-case scheme/host,
+    utm_* tracking params, a per-crawl ref= click id + fragment, or a
+    clean ?page=2 that must SURVIVE. ``col_expr`` is the doc_id SQL
+    expression; ``div`` is the engine's integer-division token
+    ('DIV' Spark, '//' DuckDB — the one dialect split)."""
+    k = f"CAST({col_expr} % 200 AS STRING)"
+    return (
+        f"CASE CAST(({col_expr} {div} 200) % 4 AS INT) "
+        f"WHEN 0 THEN 'https://Site.example/Jobs/item/' || {k} "
+        f"WHEN 1 THEN 'HTTPS://site.example/Jobs/item/' || {k} "
+        f"  || '?utm_source=feed&utm_campaign=x' "
+        f"WHEN 2 THEN 'https://SITE.example/Jobs/item/' || {k} "
+        f"  || '?page=2&ref=' || CAST({col_expr} AS STRING) || '#frag' "
+        f"ELSE 'https://site.example/Jobs/item/' || {k} || '?page=2' END"
+    )
+
+
+def q_dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup (VERDICT r9 item 6) — the reference's
+    natural record identity: its crawler derives the job key by
+    stripping the query from the detail URL (reference test.py:417-419)
+    and its incremental skip dedups on job_url (Q2, test.py:155-165).
+    Canonical form: scheme and host lowercased (path stays
+    case-sensitive per the URL spec), fragment stripped, tracking
+    params (utm_*, ref, fbclid, gclid — anchored on '=') removed while
+    real params like page= survive; first crawl occurrence wins per
+    canonical URL with min-doc_id as the deterministic tie-break.
+
+    Pure expression chain via functions.text.canonicalize_url (no
+    UDF); the ONLY exchange is the keeper window on the canonical key,
+    and the dup count rides the same partition — at 100 TB this is one
+    hash shuffle of (url, id) pairs, the cheapest dedup identity after
+    the content hash. Emits the kept row: (doc_id, url, canonical_url,
+    n_dups)."""
+    from etl_dagster_service_crawler_spark.functions.cleaning import (
+        canonicalize_url,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    with_url = d.select(
+        "doc_id", F.expr(_messy_url("doc_id", "DIV")).alias("url")
+    ).withColumn("canonical_url", canonicalize_url(F.col("url")))
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    wc = Window.partitionBy("canonical_url")
+    return (
+        with_url.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count(F.lit(1)).over(wc).cast("bigint"))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "url", "canonical_url", "n_dups")
+    )
+
+
+def _sql_dedup_url_canonical() -> str:
+    from etl_dagster_service_crawler_spark.functions.cleaning import (
+        URL_TRACKING_RE,
+    )
+
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {_messy_url("doc_id", "//")} AS url FROM documents
+),
+nofrag AS (
+  SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nf FROM raw
+),
+parts AS (
+  SELECT doc_id, url,
+         CASE WHEN strpos(nf, '?') > 0
+              THEN substring(nf, 1, strpos(nf, '?') - 1) ELSE nf END AS base,
+         CASE WHEN strpos(nf, '?') > 0
+              THEN substring(nf, strpos(nf, '?') + 1) ELSE '' END AS qs
+  FROM nofrag
+),
+canon AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+           || substring(
+                base,
+                length(regexp_extract(base,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) + 1)
+           || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
+           AS canonical_url
+  FROM (
+    SELECT doc_id, url, base,
+           coalesce(array_to_string(
+             list_filter(string_split(qs, '&'),
+                         p -> p <> ''
+                              AND NOT regexp_matches(p, '{URL_TRACKING_RE}')),
+             '&'), '') AS kept
+    FROM parts
+  )
+)
+SELECT doc_id, url, canonical_url, n_dups FROM (
+  SELECT doc_id, url, canonical_url,
+         row_number() OVER (PARTITION BY canonical_url ORDER BY doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY canonical_url) AS BIGINT) AS n_dups
+  FROM canon
+) WHERE rn = 1
+"""
+
+
 # production ANN default: calibrated nprobe targets this recall@5 with
 # a small margin over the 0.8 pins in tests/test_corpus.py
 # (test_knn_join_recall_vs_bruteforce) and tools/knn_recall_scale.py
@@ -2381,6 +2488,12 @@ SPECS: list[QuerySpec] = [
         bench=True,
     ),
     QuerySpec("dedup_keep_best", q_dedup_keep_best, SQL_KEEP_BEST),
+    # r10: the crawler's natural record identity — canonical-URL
+    # first-wins dedup (reference test.py:417-419 key derivation + Q2)
+    QuerySpec(
+        "dedup_url_canonical", q_dedup_url_canonical,
+        _sql_dedup_url_canonical(),
+    ),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
     # the routed production entry (r7 item 1): IVF when the corpus
     # clusters, quantized block scan when calibration shows IVF

@@ -1138,3 +1138,64 @@ def test_pagerank_knn_graph_invariants(spark, sf_dir):
     assert {(r["vec_id"], r["rank_ppb"]) for r in rows} == {
         (r["vec_id"], r["rank_ppb"]) for r in again
     }
+
+
+def test_canonicalize_url_hand_values(spark):
+    """Messy-URL fixtures through functions.cleaning.canonicalize_url
+    (r10): scheme/host lowercase, path case preserved, fragment gone,
+    tracking params stripped on the anchored '=' rule (refresh=
+    survives), empty query loses its '?', idempotent on clean input."""
+    from etl_dagster_service_crawler_spark.functions.cleaning import (
+        canonicalize_url,
+    )
+
+    cases = {
+        "HTTPS://Site.EXAMPLE/Jobs/item/7?utm_source=a&page=2&ref=99#frag":
+            "https://site.example/Jobs/item/7?page=2",
+        "https://site.example/Jobs/item/7?page=2":
+            "https://site.example/Jobs/item/7?page=2",
+        "http://A.B/P?utm_x=1&fbclid=z&gclid=y":
+            "http://a.b/P",
+        "https://a.b/p#only-frag":
+            "https://a.b/p",
+        "https://a.b/p?refresh=1&referrer_policy=s":
+            "https://a.b/p?refresh=1&referrer_policy=s",
+        "https://A.B/CaseSensitive/Path":
+            "https://a.b/CaseSensitive/Path",
+    }
+    df = spark.createDataFrame(
+        [(u,) for u in cases], "url string"
+    ).select("url", canonicalize_url(F.col("url")).alias("c"))
+    got = {r["url"]: r["c"] for r in df.collect()}
+    assert got == cases
+
+
+def test_dedup_url_canonical_first_wins(spark, tmp_path):
+    """One item key crawled five times with different messy URL forms
+    (rounds pick the variant): the canonicalizer merges the
+    bare/utm/ref+fragment forms into one identity and keeps ?page=2
+    distinct; within each identity the FIRST crawl (min doc_id) is the
+    kept row and n_dups counts the group."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_dedup_url_canonical,
+    )
+
+    # item key 5 at rounds 0..4 -> variants 0,1,2,3,0
+    ids = [5, 205, 405, 605, 805]
+    _write_documents(
+        tmp_path, [(i, f"t{i}", "en", "s", 2) for i in ids]
+    )
+    rows = {
+        r["canonical_url"]: r
+        for r in q_dedup_url_canonical(spark, str(tmp_path)).collect()
+    }
+    bare = rows["https://site.example/Jobs/item/5"]
+    paged = rows["https://site.example/Jobs/item/5?page=2"]
+    assert len(rows) == 2
+    # variants 0 (doc 5), 1 (doc 205), 0 (doc 805) merge; first wins
+    assert bare["doc_id"] == 5 and bare["n_dups"] == 3
+    assert bare["url"] == "https://Site.example/Jobs/item/5"
+    # variant 2 (ref+frag, doc 405) canonicalizes INTO the page=2
+    # identity of variant 3 (doc 605); the earlier crawl is kept
+    assert paged["doc_id"] == 405 and paged["n_dups"] == 2
+    assert paged["url"].endswith("?page=2&ref=405#frag")
