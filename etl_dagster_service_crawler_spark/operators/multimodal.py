@@ -74,6 +74,41 @@ def decode_image(payload: bytes):
         return np.asarray(img.convert("RGB"))
 
 
+def dhash_image(arr) -> tuple[int, int]:
+    """64-bit difference hash (dHash) over a decoded image — the
+    classic integer perceptual signature: resize the gray plane to
+    9x8 with the codec's deterministic nearest rule, then bit (r, c)
+    is 1 iff px[r][c] > px[r][c+1]. Returned as TWO 32-bit halves
+    (hi = rows 0-3, lo = rows 4-7): every value stays far inside a
+    signed 64-bit domain, so the signature survives signed-BIGINT
+    engines bit-for-bit (the cross-engine exactness rule the SimHash
+    export follows) with no sign games at bit 63.
+
+    All-integer by construction: same pixels, same hash, on any
+    machine — which is what makes the export oracle-checkable and the
+    banded near-dup join exact."""
+    import numpy as np
+
+    from etl_dagster_service_crawler_spark.operators.png_codec import (
+        resize_nearest,
+    )
+
+    a = np.asarray(arr)
+    if a.ndim == 3:
+        a = a[:, :, 0]
+    small = resize_nearest(a, 9, 8)
+    hi = lo = 0
+    for r in range(8):
+        for c in range(8):
+            if small[r, c] > small[r, c + 1]:
+                idx = (r % 4) * 8 + c
+                if r < 4:
+                    hi |= 1 << idx
+                else:
+                    lo |= 1 << idx
+    return hi, lo
+
+
 def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a feature extractor: byte-histogram
     moments. Same shape/typing a real CNN/spectrogram stage would emit."""

@@ -1007,6 +1007,181 @@ GROUP BY d.doc_id, (p - 1) // 64
 """
 
 
+PHASH_TILE = 16  # synthesized gray tile side (16x16 px per document)
+PHASH_HAM_T = 3  # near-dup threshold; 4 bands make blocking EXACT for it
+
+
+def q_phash_image_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash export (VERDICT r9 item 7) — the integer
+    dHash signature per image, the multimodal analogue of
+    simhash_signature_export: the signature an image-dedup pipeline
+    persists next to the corpus.
+
+    The fixture lake has no image column, so each document gets a
+    deterministic 16x16 gray tile synthesized from its text
+    codepoints (pixel i = ord(text[i mod len]) % 256 — exact-dup texts
+    yield exact-dup images); the tile round-trips through REAL PNG
+    bytes (png_codec.encode_png -> the multimodal decode_image seam,
+    pillow or pure-python identically since PNG is lossless) before
+    operators/multimodal.dhash_image computes the 9x8
+    nearest-resize difference hash. All-integer end to end, so the
+    DuckDB oracle reproduces the signatures from the same pixel
+    arithmetic without any PNG machinery — the decode seam is what
+    the Spark side additionally proves.
+
+    Scale: a narrow mapInPandas — payload bytes never leave their
+    row, output is (id, 2 ints) per image. Emits (doc_id, dhash_hi,
+    dhash_lo), the 64-bit hash as two 32-bit halves (signed-BIGINT
+    safe in both engines)."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import numpy as np
+
+        from etl_dagster_service_crawler_spark.operators.multimodal import (
+            decode_image,
+            dhash_image,
+        )
+        from etl_dagster_service_crawler_spark.operators.png_codec import (
+            encode_png,
+        )
+
+        for pdf in it:
+            his, los = [], []
+            for text in pdf["text"]:
+                cps = np.array(
+                    [ord(ch) % 256 for ch in text], dtype=np.uint8
+                )
+                idx = np.arange(PHASH_TILE * PHASH_TILE) % len(cps)
+                png = encode_png(cps[idx].reshape(PHASH_TILE, PHASH_TILE))
+                hi, lo = dhash_image(decode_image(png))
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "dhash_hi": his, "dhash_lo": los}
+            )
+
+    return d.mapInPandas(
+        batches, "doc_id bigint, dhash_hi bigint, dhash_lo bigint"
+    )
+
+
+# the oracle replays the pixel arithmetic directly: gray(R, C) =
+# ord(text[(R*16 + C) mod len]) % 256, nearest-resize row (r*16)//8,
+# cols (c*16)//9 and ((c+1)*16)//9 — integer-identical to
+# png_codec.resize_nearest + multimodal.dhash_image
+SQL_PHASH_EXPORT = """
+WITH bits AS (
+  SELECT d.doc_id, r.r, c.c,
+         CASE WHEN
+           (ord(substr(d.text,
+              ((((r.r*16)//8)*16 + (c.c*16)//9) % length(d.text)) + 1, 1))
+            % 256) >
+           (ord(substr(d.text,
+              ((((r.r*16)//8)*16 + ((c.c+1)*16)//9) % length(d.text)) + 1, 1))
+            % 256)
+         THEN 1 ELSE 0 END AS b
+  FROM documents d,
+       unnest(generate_series(0, 7)) AS r(r),
+       unnest(generate_series(0, 7)) AS c(c)
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN r < 4
+                     THEN CAST(b AS BIGINT) << ((r % 4) * 8 + c)
+                     ELSE 0 END) AS BIGINT) AS dhash_hi,
+       CAST(sum(CASE WHEN r >= 4
+                     THEN CAST(b AS BIGINT) << ((r % 4) * 8 + c)
+                     ELSE 0 END) AS BIGINT) AS dhash_lo
+FROM bits
+GROUP BY doc_id
+"""
+
+
+def q_dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual hash — the multimodal
+    half of the dedup brief: pairs whose dHash Hamming distance is at
+    most PHASH_HAM_T, found via banded blocking over the
+    phash_image_export signatures (the MinHash-LSH band pattern).
+
+    The blocking is EXACT, not approximate: splitting the 64-bit hash
+    into 4 16-bit bands means any pair within Hamming distance 3 has
+    at most 3 differing bands, so at least one band matches
+    (pigeonhole, the standard d+1-bands rule) — which is why the
+    all-pairs DuckDB oracle and the banded Spark plan agree
+    hash-for-hash. Scale: the only exchanges move (doc_id, two
+    bigints) keyed by 16-bit band values; pair work is Σ|bucket|²,
+    never n² — image bytes were already reduced to 8 bytes of
+    signature upstream."""
+    sig = q_phash_image_export(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "dhash_hi",
+        "dhash_lo",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band_id"),
+                    F.expr("shiftright(dhash_hi, 16) & 65535").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band_id"),
+                    F.expr("dhash_hi & 65535").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band_id"),
+                    F.expr("shiftright(dhash_lo, 16) & 65535").alias("bv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band_id"),
+                    F.expr("dhash_lo & 65535").alias("bv"),
+                ),
+            )
+        ).alias("b"),
+    ).select(
+        "doc_id", "dhash_hi", "dhash_lo",
+        F.col("b.band_id").alias("band_id"), F.col("b.bv").alias("bv"),
+    )
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("dhash_hi").alias("ha"),
+        F.col("dhash_lo").alias("la"),
+        "band_id", "bv",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("dhash_hi").alias("hb"),
+        F.col("dhash_lo").alias("lb"),
+        "band_id", "bv",
+    )
+    return (
+        left.join(right, ["band_id", "bv"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a", "doc_b",
+            F.expr(
+                "CAST(bit_count(ha ^ hb) + bit_count(la ^ lb) AS INT)"
+            ).alias("hamming"),
+        )
+        .where(F.col("hamming") <= PHASH_HAM_T)
+        .distinct()
+    )
+
+
+SQL_DEDUP_IMAGE_PHASH = f"""
+WITH sig AS ({SQL_PHASH_EXPORT})
+SELECT doc_a, doc_b, hamming FROM (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(bit_count(xor(a.dhash_hi, b.dhash_hi))
+              + bit_count(xor(a.dhash_lo, b.dhash_lo)) AS INT) AS hamming
+  FROM sig a, sig b
+  WHERE a.doc_id < b.doc_id
+)
+WHERE hamming <= {PHASH_HAM_T}
+"""
+
+
 # --- corpus hygiene: repetition, contamination, mixture ----------------------
 
 
@@ -3383,4 +3558,11 @@ SPECS = [
     QuerySpec("similarity_topk_rerank", q_similarity_topk_rerank, SQL_TOPK_RERANK),
     QuerySpec("multimodal_columns", q_multimodal_columns, SQL_MULTIMODAL),
     QuerySpec("multimodal_features", q_multimodal_features, SQL_MM_FEATURES),
+    # r10: the multimodal half of the dedup brief — integer dHash
+    # signatures through the REAL PNG decode seam, then exact banded
+    # near-dup pairs (d+1 bands, no recall loss)
+    QuerySpec("phash_image_export", q_phash_image_export, SQL_PHASH_EXPORT),
+    QuerySpec(
+        "dedup_image_phash", q_dedup_image_phash, SQL_DEDUP_IMAGE_PHASH
+    ),
 ]

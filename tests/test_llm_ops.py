@@ -1285,6 +1285,75 @@ def test_image_decode_distributed_over_map_in_pandas(spark):
         assert out[i]["mean_r"] == float(i * 10)
 
 
+def test_dhash_image_hand_values_and_locality():
+    """The integer perceptual hash (r10): a horizontal gradient sets
+    EVERY difference bit one way (all-zeros: right neighbor larger), a
+    reversed gradient sets all 64, identical images hash identically
+    through the PNG round-trip, and one local pixel edit moves the
+    hash by a SMALL Hamming distance while a different image is far —
+    the locality property the banded near-dup join exploits."""
+    import numpy as np
+
+    from etl_dagster_service_crawler_spark.operators.multimodal import (
+        decode_image,
+        dhash_image,
+    )
+    from etl_dagster_service_crawler_spark.operators.png_codec import (
+        encode_png,
+    )
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
+    asc = np.tile(np.arange(0, 160, 10, dtype=np.uint8), (16, 1))
+    assert dhash_image(asc) == (0, 0)  # ascending: no left > right
+    desc = asc[:, ::-1].copy()
+    assert dhash_image(desc) == (0xFFFFFFFF, 0xFFFFFFFF)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    # PNG round-trip through the real decode seam changes nothing
+    assert dhash_image(img) == dhash_image(decode_image(encode_png(img)))
+
+    h0 = dhash_image(img)
+    edited = img.copy()
+    edited[5, 5] = 255 - edited[5, 5]  # one pixel flip
+    other = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    assert ham(h0, dhash_image(edited)) <= 6
+    assert ham(h0, dhash_image(other)) > 6
+
+
+def test_dedup_image_phash_banding_is_exact(spark, sf_dir):
+    """The banded pair join must equal the all-pairs answer EXACTLY
+    (4 bands, threshold 3: pigeonhole guarantees a matching band), so
+    recompute all-pairs from the export driver-side and compare."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        PHASH_HAM_T,
+        q_dedup_image_phash,
+        q_phash_image_export,
+    )
+
+    sig = {
+        r["doc_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in q_phash_image_export(spark, sf_dir).collect()
+    }
+    want = set()
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sig[a][0] ^ sig[b][0]).count("1") + bin(
+                sig[a][1] ^ sig[b][1]
+            ).count("1")
+            if d <= PHASH_HAM_T:
+                want.add((a, b, d))
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in q_dedup_image_phash(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus should contain near-dup images"
+
+
 def test_wav_codec_roundtrip_and_errors():
     """The pure-python WAV codec (r10: the multimodal AUDIO decode
     path must EXECUTE in this container, not skip — the exact analogue
