@@ -1386,7 +1386,9 @@ def q_cluster_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cluster size + cohesion (mean cosine to own centroid) — the
     curation signals. Rows-only: k-means is seed-deterministic within
     Spark but not reproducible in DuckDB; the recall/consistency unit
-    tests live with the IVF family."""
+    tests live with the IVF family, and the assignment SEMANTICS are
+    anchored by the oracle-backed kmeans_assign_export (r10 — the
+    frozen-centroid integer-argmin twin)."""
     from etl_dagster_service_crawler_spark.operators.similarity import ivf_assign
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1402,6 +1404,90 @@ def q_cluster_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+KMEANS_EXPORT_K = 8
+
+
+def q_kmeans_assign_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-centroid k-means ASSIGNMENT export (VERDICT r9 item 8) —
+    the oracle-backed anchor for the rows-only
+    cluster_semantic_kmeans: under the deterministic md5-picked
+    centroid set the assign step is a pure integer argmin in the int8
+    domain, so (vec_id, cluster_id, d2_q8) value-hash oracle-checks
+    exactly like ivf_assign_export does for the cosine-argmax IVF
+    family. What a trained run cannot replay in DuckDB (the k-means
+    iterations), this pins at the step every consumer feeds into:
+    nearest-centroid assignment by squared-L2 over int8-quantized
+    vectors, ties to the smallest cluster.
+
+    Scale shape = assign_cells: broadcast the KMEANS_EXPORT_K
+    quantized centroids, ONE corpus scan with a map-side-combining
+    min aggregate — the exchange carries n (id, int, bigint) rows,
+    never the n x k candidate frame; the seed-pick window is
+    export-only scaffolding (8 rows)."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        _q8_expr,
+        hash_spread_seeds,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = hash_spread_seeds(e, KMEANS_EXPORT_K).select(
+        F.col("cid").alias("cluster_id"), _q8_expr("cvec").alias("qc")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qv"),
+            F.col("qc"),
+            lambda a, b: ((a - b) * (a - b)).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        e.select("vec_id", _q8_expr("embedding").alias("qv"))
+        .join(F.broadcast(cent))
+        .select("vec_id", "cluster_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct(F.col("d2"), F.col("cluster_id"))).alias("s"))
+        .select(
+            "vec_id",
+            F.col("s.cluster_id").cast("int").alias("cluster_id"),
+            F.col("s.d2").cast("bigint").alias("d2_q8"),
+        )
+    )
+
+
+def _sql_kmeans_assign_export() -> str:
+    return f"""
+WITH {_SQL_Q8},
+kc AS (
+  SELECT CAST(rk - 1 AS INT) AS cluster_id, qv AS qc
+  FROM (
+    SELECT qv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             AS rk
+    FROM q8
+  )
+  WHERE rk <= {KMEANS_EXPORT_K}
+),
+sc AS (
+  SELECT e.vec_id, c.cluster_id,
+         list_sum(list_transform(list_zip(e.qv, c.qc),
+             p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
+                  * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))) AS d2
+  FROM q8 e, kc c
+)
+SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id,
+       CAST(d2 AS BIGINT) AS d2_q8
+FROM (
+  SELECT vec_id, cluster_id, d2,
+         row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster_id)
+           AS rn
+  FROM sc
+)
+WHERE rn = 1
+"""
 
 
 def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3514,6 +3600,11 @@ SPECS = [
         _sql_embedding_dim_profile(),
     ),
     QuerySpec("cluster_semantic_kmeans", q_cluster_semantic_kmeans, None),
+    # r10: the frozen-centroid assignment anchor for the kmeans family
+    QuerySpec(
+        "kmeans_assign_export", q_kmeans_assign_export,
+        _sql_kmeans_assign_export(),
+    ),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),
     QuerySpec("embedding_quality_gate", q_embedding_quality_gate, SQL_EMB_QUALITY_GATE),

@@ -67,6 +67,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("ivf_probe_export", "BroadcastNestedLoopJoin"): "16-row centroid set",
     ("ivf_probe_export", "Window"): "16-row seed-rank frame",
     ("cluster_semantic_kmeans", "BroadcastNestedLoopJoin"): "centroid array row",
+    # r10 kmeans anchor: the 8-row hash_spread_seeds rank window and
+    # the 8-row quantized-centroid broadcast (assign_cells shape)
+    ("kmeans_assign_export", "Window"): "8-row seed-rank frame",
+    ("kmeans_assign_export", "BroadcastNestedLoopJoin"):
+        "8-row quantized centroid set",
     # r8 PQ family: the seed-rank window runs on the 8/16-row
     # hash_spread_seeds frame (the corpus-sized pick is a distributed
     # TakeOrdered); ivf_pq_search's BNLJ is assign_cells/probe_cells
