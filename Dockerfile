@@ -5,9 +5,11 @@
 # engine's own cron-cadence tick loop (deploy.py). The reference
 # starts dagster-webserver AND dagster-daemon in ONE container
 # (reference Dockerfile:22); the matching shape here is the combined
-# mode: `docker run ... --serve 8387 --daemon` (or --cron, which
-# implies --daemon) serves the run screen while firing scheduled
-# ticks from the same process.
+# mode: `docker run -p 8387:8387 ... --serve 8387 --daemon --bind
+# 0.0.0.0` (or --cron, which implies --daemon) serves the run screen
+# while firing scheduled ticks from the same process. --bind 0.0.0.0
+# is required for the published port to reach the in-container server
+# (the default 127.0.0.1 bind is loopback-only, as dagster dev's is).
 #
 # Two build targets:
 #   docker build -t spark-graft .                   # default: no browser
@@ -38,7 +40,8 @@ ENV DATA_DIR=/data \
 
 # Default: the 2-minute schedule loop (the reference's cron); pass
 # --once for a single availableNow tick (CI smoke / backfill), or
-# --serve 8387 --daemon for the reference's webserver+daemon pair.
+# --serve 8387 --daemon --bind 0.0.0.0 for the reference's
+# webserver+daemon pair.
 ENTRYPOINT ["python", "-m", "etl_dagster_service_crawler_spark.deploy"]
 
 # ---- browser stage: JS-rendering crawl (reference Dockerfile:10) ----

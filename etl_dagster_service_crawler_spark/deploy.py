@@ -246,6 +246,7 @@ def serve_status(
     spark: SparkSession, output: str, port: int = 8387, n_recent: int = 25,
     run_job: str | None = None, run_source: str | None = None,
     side_cols: list[str] | None = None, transport: str | None = None,
+    bind: str = "127.0.0.1",
 ):
     """The web run surface (reference parity: dagster-webserver's runs
     screen + launch button, Dockerfile:22, definitions.py:27-30) as a
@@ -261,10 +262,14 @@ def serve_status(
       a time: a concurrent POST gets 409 instead of racing a second
       Spark query against the same checkpoint dir.
 
-    Auth story: the server binds 127.0.0.1 ONLY (same default as the
+    Auth story: the server binds 127.0.0.1 by DEFAULT (same as the
     reference's dagster dev webserver) — the run trigger is reachable
     from the local host, never the network; put a reverse proxy with
-    auth in front to expose it, as you would dagster-webserver.
+    auth in front to expose it, as you would dagster-webserver. Inside
+    a container the loopback is unreachable from published ports, so
+    the Dockerfile's webserver mode passes ``--bind 0.0.0.0`` (the
+    in-container equivalent of what dagster-webserver -h 0.0.0.0
+    does); the container boundary is then the exposure decision.
 
     Returns the (started, not yet serving) ThreadingHTTPServer so the
     caller owns the loop: main() calls serve_forever in the
@@ -379,7 +384,7 @@ def serve_status(
             finally:
                 tick_lock.release()
 
-    srv = ThreadingHTTPServer(("127.0.0.1", port), StatusHandler)
+    srv = ThreadingHTTPServer((bind, port), StatusHandler)
     # exposed so a combined serve+daemon process (main --serve --daemon/
     # --cron) runs its SCHEDULED ticks under the same lock POST /run
     # uses: a web-triggered tick during a scheduled one gets 409, and a
@@ -436,13 +441,20 @@ def main(argv: list[str] | None = None) -> int:
         "button; binds 127.0.0.1 only",
     )
     p.add_argument(
+        "--bind",
+        default="127.0.0.1",
+        help="--serve bind address (default 127.0.0.1 — local only; "
+        "pass 0.0.0.0 inside a container so published ports reach it)",
+    )
+    p.add_argument(
         "--daemon",
         action="store_true",
         help="with --serve: ALSO run the scheduled tick loop in this "
         "process — the reference container's webserver+daemon pair "
         "(Dockerfile:22 starts both concurrently). --serve with "
-        "--cron implies --daemon. Scheduled ticks share POST /run's "
-        "lock: a web trigger during a scheduled tick gets 409.",
+        "--cron implies --daemon; one-shot modes (--once/--status) "
+        "ignore it. Scheduled ticks share POST /run's lock: a web "
+        "trigger during a scheduled tick gets 409.",
     )
     args = p.parse_args(argv)
     side_cols = [c for c in args.side_cols.split(",") if c]
@@ -450,34 +462,25 @@ def main(argv: list[str] | None = None) -> int:
     spark = build_session()
     bg_srv = None
     try:
-        if args.serve is not None:
+        combined = args.serve is not None and (
+            args.daemon or args.cron is not None
+        )
+        if args.serve is not None and not combined:
             srv = serve_status(
-                spark, args.output, port=args.serve,
+                spark, args.output, port=args.serve, bind=args.bind,
                 run_job=args.job, run_source=args.source,
                 side_cols=side_cols, transport=args.transport,
             )
             host, port = srv.server_address[:2]
-            combined = args.daemon or args.cron is not None
             print(f"serving run status on http://{host}:{port}/ "
-                  f"(POST /run triggers one {args.job} tick)"
-                  + (" + scheduled tick daemon" if combined else ""))
-            if not combined:
-                try:
-                    srv.serve_forever()
-                except KeyboardInterrupt:
-                    pass
-                finally:
-                    srv.server_close()
-                return 0
-            # combined webserver + daemon (reference Dockerfile:22
-            # parity: one container runs BOTH): serve from a background
-            # thread, run the tick loop in the foreground below. The
-            # thread is daemonized so a loop crash still exits the
-            # process instead of leaving a zombie status server.
-            import threading
-
-            bg_srv = srv
-            threading.Thread(target=bg_srv.serve_forever, daemon=True).start()
+                  f"(POST /run triggers one {args.job} tick)")
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.server_close()
+            return 0
         if args.status:
             return print_status(spark, args.output)
         if args.once:
@@ -493,6 +496,29 @@ def main(argv: list[str] | None = None) -> int:
             )
 
             spec = parse_cron(args.cron)
+        if combined:
+            # combined webserver + daemon (reference Dockerfile:22
+            # parity: one container runs BOTH): serve from a background
+            # thread, run the tick loop in the foreground below. The
+            # thread is daemonized so a loop crash still exits the
+            # process instead of leaving a zombie status server.
+            # Started only HERE — after the one-shot branches
+            # (--status/--once ignore --daemon) and the cron parse —
+            # so no early return or parse error can leave a started
+            # server for the finally to shut down before it ever
+            # served (review fix).
+            import threading
+
+            bg_srv = serve_status(
+                spark, args.output, port=args.serve, bind=args.bind,
+                run_job=args.job, run_source=args.source,
+                side_cols=side_cols, transport=args.transport,
+            )
+            host, port = bg_srv.server_address[:2]
+            print(f"serving run status on http://{host}:{port}/ "
+                  f"(POST /run triggers one {args.job} tick)"
+                  " + scheduled tick daemon")
+            threading.Thread(target=bg_srv.serve_forever, daemon=True).start()
         def sleep_until_next_match() -> None:
             # calendar alignment: sleep until the next cron match in
             # the configured tz. A tick that overran its window gets
@@ -522,25 +548,34 @@ def main(argv: list[str] | None = None) -> int:
         tick_gate = (
             bg_srv.tick_lock if bg_srv is not None else contextlib.nullcontext()
         )
-        while True:
-            started = time.time()
-            with tick_gate:
-                run_tick(
-                    spark, args.job, args.source, args.output, side_cols,
-                    transport=args.transport,
-                )
-            ticks += 1
-            if args.max_ticks and ticks >= args.max_ticks:
-                return 0
-            if spec is not None:
-                sleep_until_next_match()
-            else:
-                # cron-style fixed cadence: sleep out the remainder of
-                # the window (a tick longer than the interval fires the
-                # next one immediately — missed-tick catch-up)
-                time.sleep(
-                    max(0.0, args.interval_seconds - (time.time() - started))
-                )
+        try:
+            while True:
+                started = time.time()
+                with tick_gate:
+                    run_tick(
+                        spark, args.job, args.source, args.output, side_cols,
+                        transport=args.transport,
+                    )
+                ticks += 1
+                if args.max_ticks and ticks >= args.max_ticks:
+                    return 0
+                if spec is not None:
+                    sleep_until_next_match()
+                else:
+                    # cron-style fixed cadence: sleep out the remainder
+                    # of the window (a tick longer than the interval
+                    # fires the next one immediately — missed-tick
+                    # catch-up)
+                    time.sleep(
+                        max(
+                            0.0,
+                            args.interval_seconds - (time.time() - started),
+                        )
+                    )
+        except KeyboardInterrupt:
+            # same clean Ctrl-C contract as solo --serve: stop the
+            # loop, let the finally shut the server/session down, rc 0
+            return 0
     finally:
         if bg_srv is not None:
             bg_srv.shutdown()

@@ -85,7 +85,9 @@ def canonicalize_url(col: Column) -> Column:
     job key, test.py:417-419):
 
     - scheme and host lowercased (the case-insensitive parts per the
-      URL spec; path/query case is preserved),
+      URL spec; path/query case is preserved, and so is USERINFO —
+      user:pass@ is case-sensitive per RFC 3986, so only the part of
+      the authority after the last '@' is lowered),
     - fragment stripped (never sent to the server),
     - tracking params removed (URL_TRACKING_RE), real params kept in
       their original order — a '?page=2' listing page stays distinct
@@ -101,8 +103,15 @@ def canonicalize_url(col: Column) -> Column:
     qs = F.when(
         qpos > 0, nofrag.substr(qpos + 1, F.length(nofrag))
     ).otherwise(F.lit(""))
-    prefix = F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)
-    rest = base.substr(F.length(prefix) + 1, F.length(base))
+    scheme = F.regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://)", 1)
+    auth = F.regexp_extract(base, "^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)", 1)
+    # greedy [^/]* before the @ -> everything up to the LAST @ is
+    # userinfo (the RFC parse); '' when the authority has none
+    ui = F.regexp_extract(auth, "^([^/]*@)", 1)
+    host = auth.substr(F.length(ui) + 1, F.length(auth))
+    rest = base.substr(
+        F.length(scheme) + F.length(auth) + 1, F.length(base)
+    )
     kept = F.array_join(
         F.filter(
             F.split(qs, "&"),
@@ -111,7 +120,9 @@ def canonicalize_url(col: Column) -> Column:
         "&",
     )
     return F.concat(
-        F.lower(prefix),
+        F.lower(scheme),
+        ui,
+        F.lower(host),
         rest,
         F.when(kept != "", F.concat(F.lit("?"), kept)).otherwise(F.lit("")),
     )

@@ -768,23 +768,32 @@ parts AS (
               THEN substring(nf, strpos(nf, '?') + 1) ELSE '' END AS qs
   FROM nofrag
 ),
+pre AS (
+  SELECT doc_id, url, base, qs,
+         regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://)', 1) AS sch,
+         regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/]*)', 1)
+           AS auth
+  FROM parts
+),
+pre2 AS (
+  -- greedy up-to-last-@ = userinfo (case-SENSITIVE per RFC 3986,
+  -- preserved); only the host part after it is lowered
+  SELECT *, regexp_extract(auth, '^([^/]*@)', 1) AS ui FROM pre
+),
 canon AS (
   SELECT doc_id, url,
-         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
-           || substring(
-                base,
-                length(regexp_extract(base,
-                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) + 1)
+         lower(sch) || ui || lower(substring(auth, length(ui) + 1))
+           || substring(base, length(sch) + length(auth) + 1)
            || CASE WHEN kept <> '' THEN '?' || kept ELSE '' END
            AS canonical_url
   FROM (
-    SELECT doc_id, url, base,
+    SELECT doc_id, url, base, sch, auth, ui,
            coalesce(array_to_string(
              list_filter(string_split(qs, '&'),
                          p -> p <> ''
                               AND NOT regexp_matches(p, '{URL_TRACKING_RE}')),
              '&'), '') AS kept
-    FROM parts
+    FROM pre2
   )
 )
 SELECT doc_id, url, canonical_url, n_dups FROM (

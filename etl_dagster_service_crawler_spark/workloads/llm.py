@@ -1051,8 +1051,12 @@ def q_phash_image_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             his, los = [], []
             for text in pdf["text"]:
+                # empty/NULL text -> constant zero tile -> hash (0,0);
+                # the oracle's CASE length=0 guard mirrors it (a bare
+                # mod-by-zero would kill the worker on a degenerate doc)
                 cps = np.array(
-                    [ord(ch) % 256 for ch in text], dtype=np.uint8
+                    [ord(ch) % 256 for ch in text] if text else [0],
+                    dtype=np.uint8,
                 )
                 idx = np.arange(PHASH_TILE * PHASH_TILE) % len(cps)
                 png = encode_png(cps[idx].reshape(PHASH_TILE, PHASH_TILE))
@@ -1075,7 +1079,7 @@ def q_phash_image_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PHASH_EXPORT = """
 WITH bits AS (
   SELECT d.doc_id, r.r, c.c,
-         CASE WHEN
+         CASE WHEN coalesce(length(d.text), 0) = 0 THEN 0 WHEN
            (ord(substr(d.text,
               ((((r.r*16)//8)*16 + (c.c*16)//9) % length(d.text)) + 1, 1))
             % 256) >
@@ -1427,6 +1431,7 @@ def q_kmeans_assign_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     never the n x k candidate frame; the seed-pick window is
     export-only scaffolding (8 rows)."""
     from etl_dagster_service_crawler_spark.operators.similarity import (
+        _il2,
         _q8_expr,
         hash_spread_seeds,
     )
@@ -1435,15 +1440,11 @@ def q_kmeans_assign_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = hash_spread_seeds(e, KMEANS_EXPORT_K).select(
         F.col("cid").alias("cluster_id"), _q8_expr("cvec").alias("qc")
     )
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("qv"),
-            F.col("qc"),
-            lambda a, b: ((a - b) * (a - b)).cast("bigint"),
-        ),
-        F.lit(0).cast("bigint"),
-        lambda acc, x: acc + x,
-    )
+    # _il2, not an inline fold: its per-term coalesce is the
+    # engine-parity seam for wrong-dim rows (zip_with pads NULL and a
+    # bare fold would go NULL while DuckDB's list_sum skips terms —
+    # the r9 invariant _sql_il2 states on the oracle side)
+    d2 = _il2(F.col("qv"), F.col("qc"))
     return (
         e.select("vec_id", _q8_expr("embedding").alias("qv"))
         .join(F.broadcast(cent))
@@ -1472,10 +1473,7 @@ kc AS (
   WHERE rk <= {KMEANS_EXPORT_K}
 ),
 sc AS (
-  SELECT e.vec_id, c.cluster_id,
-         list_sum(list_transform(list_zip(e.qv, c.qc),
-             p -> (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT))
-                  * (CAST(p[1] AS BIGINT) - CAST(p[2] AS BIGINT)))) AS d2
+  SELECT e.vec_id, c.cluster_id, {_sql_il2("e.qv", "c.qc")} AS d2
   FROM q8 e, kc c
 )
 SELECT vec_id, CAST(cluster_id AS INT) AS cluster_id,
@@ -2826,13 +2824,14 @@ GRAPH_SIDECAR_VER = 1
 _GRAPH_SIDECAR_SCHEMA = "src bigint, dst bigint, d bigint"
 
 
-def _graph_sidecar_path(sf_dir: str) -> str:
+def _graph_sidecar_path(sf_dir: str, n_vectors: int) -> str:
     from etl_dagster_service_crawler_spark.workloads.io_wl import _scratch
 
     return _scratch(
         sf_dir,
         f"graph_sidecar/v{GRAPH_SIDECAR_VER}_k{KNN_GRAPH_K}"
-        f"_c{IVF_EXPORT_CENTROIDS}_s{PQ_EXPORT_SUB}_x{PQ_EXPORT_CODES}",
+        f"_c{IVF_EXPORT_CENTROIDS}_s{PQ_EXPORT_SUB}_x{PQ_EXPORT_CODES}"
+        f"_n{n_vectors}",
     )
 
 
@@ -2850,20 +2849,24 @@ def mutual_graph_cached(
     A missing or incomplete sidecar (no _SUCCESS marker — a crashed
     writer never half-serves) triggers build+persist; the read-back
     pins the schema so consumers see identical types either way. The
-    graph-parameter fingerprint in the path keeps a stale sidecar from
-    an older configuration invisible. Consumers' results are
+    path fingerprint carries the graph parameters AND the corpus row
+    count (a metadata-only count() on the parquet scan), so both an
+    older configuration's sidecar and one built from a
+    regenerated/appended corpus are invisible; a same-count in-place
+    content rewrite is the one residual — bump GRAPH_SIDECAR_VER or
+    clear the scratch dir when doing that. Consumers' results are
     bit-identical with and without the sidecar because the build is
     value-hash oracle-checked (knn_graph_mutual / sink_graph_sidecar),
     so existing oracles are untouched."""
     import os
 
-    path = _graph_sidecar_path(sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    path = _graph_sidecar_path(sf_dir, e.count())
     if force_build or not os.path.exists(os.path.join(path, "_SUCCESS")):
         from etl_dagster_service_crawler_spark.operators.similarity import (
             knn_graph_mutual,
         )
 
-        e = load_table(spark, sf_dir, "embeddings")
         g = knn_graph_mutual(
             e, k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
             n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,

@@ -1162,6 +1162,11 @@ def test_canonicalize_url_hand_values(spark):
             "https://a.b/p?refresh=1&referrer_policy=s",
         "https://A.B/CaseSensitive/Path":
             "https://a.b/CaseSensitive/Path",
+        # userinfo is case-SENSITIVE (RFC 3986): only scheme+host lower
+        "HTTPS://TokenA@Api.Example/x?utm_y=1":
+            "https://TokenA@api.example/x",
+        "https://U:Pw@H.example/p":
+            "https://U:Pw@h.example/p",
     }
     df = spark.createDataFrame(
         [(u,) for u in cases], "url string"

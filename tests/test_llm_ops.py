@@ -1030,13 +1030,15 @@ def test_graph_sidecar_roundtrip_and_reuse(spark, sf_dir):
     import os
     import shutil
 
+    from etl_dagster_service_crawler_spark.io.tables import load_table
     from etl_dagster_service_crawler_spark.workloads.llm import (
         _graph_sidecar_path,
         mutual_graph_cached,
         q_knn_graph_mutual,
     )
 
-    path = _graph_sidecar_path(sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    path = _graph_sidecar_path(sf_dir, n)
     shutil.rmtree(path, ignore_errors=True)
     want = {(r["src"], r["dst"], r["d"])
             for r in q_knn_graph_mutual(spark, sf_dir).collect()}
