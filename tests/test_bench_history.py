@@ -355,3 +355,62 @@ def test_real_driver_artifacts_all_load():
     for p in artifacts:
         q, _, _, _ = bh._parse_doc(json.loads(p.read_text()))
         assert q, f"{p.name} recovered zero queries"
+
+
+def test_env_clear_annotates_per_window_canaries():
+    """r10 (advice 4): an ENV clearance on an artifact carrying
+    per-window canaries shows each window's drift, and a drift living
+    ONLY in the post-run window (possibly self-inflicted: warm cache,
+    GC-pressured heap) is called out for a local re-run instead of
+    silently passing as machine drift."""
+    prior = [mk_round("r01", {"a": 1.0}, {"a": [1.0, 1.0, 1.0]},
+                      canaries={"canary_par": 1.0})]
+    # flat worst-of ratio 1.6 clears the 1.5x query; windows split
+    newest = mk_round(
+        "loc", {"a": 1.5}, {"a": [1.5, 1.5, 1.5]},
+        canaries={
+            "canary_par": 1.6,
+            "canary_pre": {"par": 1.0},
+            "canary_post": {"par": 1.6},
+        },
+    )
+    flag = bh.flag_for("a", newest, prior, env_ratio=1.6, env_kind="par")
+    assert flag.startswith("ENV 1.5x")
+    assert "pre 1.0x" in flag and "post 1.6x" in flag
+    assert "post-window only" in flag and "re-run locally" in flag
+
+    # drift present in BOTH windows: annotated, but no re-run callout
+    newest2 = mk_round(
+        "loc", {"a": 1.5}, {"a": [1.5, 1.5, 1.5]},
+        canaries={
+            "canary_par": 1.6,
+            "canary_pre": {"par": 1.55},
+            "canary_post": {"par": 1.6},
+        },
+    )
+    flag2 = bh.flag_for("a", newest2, prior, env_ratio=1.6, env_kind="par")
+    assert flag2.startswith("ENV 1.5x")
+    assert "pre 1.6x" in flag2 or "pre 1.5x" in flag2
+    assert "post-window only" not in flag2
+
+
+def test_parse_doc_keeps_window_canaries_and_tail_skips_their_keys():
+    """The r10 artifact shape: canary_par joins the flat keys,
+    canary_pre/canary_post ride along as dicts; tail recovery must
+    not read the windows' short inner keys (cpu/io/par) as queries."""
+    doc = {
+        "queries": {"a": 1.0},
+        "runs": {},
+        "canary_cpu": 0.1, "canary_io": 0.2, "canary_par": 1.2,
+        "canary_pre": {"cpu": 0.1, "io": 0.2, "par": 1.0},
+        "canary_post": {"cpu": 0.09, "io": 0.15, "par": 1.2},
+    }
+    q, _, partial, canaries = bh._parse_doc(doc)
+    assert not partial and q == {"a": 1.0}
+    assert canaries["canary_par"] == 1.2
+    assert canaries["canary_pre"] == {"cpu": 0.1, "io": 0.2, "par": 1.0}
+
+    tail = ('"queries": {"a": 1.0}, "canary_par": 1.2, '
+            '"canary_pre": {"cpu": 0.1, "io": 0.2, "par": 1.0}}')
+    queries, _ = bh._from_tail(tail)
+    assert queries == {"a": 1.0}  # cpu/io/par never become queries
