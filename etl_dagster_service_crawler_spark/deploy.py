@@ -339,9 +339,20 @@ def serve_status(
             # HTTP/1.0 (one request per connection); under
             # protocol_version='HTTP/1.1' an unread body would be
             # parsed as the NEXT request on the kept-alive socket.
-            # POST /run takes no body, so the bytes are discarded.
+            # POST /run takes no body, so the bytes are discarded —
+            # in bounded chunks with a hard cap, never one read of the
+            # client-declared Content-Length (a hostile length would
+            # buffer gigabytes in the driver process that also owns
+            # the Spark session, now reachable via --bind 0.0.0.0).
             try:
-                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                remaining = min(
+                    int(self.headers.get("Content-Length", 0)), 1 << 20
+                )
+                while remaining > 0:
+                    chunk = self.rfile.read(min(remaining, 65536))
+                    if not chunk:
+                        break
+                    remaining -= len(chunk)
             except (ValueError, OSError):
                 pass  # malformed length / dead socket: respond anyway
             path = self.path.split("?", 1)[0]
@@ -438,7 +449,7 @@ def main(argv: list[str] | None = None) -> int:
         help="serve the run-control report over HTTP ('/' HTML, "
         "'/status.json' JSON, 'POST /run' triggers one tick of --job) "
         "— the reference's dagster-webserver runs screen + launch "
-        "button; binds 127.0.0.1 only",
+        "button; binds the --bind address (default 127.0.0.1)",
     )
     p.add_argument(
         "--bind",
@@ -535,12 +546,6 @@ def main(argv: list[str] | None = None) -> int:
             )
 
         ticks = 0
-        if spec is not None:
-            # fire ONLY on schedule matches, including the first tick:
-            # the reference's ScheduleDefinition never runs a catch-up
-            # tick at process start (r8 advice — two ticks could land
-            # inside the first window).
-            sleep_until_next_match()
         # combined mode: scheduled ticks hold the SAME lock POST /run
         # uses (409 arbitration); solo daemon mode ticks uncontended
         import contextlib
@@ -549,6 +554,14 @@ def main(argv: list[str] | None = None) -> int:
             bg_srv.tick_lock if bg_srv is not None else contextlib.nullcontext()
         )
         try:
+            if spec is not None:
+                # fire ONLY on schedule matches, including the first
+                # tick: the reference's ScheduleDefinition never runs
+                # a catch-up tick at process start (r8 advice — two
+                # ticks could land inside the first window). Inside
+                # the try: Ctrl-C during this up-to-one-period sleep
+                # gets the same clean rc-0 exit as the loop itself.
+                sleep_until_next_match()
             while True:
                 started = time.time()
                 with tick_gate:

@@ -414,3 +414,15 @@ def test_parse_doc_keeps_window_canaries_and_tail_skips_their_keys():
             '"canary_pre": {"cpu": 0.1, "io": 0.2, "par": 1.0}}')
     queries, _ = bh._from_tail(tail)
     assert queries == {"a": 1.0}  # cpu/io/par never become queries
+
+
+def test_from_tail_window_spans_stripped_not_name_blacklisted():
+    """Review pass 2: the window dicts are removed wholesale before the
+    scalar regex, so a FUTURE fourth probe key inside them cannot leak
+    out as a phantom query that _META_KEYS forgot to blacklist."""
+    tail = ('"queries": {"a": 1.0}, '
+            '"canary_pre": {"cpu": 0.1, "net": 0.4}, '
+            '"canary_post": {"cpu": 0.2, "net": 0.5}}')
+    queries, _ = bh._from_tail(tail)
+    assert queries == {"a": 1.0}
+    assert "net" not in queries

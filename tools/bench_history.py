@@ -47,13 +47,12 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
-# bench.py top-level scalar keys that are NOT query timings ("cpu"/
-# "io"/"par" are the inner keys of the r10 canary_pre/canary_post
-# window dicts — the tail-recovery regex would otherwise read them as
-# query timings)
+# bench.py top-level scalar keys that are NOT query timings (the
+# canary_pre/canary_post window dicts are stripped wholesale before
+# the tail regex runs — see _strip_window_spans — so their inner keys
+# need no blacklisting here and a new probe can't leak a phantom query)
 _META_KEYS = {"metric", "value", "unit", "sf", "n", "rc", "cpus",
-              "canary_cpu", "canary_io", "canary_par",
-              "cpu", "io", "par"}
+              "canary_cpu", "canary_io", "canary_par"}
 _CANARY_KEYS = ("canary_cpu", "canary_io", "canary_par")
 _WINDOW_KEYS = ("canary_pre", "canary_post")
 
@@ -63,8 +62,18 @@ NOISY_SPREAD = 2.0  # newest-round max/min above this => machine noise
 ENV_DRIFT_RATIO = 1.2  # canary slower than best prior by this => annotate
 
 
+def _strip_window_spans(tail: str) -> str:
+    """Remove the canary_pre/canary_post {...} spans before flat
+    regex scanning: their inner keys ("cpu": 0.1, ...) would otherwise
+    match the query-scalar pattern, and blacklisting the key NAMES
+    instead would silently grow a phantom query the day bench.py adds
+    a fourth probe (review pass 2)."""
+    return re.sub(r'"canary_(?:pre|post)":\s*\{[^{}]*\}\s*,?', "", tail)
+
+
 def _from_tail(tail: str) -> tuple[dict[str, float], dict[str, list[float]]]:
     """Recover (queries, runs) from a truncated bench stdout tail."""
+    tail = _strip_window_spans(tail)
     runs: dict[str, list[float]] = {}
     for m in re.finditer(r'"([A-Za-z0-9_]+)":\s*\[([0-9eE+\-., ]+)\]', tail):
         try:
@@ -193,6 +202,17 @@ def load_rounds(extra: list[str]) -> list[Round]:
     return rounds
 
 
+def _canary_baseline(prior: list[Round], full_key: str) -> float | None:
+    """The shared baseline rule: min over the last <=3 canary-bearing
+    prior rounds, None when absent or non-positive. env_drift's ratios
+    and _window_note's annotations MUST divide by the same number —
+    this helper is the single copy of that rule (review pass 2)."""
+    prior_vs = [r.canaries[full_key] for r in prior if full_key in r.canaries][-3:]
+    if not prior_vs or min(prior_vs) <= 0:
+        return None
+    return min(prior_vs)
+
+
 def env_drift(newest: Round, prior: list[Round]) -> tuple[float, str]:
     """Compare the newest round's canaries against the best canary in
     `prior` (capped at the last <=3 canary-bearing rounds). Ratios from
@@ -208,10 +228,10 @@ def env_drift(newest: Round, prior: list[Round]) -> tuple[float, str]:
     worst_kind = ""
     for k in _CANARY_KEYS:
         newest_v = newest.canaries.get(k)
-        prior_vs = [r.canaries[k] for r in prior if k in r.canaries][-3:]
-        if newest_v is None or not prior_vs or min(prior_vs) <= 0:
+        base = _canary_baseline(prior, k)
+        if newest_v is None or base is None:
             continue
-        ratio = newest_v / min(prior_vs)
+        ratio = newest_v / base
         if ratio > worst:
             worst, worst_kind = ratio, k.removeprefix("canary_")
     return worst, worst_kind
@@ -226,11 +246,9 @@ def _window_note(newest: Round, prior: list[Round], kind: str) -> str:
     baseline the flat ratio used; a clearance whose drift lives ONLY
     in the post window is called out as needing a local re-run rather
     than silently passing as machine drift."""
-    full = f"canary_{kind}"
-    prior_vs = [r.canaries[full] for r in prior if full in r.canaries][-3:]
-    if not prior_vs or min(prior_vs) <= 0:
+    base = _canary_baseline(prior, f"canary_{kind}")
+    if base is None:
         return ""
-    base = min(prior_vs)
     ratios = {}
     for wk in _WINDOW_KEYS:
         win = newest.canaries.get(wk)
