@@ -1371,6 +1371,265 @@ LIMIT 20
 """
 
 
+BM25_TERMS = ("hash", "scan", "merge")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 25
+
+
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (r10) — the standard relevance scorer on
+    top of the conjunctive/inverted-index search family: top-k
+    documents by Okapi BM25 over the query terms, with the classic
+    k1/b length normalization. Disjunctive (any matched term scores;
+    n_terms reports how many), the production shape for corpus search
+    and RAG candidate retrieval.
+
+    Cross-engine float discipline (the token_entropy rules): every
+    input to the formula is an exact integer (tf, df, dl, N, Σdl) and
+    both engines evaluate the SAME expression tree (constants
+    interpolated from one Python value via repr, so 1.2+1 is the same
+    double on both sides); the per-document Σ over matched terms runs
+    in SORTED term order on BOTH engines (Spark: fold over
+    array_sort(collect_list(struct(term, s))); oracle: list_sum(list(s
+    ORDER BY term))), and the final 4dp round guards the last ulp.
+    Ranking uses the ROUNDED score with doc_id tie-break, so the
+    top-k cut is deterministic on both engines.
+
+    Scale: the term filter applies AT the explode — only query-term
+    tokens survive into the ONE (doc, term) exchange (carrying dl, so
+    no join back to the corpus); df and the (N, Σdl) stats are
+    query-width / 1-row BROADCASTs; per-doc scoring aggregates ≤|Q|
+    rows; top-k is TakeOrderedAndProject, never a fact sort."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    stats = dt.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("t")).cast("bigint").alias("sum_dl"),
+    )
+    toks = dt.select(
+        "doc_id", F.size("t").alias("dl"), F.explode("t").alias("term")
+    )
+    tf = (
+        toks.where(F.col("term").isin(*BM25_TERMS))
+        .groupBy("doc_id", "term", "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    # association pinned to k1*(1-b + b*(dlN/S)) — the oracle and the
+    # unit test group identically; a (b*dlN)/S variant differs in the
+    # last ulp
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B)
+        + F.lit(BM25_B)
+        * (
+            (F.col("dl") * F.col("n_docs")).cast("double")
+            / F.col("sum_dl").cast("double")
+        )
+    )
+    s = idf * (F.col("tf") * F.lit(BM25_K1 + 1.0)) / denom
+    per_doc = scored.select("doc_id", "term", s.alias("sc")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("term"), F.col("sc")))
+                ),
+                lambda r: r["sc"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("raw"),
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_terms",
+            (F.floor(F.col("raw") * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)).alias(
+                "score_bm25"
+            ),
+        )
+        .orderBy(F.desc("score_bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+_BM25_TERM_LIST = ", ".join(f"'{t}'" for t in BM25_TERMS)
+SQL_SEARCH_BM25 = f"""
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(len(t)) AS BIGINT) AS sum_dl FROM tk
+),
+toks AS (SELECT doc_id, len(t) AS dl, unnest(t) AS term FROM tk),
+tf AS (
+  SELECT doc_id, term, dl, count(*) AS tf FROM toks
+  WHERE term IN ({_BM25_TERM_LIST})
+  GROUP BY doc_id, term, dl
+),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * (tf.tf * {BM25_K1 + 1.0!r})
+         / (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
+              + {BM25_B!r} * (CAST(tf.dl * s.n_docs AS DOUBLE)
+                              / CAST(s.sum_dl AS DOUBLE)))) AS sc
+  FROM tf JOIN dfreq d USING (term), stats s
+)
+SELECT doc_id, n_terms, score_bm25 FROM (
+  SELECT doc_id, CAST(count(*) AS INT) AS n_terms,
+         floor(list_sum(list(sc ORDER BY term)) * 1e4 + 0.5) / 1e4
+           AS score_bm25
+  FROM scored GROUP BY doc_id
+)
+ORDER BY score_bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+def q_doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bits-per-bigram under a corpus bigram LM — the
+    CCNet-style perplexity filter: documents whose phrase structure is
+    atypical for the corpus score high (more bits) and get routed to
+    the low-quality bucket; the standard LM-based quality gate next to
+    the heuristic ones (gopher rules, token entropy). Add-1 smoothed:
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1 ·) + V); score = -(Σ log2 P)/n
+    over the doc's bigrams.
+
+    Cross-engine float discipline (the token_entropy/BM25 rules): all
+    LM inputs are exact integers (bigram count, context total, vocab
+    size); each bigram's term folds cnt_in_doc · log2((c12+1)/(c1+V))
+    with one association on both engines; the per-doc Σ runs in
+    SORTED bigram order; one 4dp round at the end.
+
+    Scale: the LM is trained ON the corpus in-plan — one bigram-keyed
+    exchange (map-side combined) builds c12; context totals regroup
+    the VOCAB-sized LM table, never the token stream; scoring is an
+    equi-join of per-doc bigram counts against the LM keyed by bigram
+    (both sides reduced), then a doc-sized regroup. V is a 1-row
+    broadcast. At 100 TB the LM table is a reusable artifact —
+    exactly this plan's mid-stage, persisted."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    t = F.col("t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    db = dt.select("doc_id", bigrams.alias("bg"))
+    doc_pairs = (
+        db.select("doc_id", F.explode("bg").alias("bigram"))
+        .groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c_doc"))
+    )
+    lm = (
+        db.select(F.explode("bg").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    ctx = (
+        lm.groupBy(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .agg(F.sum("c12").alias("c1"))
+    )
+    lm_full = lm.join(
+        ctx,
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+    ).select("bigram", "c12", "c1")
+    vocab = dt.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    term = F.col("c_doc") * F.log2(
+        (F.col("c12") + F.lit(1.0)) / (F.col("c1") + F.col("v"))
+    )
+    scored = (
+        doc_pairs.join(lm_full, "bigram")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", "bigram", F.col("c_doc"), term.alias("term"))
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.sum("c_doc").cast("int").alias("n_bigrams"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("bigram"), F.col("term")))
+                ),
+                lambda r: r["term"],
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        (
+            F.floor(
+                (-F.col("s") / F.col("n_bigrams")) * F.lit(1e4) + F.lit(0.5)
+            )
+            / F.lit(1e4)
+        ).alias("bits_per_bigram"),
+    )
+
+
+SQL_DOC_PERPLEXITY = """
+WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2
+              THEN [t[i] || ' ' || t[i + 1] FOR i IN range(1, len(t))]
+              ELSE [] END AS bg
+  FROM tk
+),
+doc_pairs AS (
+  SELECT doc_id, bigram, count(*) AS c_doc
+  FROM (SELECT doc_id, unnest(bg) AS bigram FROM bg)
+  GROUP BY doc_id, bigram
+),
+lm AS (
+  SELECT bigram, count(*) AS c12
+  FROM (SELECT unnest(bg) AS bigram FROM bg)
+  GROUP BY bigram
+),
+ctx AS (
+  SELECT string_split(bigram, ' ')[1] AS w1, sum(c12) AS c1
+  FROM lm GROUP BY 1
+),
+lm_full AS (
+  SELECT l.bigram, l.c12, c.c1
+  FROM lm l JOIN ctx c ON string_split(l.bigram, ' ')[1] = c.w1
+),
+vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(t) AS w FROM tk)
+),
+scored AS (
+  SELECT p.doc_id, p.bigram, p.c_doc,
+         p.c_doc * log2((l.c12 + 1.0) / (l.c1 + vocab.v)) AS term
+  FROM doc_pairs p JOIN lm_full l USING (bigram), vocab
+),
+per_doc AS (
+  SELECT doc_id, CAST(sum(c_doc) AS INT) AS n_bigrams,
+         list_sum(list(term ORDER BY bigram)) AS s
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams,
+       floor((-s / n_bigrams) * 1e4 + 0.5) / 1e4 AS bits_per_bigram
+FROM per_doc
+"""
+
+
 def q_bigram_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 bigram collocations by Dice coefficient — phrase mining
     for tokenizer merges / stop-phrase lists. Dice = 2*c(xy)/(c(x)+
@@ -2481,6 +2740,19 @@ SPECS: list[QuerySpec] = [
         "build_inverted_index", q_build_inverted_index, SQL_INVERTED_INDEX
     ),
     QuerySpec("search_conjunctive", q_search_conjunctive, SQL_SEARCH),
+    # r10: Okapi BM25 ranked retrieval — the relevance scorer over the
+    # search family, cross-engine float discipline per token_entropy
+    QuerySpec(
+        "search_bm25_topk", q_search_bm25_topk, SQL_SEARCH_BM25, bench=True
+    ),
+    # r10: CCNet-style LM perplexity filter — bits-per-bigram under the
+    # in-plan corpus bigram LM, add-1 smoothed
+    QuerySpec(
+        "doc_perplexity_bigram",
+        q_doc_perplexity_bigram,
+        SQL_DOC_PERPLEXITY,
+        bench=True,
+    ),
     QuerySpec("bigram_collocations", q_bigram_collocations, SQL_COLLOCATIONS),
     QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNK),
     QuerySpec(

@@ -1186,6 +1186,120 @@ WHERE hamming <= {PHASH_HAM_T}
 """
 
 
+AUDIO_FP_SAMPLES = 256  # synthesized mono frames per document
+AUDIO_FP_RATE = 8000  # synthesis rate; fingerprint taken after 2:1 resample
+AUDIO_FP_WINDOWS = 16  # 128 resampled frames -> 16 energy windows of 8
+
+
+def q_audio_fingerprint_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual-fingerprint export (r10) — the AUDIO analogue
+    of phash_image_export, closing the multimodal signature symmetry
+    the r9/r10 codecs opened: per document, an integer band-energy
+    fingerprint of its (synthesized) waveform, the signature an
+    audio-dedup pipeline persists next to the corpus.
+
+    The fixture lake has no audio column, so each document gets a
+    deterministic int16 mono PCM synthesized from its text codepoints
+    (sample i = (ord(text[i mod len]) % 256 - 128) * 256 — exact-dup
+    texts yield exact-dup audio); the samples round-trip through REAL
+    WAV bytes (wav_codec.encode_wav -> the multimodal decode_audio
+    seam — soundfile or pure-python identically, PCM is lossless),
+    then the decoded signal is resampled 8000→4000 Hz by the codec's
+    deterministic nearest rule (index 2j) and fingerprinted: 16
+    windows of 8 frames, window energy = Σ|sample| (exact BIGINT),
+    fingerprint bit w set iff energy[w] > energy[w+1] — the dHash
+    rule in the time domain. All-integer end to end, so the DuckDB
+    oracle reproduces fingerprints from the same codepoint arithmetic
+    with no WAV machinery — the encode/decode/resample seams are what
+    the Spark side additionally proves. Empty/NULL text synthesizes
+    the constant -32768 wave: equal window energies, fingerprint 0.
+
+    Scale: a narrow mapInPandas — waveform bytes never leave their
+    row; output is (id, 3 ints) per clip."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def batches(it):
+        import numpy as np
+
+        from etl_dagster_service_crawler_spark.operators.multimodal import (
+            decode_audio,
+        )
+        from etl_dagster_service_crawler_spark.operators.wav_codec import (
+            encode_wav,
+            resample_nearest,
+        )
+
+        for pdf in it:
+            fps, totals = [], []
+            for text in pdf["text"]:
+                cps = np.array(
+                    [ord(ch) % 256 for ch in text] if text else [0],
+                    dtype=np.int64,
+                )
+                idx = np.arange(AUDIO_FP_SAMPLES) % len(cps)
+                samples = ((cps[idx] - 128) * 256).astype(np.int16)
+                wav = encode_wav(samples, AUDIO_FP_RATE)
+                decoded, rate = decode_audio(wav)
+                mono = resample_nearest(
+                    decoded[:, 0], rate, AUDIO_FP_RATE // 2
+                ).astype(np.int64)
+                energy = np.abs(mono).reshape(AUDIO_FP_WINDOWS, -1).sum(axis=1)
+                fp = 0
+                for w in range(AUDIO_FP_WINDOWS - 1):
+                    if energy[w] > energy[w + 1]:
+                        fp |= 1 << w
+                fps.append(fp)
+                totals.append(int(np.abs(mono).sum()))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "audio_fp": fps,
+                    "energy_total": totals,
+                }
+            )
+
+    return d.mapInPandas(
+        batches, "doc_id bigint, audio_fp bigint, energy_total bigint"
+    )
+
+
+# the oracle replays the codepoint arithmetic directly: resampled frame
+# j reads original sample 2j, i.e. text char (2j mod len); |sample| =
+# |(ord % 256 - 128) * 256| — integer-identical to the synthesize ->
+# encode_wav -> decode_audio -> resample_nearest chain (PCM lossless,
+# nearest index (j*8000)//4000 = 2j)
+SQL_AUDIO_FP_EXPORT = f"""
+WITH frames AS (
+  SELECT d.doc_id, w.w, j.j,
+         abs((CASE WHEN coalesce(length(d.text), 0) = 0 THEN 0
+               ELSE ord(substr(d.text,
+                      ((2 * (w.w * 8 + j.j)) % length(d.text)) + 1, 1)) % 256
+              END - 128) * 256) AS e
+  FROM documents d,
+       unnest(generate_series(0, {AUDIO_FP_WINDOWS - 1})) AS w(w),
+       unnest(generate_series(0, 7)) AS j(j)
+),
+wins AS (
+  SELECT doc_id, w, CAST(sum(e) AS BIGINT) AS energy
+  FROM frames GROUP BY doc_id, w
+),
+pairs AS (
+  SELECT a.doc_id,
+         CASE WHEN a.energy > b.energy THEN CAST(1 AS BIGINT) << a.w
+              ELSE 0 END AS bit
+  FROM wins a JOIN wins b ON a.doc_id = b.doc_id AND b.w = a.w + 1
+),
+fp AS (SELECT doc_id, CAST(sum(bit) AS BIGINT) AS audio_fp
+       FROM pairs GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(sum(energy) AS BIGINT) AS energy_total
+        FROM wins GROUP BY doc_id)
+SELECT t.doc_id, coalesce(f.audio_fp, 0) AS audio_fp, t.energy_total
+FROM tot t LEFT JOIN fp f USING (doc_id)
+"""
+
+
 # --- corpus hygiene: repetition, contamination, mixture ----------------------
 
 
@@ -1982,6 +2096,39 @@ MINHASH_EXPORT_A = [3, 5, 7, 11, 13, 17, 19, 23]
 MINHASH_EXPORT_B = [17, 29, 41, 53, 67, 79, 97, 113]
 
 
+def _minhash_shingle_hv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, hv) — each document's distinct 3-token shingles hashed
+    to BIGINTs in [0, P): md5 low 60 hex-bits mod P, identical in
+    Spark's conv() and DuckDB's 0x-cast (the oracle-replayable hash the
+    whole md5-anchored minhash chain builds on). Short docs (< 3
+    tokens) get an empty array. Shared by the signature export and the
+    r10 candidate-verify stage so both sides of the anchor chain use
+    the literal same shingling."""
+    d = load_table(spark, sf_dir, "documents")
+    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    t = F.col("t")
+    n = F.size(t) - 2
+    shingles = F.when(
+        n >= 1,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat_ws("\x1f", F.slice(t, i, 3)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return dt.select(
+        "doc_id",
+        F.transform(
+            shingles,
+            lambda s: F.pmod(
+                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+                F.lit(MINHASH_EXPORT_P),
+            ),
+        ).alias("hv"),
+    )
+
+
 def q_minhash_signature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable MinHash signature artifact: per (doc, seed),
     the minimum affine permutation (a_k*h + b_k) mod P of the doc's
@@ -1999,29 +2146,7 @@ def q_minhash_signature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulation re-hashed k times — measured 8x the cost). Short docs
     (< 3 tokens) export the sentinel P, outside the [0, P) range.
     Scale: one shuffle-free projection per doc."""
-    d = load_table(spark, sf_dir, "documents")
-    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
-    t = F.col("t")
-    n = F.size(t) - 2
-    shingles = F.when(
-        n >= 1,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), n),
-                lambda i: F.concat_ws("\x1f", F.slice(t, i, 3)),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hv = dt.select(
-        "doc_id",
-        F.transform(
-            shingles,
-            lambda s: F.pmod(
-                F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
-                F.lit(MINHASH_EXPORT_P),
-            ),
-        ).alias("hv"),
-    )
+    hv = _minhash_shingle_hv(spark, sf_dir)
     p = F.lit(MINHASH_EXPORT_P)
     sig = F.aggregate(
         "hv",
@@ -2042,15 +2167,9 @@ def q_minhash_signature_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_export_sql() -> str:
-    p = MINHASH_EXPORT_P
-    comps = ", ".join(
-        f"coalesce(list_aggregate(list_transform(hv, h -> ({a} * h + {b}) % {p}),"
-        f" 'min'), {p})"
-        for a, b in zip(MINHASH_EXPORT_A, MINHASH_EXPORT_B)
-    )
-    return f"""
-WITH toks AS (
+# the (doc_id, hv) CTE chain — the oracle twin of _minhash_shingle_hv,
+# shared by the signature export and the r10 verify/containment stages
+_SQL_MINHASH_HV_CTES = f"""toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
 sh AS (
@@ -2064,9 +2183,21 @@ sh AS (
 hv AS (
   SELECT doc_id,
          list_transform(sh, s ->
-           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % {p}) AS hv
+           CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+             % {MINHASH_EXPORT_P}) AS hv
   FROM sh
-)
+)"""
+
+
+def _minhash_export_sql() -> str:
+    p = MINHASH_EXPORT_P
+    comps = ", ".join(
+        f"coalesce(list_aggregate(list_transform(hv, h -> ({a} * h + {b}) % {p}),"
+        f" 'min'), {p})"
+        for a, b in zip(MINHASH_EXPORT_A, MINHASH_EXPORT_B)
+    )
+    return f"""
+WITH {_SQL_MINHASH_HV_CTES}
 SELECT doc_id,
        CAST(unnest(range(0, {MINHASH_EXPORT_SEEDS})) AS INT) AS seed,
        CAST(unnest([{comps}]) AS BIGINT) AS sig
@@ -2190,6 +2321,197 @@ SELECT doc_id,
        string_agg(CAST(sig AS VARCHAR), '-' ORDER BY seed) AS band_key
 FROM ({SQL_MINHASH_EXPORT})
 GROUP BY doc_id, seed // {MINHASH_EXPORT_BAND_ROWS}
+"""
+
+
+MINHASH_VERIFY_JACCARD_BP = 8000  # Lee-et-al-style near-dup bar (0.8)
+
+
+def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production MinHash-dedup shape — LSH candidate
+    generation then exact verification — with every stage
+    oracle-checked (r10): band-key equi-join candidates (the
+    minhash_band_export keys) are verified by the EXACT shingle-set
+    Jaccard, computed on the md5-derived shingle hashes, and only
+    pairs at or above MINHASH_VERIFY_JACCARD_BP basis points survive.
+    This is the stage the rows-only dedup_minhash_lsh family feeds in
+    production (operators/dedup.py: signatures -> bands -> candidate
+    join -> verify); here the whole chain is value-hash-checked
+    end-to-end, so the only remaining approximation anywhere in the
+    minhash path is LSH recall itself (pairs no band catches).
+
+    Jaccard is all-integer: |A∩B| and |A∪B| are set sizes over
+    distinct BIGINT shingle hashes (dedup'd on both engines), reported
+    as (10000·inter) div union — no float crosses the engine boundary.
+    Docs with no shingles (< 3 tokens) carry the sentinel signature P
+    in every band; they never collide with a real signature (minima
+    live in [0, P)) and are dropped by the inner hv join before any
+    pair math, so the degenerate bucket can't divide by zero.
+
+    Scale: the only exchanges move (doc_id, band_key) pairs and the
+    8-byte shingle-hash arrays of CANDIDATE docs — pair work is
+    Σ|band bucket|², never n²; document text never joins. The verify
+    join is doc_id-keyed equi, broadcast-eligible when the candidate
+    set is small."""
+    bands = q_minhash_band_export(spark, sf_dir)
+    hv = (
+        _minhash_shingle_hv(spark, sf_dir)
+        .select("doc_id", F.array_distinct("hv").alias("hv"))
+        .where(F.size("hv") > 0)
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    cand = (
+        left.join(right, ["band", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hv.select(F.col("doc_id").alias("doc_a"), F.col("hv").alias("ha"))
+    hb = hv.select(F.col("doc_id").alias("doc_b"), F.col("hv").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            (F.size("ha") + F.size("hb") - inter).alias("uni"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((10000 * inter) DIV uni AS INT)").alias("jaccard_bp"),
+        )
+        .where(F.col("jaccard_bp") >= MINHASH_VERIFY_JACCARD_BP)
+    )
+
+
+SQL_DEDUP_MINHASH_VERIFY = f"""
+WITH bands AS ({SQL_MINHASH_BAND_EXPORT}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+              AND a.doc_id < b.doc_id
+),
+{_SQL_MINHASH_HV_CTES},
+ne AS (
+  SELECT doc_id, list_distinct(hv) AS hv FROM hv WHERE len(hv) > 0
+)
+SELECT doc_a, doc_b, jaccard_bp FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST((10000 * len(list_intersect(x.hv, y.hv)))
+              // (len(x.hv) + len(y.hv) - len(list_intersect(x.hv, y.hv)))
+              AS INT) AS jaccard_bp
+  FROM cand c
+  JOIN ne x ON x.doc_id = c.doc_a
+  JOIN ne y ON y.doc_id = c.doc_b
+)
+WHERE jaccard_bp >= {MINHASH_VERIFY_JACCARD_BP}
+"""
+
+
+CONTAIN_POSTING_CAP = 200  # stop-shingle bar: hashes in more docs carry no signal
+CONTAIN_BP_T = 8000  # report pairs where ≥80% of A's shingles appear in B
+
+
+def q_doc_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric CONTAINMENT dedup (r10) — the quote/wrapper detector
+    Jaccard misses: a short document embedded verbatim in a long one
+    has high containment |A∩B|/|A| but low Jaccard (the union is
+    dominated by B), so the symmetric minhash family never pairs them.
+    Emits (doc_a, doc_b, containment_bp): at least CONTAIN_BP_T basis
+    points of doc_a's distinct 3-token shingles appear in doc_b.
+
+    Candidate generation is one-sided bottom-1 blocking: each doc
+    probes with the MINIMUM of its surviving shingle hashes; any doc
+    whose posting set contains that hash is a candidate container. A
+    fully-contained doc's min shingle is in the container BY
+    CONSTRUCTION (it's in the intersection), and for containment ≥ τ
+    the min lands in the intersection with probability ≥ τ — the
+    blocking is deterministic (both engines compute the identical
+    candidate set; recall < 1 vs an ideal all-pairs is the documented
+    trade, exactly like LSH banding). Stop-shingles — hashes appearing
+    in more than CONTAIN_POSTING_CAP docs, boilerplate with no
+    identity signal — are pruned from postings AND probes before
+    blocking, which bounds every posting bucket (the skew lever; at
+    100 TB the cap is what keeps Σ|bucket|·|probes| from degenerating
+    on 'the end of' shingles). Containment itself is then computed on
+    the FULL shingle sets of candidates only — all-integer set sizes,
+    (10000·inter) div |A|, no float crosses the engine boundary.
+
+    Scale: postings are (8-byte hash, doc_id) rows — Σ|doc shingles|
+    — combined map-side into the frequency aggregate; probes are 1
+    row/doc; the verify join moves hash arrays for candidate docs
+    only. Document text never shuffles."""
+    hv = (
+        _minhash_shingle_hv(spark, sf_dir)
+        .select("doc_id", F.array_distinct("hv").alias("hv"))
+        .where(F.size("hv") > 0)
+    )
+    post = hv.select("doc_id", F.explode("hv").alias("h"))
+    freq = post.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    surv = post.join(
+        freq.where(F.col("cnt") <= CONTAIN_POSTING_CAP).select("h"), "h"
+    )
+    probe = (
+        surv.groupBy("doc_id")
+        .agg(F.min("h").alias("h"))
+        .select(F.col("doc_id").alias("doc_a"), "h")
+    )
+    cand = (
+        probe.join(surv.select(F.col("doc_id").alias("doc_b"), "h"), "h")
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hv.select(F.col("doc_id").alias("doc_a"), F.col("hv").alias("ha"))
+    hb = hv.select(F.col("doc_id").alias("doc_b"), F.col("hv").alias("hb"))
+    inter = F.size(F.array_intersect("ha", "hb"))
+    return (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a", "doc_b", inter.alias("inter"), F.size("ha").alias("na")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST((10000 * inter) DIV na AS INT)").alias(
+                "containment_bp"
+            ),
+        )
+        .where(F.col("containment_bp") >= CONTAIN_BP_T)
+    )
+
+
+SQL_DOC_CONTAINMENT = f"""
+WITH {_SQL_MINHASH_HV_CTES},
+ne AS (
+  SELECT doc_id, list_distinct(hv) AS hv FROM hv WHERE len(hv) > 0
+),
+post AS (SELECT doc_id, unnest(hv) AS h FROM ne),
+freq AS (SELECT h, count(*) AS cnt FROM post GROUP BY h),
+surv AS (
+  SELECT p.doc_id, p.h FROM post p
+  JOIN freq f ON p.h = f.h AND f.cnt <= {CONTAIN_POSTING_CAP}
+),
+probe AS (SELECT doc_id AS doc_a, min(h) AS h FROM surv GROUP BY doc_id),
+cand AS (
+  SELECT DISTINCT p.doc_a, s.doc_id AS doc_b
+  FROM probe p JOIN surv s ON p.h = s.h AND p.doc_a != s.doc_id
+)
+SELECT doc_a, doc_b, containment_bp FROM (
+  SELECT c.doc_a, c.doc_b,
+         CAST((10000 * len(list_intersect(x.hv, y.hv))) // len(x.hv)
+              AS INT) AS containment_bp
+  FROM cand c
+  JOIN ne x ON x.doc_id = c.doc_a
+  JOIN ne y ON y.doc_id = c.doc_b
+)
+WHERE containment_bp >= {CONTAIN_BP_T}
 """
 
 
@@ -3524,6 +3846,20 @@ SPECS = [
     QuerySpec(
         "minhash_band_export", q_minhash_band_export, SQL_MINHASH_BAND_EXPORT
     ),
+    # r10: the candidates->exact-verify stage on top of the band keys —
+    # the complete production minhash-dedup shape, oracle-checked
+    # end-to-end (only LSH recall itself remains approximate)
+    QuerySpec(
+        "dedup_minhash_verify",
+        q_dedup_minhash_verify,
+        SQL_DEDUP_MINHASH_VERIFY,
+        bench=True,
+    ),
+    # r10: asymmetric containment (quote/wrapper detection) — the
+    # near-dup class symmetric Jaccard misses
+    QuerySpec(
+        "doc_containment_ngram", q_doc_containment_ngram, SQL_DOC_CONTAINMENT
+    ),
     QuerySpec("srp_bucket_export", q_srp_bucket_export, SQL_SRP_BUCKET_EXPORT),
     # r8: O(n^2)-compute / O(buckets)-movement threshold artifact; the
     # quantized-cosine value anchor for the routed ANN arm
@@ -3658,5 +3994,12 @@ SPECS = [
     QuerySpec("phash_image_export", q_phash_image_export, SQL_PHASH_EXPORT),
     QuerySpec(
         "dedup_image_phash", q_dedup_image_phash, SQL_DEDUP_IMAGE_PHASH
+    ),
+    # r10: the audio analogue of phash_image_export — band-energy
+    # fingerprint through the real encode/decode/resample seams
+    QuerySpec(
+        "audio_fingerprint_export",
+        q_audio_fingerprint_export,
+        SQL_AUDIO_FP_EXPORT,
     ),
 ]

@@ -445,6 +445,70 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rolling_distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-calendar-day distinct users per active day —
+    the oracle-backed anchor for the rolling-distinct family (r10):
+    rolling_distinct_users reports the series from mergeable HLL
+    sketches (rows-only by nature, trailing 7 OBSERVED days); this
+    twin pins the exact CALENDAR-window answer — identical to the
+    observed-day window wherever the corpus has no gap days — so the
+    approximate path has a value-hash-checked ground truth beside its
+    5%-error unit test.
+
+    Exact rolling distinct cannot partial-aggregate a sketch, so the
+    scale form inverts the window: reduce the fact table ONCE to
+    distinct (day, user) pairs, then each pair CONTRIBUTES to the 7
+    calendar days it covers (explode of a constant 7-element offset
+    range — window-length-bounded fan-out, not a fact self-join), and
+    the per-day count-distinct dedups users active on several days of
+    the same window. Reported only for days that actually appear in
+    events (the contribution fan-out also lands on up-to-6 phantom
+    days past each active day; the semi-join with observed days drops
+    them identically on both engines).
+
+    Scale: one distinct-pair exchange (map-side combined), a 7x
+    map-only fan-out on DAYS×users rows (already fact-reduced), one
+    two-phase distinct aggregate keyed by day — no window over an
+    unpartitioned frame, no n² day join."""
+    e = load_table(spark, sf_dir, "events")
+    pairs = e.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = pairs.select("d").distinct()
+    contrib = pairs.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("off"),
+        F.date_add(F.col("d"), F.col("off")).alias("day_d"),
+        "user_id",
+    )
+    counts = contrib.groupBy("day_d").agg(
+        F.countDistinct("user_id").alias("users_7d")
+    )
+    return (
+        counts.join(days, counts["day_d"] == days["d"], "left_semi")
+        .select(
+            F.date_format("day_d", "yyyy-MM-dd").alias("day"),
+            F.col("users_7d").cast("bigint").alias("users_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+SQL_ROLLING_DISTINCT_EXACT = """
+WITH pairs AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM pairs),
+contrib AS (
+  SELECT p.d + CAST(off AS INT) AS day_d, p.user_id
+  FROM pairs p, unnest(generate_series(0, 6)) AS o(off)
+)
+SELECT strftime(c.day_d, '%Y-%m-%d') AS day,
+       CAST(count(DISTINCT c.user_id) AS BIGINT) AS users_7d
+FROM contrib c
+WHERE c.day_d IN (SELECT d FROM days)
+GROUP BY c.day_d
+ORDER BY day
+"""
+
+
 def q_agg_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — the 100 TB distinct-count pattern:
     sketch ONCE at the fine grain (distinct customers per nation,
@@ -2598,6 +2662,13 @@ SPECS = [
     QuerySpec("agg_approx_distinct", q_agg_approx_distinct, None),
     QuerySpec("agg_hll_sketch_rollup", q_agg_hll_sketch_rollup, None),
     QuerySpec("rolling_distinct_users", q_rolling_distinct_users, None),
+    # r10: the exact calendar-window anchor for the rolling-distinct
+    # family (contribution fan-out, not a sketch)
+    QuerySpec(
+        "rolling_distinct_exact",
+        q_rolling_distinct_exact,
+        SQL_ROLLING_DISTINCT_EXACT,
+    ),
     QuerySpec("agg_rollup", q_agg_rollup, SQL_ROLLUP),
     QuerySpec("agg_grouping_sets", q_agg_grouping_sets, SQL_GROUPING_SETS),
     QuerySpec("agg_cube", q_agg_cube, SQL_CUBE),

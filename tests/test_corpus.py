@@ -1204,3 +1204,103 @@ def test_dedup_url_canonical_first_wins(spark, tmp_path):
     # identity of variant 3 (doc 605); the earlier crawl is kept
     assert paged["doc_id"] == 405 and paged["n_dups"] == 2
     assert paged["url"].endswith("?page=2&ref=405#frag")
+
+
+def test_search_bm25_matches_local_recompute(spark, sf_dir):
+    """BM25 top-k must equal a pure-python recompute of the Okapi
+    formula over the same whitespace tokens — same k1/b, same rounded
+    ranking, same doc_id tie-break."""
+    import math
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOPK,
+        q_search_bm25_topk,
+    )
+
+    docs = {
+        r["doc_id"]: (r["text"] or "").split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    n_docs = len(docs)
+    sum_dl = sum(len(t) for t in docs.values())
+    df = {
+        term: sum(1 for t in docs.values() if term in t)
+        for term in BM25_TERMS
+    }
+    scored = []
+    for doc_id, toks in docs.items():
+        dl = len(toks)
+        s = 0.0
+        n_terms = 0
+        for term in sorted(BM25_TERMS):
+            tf = toks.count(term)
+            if not tf:
+                continue
+            n_terms += 1
+            idf = math.log(1.0 + (n_docs - df[term] + 0.5) / (df[term] + 0.5))
+            s += (
+                idf
+                * (tf * (BM25_K1 + 1.0))
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * ((dl * n_docs) / sum_dl)))
+            )
+        if n_terms:
+            scored.append(
+                (math.floor(s * 1e4 + 0.5) / 1e4, doc_id, n_terms)
+            )
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    want = [
+        (doc_id, n_terms, score)
+        for score, doc_id, n_terms in scored[:BM25_TOPK]
+    ]
+    got = [
+        (r["doc_id"], r["n_terms"], r["score_bm25"])
+        for r in q_search_bm25_topk(spark, sf_dir).collect()
+    ]
+    assert got == want
+    assert want, "fixture corpus should match BM25 query terms"
+
+
+def test_doc_perplexity_matches_local_recompute(spark, sf_dir):
+    """bits_per_bigram must equal a pure-python recompute of the add-1
+    bigram LM over the same whitespace tokens — same smoothing, same
+    sorted-term summation, same 4dp round."""
+    import math
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_doc_perplexity_bigram,
+    )
+
+    docs = {
+        r["doc_id"]: (r["text"] or "").split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    lm: Counter = Counter()
+    ctx: Counter = Counter()
+    vocab = set()
+    for toks in docs.values():
+        vocab.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            lm[f"{a} {b}"] += 1
+            ctx[a] += 1
+    v = len(vocab)
+    want = {}
+    for doc_id, toks in docs.items():
+        counts = Counter(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        if not counts:
+            continue
+        s = 0.0
+        for bg in sorted(counts):
+            w1 = bg.split(" ")[0]
+            s += counts[bg] * math.log2((lm[bg] + 1.0) / (ctx[w1] + v))
+        n = sum(counts.values())
+        want[doc_id] = (n, math.floor((-s / n) * 1e4 + 0.5) / 1e4)
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["bits_per_bigram"])
+        for r in q_doc_perplexity_bigram(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus should have scoreable docs"

@@ -294,6 +294,36 @@ def test_rolling_distinct_users_within_tolerance(spark, sf_dir):
         assert abs(approx - exact) <= max(1, 0.05 * exact), (d, exact, approx)
 
 
+def test_rolling_distinct_exact_equals_brute_force(spark, sf_dir):
+    """The r10 exact calendar-window twin must equal the brute-forced
+    trailing-7-calendar-day distinct EXACTLY (it is the anchor the
+    sketch path's 5% tolerance is measured against)."""
+    from collections import defaultdict
+    from datetime import timedelta
+
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_rolling_distinct_exact,
+    )
+
+    got = {
+        r["day"]: r["users_7d"]
+        for r in q_rolling_distinct_exact(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id").collect()
+    by_day = defaultdict(set)
+    for r in ev:
+        by_day[r["ts"].date()].add(r["user_id"])
+    days = sorted(by_day)
+    assert set(got) == {d.strftime("%Y-%m-%d") for d in days}
+    for d in days:
+        exact = len(
+            set().union(
+                *(by_day.get(d - timedelta(days=k), set()) for k in range(7))
+            )
+        )
+        assert got[d.strftime("%Y-%m-%d")] == exact, (d, exact)
+
+
 def test_sink_versioned_concurrent_commits_keep_both(spark, tmp_path):
     """Two writers committing different versions concurrently must
     both survive in the manifest — the lost-update race the O_EXCL

@@ -1566,3 +1566,168 @@ def test_ivf_pq_results_within_exported_candidates(spark, sf_dir):
     assert hits
     for r in hits:
         assert (r["qid"], r["nid"]) in cand
+
+
+def test_dedup_minhash_verify_matches_brute_force(spark, sf_dir):
+    """The r10 candidates->verify stage must equal a driver-side
+    recompute of the SAME algorithm (band-key blocking over the
+    export signatures, exact shingle-set Jaccard on candidates), and
+    every exact-duplicate text pair with >= 3 tokens must survive at
+    jaccard_bp == 10000 (identical shingle sets share every band)."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        MINHASH_EXPORT_BAND_ROWS,
+        MINHASH_VERIFY_JACCARD_BP,
+        _minhash_shingle_hv,
+        q_dedup_minhash_verify,
+        q_minhash_signature_export,
+    )
+
+    hv = {
+        r["doc_id"]: set(r["hv"])
+        for r in _minhash_shingle_hv(spark, sf_dir).collect()
+        if r["hv"]
+    }
+    sig: dict[int, dict[int, int]] = {}
+    for r in q_minhash_signature_export(spark, sf_dir).collect():
+        sig.setdefault(r["doc_id"], {})[r["seed"]] = r["sig"]
+    buckets: dict[tuple[int, str], set[int]] = {}
+    for doc, seeds in sig.items():
+        for band in range(len(seeds) // MINHASH_EXPORT_BAND_ROWS):
+            key = "-".join(
+                str(seeds[band * MINHASH_EXPORT_BAND_ROWS + i])
+                for i in range(MINHASH_EXPORT_BAND_ROWS)
+            )
+            buckets.setdefault((band, key), set()).add(doc)
+    want = set()
+    for members in buckets.values():
+        ids = sorted(members)
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                if a not in hv or b not in hv:
+                    continue
+                inter = len(hv[a] & hv[b])
+                uni = len(hv[a] | hv[b])
+                jac = (10000 * inter) // uni
+                if jac >= MINHASH_VERIFY_JACCARD_BP:
+                    want.add((a, b, jac))
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in q_dedup_minhash_verify(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus should contain near-dup pairs"
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    by_text: dict[str, list[int]] = {}
+    for r in docs:
+        if r["text"] and len(r["text"].split(" ")) >= 3:
+            by_text.setdefault(r["text"], []).append(r["doc_id"])
+    exact_pairs = {
+        (min(a, b), max(a, b))
+        for ids in by_text.values()
+        for a in ids
+        for b in ids
+        if a != b
+    }
+    # identical shingle sets share every band -> any exact text dup
+    # MUST survive at 10000 bp (sf0.001 happens to have none; the
+    # property still holds vacuously and bites at larger SFs)
+    for a, b in exact_pairs:
+        assert (a, b, 10000) in got
+
+
+def test_doc_containment_matches_brute_force(spark, sf_dir):
+    """The containment query must equal a driver-side recompute of its
+    declared algorithm (stop-shingle prune -> bottom-1 probe ->
+    posting join -> full-set containment), and a fully-contained doc
+    whose min surviving shingle exists must always be caught (the
+    by-construction guarantee the docstring claims)."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        CONTAIN_BP_T,
+        CONTAIN_POSTING_CAP,
+        _minhash_shingle_hv,
+        q_doc_containment_ngram,
+    )
+
+    hv = {
+        r["doc_id"]: set(r["hv"])
+        for r in _minhash_shingle_hv(spark, sf_dir).collect()
+        if r["hv"]
+    }
+    freq: dict[int, int] = {}
+    for hs in hv.values():
+        for h in hs:
+            freq[h] = freq.get(h, 0) + 1
+    surv = {
+        doc: {h for h in hs if freq[h] <= CONTAIN_POSTING_CAP}
+        for doc, hs in hv.items()
+    }
+    posting: dict[int, set[int]] = {}
+    for doc, hs in surv.items():
+        for h in hs:
+            posting.setdefault(h, set()).add(doc)
+    want = set()
+    for doc_a, hs in surv.items():
+        if not hs:
+            continue
+        probe = min(hs)
+        for doc_b in posting.get(probe, ()):
+            if doc_b == doc_a:
+                continue
+            bp = (10000 * len(hv[doc_a] & hv[doc_b])) // len(hv[doc_a])
+            if bp >= CONTAIN_BP_T:
+                want.add((doc_a, doc_b, bp))
+    got = {
+        (r["doc_a"], r["doc_b"], r["containment_bp"])
+        for r in q_doc_containment_ngram(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus should contain containment pairs"
+    # by-construction recall: full containment with a surviving min
+    # shingle is always caught
+    for doc_a, hs_a in hv.items():
+        for doc_b, hs_b in hv.items():
+            if doc_a != doc_b and hs_a <= hs_b and surv[doc_a]:
+                assert (doc_a, doc_b, 10000) in got
+
+
+def test_audio_fingerprint_matches_local_recompute(spark, sf_dir):
+    """The exported fingerprint must equal a direct numpy recompute
+    from the text codepoints (no WAV machinery) — proving the
+    synthesize -> encode_wav -> decode_audio -> resample_nearest chain
+    is lossless-and-deterministic end to end — and empty text must
+    yield fingerprint 0 (constant wave, equal window energies)."""
+    import numpy as np
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        AUDIO_FP_SAMPLES,
+        AUDIO_FP_WINDOWS,
+        q_audio_fingerprint_export,
+    )
+
+    def local(text: str | None) -> tuple[int, int]:
+        cps = np.array(
+            [ord(ch) % 256 for ch in text] if text else [0], dtype=np.int64
+        )
+        idx = (2 * np.arange(AUDIO_FP_SAMPLES // 2)) % len(cps)
+        mono = np.abs((cps[idx] - 128) * 256)
+        energy = mono.reshape(AUDIO_FP_WINDOWS, -1).sum(axis=1)
+        fp = 0
+        for w in range(AUDIO_FP_WINDOWS - 1):
+            if energy[w] > energy[w + 1]:
+                fp |= 1 << w
+        return fp, int(mono.sum())
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = q_audio_fingerprint_export(spark, sf_dir).collect()
+    assert len(rows) == len(texts)
+    nonzero = 0
+    for r in rows:
+        fp, tot = local(texts[r["doc_id"]])
+        assert (r["audio_fp"], r["energy_total"]) == (fp, tot)
+        nonzero += 1 if fp else 0
+    assert nonzero, "fixture corpus should produce non-trivial fingerprints"
+    assert local("")[0] == 0 and local(None)[0] == 0

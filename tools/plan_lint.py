@@ -98,6 +98,14 @@ ALLOW: dict[tuple[str, str], str] = {
     # source-count frame
     ("mix_sqrt_temperature", "BroadcastNestedLoopJoin"): "1-row n_min",
     ("mix_sqrt_temperature", "SinglePartition"): "1-row n_min agg",
+    # r10 BM25: the 1-row (N, Σdl) corpus-stats aggregate broadcast
+    # onto the query-term tf frame (the salient_terms_tfidf shape)
+    ("search_bm25_topk", "BroadcastNestedLoopJoin"): "1-row (N, Σdl) stats",
+    ("search_bm25_topk", "SinglePartition"): "1-row corpus-stats agg",
+    # r10 perplexity filter: the 1-row vocab-size (V) broadcast onto
+    # the scored bigram frame — same scalar-subquery shape
+    ("doc_perplexity_bigram", "BroadcastNestedLoopJoin"): "1-row vocab size",
+    ("doc_perplexity_bigram", "SinglePartition"): "1-row vocab-size agg",
     # PageRank needs no entries: the graph build and the 1-row
     # node-count broadcast execute at construction behind eager
     # localCheckpoints, so the returned plan reads LogicalRDDs only
