@@ -1265,6 +1265,54 @@ def q_audio_fingerprint_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AUDIO_DUP_ENERGY_BP = 100  # near-dup bar: loudness within 1% of the louder
+
+
+def q_dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate AUDIO pairs (r10) — the audio half of the
+    multimodal dedup symmetry (dedup_image_phash's twin): clips whose
+    band-energy fingerprints are EQUAL (same loudness shape) and whose
+    total energies agree within AUDIO_DUP_ENERGY_BP basis points of
+    the louder clip. Blocking is the fingerprint equi-join; the energy
+    tolerance is the exact verify — all-integer (10000·|Δ| vs bp·max
+    cross-multiplication, no division until the reported delta).
+
+    Scale: exchanges move (id, 2 bigints) keyed by fingerprint; pair
+    work is Σ|fp bucket|², never n². The 15-bit fingerprint is wide
+    enough for fixture-scale buckets; a production deployment widens
+    it (more energy windows) exactly as the image path would add
+    bands — the plan shape is unchanged. greatest(·, 1) guards the
+    all-silence pair (0 div 0) identically on both engines."""
+    sig = q_audio_fingerprint_export(spark, sf_dir)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        "audio_fp",
+        F.col("energy_total").alias("ea"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        "audio_fp",
+        F.col("energy_total").alias("eb"),
+    )
+    return (
+        a.join(b, "audio_fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.lit(10000) * F.abs(F.col("ea") - F.col("eb"))
+            <= F.lit(AUDIO_DUP_ENERGY_BP)
+            * F.greatest(F.col("ea"), F.col("eb"), F.lit(1))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("audio_fp").cast("bigint").alias("audio_fp"),
+            F.expr(
+                "CAST((10000 * abs(ea - eb)) DIV greatest(ea, eb, 1) AS INT)"
+            ).alias("energy_delta_bp"),
+        )
+    )
+
+
 # the oracle replays the codepoint arithmetic directly: resampled frame
 # j reads original sample 2j, i.e. text char (2j mod len); |sample| =
 # |(ord % 256 - 128) * 256| — integer-identical to the synthesize ->
@@ -1297,6 +1345,20 @@ tot AS (SELECT doc_id, CAST(sum(energy) AS BIGINT) AS energy_total
         FROM wins GROUP BY doc_id)
 SELECT t.doc_id, coalesce(f.audio_fp, 0) AS audio_fp, t.energy_total
 FROM tot t LEFT JOIN fp f USING (doc_id)
+"""
+
+
+SQL_DEDUP_AUDIO_FP = f"""
+WITH sig AS ({SQL_AUDIO_FP_EXPORT})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(a.audio_fp AS BIGINT) AS audio_fp,
+       CAST((10000 * abs(a.energy_total - b.energy_total))
+            // greatest(a.energy_total, b.energy_total, 1) AS INT)
+         AS energy_delta_bp
+FROM sig a JOIN sig b
+  ON a.audio_fp = b.audio_fp AND a.doc_id < b.doc_id
+WHERE 10000 * abs(a.energy_total - b.energy_total)
+      <= {AUDIO_DUP_ENERGY_BP} * greatest(a.energy_total, b.energy_total, 1)
 """
 
 
@@ -1723,6 +1785,75 @@ def q_mix_sqrt_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.join(F.broadcast(budget), "source").where(
         F.col("rk") <= F.col("budget")
     ).select("doc_id", "source", "rk")
+
+
+def q_mix_upsample_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-based source OVERSAMPLING (r10) — the other half of
+    mixture design: where mix_sqrt_temperature compresses
+    over-represented sources DOWN, this repeats under-represented
+    sources UP to the largest source's size (the 'epochs per dataset'
+    knob in LLM data recipes): every source emits exactly n_max rows —
+    floor(n_max / n_src) full epochs of every doc plus one partial
+    epoch of the (n_max mod n_src) hash-rank-smallest docs. Integer
+    arithmetic end to end; the partial-epoch pick is the md5-rank
+    idiom — rerun-, repartition-, and append-stable, no rand().
+
+    Scale: one source-count aggregate, a 1-row max broadcast, the
+    per-source rank window (sources partition the work), then a
+    map-only sequence explode whose fan-out IS the oversampling ratio
+    — data-inherent output size, no join amplification."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    nmax = cnt.agg(F.max("n_src").alias("n_max"))
+    plan = cnt.crossJoin(F.broadcast(nmax)).select(
+        "source",
+        F.expr("n_max DIV n_src").alias("fe"),
+        (F.col("n_max") % F.col("n_src")).alias("rem"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "rk", F.row_number().over(w)
+    )
+    copies = ranked.join(F.broadcast(plan), "source").select(
+        "doc_id",
+        "source",
+        (
+            F.col("fe")
+            + F.when(F.col("rk") <= F.col("rem"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("copies"),
+    )
+    return copies.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("copies") - 1)).alias("ep"),
+    ).select("doc_id", "source", F.col("ep").cast("int").alias("epoch"))
+
+
+SQL_MIX_UPSAMPLE_EPOCHS = """
+WITH cnt AS (
+  SELECT source, count(*) AS n_src FROM documents GROUP BY source
+),
+nmax AS (SELECT max(n_src) AS n_max FROM cnt),
+plan AS (
+  SELECT source, n_max // n_src AS fe, n_max % n_src AS rem FROM cnt, nmax
+),
+ranked AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)),
+                                     doc_id) AS rk
+  FROM documents
+),
+cop AS (
+  SELECT r.doc_id, r.source,
+         p.fe + CASE WHEN r.rk <= p.rem THEN 1 ELSE 0 END AS copies
+  FROM ranked r JOIN plan p USING (source)
+)
+SELECT doc_id, source, CAST(e.off AS INT) AS epoch
+FROM cop, unnest(generate_series(0, copies - 1)) AS e(off)
+"""
 
 
 SQL_MIX_SQRT_TEMPERATURE = """
@@ -3933,6 +4064,11 @@ SPECS = [
     QuerySpec(
         "mix_sqrt_temperature", q_mix_sqrt_temperature, SQL_MIX_SQRT_TEMPERATURE
     ),
+    # r10: epoch-based oversampling — the repeat-up half of mixture
+    # design (mix_sqrt_temperature compresses down)
+    QuerySpec(
+        "mix_upsample_epochs", q_mix_upsample_epochs, SQL_MIX_UPSAMPLE_EPOCHS
+    ),
     QuerySpec(
         "embedding_dim_profile",
         q_embedding_dim_profile,
@@ -4002,4 +4138,7 @@ SPECS = [
         q_audio_fingerprint_export,
         SQL_AUDIO_FP_EXPORT,
     ),
+    # r10: near-dup audio pairs — fingerprint equi-blocking + integer
+    # energy-tolerance verify (the image-phash twin)
+    QuerySpec("dedup_audio_fp", q_dedup_audio_fp, SQL_DEDUP_AUDIO_FP),
 ]

@@ -2221,6 +2221,43 @@ def q_quartile_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist within group (r10) — the last SQL window-distribution
+    function the surface lacked (percent_rank, ntile, nth_value,
+    lag/lead, rank-topk all exist): each customer's cumulative balance
+    distribution inside its nation, P(X <= x). Ties share one value on
+    both engines (cume_dist is value-determined — count of rows with
+    value <= current over N — so no tie-break ordering is needed for
+    determinism); the count ratio is the same small-integer division
+    in IEEE on both engines, rounded 6dp out of discipline.
+
+    Scale: the nation key bounds every task's sort (the
+    quartile_by_group argument); one exchange, no global frame."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.asc("c_acctbal"))
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5))
+        .cast("bigint")
+        .alias("acctbal_c"),
+        (
+            F.floor(F.cume_dist().over(w) * F.lit(1e6) + F.lit(0.5))
+            / F.lit(1e6)
+        ).alias("bal_cume"),
+    )
+
+
+SQL_WINDOW_CUME_DIST = """
+SELECT c_custkey, c_nationkey,
+       CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS acctbal_c,
+       floor(cume_dist() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal) * 1e6 + 0.5) / 1e6
+         AS bal_cume
+FROM customer
+"""
+
+
 SQL_QUARTILE_BY_GROUP = """
 SELECT c_custkey, c_nationkey,
        CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS acctbal_c,
@@ -2723,6 +2760,8 @@ SPECS = [
     QuerySpec("regr_fit_moments", q_regr_fit_moments, SQL_REGR_FIT),
     QuerySpec("purchase_gap_stats", q_purchase_gap_stats, SQL_PURCHASE_GAPS),
     QuerySpec("quartile_by_group", q_quartile_by_group, SQL_QUARTILE_BY_GROUP),
+    # r10: cume_dist — the last window-distribution function
+    QuerySpec("window_cume_dist", q_window_cume_dist, SQL_WINDOW_CUME_DIST),
     QuerySpec("activity_streaks", q_activity_streaks, SQL_ACTIVITY_STREAKS),
     QuerySpec(
         "subquery_not_in_nullaware", q_subquery_not_in_nullaware, SQL_NOT_IN_NULLAWARE

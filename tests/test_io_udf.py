@@ -382,3 +382,31 @@ def test_scan_text_lines_rejects_embedded_newlines(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         q_scan_text_lines(spark, sf).collect()
     assert "newline-free" in str(ei.value)
+
+
+def test_window_cume_dist_matches_brute_force(spark, sf_dir):
+    """cume_dist must equal count(value <= x)/N within each nation,
+    ties sharing one value."""
+    import math
+    from collections import defaultdict
+
+    from etl_dagster_service_crawler_spark.workloads.relational import (
+        q_window_cume_dist,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    ).collect()
+    by_nation = defaultdict(list)
+    for r in cust:
+        by_nation[r["c_nationkey"]].append(r["c_acctbal"])
+    got = {
+        r["c_custkey"]: r
+        for r in q_window_cume_dist(spark, sf_dir).collect()
+    }
+    assert len(got) == len(cust)
+    for r in cust:
+        vals = by_nation[r["c_nationkey"]]
+        cd = sum(1 for v in vals if v <= r["c_acctbal"]) / len(vals)
+        want = math.floor(cd * 1e6 + 0.5) / 1e6
+        assert got[r["c_custkey"]]["bal_cume"] == want

@@ -1731,3 +1731,76 @@ def test_audio_fingerprint_matches_local_recompute(spark, sf_dir):
         nonzero += 1 if fp else 0
     assert nonzero, "fixture corpus should produce non-trivial fingerprints"
     assert local("")[0] == 0 and local(None)[0] == 0
+
+
+def test_mix_upsample_epochs_exact_budgets(spark, sf_dir):
+    """Every source must emit exactly n_max rows; each doc appears in
+    all full epochs; the partial epoch holds exactly the rem
+    md5-rank-smallest docs of the source."""
+    import hashlib
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_mix_upsample_epochs,
+    )
+
+    docs = [
+        (r["doc_id"], r["source"])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    n_src = Counter(src for _, src in docs)
+    n_max = max(n_src.values())
+    rows = q_mix_upsample_epochs(spark, sf_dir).collect()
+    per_source = Counter(r["source"] for r in rows)
+    assert set(per_source) == set(n_src)
+    assert all(v == n_max for v in per_source.values())
+    by_doc = Counter((r["doc_id"], r["source"]) for r in rows)
+    for src, n in n_src.items():
+        fe, rem = n_max // n, n_max % n
+        ids = sorted(
+            (d for d, s in docs if s == src),
+            key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d),
+        )
+        partial = set(ids[:rem])
+        for d in ids:
+            want = fe + (1 if d in partial else 0)
+            assert by_doc[(d, src)] == want, (d, src, want, by_doc[(d, src)])
+    # epochs are dense 0..copies-1 per doc
+    seen: dict[tuple, set] = {}
+    for r in rows:
+        seen.setdefault((r["doc_id"], r["source"]), set()).add(r["epoch"])
+    for key, eps in seen.items():
+        assert eps == set(range(len(eps))), key
+
+
+def test_dedup_audio_fp_matches_brute_force(spark, sf_dir):
+    """The fingerprint-blocked pair join must equal the all-pairs
+    answer under the same equal-fp + energy-tolerance rule."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        AUDIO_DUP_ENERGY_BP,
+        q_audio_fingerprint_export,
+        q_dedup_audio_fp,
+    )
+
+    sig = {
+        r["doc_id"]: (r["audio_fp"], r["energy_total"])
+        for r in q_audio_fingerprint_export(spark, sf_dir).collect()
+    }
+    ids = sorted(sig)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            fa, ea = sig[a]
+            fb, eb = sig[b]
+            if fa == fb and 10000 * abs(ea - eb) <= AUDIO_DUP_ENERGY_BP * max(
+                ea, eb, 1
+            ):
+                want.add(
+                    (a, b, fa, (10000 * abs(ea - eb)) // max(ea, eb, 1))
+                )
+    got = {
+        (r["doc_a"], r["doc_b"], r["audio_fp"], r["energy_delta_bp"])
+        for r in q_dedup_audio_fp(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus should contain near-dup audio pairs"

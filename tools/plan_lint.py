@@ -106,6 +106,10 @@ ALLOW: dict[tuple[str, str], str] = {
     # the scored bigram frame — same scalar-subquery shape
     ("doc_perplexity_bigram", "BroadcastNestedLoopJoin"): "1-row vocab size",
     ("doc_perplexity_bigram", "SinglePartition"): "1-row vocab-size agg",
+    # r10 oversampling: the 1-row max(n_src) broadcast onto the
+    # source-count frame (the mix_sqrt_temperature shape)
+    ("mix_upsample_epochs", "BroadcastNestedLoopJoin"): "1-row n_max",
+    ("mix_upsample_epochs", "SinglePartition"): "1-row n_max agg",
     # PageRank needs no entries: the graph build and the 1-row
     # node-count broadcast execute at construction behind eager
     # localCheckpoints, so the returned plan reads LogicalRDDs only
