@@ -2544,6 +2544,63 @@ WHERE jaccard_bp >= {MINHASH_VERIFY_JACCARD_BP}
 """
 
 
+def q_pipeline_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE oracle-backed MinHash dedup pipeline (r10):
+    signatures → bands → candidate join → exact Jaccard verify
+    (dedup_minhash_verify) → connected components over the verified
+    pairs → every document labeled with its cluster representative
+    (smallest doc_id; singletons label themselves). This is the
+    composed flagship the production rows-only family
+    (dedup_minhash_lsh → dedup_minhash_cc) ships — here every stage
+    including the ITERATIVE CC fixpoint is value-hash-checked (the CC
+    loop against a DuckDB recursive CTE, the semantic_dedup_clusters
+    pattern), because verified pairs are a pure deterministic function
+    of the corpus.
+
+    Scale: inherits the verify stage's envelope (Σ|band bucket|² pair
+    work, hash arrays only); the CC loop is the shared tuned
+    label-propagation machinery — two aligned exchanges per round,
+    hot-bucket salting, pointer jump, checkpoint lineage truncation."""
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        cc_label_propagation,
+    )
+
+    pairs = q_dedup_minhash_verify(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    bh = F.concat_ws("-", F.col("doc_a"), F.col("doc_b"))
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"), bh.alias("bh"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id"), bh.alias("bh")))
+        .unionByName(
+            d.select(
+                "doc_id", F.concat(F.lit("self-"), F.col("doc_id")).alias("bh")
+            )
+        )
+    )
+    n = d.count()
+    return cc_label_propagation(members, "doc_id", n_edges=3 * n).select(
+        "doc_id", "label", "is_dup"
+    )
+
+
+SQL_PIPELINE_MINHASH_DEDUP = f"""
+WITH RECURSIVE ver AS ({SQL_DEDUP_MINHASH_VERIFY}),
+und AS (
+  SELECT doc_a AS a, doc_b AS b FROM ver
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM ver
+),
+reach AS (
+  SELECT doc_id AS n, doc_id AS lab FROM documents
+  UNION
+  SELECT u.b AS n, r.lab
+  FROM reach r JOIN und u ON u.a = r.n
+)
+SELECT n AS doc_id, min(lab) AS label, min(lab) <> n AS is_dup
+FROM reach GROUP BY n
+"""
+
+
 CONTAIN_POSTING_CAP = 200  # stop-shingle bar: hashes in more docs carry no signal
 CONTAIN_BP_T = 8000  # report pairs where ≥80% of A's shingles appear in B
 
@@ -3341,6 +3398,50 @@ def q_sink_graph_sidecar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mutual_graph_cached(spark, sf_dir, force_build=True)
 
 
+def q_knn_graph_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the mutual-kNN graph (r10) — the graph-health
+    gate before the consumers run: a healthy mutual graph has most
+    degrees in [1, k]; a spike at 0 means cells too small / embeddings
+    degenerate (nothing to cluster), a heavy tail means duplicate
+    blow-up. Zero-degree nodes (corpus vectors absent from the graph)
+    are counted explicitly via the left join — the failure mode the
+    histogram exists to expose.
+
+    Scale: reads the persisted sidecar (no Σ|cell|² rebuild); one
+    endpoint union + two small aggregates — the exchanges carry (node,
+    count) then (degree, count) rows."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    g = mutual_graph_cached(spark, sf_dir)
+    ends = g.select(F.col("src").alias("vec_id")).unionByName(
+        g.select(F.col("dst").alias("vec_id"))
+    )
+    per_node = ends.groupBy("vec_id").agg(F.count(F.lit(1)).alias("degree"))
+    deg = e.join(per_node, "vec_id", "left").select(
+        F.coalesce("degree", F.lit(0)).cast("int").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )
+
+
+def _sql_knn_graph_degree_hist() -> str:
+    return f"""
+WITH g AS ({_sql_knn_graph_mutual()}),
+ends AS (
+  SELECT src AS vec_id FROM g
+  UNION ALL
+  SELECT dst AS vec_id FROM g
+),
+deg AS (
+  SELECT e.vec_id, count(x.vec_id) AS degree
+  FROM embeddings e LEFT JOIN ends x ON e.vec_id = x.vec_id
+  GROUP BY e.vec_id
+)
+SELECT CAST(degree AS INT) AS degree, CAST(count(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+
+
 PAGERANK_ITERS = 3
 PAGERANK_SCALE = 1_000_000_000  # ranks in parts-per-billion
 
@@ -3991,6 +4092,14 @@ SPECS = [
     QuerySpec(
         "doc_containment_ngram", q_doc_containment_ngram, SQL_DOC_CONTAINMENT
     ),
+    # r10: the composed flagship — bands -> verify -> CC -> labels, every
+    # stage (including the iterative fixpoint) oracle-checked
+    QuerySpec(
+        "pipeline_minhash_dedup",
+        q_pipeline_minhash_dedup,
+        SQL_PIPELINE_MINHASH_DEDUP,
+        bench=True,
+    ),
     QuerySpec("srp_bucket_export", q_srp_bucket_export, SQL_SRP_BUCKET_EXPORT),
     # r8: O(n^2)-compute / O(buckets)-movement threshold artifact; the
     # quantized-cosine value anchor for the routed ANN arm
@@ -4015,6 +4124,13 @@ SPECS = [
     QuerySpec(
         "sink_graph_sidecar", q_sink_graph_sidecar, _sql_knn_graph_mutual(),
         bench=True,
+    ),
+    # r10: graph-health gate over the sidecar (degree distribution with
+    # explicit zero-degree nodes)
+    QuerySpec(
+        "knn_graph_degree_hist",
+        q_knn_graph_degree_hist,
+        _sql_knn_graph_degree_hist(),
     ),
     QuerySpec(
         "semantic_dedup_clusters",

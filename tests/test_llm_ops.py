@@ -1804,3 +1804,72 @@ def test_dedup_audio_fp_matches_brute_force(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture corpus should contain near-dup audio pairs"
+
+
+def test_pipeline_minhash_dedup_matches_union_find(spark, sf_dir):
+    """The composed pipeline's labels must equal a driver-side
+    union-find over the verified pairs (smallest doc_id representative,
+    singletons labeling themselves)."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_dedup_minhash_verify,
+        q_pipeline_minhash_dedup,
+    )
+
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_minhash_verify(spark, sf_dir).collect()
+    ]
+    docs = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in docs}
+    got = {
+        r["doc_id"]: (r["label"], r["is_dup"])
+        for r in q_pipeline_minhash_dedup(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for d, lab in want.items():
+        assert got[d] == (lab, lab != d), (d, lab, got[d])
+    assert pairs, "fixture corpus should contain verified pairs"
+
+
+def test_knn_graph_degree_hist_consistent_with_graph(spark, sf_dir):
+    """Histogram totals must cover every corpus vector and match
+    per-node degrees recomputed from the collected edge list
+    (zero-degree nodes counted explicitly)."""
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        mutual_graph_cached,
+        q_knn_graph_degree_hist,
+    )
+
+    edges = mutual_graph_cached(spark, sf_dir).collect()
+    deg = Counter()
+    for r in edges:
+        deg[r["src"]] += 1
+        deg[r["dst"]] += 1
+    vec_ids = [
+        r["vec_id"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    ]
+    want = Counter(deg.get(v, 0) for v in vec_ids)
+    got = {
+        r["degree"]: r["n_nodes"]
+        for r in q_knn_graph_degree_hist(spark, sf_dir).collect()
+    }
+    assert got == dict(want)
+    assert sum(got.values()) == len(vec_ids)
