@@ -1664,6 +1664,70 @@ WHERE rn = 1
 """
 
 
+def q_kmeans_update_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-assignment k-means UPDATE export (r10) — the other half
+    of Lloyd's iteration: given kmeans_assign_export's oracle-checked
+    assignment, the new centroid of every cluster as the exact integer
+    mean per (cluster, dim) in the int8 domain. With assign (argmin)
+    AND update (recompute) both value-hash-checked, one full Lloyd's
+    step is oracle-anchored end-to-end — what the trained
+    cluster_semantic_kmeans cannot replay in DuckDB is now pinned at
+    both of its constituent operations.
+
+    Exactness: per-(cluster, dim) sums are exact BIGINTs in any order;
+    the mean removes the remainder before dividing (pmod idiom —
+    Spark `div` truncates, DuckDB `//` floors; identical once the
+    remainder is gone, the embedding_centroids_int rule).
+
+    Scale: the assignment join is vec_id-keyed equi; posexplode
+    multiplies rows by the dim count but the (cluster, pos) partial
+    aggregate combines map-side — the exchange carries k x dims rows
+    per task, constant in n (treeAggregate semantics relationally)."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        _q8_expr,
+    )
+
+    assign = q_kmeans_assign_export(spark, sf_dir).select(
+        "vec_id", "cluster_id"
+    )
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _q8_expr("embedding").alias("qv")
+    )
+    ex = e.join(assign, "vec_id").select(
+        "cluster_id", F.posexplode("qv").alias("pos", "q")
+    )
+    agg = ex.groupBy("cluster_id", "pos").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("q").alias("s")
+    )
+    return agg.select(
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("s"),
+        F.expr("(s - pmod(s, n)) div n").cast("bigint").alias("mean_q"),
+    )
+
+
+def _sql_kmeans_update_export() -> str:
+    return f"""
+WITH {_SQL_Q8},
+asg AS ({_sql_kmeans_assign_export()}),
+ex AS (
+  SELECT a.cluster_id,
+         CAST(unnest(generate_series(0, len(e.qv) - 1)) AS INT) AS pos,
+         CAST(unnest(e.qv) AS BIGINT) AS q
+  FROM q8 e JOIN asg a USING (vec_id)
+)
+SELECT CAST(cluster_id AS INT) AS cluster_id, pos,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(q) AS BIGINT) AS s,
+       CAST((CAST(sum(q) AS BIGINT)
+             - ((CAST(sum(q) AS BIGINT) % count(*)) + count(*)) % count(*))
+            // count(*) AS BIGINT) AS mean_q
+FROM ex GROUP BY cluster_id, pos
+"""
+
+
 def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling — downweight sources to a target mix
     (the pretraining recipe step: wiki x1.0, crawl x0.25, ...). Weights
@@ -4195,6 +4259,13 @@ SPECS = [
     QuerySpec(
         "kmeans_assign_export", q_kmeans_assign_export,
         _sql_kmeans_assign_export(),
+    ),
+    # r10: the Lloyd's UPDATE step under the frozen assignment — with
+    # assign + update both anchored, one full k-means iteration is
+    # oracle-checked end-to-end
+    QuerySpec(
+        "kmeans_update_export", q_kmeans_update_export,
+        _sql_kmeans_update_export(),
     ),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),

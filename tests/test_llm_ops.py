@@ -1873,3 +1873,44 @@ def test_knn_graph_degree_hist_consistent_with_graph(spark, sf_dir):
     }
     assert got == dict(want)
     assert sum(got.values()) == len(vec_ids)
+
+
+def test_kmeans_update_matches_brute_force(spark, sf_dir):
+    """The Lloyd's-update export must equal a driver-side recompute of
+    per-(cluster, dim) count/sum/floor-mean from the assign export and
+    the quantized vectors."""
+    from collections import defaultdict
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        _q8_expr,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_kmeans_assign_export,
+        q_kmeans_update_export,
+    )
+
+    assign = {
+        r["vec_id"]: r["cluster_id"]
+        for r in q_kmeans_assign_export(spark, sf_dir).collect()
+    }
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = {
+        r["vec_id"]: r["qv"]
+        for r in emb.select("vec_id", _q8_expr("embedding").alias("qv")).collect()
+    }
+    acc = defaultdict(lambda: [0, 0])  # (cluster, pos) -> [n, s]
+    for vid, cid in assign.items():
+        for pos, q in enumerate(qv[vid]):
+            a = acc[(cid, pos)]
+            a[0] += 1
+            a[1] += q
+    want = {
+        key: (n, s, (s - ((s % n) + n) % n) // n)
+        for key, (n, s) in acc.items()
+    }
+    got = {
+        (r["cluster_id"], r["pos"]): (r["n"], r["s"], r["mean_q"])
+        for r in q_kmeans_update_export(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert len({c for c, _ in got}) > 1, "expect several non-empty clusters"

@@ -72,6 +72,10 @@ ALLOW: dict[tuple[str, str], str] = {
     ("kmeans_assign_export", "Window"): "8-row seed-rank frame",
     ("kmeans_assign_export", "BroadcastNestedLoopJoin"):
         "8-row quantized centroid set",
+    # r10 Lloyd's update: inherits assign's plan (same 8-row frames)
+    ("kmeans_update_export", "Window"): "8-row seed-rank frame",
+    ("kmeans_update_export", "BroadcastNestedLoopJoin"):
+        "8-row quantized centroid set",
     # r8 PQ family: the seed-rank window runs on the 8/16-row
     # hash_spread_seeds frame (the corpus-sized pick is a distributed
     # TakeOrdered); ivf_pq_search's BNLJ is assign_cells/probe_cells
