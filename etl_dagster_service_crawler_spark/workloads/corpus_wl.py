@@ -1476,11 +1476,15 @@ tf AS (
 ),
 dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
 scored AS (
+  -- every float constant CAST to DOUBLE: a bare 2.2 literal is
+  -- DECIMAL(2,1) in DuckDB, so tf*2.2 would be computed exactly in
+  -- decimal and rounded ONCE where Spark rounds double(2.2)*tf twice —
+  -- a last-ulp divergence (review pass 3, confirmed at sf0.01)
   SELECT tf.doc_id, tf.term,
          ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
-         * (tf.tf * {BM25_K1 + 1.0!r})
-         / (tf.tf + {BM25_K1!r} * ({1.0 - BM25_B!r}
-              + {BM25_B!r} * (CAST(tf.dl * s.n_docs AS DOUBLE)
+         * (tf.tf * CAST({BM25_K1 + 1.0!r} AS DOUBLE))
+         / (tf.tf + CAST({BM25_K1!r} AS DOUBLE) * ({1.0 - BM25_B!r}
+              + CAST({BM25_B!r} AS DOUBLE) * (CAST(tf.dl * s.n_docs AS DOUBLE)
                               / CAST(s.sum_dl AS DOUBLE)))) AS sc
   FROM tf JOIN dfreq d USING (term), stats s
 )

@@ -2241,18 +2241,15 @@ def q_window_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("c_acctbal") * F.lit(1e2) + F.lit(0.5))
         .cast("bigint")
         .alias("acctbal_c"),
-        (
-            F.floor(F.cume_dist().over(w) * F.lit(1e6) + F.lit(0.5))
-            / F.lit(1e6)
-        ).alias("bal_cume"),
+        fround(F.cume_dist().over(w), 6).alias("bal_cume"),
     )
 
 
-SQL_WINDOW_CUME_DIST = """
+SQL_WINDOW_CUME_DIST = f"""
 SELECT c_custkey, c_nationkey,
        CAST(floor(c_acctbal * 1e2 + 0.5) AS BIGINT) AS acctbal_c,
-       floor(cume_dist() OVER (PARTITION BY c_nationkey
-                               ORDER BY c_acctbal) * 1e6 + 0.5) / 1e6
+       {sql_fround('''cume_dist() OVER (PARTITION BY c_nationkey
+                               ORDER BY c_acctbal)''', 6)}
          AS bal_cume
 FROM customer
 """
