@@ -445,7 +445,11 @@ FROM s
 """
 
 
-STRATIFIED_RATE = 0.1
+# rate as an integer fraction: ceil(n/10) computes as (n + 9) DIV 10 on
+# both engines — a float 0.1*n is DECIMAL-exact in DuckDB but
+# double-rounded in Spark, a last-ulp seam at integer boundaries for
+# huge strata (the BM25 review-pass-3 class)
+STRATIFIED_NUM, STRATIFIED_DEN = 1, 10
 
 
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,7 +471,13 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("rn"),
             F.count(F.lit(1)).over(wc).alias("n_stratum"),
         )
-        .where(F.col("rn") <= F.ceil(F.lit(STRATIFIED_RATE) * F.col("n_stratum")))
+        .where(
+            F.col("rn")
+            <= F.expr(
+                f"(n_stratum * {STRATIFIED_NUM} + {STRATIFIED_DEN - 1}) "
+                f"DIV {STRATIFIED_DEN}"
+            )
+        )
         .select("doc_id", "source")
     )
 
@@ -481,7 +491,7 @@ FROM (
          count(*) OVER (PARTITION BY source) AS n_stratum
   FROM documents
 )
-WHERE rn <= ceil({STRATIFIED_RATE} * n_stratum)
+WHERE rn <= (n_stratum * {STRATIFIED_NUM} + {STRATIFIED_DEN - 1}) // {STRATIFIED_DEN}
 """
 
 
@@ -2007,7 +2017,12 @@ def q_pipeline_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CLEAN_INCR_SPLIT_FRAC = 0.7
+# split point as an integer fraction: floor(0.7·n) computes as
+# (n·7) DIV 10 on both engines — a float count*0.7 is DECIMAL-exact in
+# DuckDB but double-rounded in Spark (the review-pass-3 class; at fixture
+# scale the two agree, at 1e11-doc scale the double lands ~1e-5 from the
+# integer boundary and floor can go off by one)
+CLEAN_INCR_SPLIT_NUM, CLEAN_INCR_SPLIT_DEN = 7, 10
 
 
 def q_corpus_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2032,7 +2047,11 @@ def q_corpus_clean_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc-sized side)."""
     d = load_table(spark, sf_dir, "documents")
     split = d.agg(
-        F.floor(F.count("*") * CLEAN_INCR_SPLIT_FRAC).cast("bigint").alias("sid"),
+        F.expr(
+            f"(count(*) * {CLEAN_INCR_SPLIT_NUM}) DIV {CLEAN_INCR_SPLIT_DEN}"
+        )
+        .cast("bigint")
+        .alias("sid"),
         F.count("*").alias("n_docs"),
     )
     d = d.crossJoin(F.broadcast(split))
@@ -2103,7 +2122,8 @@ WITH t AS (
     AND CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / CAST(len(w) AS DOUBLE)
         <= {CLEAN_REP_MAX}
 ), split AS (
-  SELECT CAST(floor(count(*) * {CLEAN_INCR_SPLIT_FRAC}) AS BIGINT) AS sid,
+  SELECT CAST((count(*) * {CLEAN_INCR_SPLIT_NUM}) // {CLEAN_INCR_SPLIT_DEN}
+              AS BIGINT) AS sid,
          count(*) AS n_docs
   FROM documents
 ), batch AS (

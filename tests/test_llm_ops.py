@@ -552,14 +552,15 @@ def test_corpus_clean_incremental_skips_seen_hashes(spark, sf_dir):
     )
     from etl_dagster_service_crawler_spark.io.tables import load_table
     from etl_dagster_service_crawler_spark.workloads.llm import (
-        CLEAN_INCR_SPLIT_FRAC,
+        CLEAN_INCR_SPLIT_DEN,
+        CLEAN_INCR_SPLIT_NUM,
         CLEAN_QUALITY_MIN,
         CLEAN_REP_MAX,
         q_corpus_clean_incremental,
     )
 
     d = load_table(spark, sf_dir, "documents")
-    split_id = int(d.count() * CLEAN_INCR_SPLIT_FRAC)
+    split_id = d.count() * CLEAN_INCR_SPLIT_NUM // CLEAN_INCR_SPLIT_DEN
     w = F.split(F.col("text"), " ")
     n = F.size(w)
     dup_frac = (n - F.size(F.array_distinct(w))).cast("double") / n.cast("double")
