@@ -1020,6 +1020,105 @@ GROUP BY d.doc_id, (p - 1) // 64
 PHASH_TILE = 16  # synthesized gray tile side (16x16 px per document)
 PHASH_HAM_T = 3  # near-dup threshold; 4 bands make blocking EXACT for it
 
+VIDEO_FRAMES = 8  # synthesized frames per clip
+VIDEO_FRAME_STRIDE = 37  # codepoint offset between frames (prime)
+VIDEO_CUT_T = 8000  # scene-cut bar on the inter-frame absolute-diff sum
+
+
+def q_video_scenecut_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-cut export (r10) — the VIDEO analogue of the image
+    dHash and audio fingerprint exports, completing the multimodal
+    trio: per (clip, frame), the inter-frame absolute pixel difference
+    and the scene-cut flag (diff > VIDEO_CUT_T) — the shot-boundary
+    signal a video-curation pipeline persists before keyframe
+    extraction (multimodal_frame_sample is the sampler; this is the
+    detector that decides WHERE to sample).
+
+    Each document synthesizes an 8-frame 16x16 gray clip from its text
+    codepoints (frame f reads the text at offset f·37 — exact-dup
+    texts yield exact-dup clips); every frame round-trips through REAL
+    PNG bytes (encode_png -> the decode_image seam, lossless) before
+    the diff. All-integer end to end, so the DuckDB oracle reproduces
+    the diffs from codepoint arithmetic with no PNG machinery — the
+    codec seam is what the Spark side additionally proves. Empty/NULL
+    text synthesizes a constant clip: all diffs 0, no cuts.
+
+    Scale: a narrow mapInPandas — frames never leave their row; output
+    is (id, frame, int, bool) per frame."""
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n_px = PHASH_TILE * PHASH_TILE
+
+    def batches(it):
+        import numpy as np
+
+        from etl_dagster_service_crawler_spark.operators.multimodal import (
+            decode_image,
+        )
+        from etl_dagster_service_crawler_spark.operators.png_codec import (
+            encode_png,
+        )
+
+        for pdf in it:
+            ids, fidx, diffs = [], [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                cps = np.array(
+                    [ord(ch) % 256 for ch in text] if text else [0],
+                    dtype=np.int64,
+                )
+                frames = []
+                for f in range(VIDEO_FRAMES):
+                    idx = (f * VIDEO_FRAME_STRIDE + np.arange(n_px)) % len(cps)
+                    png = encode_png(
+                        cps[idx].astype(np.uint8).reshape(PHASH_TILE, PHASH_TILE)
+                    )
+                    arr = np.asarray(decode_image(png), dtype=np.int64)
+                    if arr.ndim == 3:  # decode seam may emit RGB planes
+                        arr = arr[:, :, 0]
+                    frames.append(arr)
+                for f in range(1, VIDEO_FRAMES):
+                    ids.append(doc_id)
+                    fidx.append(f)
+                    diffs.append(int(np.abs(frames[f] - frames[f - 1]).sum()))
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": fidx, "diff_sum": diffs}
+            )
+
+    out = d.mapInPandas(
+        batches, "doc_id bigint, frame_idx int, diff_sum bigint"
+    )
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "diff_sum",
+        (F.col("diff_sum") > VIDEO_CUT_T).alias("is_cut"),
+    )
+
+
+# the oracle replays the pixel arithmetic directly: frame f pixel i =
+# ord(text[(f*37 + i) mod len]) % 256 (PNG round-trip lossless)
+SQL_VIDEO_SCENECUT = f"""
+WITH px AS (
+  SELECT d.doc_id, f.f, i.i,
+         CASE WHEN coalesce(length(d.text), 0) = 0 THEN 0
+              ELSE ord(substr(d.text,
+                     ((f.f * {VIDEO_FRAME_STRIDE} + i.i) % length(d.text)) + 1,
+                     1)) % 256 END AS cur,
+         CASE WHEN coalesce(length(d.text), 0) = 0 THEN 0
+              ELSE ord(substr(d.text,
+                     (((f.f - 1) * {VIDEO_FRAME_STRIDE} + i.i)
+                      % length(d.text)) + 1, 1)) % 256 END AS prv
+  FROM documents d,
+       unnest(generate_series(1, {VIDEO_FRAMES - 1})) AS f(f),
+       unnest(generate_series(0, {PHASH_TILE * PHASH_TILE - 1})) AS i(i)
+)
+SELECT doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(sum(abs(cur - prv)) AS BIGINT) AS diff_sum,
+       sum(abs(cur - prv)) > {VIDEO_CUT_T} AS is_cut
+FROM px GROUP BY doc_id, f
+"""
+
 
 def q_phash_image_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image perceptual-hash export (VERDICT r9 item 7) — the integer
@@ -4344,6 +4443,11 @@ SPECS = [
         "audio_fingerprint_export",
         q_audio_fingerprint_export,
         SQL_AUDIO_FP_EXPORT,
+    ),
+    # r10: the video leg of the multimodal trio — shot-boundary
+    # detection through the real PNG codec seam
+    QuerySpec(
+        "video_scenecut_export", q_video_scenecut_export, SQL_VIDEO_SCENECUT
     ),
     # r10: near-dup audio pairs — fingerprint equi-blocking + integer
     # energy-tolerance verify (the image-phash twin)

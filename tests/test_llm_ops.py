@@ -1915,3 +1915,49 @@ def test_kmeans_update_matches_brute_force(spark, sf_dir):
     }
     assert got == want
     assert len({c for c, _ in got}) > 1, "expect several non-empty clusters"
+
+
+def test_video_scenecut_matches_local_recompute(spark, sf_dir):
+    """The scene-cut export must equal a direct numpy recompute from
+    the text codepoints (no PNG machinery) — proving the per-frame PNG
+    round-trip is lossless — and empty text must yield zero diffs."""
+    import numpy as np
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        PHASH_TILE,
+        VIDEO_CUT_T,
+        VIDEO_FRAME_STRIDE,
+        VIDEO_FRAMES,
+        q_video_scenecut_export,
+    )
+
+    n_px = PHASH_TILE * PHASH_TILE
+
+    def local(text):
+        cps = np.array(
+            [ord(ch) % 256 for ch in text] if text else [0], dtype=np.int64
+        )
+        out = {}
+        prev = None
+        for f in range(VIDEO_FRAMES):
+            idx = (f * VIDEO_FRAME_STRIDE + np.arange(n_px)) % len(cps)
+            cur = cps[idx]
+            if f:
+                out[f] = int(np.abs(cur - prev).sum())
+            prev = cur
+        return out
+
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    rows = q_video_scenecut_export(spark, sf_dir).collect()
+    assert len(rows) == len(texts) * (VIDEO_FRAMES - 1)
+    cuts = 0
+    for r in rows:
+        want = local(texts[r["doc_id"]])[r["frame_idx"]]
+        assert r["diff_sum"] == want, (r["doc_id"], r["frame_idx"])
+        assert r["is_cut"] == (want > VIDEO_CUT_T)
+        cuts += r["is_cut"]
+    assert cuts, "fixture corpus should contain scene cuts"
+    assert all(v == 0 for v in local("").values())
