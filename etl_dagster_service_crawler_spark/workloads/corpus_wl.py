@@ -1499,6 +1499,73 @@ LIMIT {BM25_TOPK}
 """
 
 
+VOCAB_CURVE_RANKS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)
+
+
+def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-coverage curve vs vocabulary size (r10) — the
+    vocab-size-picking artifact tokenizer design starts from: at each
+    candidate rank k (powers of two), what share of all corpus tokens
+    the k most frequent terms cover, in integer ppm. The knee of this
+    curve is where a vocab stops paying for itself; complements
+    vocab_top_terms (the terms) and oov_rate_vocab (per-doc misses)
+    with the corpus-level design curve.
+
+    Exactness: counts and the cumulative sum are exact BIGINTs; share
+    = (1e6 · cum) div total, integer on both engines; rank ties pinned
+    (cnt DESC, term ASC).
+
+    Scale: the term aggregate partial-combines map-side into ONE
+    vocab-sized exchange; the rank/cumulative window runs on the
+    VOCAB-sized frame (vocabulary ≪ corpus — the source-rank allowlist
+    class), and only grid ranks survive to the output."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens_ws(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.desc("cnt"), "term")
+    curve = counts.select(
+        F.row_number().over(w).alias("vocab_rank"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum_tokens"),
+    ).where(F.col("vocab_rank").isin(*VOCAB_CURVE_RANKS))
+    return curve.crossJoin(F.broadcast(total)).select(
+        F.col("vocab_rank").cast("int").alias("vocab_rank"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        F.expr("CAST((1000000 * cum_tokens) DIV total AS INT)").alias(
+            "coverage_ppm"
+        ),
+    )
+
+
+_VOCAB_CURVE_LIST = ", ".join(str(r) for r in VOCAB_CURVE_RANKS)
+SQL_VOCAB_COVERAGE_CURVE = f"""
+WITH counts AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+curve AS (
+  SELECT row_number() OVER (ORDER BY cnt DESC, term) AS vocab_rank,
+         sum(cnt) OVER (ORDER BY cnt DESC, term
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM counts
+)
+SELECT CAST(vocab_rank AS INT) AS vocab_rank,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens,
+       CAST((1000000 * CAST(cum_tokens AS BIGINT)) // total AS INT)
+         AS coverage_ppm
+FROM curve, total
+WHERE vocab_rank IN ({_VOCAB_CURVE_LIST})
+"""
+
+
 def q_doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bits-per-bigram under a corpus bigram LM — the
     CCNet-style perplexity filter: documents whose phrase structure is
@@ -2756,6 +2823,12 @@ SPECS: list[QuerySpec] = [
         q_doc_perplexity_bigram,
         SQL_DOC_PERPLEXITY,
         bench=True,
+    ),
+    # r10: the vocab-size-picking coverage curve (integer ppm)
+    QuerySpec(
+        "vocab_coverage_curve",
+        q_vocab_coverage_curve,
+        SQL_VOCAB_COVERAGE_CURVE,
     ),
     QuerySpec("bigram_collocations", q_bigram_collocations, SQL_COLLOCATIONS),
     QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNK),

@@ -1304,3 +1304,35 @@ def test_doc_perplexity_matches_local_recompute(spark, sf_dir):
     }
     assert got == want
     assert want, "fixture corpus should have scoreable docs"
+
+
+def test_vocab_coverage_curve_matches_local_recompute(spark, sf_dir):
+    """Each grid rank's cumulative coverage must equal a pure-python
+    recompute (cnt DESC, term ASC ordering, integer ppm), and the
+    curve must be monotonically non-decreasing."""
+    from collections import Counter
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        VOCAB_CURVE_RANKS,
+        q_vocab_coverage_curve,
+    )
+
+    counts = Counter()
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        counts.update((r["text"] or "").split(" "))
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(counts.values())
+    want = {}
+    cum = 0
+    for rank, (_, cnt) in enumerate(ordered, start=1):
+        cum += cnt
+        if rank in VOCAB_CURVE_RANKS:
+            want[rank] = (cum, (1_000_000 * cum) // total)
+    got = {
+        r["vocab_rank"]: (r["cum_tokens"], r["coverage_ppm"])
+        for r in q_vocab_coverage_curve(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "fixture vocab should reach at least one grid rank"
+    ppms = [got[k][1] for k in sorted(got)]
+    assert ppms == sorted(ppms)

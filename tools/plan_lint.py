@@ -125,6 +125,12 @@ ALLOW: dict[tuple[str, str], str] = {
     ("source_mirror_communities", "SinglePartition"):
         "source-vocabulary rank frame",
     ("source_mirror_communities", "Window"): "source-vocabulary rank frame",
+    # r10 coverage curve: rank/cumulative window over the VOCAB-sized
+    # term-count frame (vocabulary << corpus, same class as above) and
+    # the 1-row token-total broadcast
+    ("vocab_coverage_curve", "SinglePartition"): "vocab rank frame + 1-row total",
+    ("vocab_coverage_curve", "Window"): "vocab-sized rank frame",
+    ("vocab_coverage_curve", "BroadcastNestedLoopJoin"): "1-row token total",
     # r8 session-2: same constant-size frames — the 32-row codebook
     # rank window, the 16-row centroid broadcasts inside
     # assign_cells/probe_cells, and the 8-probe-row brute-force arm
