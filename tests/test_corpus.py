@@ -1336,3 +1336,44 @@ def test_vocab_coverage_curve_matches_local_recompute(spark, sf_dir):
     assert want, "fixture vocab should reach at least one grid rank"
     ppms = [got[k][1] for k in sorted(got)]
     assert ppms == sorted(ppms)
+
+
+def test_lm_sidecar_roundtrip_and_reuse(spark, sf_dir):
+    """The persisted bigram-LM sidecar (r10): a cold read
+    builds+persists and matches the direct build row-for-row; a warm
+    read serves the SAME rows from disk (_SUCCESS-gated); a crashed
+    writer (no _SUCCESS) is rebuilt, never half-served."""
+    import os
+    import shutil
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _bigram_lm_build,
+        _lm_sidecar_path,
+        bigram_lm_cached,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    path = _lm_sidecar_path(sf_dir, n)
+    shutil.rmtree(path, ignore_errors=True)
+    want = {
+        (r["bigram"], r["c12"], r["c1"])
+        for r in _bigram_lm_build(spark, sf_dir).collect()
+    }
+    cold = {
+        (r["bigram"], r["c12"], r["c1"])
+        for r in bigram_lm_cached(spark, sf_dir).collect()
+    }
+    assert cold == want and want
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
+    warm = {
+        (r["bigram"], r["c12"], r["c1"])
+        for r in bigram_lm_cached(spark, sf_dir).collect()
+    }
+    assert warm == want
+    os.remove(os.path.join(path, "_SUCCESS"))
+    rebuilt = {
+        (r["bigram"], r["c12"], r["c1"])
+        for r in bigram_lm_cached(spark, sf_dir).collect()
+    }
+    assert rebuilt == want
+    assert os.path.exists(os.path.join(path, "_SUCCESS"))
