@@ -1,7 +1,14 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints TWO JSON lines, each valid on its own:
+  1. the full evidence line — queries, per-run spread, per-window canaries
+  2. a final COMPACT line — queries + worst-of canaries only
+
+The driver keeps only a bounded stdout TAIL (~2 KiB): r10 lost one
+query's timing because the single verbose line outgrew the tail and was
+cut mid-entry. The compact final line is sized to always fit whole at
+the tail's end; tools/bench_history.py prefers it for the query set and
+scavenges the runs spread from whatever survives of the verbose line.
 
 Each query is timed as a full action (noop-sink write of the result) after a
 warm-up of the session. The headline metric is the sum of per-query
@@ -178,6 +185,27 @@ def main() -> None:
         "canary_post": canary_post,
     }
     print(json.dumps(out))
+    # Final compact line: no runs spread, no canary windows, minimal
+    # separators — the per-query map itself must survive the driver's
+    # stdout-tail capture intact. bench_history merges runs back in
+    # from the verbose line (local files) or its surviving tail suffix
+    # (driver artifacts); medians degrade gracefully where truncated.
+    compact = {
+        k: out[k]
+        for k in (
+            "metric", "value", "unit", "queries", "sf",
+            "canary_cpu", "canary_io", "canary_par",
+        )
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # tail budget sentinel: split point is queries
+        print(
+            f"# WARNING: compact bench line is {len(line)} bytes — "
+            "approaching the driver's ~2 KiB tail; shard the battery "
+            "or shorten query keys",
+            file=sys.stderr,
+        )
+    print(line)
 
 
 if __name__ == "__main__":

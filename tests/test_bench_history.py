@@ -426,3 +426,82 @@ def test_from_tail_window_spans_stripped_not_name_blacklisted():
     queries, _ = bh._from_tail(tail)
     assert queries == {"a": 1.0}
     assert "net" not in queries
+
+
+# ------------------------------------------- r11 compact final line
+
+
+def _verbose_and_compact(queries, runs):
+    verbose = json.dumps({
+        "metric": "sum_query_seconds", "value": sum(queries.values()),
+        "unit": "sec", "queries": queries, "runs": runs, "sf": 0.1,
+        "canary_cpu": 0.1, "canary_io": 0.2, "canary_par": 1.0,
+        "canary_pre": {"cpu": 0.1, "io": 0.2, "par": 1.0},
+        "canary_post": {"cpu": 0.1, "io": 0.2, "par": 1.0},
+    })
+    compact = json.dumps({
+        "metric": "sum_query_seconds", "value": sum(queries.values()),
+        "unit": "sec", "queries": queries, "sf": 0.1,
+        "canary_cpu": 0.1, "canary_io": 0.2, "canary_par": 1.0,
+    }, separators=(",", ":"))
+    return verbose, compact
+
+
+def test_load_doc_merges_two_line_local_capture():
+    # `python bench.py > f` now captures BOTH lines; runs and windows
+    # come from the verbose line, the query set from the compact one
+    q = {"q_a": 1.0, "q_b": 2.0}
+    r = {"q_a": [1.0, 1.1], "q_b": [2.0, 2.2]}
+    verbose, compact = _verbose_and_compact(q, r)
+    doc = bh._load_doc(verbose + "\n" + compact + "\n")
+    queries, runs, partial, canaries = bh._parse_doc(doc)
+    assert queries == q and runs == r and partial is False
+    assert canaries["canary_cpu"] == 0.1
+    assert isinstance(canaries.get("canary_pre"), dict)
+
+
+def test_load_doc_single_line_back_compat():
+    q = {"q_a": 1.0}
+    verbose, _ = _verbose_and_compact(q, {"q_a": [1.0]})
+    doc = bh._load_doc(verbose)
+    queries, runs, partial, _ = bh._parse_doc(doc)
+    assert queries == q and runs == {"q_a": [1.0]} and partial is False
+
+
+def test_parse_doc_prefers_compact_tail_line_and_scavenges_runs():
+    # driver artifact: parsed null, tail begins mid-verbose-line (the
+    # r10 failure shape) but now ENDS with the complete compact line.
+    # The query set must be FULL (partial False) even though the
+    # verbose front was cut, and the surviving runs lists are merged.
+    q = {"q_early": 1.5, "q_late": 0.5}
+    runs_late_only = '"q_late": [0.5, 0.6, 0.7]}, "canary_cpu": 0.1}'
+    _, compact = _verbose_and_compact(q, {})
+    tail = "…truncated…" + runs_late_only + "\n" + compact
+    queries, runs, partial, canaries = bh._parse_doc(
+        {"parsed": None, "tail": tail}
+    )
+    assert queries == q
+    assert partial is False  # compact line vouches for the full set
+    assert runs == {"q_late": [0.5, 0.6, 0.7]}  # scavenged, filtered
+    assert canaries["canary_cpu"] == 0.1
+
+
+def test_parse_doc_old_tail_without_compact_still_partial():
+    tail = '"q_a": [2.0, 1.5], "q_b": 0.25}'
+    queries, runs, partial, _ = bh._parse_doc({"parsed": None, "tail": tail})
+    assert partial is True and queries == {"q_a": 1.5, "q_b": 0.25}
+
+
+def test_parse_doc_driver_parsed_compact_scavenges_runs_from_tail():
+    # if the driver itself json-parses the compact last line, 'parsed'
+    # has queries but no runs — the tail's verbose remnant still feeds
+    # the median/spread gates
+    q = {"q_a": 1.0, "q_b": 2.0}
+    _, compact = _verbose_and_compact(q, {})
+    tail = '"q_b": [2.0, 2.5, 3.0], "q_zz_dropped": [9.9]}' + "\n" + compact
+    queries, runs, partial, _ = bh._parse_doc(
+        {"parsed": json.loads(compact), "tail": tail}
+    )
+    assert queries == q and partial is False
+    # scavenged runs are filtered to the vouched query set
+    assert runs == {"q_b": [2.0, 2.5, 3.0]}

@@ -104,13 +104,57 @@ def _canaries_from_tail(tail: str) -> dict[str, float]:
     return out
 
 
+def _load_doc(text: str) -> dict:
+    """Parse a bench output file. Since r11 bench.py prints TWO JSON
+    lines (verbose evidence + final compact); a local `bench.py > f`
+    capture therefore holds both. Merge them: the compact line is the
+    base (it is what the driver tail preserves), with runs/windows
+    folded back in from the verbose line when present."""
+    try:
+        return json.loads(text)
+    except json.JSONDecodeError:
+        docs = []
+        for line in text.splitlines():
+            line = line.strip()
+            if line.startswith("{"):
+                try:
+                    docs.append(json.loads(line))
+                except json.JSONDecodeError:
+                    continue
+        if not docs:
+            raise ValueError("no parseable JSON line") from None
+        base = docs[-1]
+        for d in docs:
+            for k in ("runs", *_WINDOW_KEYS):
+                if k in d and k not in base:
+                    base[k] = d[k]
+        return base
+
+
+def _compact_from_tail(tail: str) -> dict | None:
+    """The r11 compact line is printed LAST, so a byte-tail of stdout
+    ends with it complete. Return the parsed dict of the last tail line
+    that is a full bench JSON object, else None."""
+    for line in reversed(tail.splitlines()):
+        line = line.strip()
+        if line.startswith('{"metric"') and line.endswith("}"):
+            try:
+                doc = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(doc, dict) and "queries" in doc:
+                return doc
+    return None
+
+
 def _parse_doc(
     doc: dict,
 ) -> tuple[dict[str, float], dict[str, list[float]], bool, dict[str, float]]:
     """(queries, runs, partial, canaries). Accepts bench.py's direct
     output, the driver wrapper with a full 'parsed' dict, and the
     driver wrapper with parsed null + stdout tail."""
-    for src in (doc, doc.get("parsed")):
+    tail = doc.get("tail", "")
+    for src in (doc, doc.get("parsed"), _compact_from_tail(tail)):
         if isinstance(src, dict) and "queries" in src:
             canaries = {k: src[k] for k in _CANARY_KEYS if k in src}
             # r10 per-window canaries ride along under their own keys;
@@ -119,8 +163,15 @@ def _parse_doc(
             for wk in _WINDOW_KEYS:
                 if isinstance(src.get(wk), dict):
                     canaries[wk] = src[wk]
-            return src["queries"], src.get("runs", {}), False, canaries
-    tail = doc.get("tail", "")
+            runs = src.get("runs", {})
+            if not runs and tail:
+                # compact line carries no spread — scavenge runs lists
+                # from whatever survives of the verbose line in the
+                # tail (only for queries the compact line vouches for)
+                _, tail_runs = _from_tail(tail)
+                runs = {k: v for k, v in tail_runs.items()
+                        if k in src["queries"]}
+            return src["queries"], runs, False, canaries
     queries, runs = _from_tail(tail)
     if not queries:
         raise ValueError("no queries in parsed or tail")
@@ -173,7 +224,7 @@ def load_rounds(extra: list[str]) -> list[Round]:
             newest_artifact_mtime = max(newest_artifact_mtime, p.stat().st_mtime)
     for n, p in sorted(numbered):
         try:
-            q, r, partial, canaries = _parse_doc(json.loads(p.read_text()))
+            q, r, partial, canaries = _parse_doc(_load_doc(p.read_text()))
             rounds.append(Round(f"r{n:02d}", q, r, partial, canaries))
         except (OSError, ValueError, KeyError) as e:
             print(f"# skipping {p.name}: {e}", file=sys.stderr)
@@ -192,7 +243,7 @@ def load_rounds(extra: list[str]) -> list[Round]:
             )
     for i, arg in enumerate(paths):
         try:
-            q, r, partial, canaries = _parse_doc(json.loads(Path(arg).read_text()))
+            q, r, partial, canaries = _parse_doc(_load_doc(Path(arg).read_text()))
             tag = Path(arg).stem.replace("BENCH_", "")
             if len(paths) > 1 and tag == "local":
                 tag = f"local{i}"
