@@ -1610,10 +1610,14 @@ LM_SIDECAR_VER = 1
 _LM_SIDECAR_SCHEMA = "bigram string, c12 bigint, c1 bigint"
 
 
-def _lm_sidecar_path(sf_dir: str, n_docs: int) -> str:
-    from etl_dagster_service_crawler_spark.workloads.io_wl import _scratch
+def _lm_sidecar_path(sf_dir: str) -> str:
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        _scratch,
+        _source_fingerprint,
+    )
 
-    return _scratch(sf_dir, f"lm_sidecar/v{LM_SIDECAR_VER}_n{n_docs}")
+    fp = _source_fingerprint(sf_dir, "documents")
+    return _scratch(sf_dir, f"lm_sidecar/v{LM_SIDECAR_VER}_{fp}")
 
 
 def bigram_lm_cached(
@@ -1626,15 +1630,16 @@ def bigram_lm_cached(
     builds it once (this is the 'reusable artifact' the perplexity
     docstring names, made real). _SUCCESS-gated (a crashed writer
     never half-serves); path fingerprint carries the LM version AND
-    the corpus row count (a regenerated/appended corpus is invisible);
-    schema-pinned read-back; sorted by bigram so term-range consumers
-    prune row groups. Scorer results are bit-identical with and
-    without the sidecar because the build itself is value-hash
-    oracle-checked (sink_lm_sidecar)."""
+    a file-metadata fingerprint of the corpus (size+mtime of every
+    parquet part — so regeneration, append, AND a same-count in-place
+    rewrite are all invisible; the r10 row-count key missed the
+    last of these); schema-pinned read-back; sorted by bigram so
+    term-range consumers prune row groups. Scorer results are
+    bit-identical with and without the sidecar because the build
+    itself is value-hash oracle-checked (sink_lm_sidecar)."""
     import os
 
-    d = load_table(spark, sf_dir, "documents")
-    path = _lm_sidecar_path(sf_dir, d.count())
+    path = _lm_sidecar_path(sf_dir)
     if force_build or not os.path.exists(os.path.join(path, "_SUCCESS")):
         lm = _bigram_lm_build(spark, sf_dir)
         lm.sort("bigram").coalesce(1).write.mode("overwrite").parquet(path)

@@ -45,6 +45,33 @@ def _scratch(sf_dir: str, leaf: str) -> str:
     return f"/tmp/spark_graft_sinks/{tag}/{leaf}"
 
 
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """Content fingerprint of a source table for sidecar path keying
+    (r10 advice: the row-count key missed a same-count in-place corpus
+    rewrite). Hashes the parquet file set's (relpath, size, mtime_ns)
+    — pure os.stat, no Spark job, no data scan — so regeneration,
+    append, AND in-place rewrite all change the fingerprint. A
+    byte-identical rewrite only changes mtime, which at worst forces
+    one unnecessary rebuild: staleness errors are impossible, spurious
+    rebuilds are merely cheap. This is the snapshot-id role a table
+    format (Delta/Iceberg) would play; for raw parquet directories,
+    file metadata is the equivalent commit identity."""
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in os.walk(root):
+            for f in sorted(files):
+                if f.startswith((".", "_")):
+                    continue
+                st = os.stat(os.path.join(dirpath, f))
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    else:
+        st = os.stat(root)
+        entries.append(f".:{st.st_size}:{st.st_mtime_ns}")
+    return hashlib.sha1("\n".join(sorted(entries)).encode()).hexdigest()[:12]
+
+
 # --- scans -------------------------------------------------------------------
 
 def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2748,7 +2748,14 @@ def q_pipeline_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         cc_label_propagation,
     )
 
-    pairs = q_dedup_minhash_verify(spark, sf_dir)
+    # persist+count the verified pairs (r10 advice): the member frame
+    # is 2·|pairs| + n rows and |pairs| grows QUADRATICALLY per
+    # near-dup cluster (k dups -> k(k-1)/2 verified pairs), so a
+    # corpus-size heuristic undersizes the CC shuffle on dup-heavy
+    # corpora. The pairs frame is consumed twice anyway (both member
+    # legs), so the persist pays for itself even before the count.
+    pairs = q_dedup_minhash_verify(spark, sf_dir).persist()
+    n_pairs = pairs.count()
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     bh = F.concat_ws("-", F.col("doc_a"), F.col("doc_b"))
     members = (
@@ -2761,9 +2768,9 @@ def q_pipeline_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = d.count()
-    return cc_label_propagation(members, "doc_id", n_edges=3 * n).select(
-        "doc_id", "label", "is_dup"
-    )
+    return cc_label_propagation(
+        members, "doc_id", n_edges=2 * n_pairs + n
+    ).select("doc_id", "label", "is_dup")
 
 
 SQL_PIPELINE_MINHASH_DEDUP = f"""
@@ -3517,14 +3524,18 @@ GRAPH_SIDECAR_VER = 1
 _GRAPH_SIDECAR_SCHEMA = "src bigint, dst bigint, d bigint"
 
 
-def _graph_sidecar_path(sf_dir: str, n_vectors: int) -> str:
-    from etl_dagster_service_crawler_spark.workloads.io_wl import _scratch
+def _graph_sidecar_path(sf_dir: str) -> str:
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        _scratch,
+        _source_fingerprint,
+    )
 
+    fp = _source_fingerprint(sf_dir, "embeddings")
     return _scratch(
         sf_dir,
         f"graph_sidecar/v{GRAPH_SIDECAR_VER}_k{KNN_GRAPH_K}"
         f"_c{IVF_EXPORT_CENTROIDS}_s{PQ_EXPORT_SUB}_x{PQ_EXPORT_CODES}"
-        f"_n{n_vectors}",
+        f"_{fp}",
     )
 
 
@@ -3542,26 +3553,26 @@ def mutual_graph_cached(
     A missing or incomplete sidecar (no _SUCCESS marker — a crashed
     writer never half-serves) triggers build+persist; the read-back
     pins the schema so consumers see identical types either way. The
-    path fingerprint carries the graph parameters AND the corpus row
-    count (a metadata-only count() on the parquet scan), so both an
-    older configuration's sidecar and one built from a
-    regenerated/appended corpus are invisible; a same-count in-place
-    content rewrite is the one residual — bump GRAPH_SIDECAR_VER or
-    clear the scratch dir when doing that. Consumers' results are
-    bit-identical with and without the sidecar because the build is
-    value-hash oracle-checked (knn_graph_mutual / sink_graph_sidecar),
-    so existing oracles are untouched."""
+    path fingerprint carries the graph parameters AND a file-metadata
+    fingerprint of the embeddings table (size+mtime of every parquet
+    part, io_wl._source_fingerprint), so an older configuration's
+    sidecar, a regenerated/appended corpus, AND a same-count in-place
+    rewrite (the residual the r10 row-count key missed) are all
+    invisible. Consumers' results are bit-identical with and without
+    the sidecar because the build is value-hash oracle-checked
+    (knn_graph_mutual / sink_graph_sidecar), so existing oracles are
+    untouched."""
     import os
 
-    e = load_table(spark, sf_dir, "embeddings")
-    path = _graph_sidecar_path(sf_dir, e.count())
+    path = _graph_sidecar_path(sf_dir)
     if force_build or not os.path.exists(os.path.join(path, "_SUCCESS")):
         from etl_dagster_service_crawler_spark.operators.similarity import (
             knn_graph_mutual,
         )
 
         g = knn_graph_mutual(
-            e, k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
+            load_table(spark, sf_dir, "embeddings"),
+            k=KNN_GRAPH_K, n_centroids=IVF_EXPORT_CENTROIDS,
             n_sub=PQ_EXPORT_SUB, n_codes=PQ_EXPORT_CODES,
         )
         # sorted by src: a consumer filtering on a node range prunes

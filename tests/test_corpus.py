@@ -1352,8 +1352,7 @@ def test_lm_sidecar_roundtrip_and_reuse(spark, sf_dir):
         bigram_lm_cached,
     )
 
-    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-    path = _lm_sidecar_path(sf_dir, n)
+    path = _lm_sidecar_path(sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     want = {
         (r["bigram"], r["c12"], r["c1"])

@@ -410,3 +410,67 @@ def test_window_cume_dist_matches_brute_force(spark, sf_dir):
         cd = sum(1 for v in vals if v <= r["c_acctbal"]) / len(vals)
         want = math.floor(cd * 1e6 + 0.5) / 1e6
         assert got[r["c_custkey"]]["bal_cume"] == want
+
+
+def test_source_fingerprint_catches_all_staleness_classes(tmp_path):
+    """The sidecar path key (r10 advice): appends, regenerations, and
+    same-count in-place rewrites must ALL change the fingerprint; a
+    fingerprint never depends on a Spark job (pure os.stat)."""
+    import os
+    import shutil
+    import time
+
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        _source_fingerprint,
+    )
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    dst = sf / "documents.parquet"
+    shutil.copy(src, dst)
+    fp0 = _source_fingerprint(str(sf), "documents")
+    assert fp0 == _source_fingerprint(str(sf), "documents")  # stable
+
+    # same-count in-place rewrite: same byte LENGTH, different mtime
+    data = dst.read_bytes()
+    time.sleep(0.01)
+    dst.write_bytes(data)
+    fp1 = _source_fingerprint(str(sf), "documents")
+    assert fp1 != fp0
+
+    # append/regeneration: size change
+    dst.write_bytes(data + b"x")
+    assert _source_fingerprint(str(sf), "documents") != fp1
+
+    # directory-of-parts layout: part files counted, markers ignored
+    d = sf / "embeddings.parquet"
+    d.mkdir()
+    (d / "part-0000.parquet").write_bytes(b"a" * 64)
+    (d / "_SUCCESS").write_bytes(b"")
+    fp_dir = _source_fingerprint(str(sf), "embeddings")
+    (d / "_committed_123").write_bytes(b"meta")
+    assert _source_fingerprint(str(sf), "embeddings") == fp_dir
+    (d / "part-0001.parquet").write_bytes(b"b" * 64)
+    assert _source_fingerprint(str(sf), "embeddings") != fp_dir
+
+
+def test_lm_sidecar_path_changes_on_corpus_rewrite(tmp_path):
+    """End-to-end: a rewritten corpus yields a DIFFERENT sidecar path,
+    so a stale LM can never be served (the r10 residual closed)."""
+    import shutil
+    import time
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _lm_sidecar_path,
+    )
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    dst = sf / "documents.parquet"
+    shutil.copy("/root/testdata/sf0.001/documents.parquet", dst)
+    p0 = _lm_sidecar_path(str(sf))
+    data = dst.read_bytes()
+    time.sleep(0.01)
+    dst.write_bytes(data)  # same-count, same-size in-place rewrite
+    assert _lm_sidecar_path(str(sf)) != p0

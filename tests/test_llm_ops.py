@@ -1038,8 +1038,7 @@ def test_graph_sidecar_roundtrip_and_reuse(spark, sf_dir):
         q_knn_graph_mutual,
     )
 
-    n = load_table(spark, sf_dir, "embeddings").count()
-    path = _graph_sidecar_path(sf_dir, n)
+    path = _graph_sidecar_path(sf_dir)
     shutil.rmtree(path, ignore_errors=True)
     want = {(r["src"], r["dst"], r["d"])
             for r in q_knn_graph_mutual(spark, sf_dir).collect()}
