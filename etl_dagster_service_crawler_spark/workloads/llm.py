@@ -2410,16 +2410,17 @@ MINHASH_EXPORT_A = [3, 5, 7, 11, 13, 17, 19, 23]
 MINHASH_EXPORT_B = [17, 29, 41, 53, 67, 79, 97, 113]
 
 
-def _minhash_shingle_hv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, hv) — each document's distinct 3-token shingles hashed
+def minhash_hv_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, hv) over an arbitrary documents FRAME (batch or one
+    micro-batch) — each document's distinct 3-token shingles hashed
     to BIGINTs in [0, P): md5 low 60 hex-bits mod P, identical in
     Spark's conv() and DuckDB's 0x-cast (the oracle-replayable hash the
     whole md5-anchored minhash chain builds on). Short docs (< 3
-    tokens) get an empty array. Shared by the signature export and the
-    r10 candidate-verify stage so both sides of the anchor chain use
-    the literal same shingling."""
-    d = load_table(spark, sf_dir, "documents")
-    dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
+    tokens) get an empty array. Shared by the signature export, the
+    r10 candidate-verify stage, AND the r11 streaming ingest
+    (streaming/minhash.py), so every consumer uses the literal same
+    shingling. Shuffle-free narrow projection."""
+    dt = docs.select("doc_id", tokens_ws(F.col("text")).alias("t"))
     t = F.col("t")
     n = F.size(t) - 2
     shingles = F.when(
@@ -2440,6 +2441,54 @@ def _minhash_shingle_hv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(MINHASH_EXPORT_P),
             ),
         ).alias("hv"),
+    )
+
+
+def _minhash_shingle_hv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_hv_frame(load_table(spark, sf_dir, "documents"))
+
+
+def minhash_bands_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_key) over an arbitrary documents frame —
+    the banded LSH join keys built on minhash_hv_frame's signatures
+    (see q_minhash_band_export for the anchored batch entry). Factored
+    out (r11) so the streaming ingest computes PER-MICRO-BATCH keys
+    with the literal same expressions the batch pipeline verifies."""
+    hv = minhash_hv_frame(docs)
+    p = F.lit(MINHASH_EXPORT_P)
+    sig = F.aggregate(
+        "hv",
+        F.array_repeat(p.cast("bigint"), MINHASH_EXPORT_SEEDS),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    (MINHASH_EXPORT_A[i] * h + MINHASH_EXPORT_B[i]) % p
+                    for i in range(MINHASH_EXPORT_SEEDS)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    sigs = hv.select("doc_id", F.posexplode(sig).alias("seed", "sig")).select(
+        "doc_id",
+        F.col("seed").cast("int").alias("seed"),
+        F.col("sig").cast("bigint").alias("sig"),
+    )
+    return (
+        sigs.withColumn(
+            "band", (F.col("seed") / MINHASH_EXPORT_BAND_ROWS).cast("int")
+        )
+        .groupBy("doc_id", "band")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
+                    lambda r: r["sig"].cast("string"),
+                ),
+                "-",
+            ).alias("band_key")
+        )
     )
 
 
@@ -2611,22 +2660,7 @@ def q_minhash_band_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: derived per doc from the signature projection —
     shuffle-free until the (doc, band)-sized aggregate."""
-    sigs = q_minhash_signature_export(spark, sf_dir)
-    return (
-        sigs.withColumn(
-            "band", (F.col("seed") / MINHASH_EXPORT_BAND_ROWS).cast("int")
-        )
-        .groupBy("doc_id", "band")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("seed", "sig"))),
-                    lambda r: r["sig"].cast("string"),
-                ),
-                "-",
-            ).alias("band_key")
-        )
-    )
+    return minhash_bands_frame(load_table(spark, sf_dir, "documents"))
 
 
 SQL_MINHASH_BAND_EXPORT = f"""

@@ -707,7 +707,98 @@ def _stream_interval_sql() -> str:
     return SQL_INTERVAL_OVERLAP
 
 
+def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-DUP dedup at ingest (r10 verdict item 3):
+    documents land 4 key-hashed files -> one micro-batch each; every
+    batch is shingled/signed/banded with the batch pipeline's frame
+    transforms, probed against the accumulated band index for
+    candidates (new-vs-seen and new-vs-new), exact-Jaccard verified,
+    and the verified pairs accumulate (streaming/minhash.py — see its
+    docstring for the batch-boundary-invariance argument). After the
+    drain, connected components over the accumulated pairs label every
+    document exactly like the batch query, so THIS STREAMING ENTRY
+    SHARES SQL_PIPELINE_MINHASH_DEDUP AS ITS ORACLE: the value hash
+    pins streamed == batch, not just row counts.
+
+    Keeper semantics match the batch pipeline (cluster representative
+    = smallest doc_id — the first-ever-seen in arrival == id order,
+    the corpus_clean_incremental first-wins discipline applied to
+    near-dup clusters).
+
+    Scale: per-batch cost is |batch| x band probes + candidate hv
+    joins; state is append-only per epoch (no corpus-sized rewrite);
+    the final CC runs over the near-dup-pair table, not the corpus."""
+    import hashlib
+    import shutil
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        cc_label_propagation,
+    )
+    from etl_dagster_service_crawler_spark.streaming.minhash import (
+        minhash_dedup_ingest,
+        read_verified_pairs,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        MINHASH_VERIFY_JACCARD_BP,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/minhash_dedup"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4, "doc_id").write.parquet(f"{base}/in")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    state_dir = f"{base}/state"
+    q = (
+        stream.writeStream.foreachBatch(
+            minhash_dedup_ingest(state_dir, MINHASH_VERIFY_JACCARD_BP)
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "minhash dedup stream still running after 300s — band index "
+            "only partially built"
+        )
+    pairs = read_verified_pairs(spark, state_dir).persist()
+    n_pairs = pairs.count()
+    d = docs.select("doc_id")
+    bh = F.concat_ws("-", F.col("doc_a"), F.col("doc_b"))
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"), bh.alias("bh"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id"), bh.alias("bh")))
+        .unionByName(
+            d.select(
+                "doc_id", F.concat(F.lit("self-"), F.col("doc_id")).alias("bh")
+            )
+        )
+    )
+    n = d.count()
+    return cc_label_propagation(
+        members, "doc_id", n_edges=2 * n_pairs + n
+    ).select("doc_id", "label", "is_dup")
+
+
+def _stream_minhash_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        SQL_PIPELINE_MINHASH_DEDUP,
+    )
+
+    return SQL_PIPELINE_MINHASH_DEDUP
+
+
 SPECS = [
+    # r11: near-dup dedup at ingest — shares the batch minhash
+    # pipeline's oracle (CC over verified pairs, recursive CTE)
+    QuerySpec("stream_minhash_dedup", q_stream_minhash_dedup, _stream_minhash_sql()),
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, _stream_cdc_sql()),
     # r9: exposure attribution at ingest — shares the batch interval
     # oracle verbatim (stateless stream-static equi join)

@@ -414,3 +414,105 @@ def test_stream_interval_attrib_equals_batch(spark, sf_dir):
         for r in q_stream_interval_attrib(spark, sf_dir).collect()
     }
     assert streamed == batch and batch
+
+
+def test_stream_minhash_dedup_equals_batch_pipeline(spark, sf_dir):
+    """The r11 streaming near-dup twin: availableNow drain over the
+    4-file key-hashed document stream must label every doc exactly
+    like the batch pipeline_minhash_dedup (same representative, same
+    is_dup) — batch-boundary invariance, not just row counts."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_pipeline_minhash_dedup,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_minhash_dedup,
+    )
+
+    batch = {
+        (r["doc_id"], r["label"], r["is_dup"])
+        for r in q_pipeline_minhash_dedup(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r["doc_id"], r["label"], r["is_dup"])
+        for r in q_stream_minhash_dedup(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    assert any(d for _i, _l, d in batch), "fixture should contain near-dups"
+
+
+def test_stream_minhash_ingest_epoch_redelivery_idempotent(spark, sf_dir):
+    """foreachBatch is at-least-once: re-delivering an ALREADY-APPLIED
+    epoch must leave the state byte-stable (same pair set, same band
+    index rows), and a restart with the same checkpoint must add no
+    epochs."""
+    import hashlib
+
+    from etl_dagster_service_crawler_spark.streaming.minhash import (
+        _read_state,
+        BANDS_SCHEMA,
+        minhash_dedup_ingest,
+        read_verified_pairs,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        MINHASH_VERIFY_JACCARD_BP,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_minhash_dedup,
+    )
+
+    # drain once (rebuilds state from scratch under /tmp)
+    q_stream_minhash_dedup(spark, sf_dir).collect()
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/minhash_dedup"
+    state = f"{base}/state"
+
+    pairs_before = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in read_verified_pairs(spark, state).collect()
+    }
+    bands_before = spark.read.parquet(f"{state}/bands").count()
+
+    # re-deliver epoch 0's batch verbatim (the at-least-once case):
+    # epoch-subdir overwrite must rewrite identical content
+    epoch0 = (
+        spark.read.schema(BANDS_SCHEMA + ", epoch int")
+        .parquet(f"{state}/bands")
+        .where("epoch = 0")
+        .select("doc_id")
+        .distinct()
+    )
+    batch0 = (
+        spark.read.parquet(f"{base}/in")
+        .join(epoch0, "doc_id")
+    )
+    minhash_dedup_ingest(state, MINHASH_VERIFY_JACCARD_BP)(batch0, 0)
+
+    pairs_after = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in read_verified_pairs(spark, state).collect()
+    }
+    assert pairs_after == pairs_before
+    assert spark.read.parquet(f"{state}/bands").count() == bands_before
+
+    # restart with the SAME checkpoint: no new epochs, state unchanged
+    docs_schema = spark.read.parquet(f"{base}/in").schema
+    stream = (
+        spark.readStream.schema(docs_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            minhash_dedup_ingest(state, MINHASH_VERIFY_JACCARD_BP)
+        )
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    pairs_restart = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in read_verified_pairs(spark, state).collect()
+    }
+    assert pairs_restart == pairs_before
+    assert _read_state(spark, state, "bands", BANDS_SCHEMA).count() == bands_before
