@@ -1837,6 +1837,135 @@ FROM ex GROUP BY cluster_id, pos
 """
 
 
+KMEANS_TRAIN_ITERS = 3
+
+
+def q_kmeans_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL multi-iteration Lloyd's loop, oracle-checked (r10
+    verdict item 5): starting from the md5-picked seeds, run
+    KMEANS_TRAIN_ITERS assign→update rounds and emit the complete
+    centroid TRAJECTORY — (iter, cluster_id, pos, n, s, mean_q) for
+    every iteration — value-hash-checked against an unrolled CTE chain
+    (the bpe_train_merges discipline applied to k-means). Iteration 1
+    is definitionally the r10 kmeans_assign_export+kmeans_update_export
+    pair (pinned by test); iterations 2..N re-assign against the
+    PREVIOUS iteration's exact integer means. This upgrades the
+    k-means family from 'one iteration anchored' to 'the training
+    loop itself oracle-checked' — what cluster_semantic_kmeans's
+    MLlib-trained path cannot replay in DuckDB, this loop does, with
+    the same argmin/integer-mean semantics.
+
+    Exactness: assignment is integer argmin (ties to smallest
+    cluster); means remove the remainder before dividing (pmod idiom);
+    clusters that lose all members drop out of the trajectory on both
+    engines (GROUP BY emits no empty groups).
+
+    Scale: per iteration ONE corpus scan (broadcast k centroids,
+    map-side-combining min) + one k×dims-row update aggregate; the
+    per-iteration localCheckpoint truncates lineage so plan depth is
+    constant in the iteration count (the CC-loop rule). The corpus
+    frame is persisted once and re-scanned, never re-shuffled."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        _il2,
+        _q8_expr,
+        hash_spread_seeds,
+    )
+
+    e_raw = load_table(spark, sf_dir, "embeddings")
+    e = e_raw.select("vec_id", _q8_expr("embedding").alias("qv")).persist()
+    cent = hash_spread_seeds(e_raw, KMEANS_EXPORT_K).select(
+        F.col("cid").alias("cluster_id"), _q8_expr("cvec").alias("qc")
+    )
+    outs = []
+    for it in range(1, KMEANS_TRAIN_ITERS + 1):
+        d2 = _il2(F.col("qv"), F.col("qc"))
+        assign = (
+            e.join(F.broadcast(cent))
+            .select("vec_id", "cluster_id", d2.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct(F.col("d2"), F.col("cluster_id"))).alias("m"))
+            .select("vec_id", F.col("m.cluster_id").alias("cluster_id"))
+        )
+        upd = (
+            e.join(assign, "vec_id")
+            .select("cluster_id", F.posexplode("qv").alias("pos", "q"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("q").alias("s"))
+            .select(
+                F.col("cluster_id").cast("int").alias("cluster_id"),
+                F.col("pos").cast("int").alias("pos"),
+                F.col("n").cast("bigint").alias("n"),
+                F.col("s").cast("bigint").alias("s"),
+                F.expr("(s - pmod(s, n)) div n").cast("bigint").alias("mean_q"),
+            )
+            .localCheckpoint()
+        )
+        outs.append(upd.select(F.lit(it).cast("int").alias("iter"), "*"))
+        cent = upd.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_q"))),
+                lambda r: r["mean_q"],
+            ).alias("qc")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
+def _sql_kmeans_train_iters() -> str:
+    k = KMEANS_EXPORT_K
+    ctes = [
+        _SQL_Q8,
+        f"""c0 AS (
+  SELECT CAST(rk - 1 AS INT) AS cluster_id, qv AS qc
+  FROM (
+    SELECT qv,
+           row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+             AS rk
+    FROM q8
+  )
+  WHERE rk <= {k}
+)""",
+    ]
+    for t in range(1, KMEANS_TRAIN_ITERS + 1):
+        ctes.append(f"""a{t} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT e.vec_id, c.cluster_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {_sql_il2("e.qv", "c.qc")}, c.cluster_id)
+             AS rn
+    FROM q8 e, c{t - 1} c
+  ) WHERE rn = 1
+)""")
+        ctes.append(f"""u{t} AS (
+  SELECT CAST(cluster_id AS INT) AS cluster_id, CAST(pos AS INT) AS pos,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(q) AS BIGINT) AS s,
+         CAST((CAST(sum(q) AS BIGINT)
+               - ((CAST(sum(q) AS BIGINT) % count(*)) + count(*)) % count(*))
+              // count(*) AS BIGINT) AS mean_q
+  FROM (
+    SELECT a.cluster_id,
+           CAST(unnest(generate_series(0, len(e.qv) - 1)) AS INT) AS pos,
+           CAST(unnest(e.qv) AS BIGINT) AS q
+    FROM q8 e JOIN a{t} a USING (vec_id)
+  )
+  GROUP BY cluster_id, pos
+)""")
+        if t < KMEANS_TRAIN_ITERS:
+            ctes.append(f"""c{t} AS (
+  SELECT cluster_id, list(mean_q ORDER BY pos) AS qc
+  FROM u{t} GROUP BY cluster_id
+)""")
+    unions = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS iter, cluster_id, pos, n, s, mean_q "
+        f"FROM u{t}"
+        for t in range(1, KMEANS_TRAIN_ITERS + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + unions
+
+
 def q_mix_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling — downweight sources to a target mix
     (the pretraining recipe step: wiki x1.0, crawl x0.25, ...). Weights
@@ -4430,6 +4559,9 @@ SPECS = [
     QuerySpec(
         "kmeans_update_export", q_kmeans_update_export,
         _sql_kmeans_update_export(),
+    ),
+    QuerySpec(
+        "kmeans_train_iters", q_kmeans_train_iters, _sql_kmeans_train_iters()
     ),
     QuerySpec("sample_stratified", q_sample_stratified, SQL_SAMPLE_STRATIFIED),
     QuerySpec("embedding_normalize", q_embedding_normalize, SQL_EMBEDDING_NORMALIZE),

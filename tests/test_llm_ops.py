@@ -1960,3 +1960,80 @@ def test_video_scenecut_matches_local_recompute(spark, sf_dir):
         cuts += r["is_cut"]
     assert cuts, "fixture corpus should contain scene cuts"
     assert all(v == 0 for v in local("").values())
+
+
+def test_kmeans_train_iters_round1_is_the_anchored_pair(spark, sf_dir):
+    """Iteration 1 of the r11 training loop must equal the r10
+    kmeans_update_export exactly — the loop is the composition of the
+    anchored assign+update pair, not a reimplementation."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_kmeans_train_iters,
+        q_kmeans_update_export,
+    )
+
+    want = {
+        (r["cluster_id"], r["pos"]): (r["n"], r["s"], r["mean_q"])
+        for r in q_kmeans_update_export(spark, sf_dir).collect()
+    }
+    got = {
+        (r["cluster_id"], r["pos"]): (r["n"], r["s"], r["mean_q"])
+        for r in q_kmeans_train_iters(spark, sf_dir).collect()
+        if r["iter"] == 1
+    }
+    assert got == want and want
+
+
+def test_kmeans_train_iters_matches_brute_force_lloyds(spark, sf_dir):
+    """Full-trajectory recompute: a plain-python Lloyd's loop over the
+    collected int8 vectors with the frozen md5 seeds must reproduce
+    every iteration's (cluster, dim) -> (n, s, mean) exactly —
+    including tie-breaks (smallest cluster) and the floored integer
+    mean."""
+    import hashlib
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        KMEANS_EXPORT_K,
+        KMEANS_TRAIN_ITERS,
+        q_kmeans_train_iters,
+    )
+
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+
+    def q8(v):
+        absmax = max((abs(float(x)) for x in v), default=0.0)
+        scale = 127.0 / absmax if absmax > 0 else 0.0
+        import math
+        return [math.floor(float(x) * scale + 0.5) for x in v]
+
+    qv = {i: q8(v) for i, v in emb.items()}
+    seeds = sorted(qv, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cent = {c: qv[seeds[c]] for c in range(KMEANS_EXPORT_K)}
+
+    want = {}
+    for it in range(1, KMEANS_TRAIN_ITERS + 1):
+        members = {}
+        for i, v in qv.items():
+            best = min(
+                (sum((a - b) * (a - b) for a, b in zip(v, cent[c])), c)
+                for c in cent
+            )[1]
+            members.setdefault(best, []).append(i)
+        new_cent = {}
+        for c, ids in members.items():
+            dims = len(qv[ids[0]])
+            for pos in range(dims):
+                n = len(ids)
+                s = sum(qv[i][pos] for i in ids)
+                mean_q = (s - s % n) // n if s % n == 0 else (s - (s % n + n) % n) // n
+                want[(it, c, pos)] = (n, s, mean_q)
+            new_cent[c] = [want[(it, c, p)][2] for p in range(dims)]
+        cent = new_cent
+
+    got = {
+        (r["iter"], r["cluster_id"], r["pos"]): (r["n"], r["s"], r["mean_q"])
+        for r in q_kmeans_train_iters(spark, sf_dir).collect()
+    }
+    assert got == want
