@@ -801,6 +801,172 @@ def _sink_pq_sidecar_sql() -> str:
     return SQL_PQ_ENCODE_EXPORT
 
 
+# vector-sidecar maintenance (r10 verdict item 4): changelog shape.
+# Deletes and upserts are CLUSTERED on two of the PQ_APPLY_PARTS
+# buckets so the compaction's partition-pruning claim is testable —
+# the other six pb dirs must come through the apply byte-identical.
+PQ_APPLY_PARTS = 8
+_PQ_DEL_PRED = "vec_id % 16 = 0"  # pb 0 only (16 ≡ 0 mod 8)
+_PQ_UPS_PRED = "vec_id % 8 = 3 AND vec_id % 3 = 0"  # pb 3 only
+
+
+def q_sink_pq_sidecar_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-sidecar MAINTENANCE (r10 verdict item 4): the PQ-codes
+    sidecar with a tombstone/upsert changelog applied by a compaction
+    pass that rewrites ONLY the touched pb partitions — the takedown
+    path a real corpus needs (cdc_merge_changelog's discipline applied
+    to the ANN artifact).
+
+    Base: the sink_pq_sidecar codes table, partitioned pb =
+    pmod(vec_id, PQ_APPLY_PARTS), vec_id-sorted within partitions.
+    Changelog (deterministic, so the oracle replays it): every
+    vec_id%16==0 is DELETED (all land in pb 0); every vec_id%8==3
+    with vec_id%3==0 is UPSERTED with a re-embedded vector (the
+    reversed embedding) re-encoded against the FROZEN codebook —
+    codebooks retrain rarely; upserts re-encode, they don't re-train.
+    Compaction: dynamic partition overwrite of exactly the affected
+    pb dirs ({0, 3}); the six untouched dirs are never read or
+    rewritten (asserted byte-stable in tests/test_io_udf.py).
+
+    The returned frame is the READ-BACK of the post-apply sidecar; the
+    oracle is the FULL REBUILD over the effective corpus (original
+    minus deletes, upserts re-embedded) — read-back-after-apply ≡
+    rebuild, by value hash.
+
+    Scale: the apply reads |affected partitions| + |changelog|, never
+    the sidecar; at 100 TB with thousands of pb buckets a takedown
+    batch touches only the buckets its ids hash to."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        PQ_EXPORT_CODES,
+        PQ_EXPORT_SUB,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(e, PQ_EXPORT_SUB, PQ_EXPORT_CODES)  # frozen
+
+    def codes_of(frame: DataFrame) -> DataFrame:
+        return (
+            pq_encode(frame, cb, PQ_EXPORT_SUB)
+            .groupBy("vec_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("sub_id", "code"))),
+                    lambda s: s["code"].cast("int"),
+                ).alias("codes")
+            )
+        )
+
+    path = _scratch(sf_dir, "sink_pq_apply/codes")
+    shutil.rmtree(path, ignore_errors=True)
+    pb = F.pmod(F.col("vec_id"), F.lit(PQ_APPLY_PARTS)).cast("int")
+    (
+        codes_of(e)
+        .withColumn("pb", pb)
+        .repartition("pb")
+        .sortWithinPartitions("vec_id")
+        .write.partitionBy("pb")
+        .parquet(path)
+    )
+
+    # changelog: re-encoded upserts + tombstones, one frame
+    ups = codes_of(
+        e.where(_PQ_UPS_PRED).select("vec_id", F.reverse("embedding").alias("embedding"))
+    ).select("vec_id", "codes", F.lit("U").alias("op"))
+    dels = (
+        e.where(_PQ_DEL_PRED)
+        .select(
+            "vec_id",
+            F.lit(None).cast("array<int>").alias("codes"),
+            F.lit("D").alias("op"),
+        )
+    )
+    log = ups.unionByName(dels).withColumn("pb", pb).persist()
+
+    # compaction: read ONLY the affected partitions (pb pushed to the
+    # scan as partition filters), merge, dynamically overwrite exactly
+    # those dirs
+    affected = sorted(r["pb"] for r in log.select("pb").distinct().collect())
+    cur = spark.read.parquet(path).where(F.col("pb").isin(affected))
+    merged = (
+        cur.join(log.select("vec_id", F.col("codes").alias("new_codes"), "op"),
+                 "vec_id", "left")
+        .where((F.col("op").isNull()) | (F.col("op") == "U"))
+        .select(
+            "vec_id",
+            F.coalesce(F.col("new_codes"), F.col("codes")).alias("codes"),
+            "pb",
+        )
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            merged.repartition("pb")
+            .sortWithinPartitions("vec_id")
+            .write.mode("overwrite")
+            .partitionBy("pb")
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    log.unpersist()
+    back = spark.read.parquet(path)
+    return back.select("vec_id", F.posexplode("codes").alias("sub_id", "code")).select(
+        "vec_id", F.col("sub_id").cast("int").alias("sub_id"), "code"
+    )
+
+
+def _sink_pq_apply_sql() -> str:
+    """Full-rebuild oracle over the EFFECTIVE corpus: the codebook
+    CTEs run on the original corpus (frozen codebook), the encode CTEs
+    on the post-changelog one."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        _PQ_SUB_DIM,
+        _SQL_PQ_CENT,
+        _SQL_Q8,
+        _sql_il2,
+        PQ_EXPORT_SUB,
+    )
+
+    q8e = _SQL_Q8.replace("q8 AS (", "q8e AS (").replace(
+        "FROM embeddings", "FROM eff"
+    )
+    return f"""
+WITH {_SQL_Q8},
+{_SQL_PQ_CENT},
+eff AS (
+  SELECT vec_id,
+         CASE WHEN {_PQ_UPS_PRED} THEN list_reverse(embedding)
+              ELSE embedding END AS embedding
+  FROM embeddings WHERE NOT ({_PQ_DEL_PRED})
+),
+{q8e},
+subs AS (
+  SELECT vec_id, m, qv[m*{_PQ_SUB_DIM}+1 : (m+1)*{_PQ_SUB_DIM}] AS vsub
+  FROM q8e, (SELECT unnest(range({PQ_EXPORT_SUB})) AS m)
+),
+csubs AS (
+  SELECT code, m, cv[m*{_PQ_SUB_DIM}+1 : (m+1)*{_PQ_SUB_DIM}] AS csub
+  FROM pcent, (SELECT unnest(range({PQ_EXPORT_SUB})) AS m)
+),
+enc AS (
+  SELECT vec_id, m AS sub_id, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           row_number() OVER (PARTITION BY s.vec_id, s.m
+                              ORDER BY {_sql_il2('s.vsub', 'c.csub')}, c.code)
+             AS rn
+    FROM subs s JOIN csubs c ON s.m = c.m
+  ) WHERE rn = 1
+)
+SELECT vec_id, CAST(sub_id AS INT) AS sub_id, CAST(code AS INT) AS code
+FROM enc
+"""
+
+
 SPECS = [
     QuerySpec(
         "scan_schema_evolution", q_scan_schema_evolution, SQL_SCAN_SCHEMA_EVOLUTION
@@ -814,6 +980,9 @@ SPECS = [
     QuerySpec("sink_json_append", q_sink_json_append, SQL_SINK_JSON_APPEND),
     # r8: the PQ codes sidecar, round-tripped through the on-disk bytes
     QuerySpec("sink_pq_sidecar", q_sink_pq_sidecar, _sink_pq_sidecar_sql()),
+    # r11: tombstone/upsert apply + partition-pruned compaction —
+    # read-back-after-apply must hash-equal the full rebuild
+    QuerySpec("sink_pq_sidecar_apply", q_sink_pq_sidecar_apply, _sink_pq_apply_sql()),
     QuerySpec("sink_partitioned", q_sink_partitioned, SQL_SINK_PARTITIONED),
     QuerySpec("sink_compacted", q_sink_compacted, SQL_SINK_COMPACTED),
     QuerySpec(

@@ -474,3 +474,64 @@ def test_lm_sidecar_path_changes_on_corpus_rewrite(tmp_path):
     time.sleep(0.01)
     dst.write_bytes(data)  # same-count, same-size in-place rewrite
     assert _lm_sidecar_path(str(sf)) != p0
+
+
+def test_pq_sidecar_apply_semantics_and_partition_pruning(spark, sf_dir):
+    """r11 sidecar maintenance: (1) deletes vanish, upserts carry the
+    re-encoded codes, untouched vectors keep their base codes; (2) the
+    compaction rewrote ONLY the affected pb dirs — every untouched pb
+    dir's files predate every touched dir's files (the base write
+    happens strictly before the compaction write)."""
+    import os
+
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        _PQ_DEL_PRED,
+        _PQ_UPS_PRED,
+        PQ_APPLY_PARTS,
+        _scratch,
+        q_sink_pq_sidecar,
+        q_sink_pq_sidecar_apply,
+    )
+
+    base_codes = {
+        (r["vec_id"], r["sub_id"]): r["code"]
+        for r in q_sink_pq_sidecar(spark, sf_dir).collect()
+    }
+    applied = {
+        (r["vec_id"], r["sub_id"]): r["code"]
+        for r in q_sink_pq_sidecar_apply(spark, sf_dir).collect()
+    }
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    deleted = {r["vec_id"] for r in e.where(_PQ_DEL_PRED).collect()}
+    upserted = {r["vec_id"] for r in e.where(_PQ_UPS_PRED).collect()}
+    assert deleted and upserted, "fixture must exercise both ops"
+
+    applied_ids = {v for v, _s in applied}
+    assert not (applied_ids & deleted), "tombstoned vectors must vanish"
+    changed = {
+        v for v in upserted
+        if any(applied[(v, s)] != base_codes[(v, s)] for s in range(8))
+    }
+    assert changed, "at least one upsert should re-encode differently"
+    untouched_ids = {v for v, _s in base_codes} - deleted - upserted
+    for v, s in ((v, s) for v in untouched_ids for s in range(8)):
+        assert applied[(v, s)] == base_codes[(v, s)]
+
+    # partition pruning: only pb 0 and 3 rewritten by the compaction
+    path = _scratch(sf_dir, "sink_pq_apply/codes")
+    touched = {0, 3}
+    mtimes = {}
+    for pb in range(PQ_APPLY_PARTS):
+        d = os.path.join(path, f"pb={pb}")
+        files = [
+            os.path.join(d, f) for f in os.listdir(d)
+            if f.endswith(".parquet")
+        ]
+        assert files, f"pb={pb} should not be empty"
+        mtimes[pb] = max(os.stat(f).st_mtime_ns for f in files)
+    newest_untouched = max(m for pb, m in mtimes.items() if pb not in touched)
+    oldest_touched = min(m for pb, m in mtimes.items() if pb in touched)
+    assert newest_untouched < oldest_touched, (
+        "compaction must rewrite ONLY the affected pb dirs; an "
+        "untouched dir has files newer than the compaction write"
+    )
