@@ -192,6 +192,7 @@ def status_report(
         for r in (
             hist.orderBy(F.col("started_at").desc()).limit(n_recent).collect()
         ):
+            d = r.asDict()
             recent.append(
                 {
                     "started_at": r["started_at"].isoformat(),
@@ -204,6 +205,9 @@ def status_report(
                         (r["finished_at"] - r["started_at"]).total_seconds(), 1
                     ),
                     "error": r["error"],
+                    # r11: per-run bounded log capture; .get — a
+                    # warehouse predating the column stays readable
+                    "log_tail": d.get("log_tail"),
                 }
             )
     return {
@@ -310,12 +314,19 @@ def serve_status(
                     200, _json.dumps(rep).encode(), "application/json"
                 )
                 return
+            import html as _html
+
             rows = "".join(
                 "<tr>" + "".join(
                     f"<td>{r[k]}</td>"
                     for k in ("started_at", "job", "mode", "status",
                               "n_rows", "n_bad", "duration_s", "error")
-                ) + "</tr>"
+                )
+                # per-run log tail (r11): collapsed by default, escaped
+                # (tracebacks carry angle brackets)
+                + "<td><details><summary>log</summary><pre>"
+                + _html.escape(r.get("log_tail") or "")
+                + "</pre></details></td></tr>"
                 for r in rep["recent"]
             )
             counts = ", ".join(
@@ -328,7 +339,7 @@ def serve_status(
                 f" (as of {rep['generated_at']})</p>"
                 "<table border=1><tr><th>started</th><th>job</th>"
                 "<th>mode</th><th>status</th><th>rows</th><th>bad</th>"
-                f"<th>secs</th><th>error</th></tr>{rows}</table>"
+                f"<th>secs</th><th>error</th><th>log</th></tr>{rows}</table>"
                 f"<h2>sinks</h2><ul>{sinks}</ul></body></html>"
             )
             self._send(200, html.encode(), "text/html")

@@ -390,3 +390,101 @@ def test_serve_daemon_combined_mode(spark, sf_dir, tmp_path, monkeypatch):
     except (urllib.error.URLError, OSError):
         pass
     reset_ledger(spark, RUN_HISTORY_TABLE)
+
+
+def test_failed_tick_log_tail_readable_over_http(spark, sf_dir, tmp_path):
+    """r11 (VERDICT r10 item 7): a FAILED tick's error text — the full
+    traceback captured into the ledger's bounded log_tail — must be
+    readable through /status.json and visible (escaped) in the HTML
+    runs table; an ok tick carries its start/finish log lines."""
+    import json
+    import threading
+    import urllib.request
+
+    from etl_dagster_service_crawler_spark.deploy import (
+        DEFAULT_JOB,
+        run_tick,
+        serve_status,
+    )
+    from etl_dagster_service_crawler_spark.streaming.jobs import (
+        RUN_HISTORY_TABLE,
+    )
+
+    out = str(tmp_path / "out")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
+    srv = None
+    try:
+        assert run_tick(spark, DEFAULT_JOB, sf_dir, out, ["doc_id"])
+        # a tick over a CORRUPT source file fails mid-stream and
+        # ledgers 'error' (a missing dir is just an empty stream)
+        bad_sf = tmp_path / "badsf"
+        bad_sf.mkdir()
+        (bad_sf / "documents.parquet").write_bytes(b"not a parquet file")
+        try:
+            run_tick(spark, DEFAULT_JOB, str(bad_sf), out, ["doc_id"])
+            raise AssertionError("tick over a corrupt source should raise")
+        except AssertionError:
+            raise
+        except Exception:
+            pass
+        srv = serve_status(spark, out, port=0)
+        threading.Thread(target=srv.serve_forever, daemon=True).start()
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        rep = json.loads(
+            urllib.request.urlopen(f"{base}/status.json", timeout=60).read()
+        )
+        by_status = {r["status"]: r for r in rep["recent"]}
+        failed = by_status["error"]
+        assert failed["log_tail"], "failed tick must carry a log tail"
+        # the bounded tail always ENDS with the error summary (class +
+        # message head), whatever the traceback's size
+        assert "== error ==" in failed["log_tail"]
+        assert "Exception" in failed["log_tail"].rsplit("== error ==", 1)[1]
+        assert len(failed["log_tail"]) <= 4096
+        ok = by_status["ok"]
+        assert ok["log_tail"] and "finished ok=True" in ok["log_tail"]
+        html = urllib.request.urlopen(f"{base}/", timeout=60).read().decode()
+        assert "<details>" in html and "== error ==" in html
+        # escaped, not raw markup, inside the <pre>
+        assert "<pyspark" not in html
+    finally:
+        if srv is not None:
+            srv.shutdown()
+            srv.server_close()
+        reset_ledger(spark, RUN_HISTORY_TABLE)
+
+
+def test_record_run_degrades_to_pre_log_tail_warehouse(spark):
+    """A warehouse created before the log_tail column existed must
+    keep accepting ledger rows (restart against an old mounted
+    warehouse) — the row degrades to the 10-column schema."""
+    import time
+
+    from etl_dagster_service_crawler_spark.streaming.jobs import record_run
+
+    table = "run_history_oldschema"
+    reset_ledger(spark, table)
+    try:
+        old_schema = (
+            "run_id string, job string, mode string, started_at timestamp, "
+            "finished_at timestamp, n_batches bigint, n_rows bigint, "
+            "n_bad bigint, status string, error string"
+        )
+        import datetime
+
+        now = datetime.datetime.now(datetime.timezone.utc)
+        spark.createDataFrame(
+            [("r0", "j", "m", now, now, 1, 1, 0, "ok", None)], old_schema
+        ).write.mode("append").format("parquet").saveAsTable(table)
+        record_run(
+            spark, run_id="r1", job="j", mode="m",
+            started_at=time.time(), finished_at=time.time(),
+            n_batches=1, n_rows=2, n_bad=0, status="ok",
+            log_tail="this cannot land in a 10-column table",
+            table=table,
+        )
+        rows = spark.table(table).collect()
+        assert {r["run_id"] for r in rows} == {"r0", "r1"}
+        assert "log_tail" not in spark.table(table).schema.fieldNames()
+    finally:
+        reset_ledger(spark, table)
