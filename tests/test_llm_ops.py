@@ -2037,3 +2037,145 @@ def test_kmeans_train_iters_matches_brute_force_lloyds(spark, sf_dir):
         for r in q_kmeans_train_iters(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def _spec_brute(doc_id, source, lang):
+    """Plain-python replay of the spectral synthesis + Q7 DFT."""
+    import hashlib
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        _AS_COS,
+        _AS_SIN,
+        AUDIO_SPEC_BINS,
+        AUDIO_SPEC_FRAME_LEN,
+        AUDIO_SPEC_FRAMES,
+    )
+
+    base = f"{source}:{lang}"
+    key = f"{base}:{hashlib.md5(base.encode()).hexdigest()}"
+    cps = [ord(ch) % 256 for ch in key]
+    par = ord(hashlib.md5(str(doc_id).encode()).hexdigest()[0]) % 2
+    shift = par * 2 * AUDIO_SPEC_FRAME_LEN
+    out = {}
+    for f in range(AUDIO_SPEC_FRAMES):
+        sv = [
+            cps[(2 * (f * AUDIO_SPEC_FRAME_LEN + n) + shift) % len(cps)] - 128
+            for n in range(AUDIO_SPEC_FRAME_LEN)
+        ]
+        for bi, k in enumerate(AUDIO_SPEC_BINS):
+            re = sum(s * c for s, c in zip(sv, _AS_COS[bi]))
+            im = sum(s * c for s, c in zip(sv, _AS_SIN[bi]))
+            out[(f, k)] = re * re + im * im
+    return out
+
+
+def test_audio_spectral_export_matches_brute_force(spark, sf_dir):
+    """The mapInPandas kernel — synthesize, REAL WAV encode/decode,
+    resample, integer DFT — must equal the plain codepoint replay for
+    every doc: the codec round-trip is lossless end to end."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_audio_spectral_export,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    got = {
+        (r["doc_id"], r["frame"], r["bin"]): r["mag2"]
+        for r in q_audio_spectral_export(spark, sf_dir).collect()
+    }
+    for d in docs:
+        want = _spec_brute(d["doc_id"], d["source"], d["lang"])
+        for (f, k), m in want.items():
+            assert got[(d["doc_id"], f, k)] == m, (d["doc_id"], f, k)
+
+
+def _hash_par(doc_id):
+    import hashlib
+
+    return ord(hashlib.md5(str(doc_id).encode()).hexdigest()[0]) % 2
+
+
+def test_audio_spectral_dedup_is_time_offset_tolerant(spark, sf_dir):
+    """Same-recording docs (shared source:lang key) with OPPOSITE
+    parity are one-frame-shifted clips: they must pair in
+    dedup_audio_spectral (sharing the 3 interior frame spectra) even
+    though their time-domain window energies shift. Same-parity
+    same-recording docs share all 4."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_dedup_audio_spectral,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    groups = {}
+    for r in docs:
+        groups.setdefault((r["source"], r["lang"]), []).append(r["doc_id"])
+    shifted, aligned = [], []
+    for ids in groups.values():
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                lo, hi = min(a, b), max(a, b)
+                (shifted if _hash_par(a) != _hash_par(b)
+                 else aligned).append((lo, hi))
+    assert shifted and aligned
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["n_common"]
+        for r in q_dedup_audio_spectral(spark, sf_dir).collect()
+    }
+    for p in shifted:
+        assert p in pairs and pairs[p] >= 3, f"shifted dup pair {p} missed"
+    for p in aligned:
+        assert pairs.get(p) == 4, f"aligned dup pair {p} should share all 4"
+
+
+def test_time_domain_fp_misses_what_spectral_catches(spark, sf_dir):
+    """The motivation for the upgrade, pinned: applying the
+    time-domain fingerprint rule (16-window |energy| dHash) to the
+    SHIFTED signals diverges for at least one opposite-parity
+    same-recording pair that the spectral query finds."""
+    import hashlib
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        AUDIO_SPEC_FRAME_LEN,
+        q_dedup_audio_spectral,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+
+    def fp_of(doc_id, source, lang):
+        base = f"{source}:{lang}"
+        key = f"{base}:{hashlib.md5(base.encode()).hexdigest()}"
+        cps = [ord(ch) % 256 for ch in key]
+        shift = _hash_par(doc_id) * 2 * AUDIO_SPEC_FRAME_LEN
+        mono = [
+            abs((cps[(2 * j + shift) % len(cps)] - 128) * 256)
+            for j in range(128)
+        ]
+        energy = [sum(mono[w * 8:(w + 1) * 8]) for w in range(16)]
+        fp = 0
+        for w in range(15):
+            if energy[w] > energy[w + 1]:
+                fp |= 1 << w
+        return fp
+
+    groups = {}
+    for r in docs:
+        groups.setdefault((r["source"], r["lang"]), []).append(r)
+    spectral = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_dedup_audio_spectral(spark, sf_dir).collect()
+    }
+    missed = 0
+    for rows in groups.values():
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                if _hash_par(a["doc_id"]) == _hash_par(b["doc_id"]):
+                    continue
+                p = (min(a["doc_id"], b["doc_id"]),
+                     max(a["doc_id"], b["doc_id"]))
+                if p in spectral and fp_of(
+                    a["doc_id"], a["source"], a["lang"]
+                ) != fp_of(b["doc_id"], b["source"], b["lang"]):
+                    missed += 1
+    assert missed > 0, (
+        "expected at least one shifted pair whose time-domain "
+        "fingerprints diverge while the spectral pair query finds it"
+    )
