@@ -1679,6 +1679,88 @@ FROM lm l JOIN ctx c ON string_split(l.bigram, ' ')[1] = c.w1
 """
 
 
+def q_sink_lm_sidecar_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental LM-sidecar APPEND (r11, the cdc/sidecar-maintenance
+    discipline applied to the bigram LM): a deterministic batch of NEW
+    documents (every doc_id%10==7 re-ingested as doc_id+1000000 with
+    text || ' ' || source — genuinely new bigrams cross the boundary)
+    is folded into the PERSISTED LM without rescanning the corpus:
+    delta bigram counts over the new docs only, a full-outer c12
+    merge against the sidecar read-back, then the vocab-sized c1
+    regroup (c1 is derived, so it must be recomputed from the merged
+    c12 — adding deltas per-bigram would miss w1 contexts whose new
+    bigrams are all unseen). The result is written as its own
+    artifact and the READ-BACK returned; the oracle is the FULL
+    REBUILD over the unioned corpus — append ≡ rebuild by value hash.
+
+    Scale: the apply scans |new docs| + |LM| (vocab-sized), never the
+    corpus — the cost profile an hourly crawl drop wants; the c1
+    regroup is vocab-keyed, exchange carries (w1, partial)."""
+    import shutil
+
+    from etl_dagster_service_crawler_spark.workloads.io_wl import _scratch
+
+    base = q_sink_lm_sidecar(spark, sf_dir)
+    new_docs = (
+        load_table(spark, sf_dir, "documents")
+        .where("doc_id % 10 = 7")
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.col("source")).alias("text"),
+        )
+    )
+    dt = new_docs.select(tokens_ws(F.col("text")).alias("t"))
+    t = F.col("t")
+    bigrams = F.when(
+        F.size(t) >= 2,
+        F.zip_with(
+            F.slice(t, 1, F.size(t) - 1),
+            F.slice(t, 2, F.size(t) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    delta = (
+        dt.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("dc12"))
+    )
+    merged = (
+        base.select("bigram", "c12")
+        .join(delta, "bigram", "full_outer")
+        .select(
+            "bigram",
+            (
+                F.coalesce(F.col("c12"), F.lit(0))
+                + F.coalesce(F.col("dc12"), F.lit(0))
+            ).alias("c12"),
+        )
+    )
+    ctx = merged.groupBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.sum("c12").alias("c1"))
+    out = merged.join(
+        ctx,
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
+    ).select("bigram", F.col("c12").cast("bigint").alias("c12"),
+             F.col("c1").cast("bigint").alias("c1"))
+    path = _scratch(sf_dir, "lm_sidecar_apply")
+    shutil.rmtree(path, ignore_errors=True)
+    out.sort("bigram").coalesce(1).write.parquet(path)
+    return spark.read.schema(_LM_SIDECAR_SCHEMA).parquet(path)
+
+
+# full-rebuild oracle over the unioned corpus: append ≡ rebuild
+SQL_LM_SIDECAR_APPLY = SQL_LM_SIDECAR.replace(
+    "FROM documents",
+    """FROM (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text || ' ' || source
+  FROM documents WHERE doc_id % 10 = 7
+)""",
+)
+
+
 def q_doc_perplexity_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document bits-per-bigram under a corpus bigram LM — the
     CCNet-style perplexity filter: documents whose phrase structure is
@@ -2926,6 +3008,9 @@ SPECS: list[QuerySpec] = [
     # discipline); benched so the build cost stays visible
     QuerySpec(
         "sink_lm_sidecar", q_sink_lm_sidecar, SQL_LM_SIDECAR, bench=True
+    ),
+    QuerySpec(
+        "sink_lm_sidecar_apply", q_sink_lm_sidecar_apply, SQL_LM_SIDECAR_APPLY
     ),
     QuerySpec("bigram_collocations", q_bigram_collocations, SQL_COLLOCATIONS),
     QuerySpec("chunk_documents", q_chunk_documents, SQL_CHUNK),

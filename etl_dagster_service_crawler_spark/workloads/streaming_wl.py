@@ -707,6 +707,39 @@ def _stream_interval_sql() -> str:
     return SQL_INTERVAL_OVERLAP
 
 
+def q_stream_crawl_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of html_extract_fields (r11): the crawl
+    pipeline's markup parse stage applied AT INGEST — each arriving
+    page is rendered (the fixture's PAGE_SQL stands in for the fetched
+    payload) and its ~25 fields extracted with the SAME dialect-neutral
+    expression chains as the batch entry. Row-level projection commutes
+    with streaming, so the append-mode drain equals the batch result
+    and the entry shares the batch oracle verbatim. At 100 TB this is
+    the shape a crawl lake wants: parse in the ingest stage (codegen
+    regex, no Python), so raw markup never needs a second full scan."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.functions.html import (
+        EXTRACT_SQL,
+        PAGE_SQL,
+    )
+
+    s = stream_documents(spark, sf_dir)
+    pages = s.select("doc_id", F.expr(PAGE_SQL).alias("html"))
+    cols = [F.col("doc_id")] + [
+        F.expr(e.format(h="html")).alias(f) for f, e in EXTRACT_SQL.items()
+    ]
+    return run_available_now(pages.select(*cols), "append")
+
+
+def _stream_crawl_extract_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        _sql_html_extract,
+    )
+
+    return _sql_html_extract()
+
+
 def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming NEAR-DUP dedup at ingest (r10 verdict item 3):
     documents land 4 key-hashed files -> one micro-batch each; every
@@ -799,6 +832,10 @@ SPECS = [
     # r11: near-dup dedup at ingest — shares the batch minhash
     # pipeline's oracle (CC over verified pairs, recursive CTE)
     QuerySpec("stream_minhash_dedup", q_stream_minhash_dedup, _stream_minhash_sql()),
+    # r11: markup parse at ingest — shares the batch extract oracle
+    QuerySpec(
+        "stream_crawl_extract", q_stream_crawl_extract, _stream_crawl_extract_sql()
+    ),
     QuerySpec("stream_cdc_apply", q_stream_cdc_apply, _stream_cdc_sql()),
     # r9: exposure attribution at ingest — shares the batch interval
     # oracle verbatim (stateless stream-static equi join)

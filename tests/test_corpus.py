@@ -1376,3 +1376,45 @@ def test_lm_sidecar_roundtrip_and_reuse(spark, sf_dir):
     }
     assert rebuilt == want
     assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_lm_sidecar_apply_equals_full_rebuild(spark, sf_dir):
+    """r11 incremental LM append: folding the new-doc delta into the
+    persisted sidecar must equal rebuilding the LM over the unioned
+    corpus row-for-row — including w1 contexts that exist ONLY in the
+    appended docs (the c1 regroup, not a per-bigram delta add)."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _bigram_lm_build,
+        q_sink_lm_sidecar_apply,
+    )
+
+    got = {
+        (r["bigram"]): (r["c12"], r["c1"])
+        for r in q_sink_lm_sidecar_apply(spark, sf_dir).collect()
+    }
+    # full rebuild over the unioned corpus via the batch builder,
+    # monkey-free: rebuild with the same union in plain python terms
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    union = docs.select("doc_id", "text").unionByName(
+        docs.where("doc_id % 10 = 7").select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.col("source")).alias("text"),
+        )
+    )
+    from collections import Counter
+
+    c12 = Counter()
+    for r in union.collect():
+        toks = r["text"].split(" ")
+        for a, b in zip(toks, toks[1:]):
+            c12[f"{a} {b}"] += 1
+    c1 = Counter()
+    for bg, n in c12.items():
+        c1[bg.split(" ")[0]] += n
+    want = {bg: (n, c1[bg.split(" ")[0]]) for bg, n in c12.items()}
+    assert got == want and want
+    # sanity: the append genuinely introduced new bigrams
+    base = {r["bigram"] for r in _bigram_lm_build(spark, sf_dir).collect()}
+    assert set(got) - base, "appended docs should add unseen bigrams"
