@@ -1566,6 +1566,159 @@ WHERE vocab_rank IN ({_VOCAB_CURVE_LIST})
 """
 
 
+PACK_SEQ_LEN = 512  # training sequence length (tokens)
+PACK_OFFSET_BUCKETS = 256  # prefix-sum decomposition width (bounded)
+
+
+def _pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, start_tok) — every document's token offset in
+    the doc_id-ordered concatenated token stream, computed WITHOUT a
+    global unpartitioned window: the classic two-level parallel prefix
+    sum. Docs bucket by doc_id range into PACK_OFFSET_BUCKETS bounded
+    buckets (width from a 1-row max(doc_id) broadcast scalar); the
+    intra-bucket cumsum is a bucket-PARTITIONED window, and bucket
+    offsets come from a window over the 256-row bucket-sum frame
+    (bounded, plan-lint-clean). At 1000 executors the only
+    single-partition work is 256 rows; recurse the same decomposition
+    for more levels if bucket counts must grow."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens_ws(F.col("text"))).cast("bigint").alias("n")
+    )
+    mx = d.agg(F.max("doc_id").alias("mx"))
+    # width >= 1; buckets 0..PACK_OFFSET_BUCKETS
+    withb = d.join(F.broadcast(mx)).withColumn(
+        "bkt",
+        (F.col("doc_id") / ((F.col("mx") + PACK_OFFSET_BUCKETS)
+                            / PACK_OFFSET_BUCKETS).cast("bigint")).cast("bigint"),
+    )
+    wl = Window.partitionBy("bkt").orderBy("doc_id")
+    local = withb.select(
+        "doc_id", "n", "bkt",
+        (F.sum("n").over(wl) - F.col("n")).alias("local_off"),
+    )
+    bsum = local.groupBy("bkt").agg(F.sum("n").alias("bn"))
+    wb = Window.orderBy("bkt")  # bounded: <= PACK_OFFSET_BUCKETS rows
+    boff = bsum.select(
+        "bkt", (F.sum("bn").over(wb) - F.col("bn")).alias("bkt_off")
+    )
+    return local.join(F.broadcast(boff), "bkt").select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        (F.col("bkt_off") + F.col("local_off")).alias("start_tok"),
+    )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence PACKING for training (the GPT-style concat-then-chop):
+    documents concatenate in doc_id order into one token stream chopped
+    into PACK_SEQ_LEN-token sequences; per document, its token offset,
+    first/last sequence, and whether it crosses a sequence boundary —
+    the mapping a data loader materializes to build packed batches
+    without padding waste.
+
+    Exactness: offsets are an integer prefix sum (order pinned by
+    doc_id), so the mapping is deterministic and fully oracle-checked;
+    the oracle uses the plain window cumsum, the Spark side the
+    scalable two-level decomposition (_pack_doc_spans) — same values,
+    different plan, which is exactly the point."""
+    spans = _pack_doc_spans(spark, sf_dir)
+    sl = F.lit(PACK_SEQ_LEN)
+    seq_first = F.expr(f"start_tok div {PACK_SEQ_LEN}")
+    seq_last = F.expr(f"(start_tok + n_tokens - 1) div {PACK_SEQ_LEN}")
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        seq_first.cast("bigint").alias("seq_first"),
+        seq_last.cast("bigint").alias("seq_last"),
+        (seq_first != seq_last).alias("crosses_boundary"),
+    )
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS start_tok
+  FROM t
+)
+SELECT doc_id, n AS n_tokens, start_tok,
+       CAST(start_tok // {PACK_SEQ_LEN} AS BIGINT) AS seq_first,
+       CAST((start_tok + n - 1) // {PACK_SEQ_LEN} AS BIGINT) AS seq_last,
+       (start_tok // {PACK_SEQ_LEN})
+         <> ((start_tok + n - 1) // {PACK_SEQ_LEN}) AS crosses_boundary
+FROM c
+"""
+
+
+def q_pack_sequences_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SEQUENCE packing report: for every PACK_SEQ_LEN-token
+    training sequence, how many documents contribute, how many tokens
+    land in it (the final sequence is partial), and how many document
+    boundaries it contains — the padding/fragmentation accounting a
+    training run reads before choosing sequence length. Each doc
+    explodes to only the sequences it overlaps (n/PACK_SEQ_LEN + 1
+    rows), so the explode is stream-size-proportional, never
+    quadratic; the rollup is a seq_id-keyed map-side-combined agg."""
+    spans = _pack_doc_spans(spark, sf_dir)
+    sl = PACK_SEQ_LEN
+    ex = spans.select(
+        "start_tok",
+        "n_tokens",
+        F.explode(
+            F.sequence(
+                F.expr(f"start_tok div {sl}"),
+                F.expr(f"(start_tok + n_tokens - 1) div {sl}"),
+            )
+        ).alias("seq_id"),
+    )
+    tok_in_seq = F.least(
+        F.col("start_tok") + F.col("n_tokens"), (F.col("seq_id") + 1) * sl
+    ) - F.greatest(F.col("start_tok"), F.col("seq_id") * sl)
+    return (
+        ex.groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum(tok_in_seq).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "seq_id", "n_docs", "n_tokens",
+            F.expr(f"CAST((10000 * n_tokens) DIV {sl} AS INT)").alias("fill_bp"),
+        )
+    )
+
+
+SQL_PACK_REPORT = f"""
+WITH t AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n,
+         CAST(sum(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS start_tok
+  FROM t
+),
+ex AS (
+  SELECT c.start_tok, c.n,
+         CAST(unnest(generate_series(c.start_tok // {PACK_SEQ_LEN},
+                                     (c.start_tok + c.n - 1) // {PACK_SEQ_LEN}))
+              AS BIGINT) AS seq_id
+  FROM c
+)
+SELECT seq_id, CAST(count(*) AS INT) AS n_docs,
+       CAST(sum(least(start_tok + n, (seq_id + 1) * {PACK_SEQ_LEN})
+                - greatest(start_tok, seq_id * {PACK_SEQ_LEN})) AS BIGINT)
+         AS n_tokens,
+       CAST((10000 * sum(least(start_tok + n, (seq_id + 1) * {PACK_SEQ_LEN})
+                         - greatest(start_tok, seq_id * {PACK_SEQ_LEN})))
+            // {PACK_SEQ_LEN} AS INT) AS fill_bp
+FROM ex GROUP BY seq_id
+"""
+
+
 def _doc_bigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, bg array<string>) — each document's token bigrams,
     shared by the LM builder and the per-doc scorer."""
@@ -3060,6 +3213,12 @@ SPECS: list[QuerySpec] = [
     QuerySpec(
         "bpe_train_merges_batched", q_bpe_train_merges_batched,
         SQL_BPE_TRAIN_BATCHED, bench=True,
+    ),
+    # r11: sequence packing — scalable two-level prefix sum vs the
+    # oracle's plain window cumsum (same values, scalable plan)
+    QuerySpec("pack_sequences", q_pack_sequences, SQL_PACK_SEQUENCES),
+    QuerySpec(
+        "pack_sequences_report", q_pack_sequences_report, SQL_PACK_REPORT
     ),
     QuerySpec("tokenizer_apply_bpe", q_tokenizer_apply_bpe, SQL_TOKENIZER_APPLY),
     # identical semantics and output => shares the exact oracle

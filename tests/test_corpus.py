@@ -1418,3 +1418,47 @@ def test_lm_sidecar_apply_equals_full_rebuild(spark, sf_dir):
     # sanity: the append genuinely introduced new bigrams
     base = {r["bigram"] for r in _bigram_lm_build(spark, sf_dir).collect()}
     assert set(got) - base, "appended docs should add unseen bigrams"
+
+
+def test_pack_sequences_matches_serial_recompute(spark, sf_dir):
+    """The two-level prefix-sum mapping must equal the serial
+    concat-then-chop replay; the per-sequence report must conserve
+    tokens (sum == corpus total), fill every sequence but the last to
+    exactly PACK_SEQ_LEN, and agree with the mapping on boundary
+    crossings."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        PACK_SEQ_LEN,
+        q_pack_sequences,
+        q_pack_sequences_report,
+    )
+
+    docs = sorted(
+        (r["doc_id"], len(r["text"].split(" ")))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    )
+    want = {}
+    off = 0
+    for doc_id, n in docs:
+        want[doc_id] = (n, off, off // PACK_SEQ_LEN,
+                        (off + n - 1) // PACK_SEQ_LEN)
+        off += n
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"], r["seq_first"],
+                      r["seq_last"])
+        for r in q_pack_sequences(spark, sf_dir).collect()
+    }
+    assert got == want
+    total = off
+    rep = {r["seq_id"]: r for r in q_pack_sequences_report(spark, sf_dir).collect()}
+    assert sum(r["n_tokens"] for r in rep.values()) == total
+    last = max(rep)
+    assert set(rep) == set(range(last + 1)), "sequences must be contiguous"
+    for s, r in rep.items():
+        if s < last:
+            assert r["n_tokens"] == PACK_SEQ_LEN and r["fill_bp"] == 10000
+    assert rep[last]["n_tokens"] == total - last * PACK_SEQ_LEN
+    # boundary-crossing docs contribute to >= 2 sequences
+    crossers = sum(
+        1 for _d, (_n, off0, f, l) in want.items() if f != l
+    )
+    assert crossers > 0, "fixture should contain boundary-crossing docs"

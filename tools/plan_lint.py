@@ -131,6 +131,16 @@ ALLOW: dict[tuple[str, str], str] = {
     ("vocab_coverage_curve", "SinglePartition"): "vocab rank frame + 1-row total",
     ("vocab_coverage_curve", "Window"): "vocab-sized rank frame",
     ("vocab_coverage_curve", "BroadcastNestedLoopJoin"): "1-row token total",
+    # r11 sequence packing: the bucket-offset stage of the two-level
+    # prefix sum — the unpartitioned window and its exchange run on the
+    # <=257-row bucket-sum frame (PACK_OFFSET_BUCKETS is a constant),
+    # never on data; the 1-row max(doc_id) broadcast sizes the buckets
+    ("pack_sequences", "SinglePartition"): "<=257-row bucket-offset frame",
+    ("pack_sequences", "Window"): "<=257-row bucket-offset frame",
+    ("pack_sequences", "BroadcastNestedLoopJoin"): "1-row max(doc_id) scalar",
+    ("pack_sequences_report", "SinglePartition"): "<=257-row bucket-offset frame",
+    ("pack_sequences_report", "Window"): "<=257-row bucket-offset frame",
+    ("pack_sequences_report", "BroadcastNestedLoopJoin"): "1-row max(doc_id) scalar",
     # r8 session-2: same constant-size frames — the 32-row codebook
     # rank window, the 16-row centroid broadcasts inside
     # assign_cells/probe_cells, and the 8-probe-row brute-force arm
