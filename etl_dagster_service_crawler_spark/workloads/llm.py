@@ -4027,6 +4027,59 @@ FROM deg GROUP BY degree
 """
 
 
+def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node TRIANGLE counts over the mutual-kNN graph (r11)
+    — the local-clustering signal of the semantic-dedup stack: a
+    cluster member in many triangles sits in a tight near-dup clique
+    (keep one), a triangle-free node is a loose neighbor (keep it).
+    The classic ordered-wedge algorithm: edges stored a<b once, wedge
+    join (a,b)x(b,c), close with an (a,c) edge probe — every triangle
+    a<b<c is found exactly once, so the count is exact and fully
+    oracle-checked (the graph itself is the value-hash-verified
+    knn_graph_mutual artifact, read from the persisted sidecar).
+
+    Scale: two node-keyed equi-joins over the EDGE table (k-bounded:
+    |E| <= k·n/2, wedges <= Σdeg² with deg <= k) — never a
+    corpus-sized shuffle; zero-triangle nodes come back via the
+    embeddings left anchor."""
+    g = mutual_graph_cached(spark, sf_dir).select("src", "dst")
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    e1 = g.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = g.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = g.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    members = (
+        tri.select(F.col("a").alias("v"))
+        .unionByName(tri.select(F.col("b").alias("v")))
+        .unionByName(tri.select(F.col("c").alias("v")))
+    )
+    return (
+        e.join(members, e["vec_id"] == members["v"], "left")
+        .groupBy("vec_id")
+        .agg(F.count(F.col("v")).cast("int").alias("n_triangles"))
+    )
+
+
+def _sql_graph_triangle_count() -> str:
+    return f"""
+WITH g AS ({_sql_knn_graph_mutual()}),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM g e1
+  JOIN g e2 ON e2.src = e1.dst
+  JOIN g e3 ON e3.src = e1.src AND e3.dst = e2.dst
+),
+m AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT e.vec_id, CAST(count(m.v) AS INT) AS n_triangles
+FROM embeddings e LEFT JOIN m ON m.v = e.vec_id
+GROUP BY e.vec_id
+"""
+
+
 PAGERANK_ITERS = 3
 PAGERANK_SCALE = 1_000_000_000  # ranks in parts-per-billion
 
@@ -4702,6 +4755,10 @@ SPECS = [
     QuerySpec("pq_rerank_topk", q_pq_rerank_topk, _sql_pq_rerank_topk()),
     QuerySpec(
         "knn_graph_mutual", q_knn_graph_mutual, _sql_knn_graph_mutual()
+    ),
+    QuerySpec(
+        "graph_triangle_count", q_graph_triangle_count,
+        _sql_graph_triangle_count(),
     ),
     # r10: the persisted graph sidecar — build+write+read-back, the
     # artifact the graph consumers read instead of rebuilding; benched

@@ -2179,3 +2179,34 @@ def test_time_domain_fp_misses_what_spectral_catches(spark, sf_dir):
         "expected at least one shifted pair whose time-domain "
         "fingerprints diverge while the spectral pair query finds it"
     )
+
+
+def test_graph_triangle_count_matches_brute_force(spark, sf_dir):
+    """Ordered-wedge triangle counting == plain set-based recompute
+    over the same mutual-kNN edge set; zero-triangle nodes included."""
+    from itertools import combinations
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_graph_triangle_count,
+        q_knn_graph_mutual,
+    )
+
+    edges = {(r["src"], r["dst"])
+             for r in q_knn_graph_mutual(spark, sf_dir).collect()}
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect():
+        want[r["vec_id"]] = 0
+    n_tri = 0
+    for v, ns in adj.items():
+        for x, y in combinations(sorted(ns), 2):
+            if (min(x, y), max(x, y)) in edges:
+                want[v] += 1
+                n_tri += 1
+    got = {r["vec_id"]: r["n_triangles"]
+           for r in q_graph_triangle_count(spark, sf_dir).collect()}
+    assert got == want
+    assert n_tri % 3 == 0  # each triangle counted at its 3 corners
