@@ -219,8 +219,72 @@ def _sql_pipeline_extract() -> str:
     )
 
 
+FRONTIER_HOST_DELAY = 8  # politeness: slots between fetches of a host
+
+
+def q_crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier SCHEDULING (r11) — the reference's politeness
+    sleeps (test.py:135,155,560: fixed delays between fetches of the
+    same site) turned from imperative sleeps into a PLAN: every
+    pending URL gets a deterministic fetch slot such that fetches of
+    one host are at least FRONTIER_HOST_DELAY slots apart, hosts are
+    staggered by an md5-derived phase (so the fleet doesn't hit every
+    host at slot 0), and within a host bigger documents fetch first
+    (priority = n_chars desc, doc_id tiebreak). A 1000-worker crawler
+    sorts by fetch_slot and streams the frontier; per-host rate
+    limiting becomes data, not sleeps.
+
+    Scale: ONE host-partitioned window (hosts are the natural
+    partition key and the skew unit — a mega-host's queue orders
+    within its own partition); no global ordering anywhere."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("source").alias("host"), "n_chars"
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    stagger = F.expr(
+        f"(ascii(substr(md5(host), 1, 1)) * 31 + "
+        f"ascii(substr(md5(host), 2, 1))) % {FRONTIER_HOST_DELAY}"
+    )
+    rank = F.row_number().over(w) - 1
+    return d.select(
+        "doc_id",
+        "host",
+        rank.cast("int").alias("host_rank"),
+        (rank * FRONTIER_HOST_DELAY + stagger).cast("bigint").alias(
+            "fetch_slot"
+        ),
+    )
+
+
+SQL_FRONTIER_SCHEDULE = f"""
+SELECT doc_id, host,
+       CAST(rank AS INT) AS host_rank,
+       CAST(rank * {FRONTIER_HOST_DELAY}
+            + (ascii(substr(md5(host), 1, 1)) * 31
+               + ascii(substr(md5(host), 2, 1))) % {FRONTIER_HOST_DELAY}
+            AS BIGINT) AS fetch_slot
+FROM (
+  SELECT doc_id, source AS host, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) - 1 AS rank
+  FROM documents
+)
+"""
+
+
 SPECS = [
     QuerySpec("pipeline_crawl_enriched", q_pipeline_crawl_enriched, _ORACLE_ENRICHED),
+    QuerySpec(
+        "crawl_frontier_schedule", q_crawl_frontier_schedule,
+        SQL_FRONTIER_SCHEDULE,
+    ),
     QuerySpec("source_crawl_scan", q_source_crawl_scan, _ORACLE_BASE),
     QuerySpec("source_crawl_stream", q_source_crawl_stream, _ORACLE_BASE),
     QuerySpec("html_render_pages", q_html_render_pages, _sql_html_render()),

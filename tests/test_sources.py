@@ -146,3 +146,37 @@ def test_transport_error_budget_skips_then_trips(spark, tmp_path):
             list(strict.read(strict.initialOffset())[0])
     finally:
         sys.path.remove(str(tmp_path))
+
+
+def test_frontier_schedule_politeness_invariants(spark, sf_dir):
+    """Per host: slots strictly FRONTIER_HOST_DELAY apart, priority by
+    n_chars desc (doc_id tiebreak), stagger stable per host and inside
+    [0, delay)."""
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        FRONTIER_HOST_DELAY,
+        q_crawl_frontier_schedule,
+    )
+
+    rows = q_crawl_frontier_schedule(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r["host"], []).append(r)
+    assert any(len(v) > 1 for v in by_host.values())
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r["host_rank"])
+        assert [r["host_rank"] for r in rs] == list(range(len(rs)))
+        staggers = {r["fetch_slot"] - r["host_rank"] * FRONTIER_HOST_DELAY
+                    for r in rs}
+        assert len(staggers) == 1
+        assert 0 <= staggers.pop() < FRONTIER_HOST_DELAY
+        # priority order: n_chars desc, doc_id asc
+        key = [( -docs[r["doc_id"]]["n_chars"], r["doc_id"]) for r in rs]
+        assert key == sorted(key)
+        # politeness: consecutive fetches of one host are >= delay apart
+        slots = [r["fetch_slot"] for r in rs]
+        assert all(b - a == FRONTIER_HOST_DELAY
+                   for a, b in zip(slots, slots[1:]))
