@@ -4027,6 +4027,84 @@ FROM deg GROUP BY degree
 """
 
 
+DECON_EMB_COS_C = 35  # flag cos >= C/100 (0.35)
+
+
+def q_decontaminate_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space decontamination (r11) — the semantic twin of
+    decontaminate_ngram: corpus vectors too close to any benchmark
+    PROBE vector (the 8 standing-query embeddings) are flagged,
+    catching paraphrased eval leakage the n-gram probe misses. The
+    cosine threshold (0.35 — the fixture's organic near-probe
+    ceiling is ~0.39, so paraphrase-level hits exist beyond the
+    verbatim self-leaks) is applied EXACTLY in integers: over int8
+    quantized vectors, cos >= C/100 ⟺ dot > 0 ∧ 10000·dot² >=
+    C²·‖a‖²·‖b‖² — no sqrt, no float, every term bounded inside
+    BIGINT (dot² <= ~1e12, 10000·dot² <= 1e16), so the oracle
+    replays the comparison bit-for-bit. A probe that leaked verbatim
+    flags itself at cos = 1 (it IS contamination).
+
+    Scale: the 8 quantized probe vectors broadcast over ONE corpus
+    scan (the similarity_topk shape — flips to a block equi-join past
+    ~100 probes); output is hit pairs only."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        _il2 as _unused_il2,  # noqa: F401 - keep import surface explicit
+        _q8_expr,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.select("vec_id", _q8_expr("embedding").alias("qv"))
+    probes = q.where(F.col("vec_id").isin(TOPK_QUERY_IDS)).select(
+        F.col("vec_id").alias("probe_id"), F.col("qv").alias("pv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("pv"), lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.col(c), F.lit(0).cast("bigint"), lambda acc, x: acc + x * x
+    )
+    scored = q.join(F.broadcast(probes)).select(
+        "vec_id",
+        "probe_id",
+        dot.alias("dot"),
+        sq("qv").alias("na"),
+        sq("pv").alias("nb"),
+    )
+    return scored.where(
+        (F.col("dot") > 0)
+        & (
+            F.lit(10000) * F.col("dot") * F.col("dot")
+            >= F.lit(DECON_EMB_COS_C * DECON_EMB_COS_C)
+            * F.col("na")
+            * F.col("nb")
+        )
+    ).select("vec_id", "probe_id", "dot", "na", "nb")
+
+
+def _sql_decontaminate_embedding() -> str:
+    ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+    c2 = DECON_EMB_COS_C * DECON_EMB_COS_C
+    return f"""
+WITH {_SQL_Q8},
+pr AS (
+  SELECT vec_id AS probe_id, qv AS pv FROM q8 WHERE vec_id IN ({ids})
+),
+sc AS (
+  SELECT e.vec_id, p.probe_id,
+         CAST(list_sum(list_transform(list_zip(e.qv, p.pv),
+                s -> coalesce(s[1] * s[2], 0))) AS BIGINT) AS dot,
+         CAST(list_sum(list_transform(e.qv, x -> x * x)) AS BIGINT) AS na,
+         CAST(list_sum(list_transform(p.pv, x -> x * x)) AS BIGINT) AS nb
+  FROM q8 e, pr p
+)
+SELECT vec_id, probe_id, dot, na, nb
+FROM sc
+WHERE dot > 0 AND 10000 * dot * dot >= {c2} * na * nb
+"""
+
+
 def q_graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-node TRIANGLE counts over the mutual-kNN graph (r11)
     — the local-clustering signal of the semantic-dedup stack: a
@@ -4759,6 +4837,10 @@ SPECS = [
     QuerySpec(
         "graph_triangle_count", q_graph_triangle_count,
         _sql_graph_triangle_count(),
+    ),
+    QuerySpec(
+        "decontaminate_embedding", q_decontaminate_embedding,
+        _sql_decontaminate_embedding(),
     ),
     # r10: the persisted graph sidecar — build+write+read-back, the
     # artifact the graph consumers read instead of rebuilding; benched

@@ -2210,3 +2210,30 @@ def test_graph_triangle_count_matches_brute_force(spark, sf_dir):
            for r in q_graph_triangle_count(spark, sf_dir).collect()}
     assert got == want
     assert n_tri % 3 == 0  # each triangle counted at its 3 corners
+
+
+def test_decontaminate_embedding_threshold_and_selfhits(spark, sf_dir):
+    """Every verbatim probe leak flags itself; every flagged pair
+    really clears cos >= 0.35 under exact float recompute; every
+    unflagged (vec, probe) pair with dot > 0 really falls below."""
+    import math
+
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        DECON_EMB_COS_C,
+        TOPK_QUERY_IDS,
+        q_decontaminate_embedding,
+    )
+
+    rows = q_decontaminate_embedding(spark, sf_dir).collect()
+    hits = {(r["vec_id"], r["probe_id"]): r for r in rows}
+    for p in TOPK_QUERY_IDS:
+        assert (p, p) in hits, f"verbatim probe {p} must self-flag"
+        r = hits[(p, p)]
+        assert r["dot"] == r["na"] == r["nb"]
+    assert len(hits) > len(TOPK_QUERY_IDS), "expect paraphrase-level hits"
+    t = DECON_EMB_COS_C / 100
+    for r in rows:
+        cos = r["dot"] / math.sqrt(r["na"] * r["nb"])
+        # integer comparison equals the real-number threshold up to
+        # the exact boundary (10^4 dot^2 >= C^2 na nb)
+        assert cos >= t - 1e-12

@@ -50,6 +50,11 @@ ALLOW: dict[tuple[str, str], str] = {
     ("salient_terms_tfidf", "BroadcastNestedLoopJoin"): "1-row corpus count",
     ("dedup_embedding_lsh", "BroadcastNestedLoopJoin"): "1-row SRP plane set",
     ("similarity_topk", "BroadcastNestedLoopJoin"): "probe-vector row",
+    # r11: the 8 quantized probe vectors broadcast over one corpus
+    # scan (the similarity_topk shape; flips to a block equi-join
+    # past ~100 probes)
+    ("decontaminate_embedding", "BroadcastNestedLoopJoin"):
+        "8 quantized probe vectors",
     # the BNLJ broadcasts the 8 probe vectors over the corpus scan;
     # sound while |queries| x corpus-block fits one task's memory —
     # past O(100) queries the shape must flip to knn_join_quantized's
