@@ -1221,3 +1221,62 @@ def test_png_resize_nearest_properties(h, w, oh, ow, seed):
     assert (out[0, 0] == arr[0, 0]).all()
     pixels = {tuple(p) for row in arr for p in row}
     assert all(tuple(p) in pixels for row in out for p in row)
+
+
+@_slow
+@given(
+    title=st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" &<>-"
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    url_n=st.integers(0, 10**6),
+    perm=st.permutations(["href", "title", "class"]),
+    gap=st.sampled_from(["", " ", "  ", "\t"]),
+    mgmt=st.text(
+        alphabet=st.characters(
+            whitelist_categories=("Lu", "Ll", "Nd"), whitelist_characters=" ~-"
+        ),
+        max_size=30,
+    ),
+)
+def test_html_extract_survives_arbitrary_markup_variation(
+    spark, title, url_n, perm, gap, mgmt
+):
+    """For ANY attribute order, inter-tag whitespace, and
+    entity-bearing title text, the extractor must recover the exact
+    logical values (entities decoded, whitespace-tolerant) — the
+    property behind the hand-picked messy-markup cases."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.functions.html import EXTRACT_SQL
+
+    title_clean = title.strip()
+    esc = (
+        title_clean.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+    url = f"https://example.com/job/{url_n}?s=x"
+    attrs = {
+        "href": f'href="{url}"',
+        "title": f'title="{esc}"',
+        "class": 'class="info-job__text"',
+    }
+    anchor = "<a " + " ".join(attrs[k] for k in perm) + f">{esc}</a>"
+    mgmt_clean = mgmt.strip()
+    html = (
+        f"<html><body><h2>{anchor}</h2>"
+        f'<div class="list-row"><h3>管理責任</h3>{gap}'
+        f'<div class="list-row__data">{mgmt_clean}</div></div>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    row = df.select(
+        F.expr(EXTRACT_SQL["job_name"].format(h="html")).alias("name"),
+        F.expr(EXTRACT_SQL["job_url"].format(h="html")).alias("url"),
+        F.expr(EXTRACT_SQL["management"].format(h="html")).alias("mgmt"),
+    ).first()
+    assert row["name"] == title_clean
+    assert row["url"] == url
+    assert row["mgmt"] == mgmt_clean
