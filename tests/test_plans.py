@@ -806,3 +806,68 @@ def test_q20_totals_from_ps_frame_not_second_fact_pass(spark, sf_dir):
     plan = _plan(analytics_wl.q_excess_supply_suppliers_q20(spark, sf_dir))
     assert len(re.findall(r"FileScan parquet \[l_partkey", plan)) == 1
     assert "BroadcastHashJoin" in plan
+
+
+def test_html_extract_is_shuffle_free_and_prunes_text(spark, sf_dir):
+    """The parse stage must live entirely in the scan stage: no
+    Exchange anywhere, and the documents scan must NOT read `text`
+    (the page renders from doc_id/source/lang alone)."""
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        q_html_extract_fields,
+    )
+
+    plan = _plan(q_html_extract_fields(spark, sf_dir))
+    assert "Exchange" not in plan
+    read = plan.split("ReadSchema:", 1)[1][:200]
+    assert "text" not in read and "doc_id" in read
+
+
+def test_frontier_schedule_single_host_partitioned_exchange(spark, sf_dir):
+    """Exactly one exchange — the host hash partitioning for the
+    window; no global sort, no single-partition exchange."""
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        q_crawl_frontier_schedule,
+    )
+
+    plan = _plan(q_crawl_frontier_schedule(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_pack_sequences_window_frames_are_bounded(spark, sf_dir):
+    """The two-level prefix sum: the only single-partition exchange
+    feeds the bucket-offset frame (bounded by PACK_OFFSET_BUCKETS),
+    never the corpus — its direct upstream is the per-bucket partial
+    aggregate, not a data-sized relation."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_pack_sequences,
+    )
+
+    plan = _plan(q_pack_sequences(spark, sf_dir))
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg[:600]
+        assert "partial" in head or "HashAggregate" in head, (
+            "single-partition exchange must sit on the bucket-sum "
+            "aggregate, not on data"
+        )
+
+
+def test_triangle_count_no_cartesian_and_broadcasts_edges(spark, sf_dir):
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_graph_triangle_count,
+    )
+
+    plan = _plan(q_graph_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_embedding_single_corpus_scan(spark, sf_dir):
+    """One scan of embeddings for the corpus side: the probe side is
+    8 rows (broadcast); the corpus must not be scanned per probe."""
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        q_decontaminate_embedding,
+    )
+
+    plan = _plan(q_decontaminate_embedding(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan  # the 8-probe broadcast
+    assert "CartesianProduct" not in plan
