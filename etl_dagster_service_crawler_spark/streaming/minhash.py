@@ -156,7 +156,54 @@ def minhash_dedup_ingest(state_dir: str, jaccard_bp_min: int):
 
 
 def read_verified_pairs(spark, state_dir: str) -> DataFrame:
-    """The accumulated verified near-dup pairs after a drain."""
-    return _read_state(spark, state_dir, "pairs", PAIRS_SCHEMA).select(
-        "doc_a", "doc_b", "jaccard_bp"
+    """The accumulated verified near-dup pairs after a drain.
+    DISTINCT by construction: pair facts are deterministic, so the one
+    crash window that can duplicate them (compaction swap, below)
+    collapses here — a near-dup-pair-sized exchange, not corpus."""
+    return (
+        _read_state(spark, state_dir, "pairs", PAIRS_SCHEMA)
+        .select("doc_a", "doc_b", "jaccard_bp")
+        .distinct()
     )
+
+
+def compact_minhash_state(spark, state_dir: str, n_buckets: int = 8) -> None:
+    """Fold all accumulated epoch dirs into ONE compacted epoch — the
+    maintenance pass a long-running ingest schedules between drains
+    (a year of hourly drops is ~9k epoch dirs; file-listing cost and
+    per-file open overhead grow with every epoch until compaction).
+
+    The compacted state is SEMANTICALLY IDENTICAL to the epoch chain:
+    bands/hv/pairs rows are unioned verbatim (they are append-only
+    facts keyed by doc_id — no merge logic exists to get wrong) and
+    land under ``epoch=-1`` hash-bucketed by doc_id so later batches'
+    index probes read fewer, larger, co-bucketed files. Crash-safe via
+    write-then-swap: the new epoch=-1 dir is fully written before the
+    old epoch dirs are removed; a crash in between leaves duplicated
+    FACTS, and the ingest's candidate generation is insensitive to
+    duplicate band rows (the pair set is DISTINCT) while
+    read_verified_pairs callers dedup on (doc_a, doc_b) — pinned by
+    the restart test. Must run BETWEEN drains (no concurrent writer).
+    """
+    import shutil
+
+    for sub, schema in (
+        ("bands", BANDS_SCHEMA), ("hv", HV_SCHEMA), ("pairs", PAIRS_SCHEMA)
+    ):
+        root = os.path.join(state_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        epochs = [e for e in os.listdir(root) if e.startswith("epoch=")]
+        if len(epochs) <= 1:
+            continue
+        cur = _read_state(spark, state_dir, sub, schema)
+        tmp = os.path.join(root, "_compact_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        key = "doc_id" if sub != "pairs" else "doc_a"
+        cur.repartition(n_buckets, key).write.parquet(tmp)
+        done = os.path.join(root, "epoch=-1")
+        shutil.rmtree(done, ignore_errors=True)
+        os.rename(tmp, done)
+        for e in epochs:
+            if e != "epoch=-1":
+                shutil.rmtree(os.path.join(root, e), ignore_errors=True)

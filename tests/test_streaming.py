@@ -516,3 +516,96 @@ def test_stream_minhash_ingest_epoch_redelivery_idempotent(spark, sf_dir):
     }
     assert pairs_restart == pairs_before
     assert _read_state(spark, state, "bands", BANDS_SCHEMA).count() == bands_before
+
+
+def test_minhash_state_compaction_preserves_semantics(spark, sf_dir):
+    """Compacting the per-epoch state into one bucketed epoch must
+    leave the pair set and the band index IDENTICAL, and a further
+    ingest over the compacted state must behave exactly like one over
+    the epoch chain (new candidates still probe the full index)."""
+    import hashlib
+    import os
+
+    from etl_dagster_service_crawler_spark.streaming.minhash import (
+        BANDS_SCHEMA,
+        _read_state,
+        compact_minhash_state,
+        minhash_dedup_ingest,
+        read_verified_pairs,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        MINHASH_VERIFY_JACCARD_BP,
+        q_pipeline_minhash_dedup,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_minhash_dedup,
+    )
+
+    q_stream_minhash_dedup(spark, sf_dir).collect()
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/minhash_dedup"
+    state = f"{base}/state"
+
+    pairs_before = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in read_verified_pairs(spark, state).collect()
+    }
+    bands_before = {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in _read_state(spark, state, "bands", BANDS_SCHEMA).collect()
+    }
+    n_epochs = len([
+        e for e in os.listdir(f"{state}/bands") if e.startswith("epoch=")
+    ])
+    assert n_epochs > 1
+
+    compact_minhash_state(spark, state)
+    for sub in ("bands", "hv", "pairs"):
+        eps = [e for e in os.listdir(f"{state}/{sub}")
+               if e.startswith("epoch=")]
+        assert eps == ["epoch=-1"], f"{sub} not compacted: {eps}"
+    assert {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in read_verified_pairs(spark, state).collect()
+    } == pairs_before
+    assert {
+        (r["doc_id"], r["band"], r["band_key"])
+        for r in _read_state(spark, state, "bands", BANDS_SCHEMA).collect()
+    } == bands_before
+
+    # ingest over the compacted state: re-delivering a batch of docs
+    # ALREADY in the index must discover exactly the already-known
+    # pairs among them (probing works across the compaction boundary)
+    docs = spark.read.parquet(f"{base}/in").limit(200)
+    minhash_dedup_ingest(state, MINHASH_VERIFY_JACCARD_BP)(docs, 999)
+    after = {
+        (r["doc_a"], r["doc_b"], r["jaccard_bp"])
+        for r in read_verified_pairs(spark, state).collect()
+    }
+    assert after == pairs_before  # nothing new, nothing lost
+
+    # and the final labeling still equals the batch pipeline
+    batch = {
+        (r["doc_id"], r["label"], r["is_dup"])
+        for r in q_pipeline_minhash_dedup(spark, sf_dir).collect()
+    }
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        cc_label_propagation,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = read_verified_pairs(spark, state)
+    d = spark.read.parquet(f"{base}/in").select("doc_id")
+    bh = F.concat_ws("-", F.col("doc_a"), F.col("doc_b"))
+    members = (
+        pairs.select(F.col("doc_a").alias("doc_id"), bh.alias("bh"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id"), bh.alias("bh")))
+        .unionByName(d.select(
+            "doc_id", F.concat(F.lit("self-"), F.col("doc_id")).alias("bh")))
+    )
+    labeled = {
+        (r["doc_id"], r["label"], r["is_dup"])
+        for r in cc_label_propagation(members, "doc_id", n_edges=2000)
+        .select("doc_id", "label", "is_dup").collect()
+    }
+    assert labeled == batch
