@@ -316,14 +316,16 @@ def serve_status(
                 return
             import html as _html
 
+            # every cell escaped: exception reprs (the error column)
+            # carry angle brackets too — e.g. "CAST(x AS array<bigint>)"
+            # — and would otherwise corrupt the table markup
             rows = "".join(
                 "<tr>" + "".join(
-                    f"<td>{r[k]}</td>"
+                    f"<td>{_html.escape(str(r[k]))}</td>"
                     for k in ("started_at", "job", "mode", "status",
                               "n_rows", "n_bad", "duration_s", "error")
                 )
-                # per-run log tail (r11): collapsed by default, escaped
-                # (tracebacks carry angle brackets)
+                # per-run log tail (r11): collapsed by default
                 + "<td><details><summary>log</summary><pre>"
                 + _html.escape(r.get("log_tail") or "")
                 + "</pre></details></td></tr>"

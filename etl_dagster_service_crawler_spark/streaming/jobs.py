@@ -92,7 +92,12 @@ def record_run(
         return datetime.datetime.fromtimestamp(t, tz=datetime.timezone.utc)
 
     if log_tail:
-        log_tail = log_tail[-LOG_TAIL_BYTES:]
+        # BYTE bound, not characters: CJK-heavy logs would otherwise
+        # store up to 4x the stated budget; decode with 'ignore' drops
+        # at most one leading split multibyte sequence
+        log_tail = log_tail.encode("utf-8")[-LOG_TAIL_BYTES:].decode(
+            "utf-8", "ignore"
+        )
     row = (
         run_id,
         job,
@@ -210,47 +215,50 @@ class ScheduledPipeline:
         log.info("run %s job=%s mode=%s source=%s", sink, self.name, mode,
                  source)
         try:
-            status = self._run_inner(
-                spark,
-                source,
-                sink=sink,
-                available_now=available_now,
-                min_batches=min_batches,
-                timeout_s=timeout_s,
+            try:
+                status = self._run_inner(
+                    spark,
+                    source,
+                    sink=sink,
+                    available_now=available_now,
+                    min_batches=min_batches,
+                    timeout_s=timeout_s,
+                )
+            except Exception as e:
+                buf.write(traceback.format_exc())
+                # the tail keeps the END of the buffer, but Spark
+                # exception messages embed the whole logical plan —
+                # without this the class+message HEAD (the part a human
+                # reads first) would be exactly what the bound cuts away
+                exc_head = "".join(traceback.format_exception_only(type(e), e))
+                buf.write("\n== error ==\n" + exc_head[:1024] + "\n")
+                if self.ledger_table:
+                    record_run(
+                        spark,
+                        run_id=sink,
+                        job=self.name,
+                        mode=mode,
+                        started_at=started_at,
+                        finished_at=time.time(),
+                        n_batches=0,
+                        n_rows=0,
+                        n_bad=0,
+                        status="error",
+                        error=repr(e),
+                        log_tail=buf.getvalue(),
+                        table=self.ledger_table,
+                    )
+                raise
+            log.info(
+                "run %s finished ok=%s batches=%d rows=%d bad=%d",
+                sink, status.ok, status.n_batches, status.n_rows, status.n_bad,
             )
-        except Exception as e:
-            buf.write(traceback.format_exc())
-            # the tail keeps the END of the buffer, but Spark exception
-            # messages embed the whole logical plan — without this the
-            # class+message HEAD (the part a human reads first) would
-            # be exactly what the bound cuts away
-            exc_head = "".join(traceback.format_exception_only(type(e), e))
-            buf.write("\n== error ==\n" + exc_head[:1024] + "\n")
+        finally:
+            # finally, not per-exit-path: a KeyboardInterrupt/SystemExit
+            # in a long-lived scheduler would otherwise leak the handler
+            # (unbounded buffer, level pinned at INFO, duplicated lines)
             run_log.removeHandler(handler)
             run_log.setLevel(old_level)
-            if self.ledger_table:
-                record_run(
-                    spark,
-                    run_id=sink,
-                    job=self.name,
-                    mode=mode,
-                    started_at=started_at,
-                    finished_at=time.time(),
-                    n_batches=0,
-                    n_rows=0,
-                    n_bad=0,
-                    status="error",
-                    error=repr(e),
-                    log_tail=buf.getvalue(),
-                    table=self.ledger_table,
-                )
-            raise
-        log.info(
-            "run %s finished ok=%s batches=%d rows=%d bad=%d",
-            sink, status.ok, status.n_batches, status.n_rows, status.n_bad,
-        )
-        run_log.removeHandler(handler)
-        run_log.setLevel(old_level)
         if self.ledger_table:
             record_run(
                 spark,

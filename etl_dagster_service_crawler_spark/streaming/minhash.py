@@ -77,6 +77,7 @@ def minhash_dedup_ingest(state_dir: str, jaccard_bp_min: int):
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.persist()
+        new_bands = new_hv = None
         try:
             new_bands = minhash_bands_frame(batch).persist()
             new_hv = (
@@ -147,10 +148,13 @@ def minhash_dedup_ingest(state_dir: str, jaccard_bp_min: int):
             new_hv.write.mode("overwrite").parquet(
                 os.path.join(state_dir, "hv", ep)
             )
-            new_bands.unpersist()
-            new_hv.unpersist()
         finally:
-            batch.unpersist()
+            # in finally, not the success path: a failed epoch write is
+            # re-delivered, and each retry would otherwise stack two
+            # more orphaned cached frames in executor storage
+            for df in (new_bands, new_hv, batch):
+                if df is not None:
+                    df.unpersist()
 
     return apply
 
@@ -176,15 +180,16 @@ def compact_minhash_state(spark, state_dir: str, n_buckets: int = 8) -> None:
     The compacted state is SEMANTICALLY IDENTICAL to the epoch chain:
     bands/hv/pairs rows are unioned verbatim (they are append-only
     facts keyed by doc_id — no merge logic exists to get wrong) and
-    land under ``epoch=-1`` hash-bucketed by doc_id so later batches'
-    index probes read fewer, larger, co-bucketed files. Crash-safe via
-    write-then-swap: the new epoch=-1 dir is fully written before the
-    old epoch dirs are removed; a crash in between leaves duplicated
-    FACTS, and the ingest's candidate generation is insensitive to
-    duplicate band rows (the pair set is DISTINCT) while
-    read_verified_pairs callers dedup on (doc_a, doc_b) — pinned by
-    the restart test. Must run BETWEEN drains (no concurrent writer).
-    """
+    land under a NEGATIVE generation epoch (``epoch=-1``, then -2, …)
+    hash-bucketed by doc_id so later batches' index probes read fewer,
+    larger, co-bucketed files. Crash safety: the new generation is
+    written to an underscore temp dir (invisible to readers), renamed
+    into place ATOMICALLY, and only then are the superseded epoch dirs
+    removed — at no point does a crash leave fewer facts than before
+    (the old generation is never deleted before the new one exists;
+    the worst window duplicates facts, which the ingest's DISTINCT
+    candidate set and read_verified_pairs' DISTINCT collapse — pinned
+    by test). Must run BETWEEN drains (no concurrent writer)."""
     import shutil
 
     for sub, schema in (
@@ -196,14 +201,15 @@ def compact_minhash_state(spark, state_dir: str, n_buckets: int = 8) -> None:
         epochs = [e for e in os.listdir(root) if e.startswith("epoch=")]
         if len(epochs) <= 1:
             continue
+        gens = [int(e.split("=", 1)[1]) for e in epochs]
+        new_gen = min(min(gens), 0) - 1  # -1 first, then -2, ...
         cur = _read_state(spark, state_dir, sub, schema)
         tmp = os.path.join(root, "_compact_tmp")
         shutil.rmtree(tmp, ignore_errors=True)
         key = "doc_id" if sub != "pairs" else "doc_a"
         cur.repartition(n_buckets, key).write.parquet(tmp)
-        done = os.path.join(root, "epoch=-1")
-        shutil.rmtree(done, ignore_errors=True)
-        os.rename(tmp, done)
+        # atomic publish BEFORE any deletion: a crash here at worst
+        # leaves the new generation alongside the old (duplicates)
+        os.rename(tmp, os.path.join(root, f"epoch={new_gen}"))
         for e in epochs:
-            if e != "epoch=-1":
-                shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+            shutil.rmtree(os.path.join(root, e), ignore_errors=True)

@@ -1622,7 +1622,6 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalable two-level decomposition (_pack_doc_spans) — same values,
     different plan, which is exactly the point."""
     spans = _pack_doc_spans(spark, sf_dir)
-    sl = F.lit(PACK_SEQ_LEN)
     seq_first = F.expr(f"start_tok div {PACK_SEQ_LEN}")
     seq_last = F.expr(f"(start_tok + n_tokens - 1) div {PACK_SEQ_LEN}")
     return spans.select(

@@ -2135,6 +2135,7 @@ def q_kmeans_train_iters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda r: r["mean_q"],
             ).alias("qc")
         )
+    e.unpersist()  # every round's output is localCheckpointed already
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
@@ -3135,33 +3136,47 @@ def q_pipeline_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     work, hash arrays only); the CC loop is the shared tuned
     label-propagation machinery — two aligned exchanges per round,
     hot-bucket salting, pointer jump, checkpoint lineage truncation."""
+    pairs = q_dedup_minhash_verify(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return minhash_label_members(pairs, d)
+
+
+def minhash_label_members(pairs: DataFrame, doc_ids: DataFrame) -> DataFrame:
+    """(doc_id, label, is_dup) from a verified near-dup pair frame plus
+    the full id set — the SHARED tail of the batch pipeline and the
+    streaming drain (stream_minhash_dedup): both must keep identical
+    keeper semantics for the shared-oracle claim to hold, so the
+    members construction, edge sizing, and label selection live in
+    exactly one place.
+
+    Pairs are persisted+counted (r10 advice): the member frame is
+    2·|pairs| + n rows and |pairs| grows QUADRATICALLY per near-dup
+    cluster, so a corpus-size heuristic undersizes the CC shuffle on
+    dup-heavy corpora; the frame is consumed twice anyway (both member
+    legs). Unpersisted after the CC loop materializes its own cached
+    edge frame (a later eviction merely recomputes)."""
     from etl_dagster_service_crawler_spark.operators.dedup import (
         cc_label_propagation,
     )
 
-    # persist+count the verified pairs (r10 advice): the member frame
-    # is 2·|pairs| + n rows and |pairs| grows QUADRATICALLY per
-    # near-dup cluster (k dups -> k(k-1)/2 verified pairs), so a
-    # corpus-size heuristic undersizes the CC shuffle on dup-heavy
-    # corpora. The pairs frame is consumed twice anyway (both member
-    # legs), so the persist pays for itself even before the count.
-    pairs = q_dedup_minhash_verify(spark, sf_dir).persist()
+    pairs = pairs.persist()
     n_pairs = pairs.count()
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
     bh = F.concat_ws("-", F.col("doc_a"), F.col("doc_b"))
     members = (
         pairs.select(F.col("doc_a").alias("doc_id"), bh.alias("bh"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id"), bh.alias("bh")))
         .unionByName(
-            d.select(
+            doc_ids.select(
                 "doc_id", F.concat(F.lit("self-"), F.col("doc_id")).alias("bh")
             )
         )
     )
-    n = d.count()
-    return cc_label_propagation(
+    n = doc_ids.count()
+    out = cc_label_propagation(
         members, "doc_id", n_edges=2 * n_pairs + n
     ).select("doc_id", "label", "is_dup")
+    pairs.unpersist()
+    return out
 
 
 SQL_PIPELINE_MINHASH_DEDUP = f"""

@@ -765,15 +765,13 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from etl_dagster_service_crawler_spark.io.tables import load_table
-    from etl_dagster_service_crawler_spark.operators.dedup import (
-        cc_label_propagation,
-    )
     from etl_dagster_service_crawler_spark.streaming.minhash import (
         minhash_dedup_ingest,
         read_verified_pairs,
     )
     from etl_dagster_service_crawler_spark.workloads.llm import (
         MINHASH_VERIFY_JACCARD_BP,
+        minhash_label_members,
     )
 
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
@@ -801,23 +799,12 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "minhash dedup stream still running after 300s — band index "
             "only partially built"
         )
-    pairs = read_verified_pairs(spark, state_dir).persist()
-    n_pairs = pairs.count()
-    d = docs.select("doc_id")
-    bh = F.concat_ws("-", F.col("doc_a"), F.col("doc_b"))
-    members = (
-        pairs.select(F.col("doc_a").alias("doc_id"), bh.alias("bh"))
-        .unionByName(pairs.select(F.col("doc_b").alias("doc_id"), bh.alias("bh")))
-        .unionByName(
-            d.select(
-                "doc_id", F.concat(F.lit("self-"), F.col("doc_id")).alias("bh")
-            )
-        )
+    # the SHARED labeling tail (minhash_label_members): members
+    # construction, edge sizing, and label selection live in one place
+    # so batch and stream cannot drift apart semantically
+    return minhash_label_members(
+        read_verified_pairs(spark, state_dir), docs.select("doc_id")
     )
-    n = d.count()
-    return cc_label_propagation(
-        members, "doc_id", n_edges=2 * n_pairs + n
-    ).select("doc_id", "label", "is_dup")
 
 
 def _stream_minhash_sql() -> str:
