@@ -609,3 +609,43 @@ def test_minhash_state_compaction_preserves_semantics(spark, sf_dir):
         .select("doc_id", "label", "is_dup").collect()
     }
     assert labeled == batch
+
+
+def test_minhash_compaction_second_generation(spark, sf_dir):
+    """Compacting twice: the second pass folds epoch=-1 plus any newer
+    epochs into epoch=-2 without loss (the old generation is never
+    deleted before the new one exists)."""
+    import hashlib
+    import os
+
+    from etl_dagster_service_crawler_spark.streaming.minhash import (
+        compact_minhash_state,
+        minhash_dedup_ingest,
+        read_verified_pairs,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        MINHASH_VERIFY_JACCARD_BP,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_minhash_dedup,
+    )
+
+    q_stream_minhash_dedup(spark, sf_dir).collect()
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/minhash_dedup"
+    state = f"{base}/state"
+    want = {
+        (r["doc_a"], r["doc_b"]) for r in read_verified_pairs(spark, state).collect()
+    }
+    compact_minhash_state(spark, state)
+    # one more epoch lands after the first compaction...
+    docs = spark.read.parquet(f"{base}/in").limit(100)
+    minhash_dedup_ingest(state, MINHASH_VERIFY_JACCARD_BP)(docs, 1000)
+    # ...then the second compaction folds (-1, 1000) into -2
+    compact_minhash_state(spark, state)
+    eps = sorted(os.listdir(f"{state}/pairs"))
+    assert eps == ["epoch=-2"], eps
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in read_verified_pairs(spark, state).collect()
+    }
+    assert got == want
