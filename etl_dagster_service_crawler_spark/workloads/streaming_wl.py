@@ -740,7 +740,9 @@ def _stream_crawl_extract_sql() -> str:
     return _sql_html_extract()
 
 
-def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_minhash_dedup(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
     """Streaming NEAR-DUP dedup at ingest (r10 verdict item 3):
     documents land 4 key-hashed files -> one micro-batch each; every
     batch is shingled/signed/banded with the batch pipeline's frame
@@ -778,7 +780,9 @@ def q_stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = f"/tmp/spark_graft_streams/{tag}/minhash_dedup"
     shutil.rmtree(base, ignore_errors=True)
     docs = load_table(spark, sf_dir, "documents")
-    docs.repartition(4, "doc_id").write.parquet(f"{base}/in")
+    # n_files controls the micro-batch slicing; the result is
+    # batch-boundary invariant by construction (tested at 1 and 8 too)
+    docs.repartition(n_files, "doc_id").write.parquet(f"{base}/in")
     stream = (
         spark.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1)

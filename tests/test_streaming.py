@@ -649,3 +649,24 @@ def test_minhash_compaction_second_generation(spark, sf_dir):
         (r["doc_a"], r["doc_b"]) for r in read_verified_pairs(spark, state).collect()
     }
     assert got == want
+
+
+def test_stream_minhash_dedup_batch_boundary_invariance(spark, sf_dir):
+    """The structural claim, stressed: 1-file (one batch) and 8-file
+    drains must label identically to the default 4-file drain — the
+    accumulated pair set cannot depend on how files slice into
+    micro-batches."""
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_minhash_dedup,
+    )
+
+    def labels(n_files):
+        return {
+            (r["doc_id"], r["label"], r["is_dup"])
+            for r in q_stream_minhash_dedup(spark, sf_dir, n_files=n_files)
+            .collect()
+        }
+
+    one = labels(1)
+    assert labels(8) == one
+    assert labels(4) == one
