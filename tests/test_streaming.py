@@ -670,3 +670,78 @@ def test_stream_minhash_dedup_batch_boundary_invariance(spark, sf_dir):
     one = labels(1)
     assert labels(8) == one
     assert labels(4) == one
+
+
+def test_stream_minhash_survives_mid_drain_stop_and_resume(spark, sf_dir):
+    """Chaos case: the stream is STOPPED mid-drain (after >=1 epoch,
+    before all 4), then restarted on the same checkpoint. The resumed
+    drain must complete the state exactly — final labeling equals the
+    batch pipeline — proving checkpoint + epoch-dir idempotence
+    compose under a real interruption, not just a clean restart."""
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.minhash import (
+        minhash_dedup_ingest,
+        read_verified_pairs,
+    )
+    from etl_dagster_service_crawler_spark.workloads.llm import (
+        MINHASH_VERIFY_JACCARD_BP,
+        minhash_label_members,
+        q_pipeline_minhash_dedup,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/minhash_chaos"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.repartition(4, "doc_id").write.parquet(f"{base}/in")
+    state = f"{base}/state"
+
+    def start():
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        return (
+            stream.writeStream.foreachBatch(
+                minhash_dedup_ingest(state, MINHASH_VERIFY_JACCARD_BP)
+            )
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    # kill as soon as at least one epoch has landed but before the
+    # drain finishes (4 epochs); if the machine outruns us and all 4
+    # land, the restart still must be a no-op — both paths asserted
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        bands = f"{state}/bands"
+        if os.path.isdir(bands) and any(
+            e.startswith("epoch=") for e in os.listdir(bands)
+        ):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()  # resume on the same checkpoint
+    assert q2.awaitTermination(240)
+
+    got = {
+        (r["doc_id"], r["label"], r["is_dup"])
+        for r in minhash_label_members(
+            read_verified_pairs(spark, state), docs.select("doc_id")
+        ).collect()
+    }
+    want = {
+        (r["doc_id"], r["label"], r["is_dup"])
+        for r in q_pipeline_minhash_dedup(spark, sf_dir).collect()
+    }
+    assert got == want
