@@ -103,6 +103,11 @@ def main() -> int:
         checked += 1
         t0 = time.time()
         try:
+            # queries may persist intermediates for their own multi-use
+            # plans (minhash hv, verified pairs); over a 300-query sweep
+            # those caches would accumulate and pressure executor memory
+            # — same isolation rule bench.py applies per query
+            spark.catalog.clearCache()
             sdf = fn(spark, sf_dir)
             spdf = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
