@@ -1462,3 +1462,22 @@ def test_pack_sequences_matches_serial_recompute(spark, sf_dir):
         1 for _d, (_n, off0, f, l) in want.items() if f != l
     )
     assert crossers > 0, "fixture should contain boundary-crossing docs"
+
+
+def test_pack_prefix_sum_invariant_to_bucket_count(spark, sf_dir, monkeypatch):
+    """The two-level decomposition is algebra, not policy: ANY bucket
+    count (including 1 — the degenerate single-bucket case) must yield
+    the identical offset mapping."""
+    import etl_dagster_service_crawler_spark.workloads.corpus_wl as cw
+
+    want = {
+        (r["doc_id"]): (r["n_tokens"], r["start_tok"])
+        for r in cw._pack_doc_spans(spark, sf_dir).collect()
+    }
+    for nb in (1, 3, 257):
+        monkeypatch.setattr(cw, "PACK_OFFSET_BUCKETS", nb)
+        got = {
+            (r["doc_id"]): (r["n_tokens"], r["start_tok"])
+            for r in cw._pack_doc_spans(spark, sf_dir).collect()
+        }
+        assert got == want, f"bucket count {nb} changed the offsets"
