@@ -284,3 +284,53 @@ def test_synth_user_agents_caps_pool_size():
     with pytest.raises(ValueError, match="4096"):
         synth_user_agents(400_000)
     assert len(synth_user_agents(4096, seed=1)) == 4096
+
+
+def test_extraction_pipeline_over_real_http(spark, sf_dir, httpd):
+    """The r11 markup pipeline through a REAL network fetch: documents
+    -> /jobpage URLs -> http_transport (urllib, retries, UA) ->
+    EXTRACT_SQL — the extracted fields must equal the static
+    html_extract_fields result row-for-row. Proves the synthesizer
+    transport, the SQL oracle, and an actual HTTP server all serve the
+    same bytes, and the parse chain is transport-agnostic."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.functions.html import EXTRACT_SQL
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        q_html_extract_fields,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source", "lang")
+        .limit(40)
+    )
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit(f"{httpd}/jobpage/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?s="), F.col("source"),
+            F.lit("&l="), F.col("lang"),
+        ),
+    )
+    enriched = http_enrich(with_url, "url", transport=http_transport())
+    got = {
+        r["doc_id"]: r
+        for r in enriched.where(F.col("fetch_status") == "ok")
+        .select(
+            "doc_id",
+            *[F.expr(e.format(h="payload")).alias(f)
+              for f, e in EXTRACT_SQL.items()],
+        )
+        .collect()
+    }
+    want = {
+        r["doc_id"]: r
+        for r in q_html_extract_fields(spark, sf_dir).collect()
+        if r["doc_id"] in got
+    }
+    assert len(got) == 40
+    for doc_id, w in want.items():
+        for f in EXTRACT_SQL:
+            assert got[doc_id][f] == w[f], (doc_id, f)

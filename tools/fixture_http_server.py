@@ -95,6 +95,18 @@ class FixtureHandler(BaseHTTPRequestHandler):
                 self._send(200, f"payload-for-{key}".encode())
         elif route == "gone":
             self._send(404, b"not here, never will be")
+        elif route == "jobpage":
+            # the job-detail page itself (r11): the SAME deterministic
+            # markup the transport synthesizer and the SQL oracle
+            # render, served over real HTTP — the extraction pipeline's
+            # honest test double of the reference's target site
+            from etl_dagster_service_crawler_spark.functions.html import (
+                render_job_page,
+            )
+
+            doc_id = int(parts[1]) if len(parts) > 1 else 0
+            page = render_job_page(doc_id, q.get("s", ""), q.get("l", ""))
+            self._send(200, page.encode(), "text/html")
         elif route == "ua":
             # echoes the caller's User-Agent — exercises UA rotation
             self._send(200, (self.headers.get("User-Agent") or "").encode())
