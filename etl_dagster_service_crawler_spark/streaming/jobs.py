@@ -455,10 +455,52 @@ def _crawl_scan_job(transport: str | None = None) -> ScheduledPipeline:
     )
 
 
+def _crawl_extract_job() -> ScheduledPipeline:
+    """The r11 markup pipeline as a SCHEDULED unit: each tick renders
+    the arriving documents' job pages and extracts the ~25 fields at
+    ingest (stream_crawl_extract's transform) — the reference's
+    fetch+parse loop as a deployable 2-minute job whose output IS the
+    typed record table. Row-level, so ticks commute with batch."""
+
+    def build(spark: SparkSession, source: str) -> DataFrame:
+        from pyspark.sql import functions as F
+
+        from etl_dagster_service_crawler_spark.functions.html import (
+            EXTRACT_SQL,
+            PAGE_SQL,
+        )
+        from etl_dagster_service_crawler_spark.streaming.ingest import (
+            stream_documents,
+        )
+
+        s = stream_documents(spark, source)
+        pages = s.select("doc_id", F.expr(PAGE_SQL).alias("html"))
+        cols = [F.col("doc_id")] + [
+            F.expr(e.format(h="html")).alias(f) for f, e in EXTRACT_SQL.items()
+        ]
+        return pages.select(*cols)
+
+    return ScheduledPipeline(
+        name="crawl_extract_2min",
+        build=build,
+        interval="2 minutes",
+        # Q1 over the extract output: empty selector hits are the
+        # reference's >6-empty-fields quality signal (test.py:548-549)
+        observe_cols=["job_name", "job_url", "salary", "location"],
+        max_errors=None,
+        output_mode="append",
+    )
+
+
 def job_registry(transport: str | None = None) -> dict[str, ScheduledPipeline]:
     """Name -> job, the reference's Definitions(jobs=[...], schedules=
     [...]) surface (definitions.py:27-41). Fresh instances per call —
     jobs hold per-run state. `transport` parameterizes the crawl job's
     fetch seam (deploy --transport); other jobs ignore it."""
-    jobs = [_corpus_clean_job(), _crawl_ingest_job(), _crawl_scan_job(transport)]
+    jobs = [
+        _corpus_clean_job(),
+        _crawl_ingest_job(),
+        _crawl_scan_job(transport),
+        _crawl_extract_job(),
+    ]
     return {j.name: j for j in jobs}

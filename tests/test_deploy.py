@@ -488,3 +488,41 @@ def test_record_run_degrades_to_pre_log_tail_warehouse(spark):
         assert "log_tail" not in spark.table(table).schema.fieldNames()
     finally:
         reset_ledger(spark, table)
+
+
+def test_crawl_extract_job_tick(spark, sf_dir, tmp_path):
+    """The r11 extraction pipeline as a scheduled deploy job: one tick
+    lands the typed field table in the dual sinks, ledgered ok, and
+    the extracted rows equal the batch html_extract_fields result."""
+    from etl_dagster_service_crawler_spark.deploy import run_tick
+    from etl_dagster_service_crawler_spark.streaming.jobs import (
+        RUN_HISTORY_TABLE,
+    )
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        q_html_extract_fields,
+    )
+
+    out = str(tmp_path / "out")
+    reset_ledger(spark, RUN_HISTORY_TABLE)
+    try:
+        assert run_tick(
+            spark, "crawl_extract_2min", sf_dir, out, ["doc_id", "job_name"]
+        )
+        got = {
+            r["doc_id"]: r for r in spark.read.parquet(f"{out}/main").collect()
+        }
+        want = {
+            r["doc_id"]: r for r in q_html_extract_fields(spark, sf_dir).collect()
+        }
+        assert set(got) == set(want)
+        for d, w in want.items():
+            assert got[d]["job_name"] == w["job_name"]
+            assert got[d]["salary"] == w["salary"]
+        side = spark.read.parquet(f"{out}/side")
+        assert set(side.columns) == {"doc_id", "job_name"}
+        row = spark.sql(
+            f"SELECT status FROM {RUN_HISTORY_TABLE}"
+        ).collect()
+        assert [r["status"] for r in row] == ["ok"]
+    finally:
+        reset_ledger(spark, RUN_HISTORY_TABLE)

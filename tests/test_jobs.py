@@ -94,7 +94,8 @@ def test_registry_job_run_once_drains_corpus(spark, sf_dir):
     catches up with availableNow and reports a clean run status."""
     jobs = job_registry()
     assert set(jobs) == {
-        "corpus_clean_2min", "events_ingest_2min", "crawl_scan_2min"
+        "corpus_clean_2min", "events_ingest_2min", "crawl_scan_2min",
+        "crawl_extract_2min",
     }
     job = jobs["corpus_clean_2min"]
     assert job.interval == "2 minutes"  # the reference's cron cadence
