@@ -31,7 +31,18 @@ def main() -> None:
     n_clusters = assigned.select("rep_id").distinct().count()
     print(f"== dedup: {n_docs} docs -> {n_clusters} near-dup clusters")
 
-    # 3. Streaming: drain the events stream through a tumbling window
+    # 3. Crawl extraction: render a job page and pull the fields back
+    # out with the pure-expression chains (reference test.py:168-374)
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        q_html_extract_fields,
+    )
+
+    print("== markup extraction (3 docs, selected fields)")
+    q_html_extract_fields(spark, sf_dir).select(
+        "doc_id", "job_name", "salary", "location", "tools"
+    ).show(3, truncate=False)
+
+    # 4. Streaming: drain the events stream through a tumbling window
     from etl_dagster_service_crawler_spark.streaming.ingest import (
         run_available_now,
         stream_events,
