@@ -41,33 +41,52 @@ def global_rank(
     df: DataFrame,
     order_by: list[Column],
     num_parts: int = DEFAULT_RANGE_PARTS,
+    sum_col: Column | None = None,
 ) -> DataFrame:
     """Add exact global 1-based ``__dnt_rank`` and total-count
     ``__dnt_n`` columns under the ``order_by`` total ordering, fully
     distributed (no unpartitioned window). ``order_by`` must be a
     total order (include a unique tiebreak) for deterministic output.
+
+    When ``sum_col`` is given, additionally emit ``__dnt_cum`` — the
+    exact running sum of that expression in rank order (inclusive of
+    the current row) — by the same two-level decomposition: the
+    per-partition local cumsum rides the SAME partitioned window as the
+    rank, and the constant-size offsets frame carries one extra column
+    (r12: the vocab_coverage_curve fix; any global ``sum() OVER
+    (ORDER BY ...)`` gets this shape for free).
     """
     ranged = df.repartitionByRange(num_parts, *order_by).withColumn(
         "__dnt_pid", F.spark_partition_id()
     )
-    part_counts = ranged.groupBy("__dnt_pid").agg(
-        F.count(F.lit(1)).alias("__dnt_pcnt")
-    )
+    if sum_col is not None:
+        ranged = ranged.withColumn("__dnt_val", sum_col.cast("bigint"))
+    aggs = [F.count(F.lit(1)).alias("__dnt_pcnt")]
+    if sum_col is not None:
+        aggs.append(F.sum("__dnt_val").alias("__dnt_psum"))
+    part_counts = ranged.groupBy("__dnt_pid").agg(*aggs)
     prior = Window.orderBy("__dnt_pid").rowsBetween(
         Window.unboundedPreceding, -1
     )
     everything = Window.orderBy("__dnt_pid").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    offsets = part_counts.select(
-        "__dnt_pid",
+    off_cols = [
+        F.col("__dnt_pid"),
         F.coalesce(F.sum("__dnt_pcnt").over(prior), F.lit(0)).alias(
             "__dnt_off"
         ),
         F.sum("__dnt_pcnt").over(everything).alias("__dnt_n"),
-    )
+    ]
+    if sum_col is not None:
+        off_cols.append(
+            F.coalesce(F.sum("__dnt_psum").over(prior), F.lit(0)).alias(
+                "__dnt_soff"
+            )
+        )
+    offsets = part_counts.select(*off_cols)
     wp = Window.partitionBy("__dnt_pid").orderBy(*order_by)
-    return (
+    out = (
         ranged.join(F.broadcast(offsets), "__dnt_pid")
         .withColumn(
             "__dnt_rank",
@@ -75,6 +94,18 @@ def global_rank(
         )
         .drop("__dnt_off")
     )
+    if sum_col is not None:
+        out = (
+            out.withColumn(
+                "__dnt_cum",
+                F.sum("__dnt_val")
+                .over(wp.rowsBetween(Window.unboundedPreceding, 0))
+                .cast("bigint")
+                + F.col("__dnt_soff"),
+            )
+            .drop("__dnt_soff", "__dnt_val")
+        )
+    return out
 
 
 def distributed_ntile(

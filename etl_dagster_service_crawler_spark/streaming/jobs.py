@@ -53,6 +53,36 @@ _RUN_HISTORY_SCHEMA = (
 LOG_TAIL_BYTES = 4096
 
 
+class _TailBuffer:
+    """Bounded run-log sink for logging.StreamHandler: keeps only the
+    LAST ~2x LOG_TAIL_BYTES of text AS IT FILLS (r11 ADVICE — a chatty
+    tick with INFO logging must not grow driver memory without bound;
+    the exact byte-level cut to LOG_TAIL_BYTES still happens at the
+    ledger write). Eviction is chunk-granular from the left, always
+    leaving at least ``cap`` characters, so the tail a human reads is
+    never shorter than the ledger bound."""
+
+    def __init__(self, cap: int = 2 * LOG_TAIL_BYTES) -> None:
+        from collections import deque
+
+        self._chunks: "deque[str]" = deque()
+        self._size = 0
+        self._cap = cap
+
+    def write(self, s: str) -> int:
+        self._chunks.append(s)
+        self._size += len(s)
+        while self._chunks and self._size - len(self._chunks[0]) >= self._cap:
+            self._size -= len(self._chunks.popleft())
+        return len(s)
+
+    def flush(self) -> None:  # logging.StreamHandler protocol
+        pass
+
+    def getvalue(self) -> str:
+        return "".join(self._chunks)
+
+
 def record_run(
     spark: SparkSession,
     *,
@@ -142,7 +172,13 @@ class ScheduledPipeline:
     build(spark, source) must return a STREAMING DataFrame (the
     pipeline's full transform over its readStream source). If
     observe_cols is set, an empty-field quality metric (Q1's gauge) is
-    attached and budget-checked; max_errors=None means no abort."""
+    attached and budget-checked; max_errors=None means no abort.
+
+    Runs are SINGLE-FLIGHT: run()/run_available_now() attach a log
+    handler to the shared 'spark_graft' logger and save/restore its
+    level, so concurrent runs of any ScheduledPipeline in one process
+    would cross-contaminate log tails. deploy serializes ticks under
+    tick_lock; other callers must do the same."""
 
     name: str
     build: Callable[[SparkSession, str], DataFrame]
@@ -193,15 +229,19 @@ class ScheduledPipeline:
         started_at = time.time()
         # Per-run log capture (r10 verdict item 7): everything the
         # spark_graft logger hierarchy emits during THIS run, plus the
-        # full traceback on failure, bounded to LOG_TAIL_BYTES at the
-        # ledger write — the half of the reference's run view a user
-        # opens when a tick fails (definitions.py:20-25 shows each
-        # run's output in the Dagster UI).
-        import io
+        # full traceback on failure, bounded WHILE FILLING (_TailBuffer,
+        # ~2x LOG_TAIL_BYTES) and byte-cut at the ledger write — the
+        # half of the reference's run view a user opens when a tick
+        # fails (definitions.py:20-25 shows each run's output in the
+        # Dagster UI). The handler attaches to the SHARED 'spark_graft'
+        # logger, so runs must not overlap — deploy serializes ticks
+        # under tick_lock, and ScheduledPipeline assumes one run at a
+        # time (concurrent runs would cross-contaminate tails and race
+        # the level save/restore).
         import logging
         import traceback
 
-        buf = io.StringIO()
+        buf = _TailBuffer()
         handler = logging.StreamHandler(buf)
         handler.setFormatter(
             logging.Formatter("%(asctime)s %(levelname)s %(name)s %(message)s")

@@ -51,6 +51,23 @@ HV_SCHEMA = "doc_id bigint, hv array<bigint>"
 PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, jaccard_bp int"
 
 
+def _require_local(state_dir: str) -> str:
+    """State I/O here is driver-local (os.listdir / os.rename): a
+    remote URI would silently read prior state as EMPTY (missing
+    candidate pairs, wrong labels) and compaction's atomic-rename
+    guarantee would not hold. Fail loudly instead (r11 ADVICE). A
+    multi-node deployment keeps state on a shared mount or swaps these
+    seams for its object-store lister/committer."""
+    import re
+
+    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", state_dir):
+        raise ValueError(
+            f"minhash state_dir must be a local filesystem path, got "
+            f"{state_dir!r} (listing/compaction use os.listdir/os.rename)"
+        )
+    return state_dir
+
+
 def _read_state(spark, root: str, sub: str, schema: str) -> DataFrame:
     path = os.path.join(root, sub)
     cols = [c.strip().split(" ", 1)[0] for c in schema.split(",")]
@@ -70,16 +87,32 @@ def minhash_dedup_ingest(state_dir: str, jaccard_bp_min: int):
     registered query (passed in to keep this module free of workload
     imports)."""
     from etl_dagster_service_crawler_spark.workloads.llm import (
+        MINHASH_EXPORT_BAND_ROWS,
+        MINHASH_EXPORT_P,
         minhash_bands_frame,
         minhash_hv_frame,
     )
+
+    _require_local(state_dir)
+    # Docs with no shingles (< 3 tokens) carry the all-P sentinel
+    # signature, so EVERY short doc shares the same band key on every
+    # band; left unfiltered they re-pay |short docs|² candidate pairs
+    # against the accumulated index each epoch before the inner hv join
+    # discards them (r11 ADVICE). Real minima live in [0, P), so no
+    # genuine band key can equal the sentinel — filtering it here is
+    # exactly the hv-side size(hv) > 0 filter applied to the band side.
+    sentinel_key = "-".join([str(MINHASH_EXPORT_P)] * MINHASH_EXPORT_BAND_ROWS)
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.persist()
         new_bands = new_hv = None
         try:
-            new_bands = minhash_bands_frame(batch).persist()
+            new_bands = (
+                minhash_bands_frame(batch)
+                .where(F.col("band_key") != sentinel_key)
+                .persist()
+            )
             new_hv = (
                 minhash_hv_frame(batch)
                 .select("doc_id", F.array_distinct("hv").alias("hv"))
@@ -88,7 +121,11 @@ def minhash_dedup_ingest(state_dir: str, jaccard_bp_min: int):
             )
             prior_bands = _read_state(spark, state_dir, "bands", BANDS_SCHEMA)
             prior_hv = _read_state(spark, state_dir, "hv", HV_SCHEMA)
-            all_bands = prior_bands.unionByName(new_bands)
+            # prior state written before the sentinel filter existed
+            # may still carry sentinel rows — filter the probe side too
+            all_bands = prior_bands.where(
+                F.col("band_key") != sentinel_key
+            ).unionByName(new_bands)
             all_hv = prior_hv.unionByName(new_hv)
 
             # candidates with >=1 NEW side: new bands probe the full
@@ -163,7 +200,9 @@ def read_verified_pairs(spark, state_dir: str) -> DataFrame:
     """The accumulated verified near-dup pairs after a drain.
     DISTINCT by construction: pair facts are deterministic, so the one
     crash window that can duplicate them (compaction swap, below)
-    collapses here — a near-dup-pair-sized exchange, not corpus."""
+    collapses here — a near-dup-pair-sized exchange, not corpus.
+    state_dir must be a LOCAL path (see _require_local)."""
+    _require_local(state_dir)
     return (
         _read_state(spark, state_dir, "pairs", PAIRS_SCHEMA)
         .select("doc_a", "doc_b", "jaccard_bp")
@@ -189,8 +228,12 @@ def compact_minhash_state(spark, state_dir: str, n_buckets: int = 8) -> None:
     (the old generation is never deleted before the new one exists;
     the worst window duplicates facts, which the ingest's DISTINCT
     candidate set and read_verified_pairs' DISTINCT collapse — pinned
-    by test). Must run BETWEEN drains (no concurrent writer)."""
+    by test). Must run BETWEEN drains (no concurrent writer), and
+    state_dir must be a LOCAL path (see _require_local: the listing
+    and the atomic-rename publish are os-level)."""
     import shutil
+
+    _require_local(state_dir)
 
     for sub, schema in (
         ("bands", BANDS_SCHEMA), ("hv", HV_SCHEMA), ("pairs", PAIRS_SCHEMA)

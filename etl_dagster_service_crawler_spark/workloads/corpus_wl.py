@@ -1516,9 +1516,19 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cnt DESC, term ASC).
 
     Scale: the term aggregate partial-combines map-side into ONE
-    vocab-sized exchange; the rank/cumulative window runs on the
-    VOCAB-sized frame (vocabulary ≪ corpus — the source-rank allowlist
-    class), and only grid ranks survive to the output."""
+    vocab-sized exchange; the global rank AND the cumulative token sum
+    are the distributed two-level prefix sum (operators/ranking.py
+    global_rank with sum_col — the _pack_doc_spans/pareto
+    decomposition, r11 verdict item 4): range-partition the vocab by
+    (cnt DESC, term), per-partition windows run in parallel, and the
+    only serial window is the 16-row partition-offsets frame. A
+    billion-term web vocabulary never serializes through one task —
+    the r10 shape (one unpartitioned Window over the full distinct-term
+    frame) did exactly that."""
+    from etl_dagster_service_crawler_spark.operators.ranking import (
+        global_rank,
+    )
+
     d = load_table(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(tokens_ws(F.col("text"))).alias("term"))
@@ -1526,13 +1536,18 @@ def q_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = counts.agg(F.sum("cnt").alias("total"))
-    w = Window.orderBy(F.desc("cnt"), "term")
-    curve = counts.select(
-        F.row_number().over(w).alias("vocab_rank"),
-        F.sum("cnt").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        ).alias("cum_tokens"),
-    ).where(F.col("vocab_rank").isin(*VOCAB_CURVE_RANKS))
+    curve = (
+        global_rank(
+            counts,
+            [F.desc("cnt"), F.asc("term")],
+            sum_col=F.col("cnt"),
+        )
+        .where(F.col("__dnt_rank").isin(*VOCAB_CURVE_RANKS))
+        .select(
+            F.col("__dnt_rank").alias("vocab_rank"),
+            F.col("__dnt_cum").alias("cum_tokens"),
+        )
+    )
     return curve.crossJoin(F.broadcast(total)).select(
         F.col("vocab_rank").cast("int").alias("vocab_rank"),
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),

@@ -852,6 +852,38 @@ def test_pack_sequences_window_frames_are_bounded(spark, sf_dir):
         )
 
 
+def test_vocab_curve_prefix_sum_is_distributed(spark, sf_dir):
+    """r12 (verdict item 4): the coverage curve's global rank/cumsum
+    must NOT run the distinct-term frame through one task — a web-scale
+    vocabulary is billions of terms. The plan must show the two-level
+    decomposition (range partitioning + the pid-partitioned parallel
+    window); any single-partition exchange may only feed the
+    constant-size offsets frame (its upstream is the per-partition
+    partial aggregate, never a data-sized relation)."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_vocab_coverage_curve,
+    )
+
+    plan = _plan(q_vocab_coverage_curve(spark, sf_dir))
+    assert "rangepartitioning" in plan
+    assert "Exchange hashpartitioning(__dnt_pid#" in plan  # parallel cumsum
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg[:600]
+        assert "partial" in head or "HashAggregate" in head, (
+            "single-partition exchange must sit on the offsets/total "
+            "aggregate, not on the vocab frame"
+        )
+    # the only unpartitioned windows left are the offsets-frame ones
+    # (ordered by the internal __dnt_pid); the vocab-frame window is
+    # pid-partitioned, so no bare (cnt DESC, term) global spec remains
+    for seg in plan.split("windowspecdefinition(")[1:]:
+        first = seg.split(",", 1)[0]
+        if " ASC" in first or " DESC" in first:  # unpartitioned spec
+            assert "__dnt_pid#" in first, (
+                "unpartitioned window over a non-offsets frame"
+            )
+
+
 def test_triangle_count_no_cartesian_and_broadcasts_edges(spark, sf_dir):
     from etl_dagster_service_crawler_spark.workloads.llm import (
         q_graph_triangle_count,

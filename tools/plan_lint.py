@@ -36,6 +36,10 @@ ALLOW: dict[tuple[str, str], str] = {
     # theta/tolerance joins against a tiny legend dim — the documented
     # BNLJ contract (SURVEY 2.B join_theta_tolerance)
     ("join_theta_tolerance", "BroadcastNestedLoopJoin"): "legend dim ±5 tolerance",
+    # r12: the analysis-page gender match — 2-row male/female legend
+    # broadcast, ±5 per channel (reference test.py:36-39)
+    ("html_extract_analysis", "BroadcastNestedLoopJoin"):
+        "2-row gender legend ±5 tolerance",
     ("join_range_band", "BroadcastNestedLoopJoin"): "band join vs tiny bounds dim",
     # 1-row scalar broadcasts (totals, thresholds, vocab arrays)
     ("important_stock_q11", "BroadcastNestedLoopJoin"): "1-row total cross join",
@@ -130,11 +134,13 @@ ALLOW: dict[tuple[str, str], str] = {
     ("source_mirror_communities", "SinglePartition"):
         "source-vocabulary rank frame",
     ("source_mirror_communities", "Window"): "source-vocabulary rank frame",
-    # r10 coverage curve: rank/cumulative window over the VOCAB-sized
-    # term-count frame (vocabulary << corpus, same class as above) and
-    # the 1-row token-total broadcast
-    ("vocab_coverage_curve", "SinglePartition"): "vocab rank frame + 1-row total",
-    ("vocab_coverage_curve", "Window"): "vocab-sized rank frame",
+    # r12 coverage curve: now the distributed two-level prefix sum
+    # (global_rank + sum_col) — the only unpartitioned window and its
+    # exchange run on the 16-row partition-offsets frame (constant,
+    # num_parts), never on the vocab; plus the 1-row token-total
+    # broadcast. The r10 vocab-sized-window rationale is GONE.
+    ("vocab_coverage_curve", "SinglePartition"): "16-row offsets frame",
+    ("vocab_coverage_curve", "Window"): "16-row offsets frame",
     ("vocab_coverage_curve", "BroadcastNestedLoopJoin"): "1-row token total",
     # r11 sequence packing: the bucket-offset stage of the two-level
     # prefix sum — the unpartitioned window and its exchange run on the
