@@ -1481,3 +1481,76 @@ def test_pack_prefix_sum_invariant_to_bucket_count(spark, sf_dir, monkeypatch):
             for r in cw._pack_doc_spans(spark, sf_dir).collect()
         }
         assert got == want, f"bucket count {nb} changed the offsets"
+
+
+def test_index_sidecar_apply_merges_rows_and_keeps_untouched_shards(
+    spark, sf_dir, tmp_path
+):
+    """r12 (verdict item 5) — the three contracts of the incremental
+    index apply beyond the oracle's apply ≡ rebuild:
+    (1) the second apply MERGES into the partial top shard the first
+        created — at least one (term, shard) row's postings span both
+        generations (row merge, not just row append);
+    (2) shard directories untouched by an apply are byte-identical
+        after it (size + mtime + content hash);
+    (3) postings stay sorted ascending with no duplicates."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _INDEX_SIDECAR_SCHEMA,
+        _index_apply_batches,
+        _index_frame,
+        index_sidecar_apply,
+    )
+
+    path = str(tmp_path / "index_sidecar")
+    base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _index_frame(base).write.partitionBy("shard").parquet(path)
+    batch_a, batch_b = _index_apply_batches(spark, sf_dir)
+    index_sidecar_apply(spark, path, batch_a)
+
+    def snapshot(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                with open(p, "rb") as fh:
+                    h = hashlib.sha1(fh.read()).hexdigest()
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns, h)
+        return out
+
+    before = snapshot(path)
+    b_shards = {
+        r["shard"]
+        for r in _index_frame(batch_b).select("shard").distinct().collect()
+    }
+    index_sidecar_apply(spark, path, batch_b)
+    after = snapshot(path)
+    untouched = {
+        f: v for f, v in before.items()
+        if not any(f.startswith(f"shard={s}/") for s in b_shards)
+    }
+    assert untouched, "expected at least one untouched shard dir"
+    for f, v in untouched.items():
+        assert after.get(f) == v, f"untouched shard file changed: {f}"
+
+    back = spark.read.schema(_INDEX_SIDECAR_SCHEMA).parquet(path)
+    a_max = batch_a.agg(F.max("doc_id")).first()[0]
+    rows = back.collect()
+    merged_rows = 0
+    for r in rows:
+        ids = [int(x) for x in r["postings"].split(",")]
+        assert ids == sorted(set(ids)), (r["term"], r["shard"])
+        assert r["df_shard"] == len(ids)
+        if any(i <= a_max for i in ids) and any(i > a_max for i in ids):
+            merged_rows += 1
+    assert merged_rows > 0, (
+        "no (term, shard) row spans both generations - the merge path "
+        "was not exercised"
+    )
