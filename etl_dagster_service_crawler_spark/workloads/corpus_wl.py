@@ -1726,18 +1726,21 @@ PACK_SEQ_LEN = 512  # training sequence length (tokens)
 PACK_OFFSET_BUCKETS = 256  # prefix-sum decomposition width (bounded)
 
 
-def _pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, n_tokens, start_tok) — every document's token offset in
-    the doc_id-ordered concatenated token stream, computed WITHOUT a
-    global unpartitioned window: the classic two-level parallel prefix
-    sum. Docs bucket by doc_id range into PACK_OFFSET_BUCKETS bounded
-    buckets (width from a 1-row max(doc_id) broadcast scalar); the
-    intra-bucket cumsum is a bucket-PARTITIONED window, and bucket
-    offsets come from a window over the 256-row bucket-sum frame
-    (bounded, plan-lint-clean). At 1000 executors the only
-    single-partition work is 256 rows; recurse the same decomposition
-    for more levels if bucket counts must grow."""
-    d = load_table(spark, sf_dir, "documents").select(
+def pack_doc_spans_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, start_tok) over an arbitrary (doc_id, text)
+    frame — every document's token offset in the doc_id-ordered
+    concatenated token stream, computed WITHOUT a global unpartitioned
+    window: the classic two-level parallel prefix sum. Docs bucket by
+    doc_id range into PACK_OFFSET_BUCKETS bounded buckets (width from
+    a 1-row max(doc_id) broadcast scalar); the intra-bucket cumsum is
+    a bucket-PARTITIONED window, and bucket offsets come from a window
+    over the 256-row bucket-sum frame (bounded, plan-lint-clean). At
+    1000 executors the only single-partition work is 256 rows; recurse
+    the same decomposition for more levels if bucket counts must grow.
+    Shared by the batch entry AND the streaming ingest
+    (streaming/packing.py), so both compute offsets with the literal
+    same expressions."""
+    d = docs.select(
         "doc_id", F.size(tokens_ws(F.col("text"))).cast("bigint").alias("n")
     )
     mx = d.agg(F.max("doc_id").alias("mx"))
@@ -1764,6 +1767,26 @@ def _pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pack_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_doc_spans_frame(load_table(spark, sf_dir, "documents"))
+
+
+def pack_select(spans: DataFrame) -> DataFrame:
+    """spans -> the packed mapping columns (sequence ids + the
+    boundary flag); shared by the batch entry and the streaming
+    ingest so the output shape cannot drift."""
+    seq_first = F.expr(f"start_tok div {PACK_SEQ_LEN}")
+    seq_last = F.expr(f"(start_tok + n_tokens - 1) div {PACK_SEQ_LEN}")
+    return spans.select(
+        "doc_id",
+        "n_tokens",
+        "start_tok",
+        seq_first.cast("bigint").alias("seq_first"),
+        seq_last.cast("bigint").alias("seq_last"),
+        (seq_first != seq_last).alias("crosses_boundary"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence PACKING for training (the GPT-style concat-then-chop):
     documents concatenate in doc_id order into one token stream chopped
@@ -1777,17 +1800,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle uses the plain window cumsum, the Spark side the
     scalable two-level decomposition (_pack_doc_spans) — same values,
     different plan, which is exactly the point."""
-    spans = _pack_doc_spans(spark, sf_dir)
-    seq_first = F.expr(f"start_tok div {PACK_SEQ_LEN}")
-    seq_last = F.expr(f"(start_tok + n_tokens - 1) div {PACK_SEQ_LEN}")
-    return spans.select(
-        "doc_id",
-        "n_tokens",
-        "start_tok",
-        seq_first.cast("bigint").alias("seq_first"),
-        seq_last.cast("bigint").alias("seq_last"),
-        (seq_first != seq_last).alias("crosses_boundary"),
-    )
+    return pack_select(_pack_doc_spans(spark, sf_dir))
 
 
 SQL_PACK_SEQUENCES = f"""

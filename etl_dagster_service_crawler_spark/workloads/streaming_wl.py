@@ -819,10 +819,102 @@ def _stream_minhash_sql() -> str:
     return SQL_PIPELINE_MINHASH_DEDUP
 
 
+def q_stream_pack_sequences(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Streaming sequence PACKING at ingest (r11 verdict item 7): the
+    batch pack_sequences run continuously — documents land as ordered
+    doc_id-range slices (the training-manifest shape: ascending names
+    AND modification times, so the file source drains them in id
+    order), each micro-batch computes its offsets with the SAME
+    two-level prefix sum as the batch query, and the running token
+    offset carries across micro-batches as per-epoch token-total facts
+    (streaming/packing.py — idempotent under at-least-once
+    re-delivery, chaos-tested across a mid-drain stop/resume). The
+    drained union equals the batch mapping row-for-row, so THIS ENTRY
+    SHARES SQL_PACK_SEQUENCES AS ITS ORACLE.
+
+    Scale: per-drop cost is |drop| + |epoch facts| (one row each) —
+    a continuous trainer-feed never rescans packed history; the
+    token-conservation and boundary semantics are the batch entry's,
+    pinned by the shared value hash."""
+    import hashlib
+    import os
+    import shutil
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.packing import (
+        pack_ingest,
+        read_packed,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/pack_seq"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_ordered_slices(docs, f"{base}/in", n_files)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    state_dir = f"{base}/state"
+    q = (
+        stream.writeStream.foreachBatch(pack_ingest(state_dir))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "pack stream still running after 300s — offsets incomplete"
+        )
+    return read_packed(spark, state_dir)
+
+
+def write_ordered_slices(docs: DataFrame, in_dir: str, n_files: int) -> None:
+    """Land a (doc_id, text) frame as n_files contiguous doc_id-range
+    parquet slices whose NAMES and MTIMES both ascend with the range —
+    the ordered manifest the packing stream's contract requires
+    (Spark's file source processes oldest-first)."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    width = (mx + n_files) // n_files + 1
+    os.makedirs(in_dir, exist_ok=True)
+    now = time.time()
+    for i in range(n_files):
+        tmp = f"{in_dir}__slice{i}"
+        docs.where(
+            (F.col("doc_id") >= i * width) & (F.col("doc_id") < (i + 1) * width)
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{in_dir}/{i:04d}.parquet"
+        shutil.move(part, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.utime(dst, (now + i, now + i))
+
+
+def _stream_pack_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        SQL_PACK_SEQUENCES,
+    )
+
+    return SQL_PACK_SEQUENCES
+
+
 SPECS = [
     # r11: near-dup dedup at ingest — shares the batch minhash
     # pipeline's oracle (CC over verified pairs, recursive CTE)
     QuerySpec("stream_minhash_dedup", q_stream_minhash_dedup, _stream_minhash_sql()),
+    # r12: continuous sequence packing — shares the batch pack oracle
+    QuerySpec(
+        "stream_pack_sequences", q_stream_pack_sequences, _stream_pack_sql()
+    ),
     # r11: markup parse at ingest — shares the batch extract oracle
     QuerySpec(
         "stream_crawl_extract", q_stream_crawl_extract, _stream_crawl_extract_sql()

@@ -745,3 +745,99 @@ def test_stream_minhash_survives_mid_drain_stop_and_resume(spark, sf_dir):
         for r in q_pipeline_minhash_dedup(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_stream_pack_sequences_batch_boundary_invariance(spark, sf_dir):
+    """r12: the packed mapping must not depend on how the ordered
+    manifest slices into micro-batches — 1 file (degenerate single
+    batch) and 8 files yield the 4-file entry's exact mapping, which
+    itself equals the batch query (shared oracle)."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_pack_sequences,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        q_stream_pack_sequences,
+    )
+
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"], r["seq_first"],
+                      r["seq_last"], r["crosses_boundary"])
+        for r in q_pack_sequences(spark, sf_dir).collect()
+    }
+    for nf in (1, 8):
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["start_tok"], r["seq_first"],
+                          r["seq_last"], r["crosses_boundary"])
+            for r in q_stream_pack_sequences(spark, sf_dir, n_files=nf).collect()
+        }
+        assert got == want, f"n_files={nf} diverged from the batch mapping"
+
+
+def test_stream_pack_survives_mid_drain_stop_and_resume(spark, sf_dir):
+    """Chaos case (the stream_minhash discipline): stop the drain
+    after >=1 epoch landed, restart on the same checkpoint; the
+    resumed drain must complete the mapping exactly — running offsets
+    compose across the interruption because epoch facts of completed
+    epochs are immutable and the interrupted epoch re-delivers
+    idempotently."""
+    import hashlib
+    import os
+    import shutil
+    import time
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.packing import (
+        pack_ingest,
+        read_packed,
+    )
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_pack_sequences,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        write_ordered_slices,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/pack_chaos"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    write_ordered_slices(docs, f"{base}/in", 4)
+    state = f"{base}/state"
+
+    def start():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        return (
+            stream.writeStream.foreachBatch(pack_ingest(state))
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        tok = f"{state}/tok"
+        if os.path.isdir(tok) and any(
+            e.startswith("epoch=") for e in os.listdir(tok)
+        ):
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start()
+    assert q2.awaitTermination(240)
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"])
+        for r in read_packed(spark, state).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"])
+        for r in q_pack_sequences(spark, sf_dir).collect()
+    }
+    assert got == want
