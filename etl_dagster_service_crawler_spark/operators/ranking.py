@@ -49,18 +49,21 @@ def global_rank(
     total order (include a unique tiebreak) for deterministic output.
 
     When ``sum_col`` is given, additionally emit ``__dnt_cum`` — the
-    exact running sum of that expression in rank order (inclusive of
-    the current row) — by the same two-level decomposition: the
+    running sum of that expression in rank order (inclusive of the
+    current row) — by the same two-level decomposition: the
     per-partition local cumsum rides the SAME partitioned window as the
     rank, and the constant-size offsets frame carries one extra column
     (r12: the vocab_coverage_curve fix; any global ``sum() OVER
-    (ORDER BY ...)`` gets this shape for free).
+    (ORDER BY ...)`` gets this shape for free). The input type is
+    PRESERVED: integer columns sum exactly; fractional columns sum
+    with partition-order association, so integerize first (the repo's
+    float discipline) when cross-engine exactness matters.
     """
     ranged = df.repartitionByRange(num_parts, *order_by).withColumn(
         "__dnt_pid", F.spark_partition_id()
     )
     if sum_col is not None:
-        ranged = ranged.withColumn("__dnt_val", sum_col.cast("bigint"))
+        ranged = ranged.withColumn("__dnt_val", sum_col)
     aggs = [F.count(F.lit(1)).alias("__dnt_pcnt")]
     if sum_col is not None:
         aggs.append(F.sum("__dnt_val").alias("__dnt_psum"))
@@ -98,9 +101,9 @@ def global_rank(
         out = (
             out.withColumn(
                 "__dnt_cum",
-                F.sum("__dnt_val")
-                .over(wp.rowsBetween(Window.unboundedPreceding, 0))
-                .cast("bigint")
+                F.sum("__dnt_val").over(
+                    wp.rowsBetween(Window.unboundedPreceding, 0)
+                )
                 + F.col("__dnt_soff"),
             )
             .drop("__dnt_soff", "__dnt_val")

@@ -51,34 +51,13 @@ HV_SCHEMA = "doc_id bigint, hv array<bigint>"
 PAIRS_SCHEMA = "doc_a bigint, doc_b bigint, jaccard_bp int"
 
 
-def _require_local(state_dir: str) -> str:
-    """State I/O here is driver-local (os.listdir / os.rename): a
-    remote URI would silently read prior state as EMPTY (missing
-    candidate pairs, wrong labels) and compaction's atomic-rename
-    guarantee would not hold. Fail loudly instead (r11 ADVICE). A
-    multi-node deployment keeps state on a shared mount or swaps these
-    seams for its object-store lister/committer."""
-    import re
-
-    if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*://", state_dir):
-        raise ValueError(
-            f"minhash state_dir must be a local filesystem path, got "
-            f"{state_dir!r} (listing/compaction use os.listdir/os.rename)"
-        )
-    return state_dir
-
-
-def _read_state(spark, root: str, sub: str, schema: str) -> DataFrame:
-    path = os.path.join(root, sub)
-    cols = [c.strip().split(" ", 1)[0] for c in schema.split(",")]
-    if os.path.isdir(path) and any(
-        e.startswith("epoch=") for e in os.listdir(path)
-    ):
-        # schema pinned (an empty first epoch must not poison
-        # inference); the discovered epoch partition column is appended
-        # regardless of the pinned schema — project it away
-        return spark.read.schema(schema).parquet(path).select(*cols)
-    return spark.createDataFrame([], schema)
+# shared with streaming/packing.py (r12): the local-path guard and the
+# pinned-schema epoch reader live in streaming/epoch_state.py so the
+# two foreachBatch state modules cannot drift
+from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+    read_epoch_state as _read_state,
+    require_local as _require_local,
+)
 
 
 def minhash_dedup_ingest(state_dir: str, jaccard_bp_min: int):

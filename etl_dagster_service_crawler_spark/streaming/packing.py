@@ -40,6 +40,11 @@ import os
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+    read_epoch_state,
+    require_local,
+)
+
 PACK_OUT_SCHEMA = (
     "doc_id bigint, n_tokens bigint, start_tok bigint, seq_first bigint, "
     "seq_last bigint, crosses_boundary boolean"
@@ -47,26 +52,21 @@ PACK_OUT_SCHEMA = (
 _TOK_SCHEMA = "epoch bigint, n_tokens bigint"
 
 
-def _read_epochs(spark, root: str, schema: str) -> DataFrame:
-    cols = [c.strip().split(" ", 1)[0] for c in schema.split(",")]
-    if os.path.isdir(root) and any(
-        e.startswith("epoch=") for e in os.listdir(root)
-    ):
-        return spark.read.schema(schema).parquet(root).select(*cols)
-    return spark.createDataFrame([], schema)
-
-
 def pack_ingest(state_dir: str):
-    """foreachBatch body factory — see module docstring."""
+    """foreachBatch body factory — see module docstring. state_dir
+    must be a LOCAL path (require_local: the epoch listing is
+    os-level)."""
     from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
         pack_doc_spans_frame,
         pack_select,
     )
 
+    require_local(state_dir)
+
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         ep = int(epoch_id)
-        prior = _read_epochs(spark, os.path.join(state_dir, "tok"), _TOK_SCHEMA)
+        prior = read_epoch_state(spark, state_dir, "tok", _TOK_SCHEMA)
         base = prior.where(F.col("epoch") < ep).agg(
             F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("base")
         )
@@ -96,5 +96,7 @@ def pack_ingest(state_dir: str):
 
 
 def read_packed(spark, state_dir: str) -> DataFrame:
-    """The accumulated packed mapping after a drain."""
-    return _read_epochs(spark, os.path.join(state_dir, "out"), PACK_OUT_SCHEMA)
+    """The accumulated packed mapping after a drain. state_dir must be
+    a LOCAL path (require_local)."""
+    require_local(state_dir)
+    return read_epoch_state(spark, state_dir, "out", PACK_OUT_SCHEMA)

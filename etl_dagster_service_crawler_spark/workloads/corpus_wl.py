@@ -10,6 +10,8 @@ rows-only with a recall test against the exact brute-force twin
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1345,58 +1347,141 @@ def index_sidecar_apply(spark: SparkSession, path: str, new_docs: DataFrame) -> 
     WITHOUT rescanning the corpus (r11 verdict item 5 — the
     sink_lm_sidecar_apply / sink_pq_sidecar_apply discipline applied
     to the search index): delta postings are aggregated over the new
-    docs only, merged into the AFFECTED shards' rows by a (term,
-    shard)-keyed full-outer join — postings concatenate in order
-    because an append-only corpus only ever extends the top shard
-    (every new doc_id exceeds every resident one), df_shard/tf_shard
-    add because the doc sets are disjoint — and the write dynamically
-    overwrites ONLY the affected shard directories; untouched shards
-    stay byte-identical (pinned by test).
+    docs only (persisted — the frame feeds both the affected-shard
+    collect and the merge join), merged into the AFFECTED shards' rows
+    by a (term, shard)-keyed full-outer join — postings concatenate in
+    order because an append-only corpus only ever extends the top
+    shard (every new doc_id exceeds every resident one),
+    df_shard/tf_shard add because the doc sets are disjoint — and
+    published by a JOURNALED stage→swap→commit (never Spark's
+    read-modify-overwrite of its own input): the merged shards land in
+    a staging dir, pre-image shard dirs move to a journal, new dirs
+    swap in, and a commit marker retires the journal. A crash at ANY
+    point leaves the sidecar recoverable — recover_index_apply (run at
+    the start of every apply) rolls an interrupted publish back to the
+    pre-image (or forward past the commit marker), so no resident
+    posting is ever lost; untouched shards stay byte-identical (pinned
+    by test).
 
     Scale: apply cost = |new docs| + |affected shards' rows|, never
     the index — the hourly-crawl-drop profile; the affected-shard list
     is |batch|/POSTING_SHARD_WIDTH entries (a bounded driver-side
     collect, the sink_pq_sidecar_apply shape)."""
-    delta = _index_frame(new_docs)
-    affected = [
-        r["shard"] for r in delta.select("shard").distinct().collect()
-    ]
-    base = (
-        spark.read.schema(_INDEX_SIDECAR_SCHEMA)
-        .parquet(path)
-        .where(F.col("shard").isin(affected))
-        .select("term", "shard", "df_shard", "tf_shard", "postings")
-    )
-    d = delta.select(
-        "term", "shard",
-        F.col("df_shard").alias("df_d"),
-        F.col("tf_shard").alias("tf_d"),
-        F.col("postings").alias("postings_d"),
-    )
-    merged = base.join(d, ["term", "shard"], "full_outer").select(
-        "term",
-        "shard",
-        (
-            F.coalesce(F.col("df_shard"), F.lit(0))
-            + F.coalesce(F.col("df_d"), F.lit(0))
-        ).cast("bigint").alias("df_shard"),
-        (
-            F.coalesce(F.col("tf_shard"), F.lit(0))
-            + F.coalesce(F.col("tf_d"), F.lit(0))
-        ).cast("bigint").alias("tf_shard"),
-        F.when(
-            F.col("postings").isNotNull() & F.col("postings_d").isNotNull(),
-            F.concat_ws(",", F.col("postings"), F.col("postings_d")),
-        )
-        .otherwise(F.coalesce(F.col("postings_d"), F.col("postings")))
-        .alias("postings"),
-    )
-    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    import shutil
+
+    recover_index_apply(path)
+    delta = _index_frame(new_docs).persist()
     try:
-        merged.write.mode("overwrite").partitionBy("shard").parquet(path)
+        affected = [
+            r["shard"] for r in delta.select("shard").distinct().collect()
+        ]
+        if not affected:
+            return
+        base = (
+            spark.read.schema(_INDEX_SIDECAR_SCHEMA)
+            .parquet(path)
+            .where(F.col("shard").isin(affected))
+            .select("term", "shard", "df_shard", "tf_shard", "postings")
+        )
+        d = delta.select(
+            "term", "shard",
+            F.col("df_shard").alias("df_d"),
+            F.col("tf_shard").alias("tf_d"),
+            F.col("postings").alias("postings_d"),
+        )
+        merged = base.join(d, ["term", "shard"], "full_outer").select(
+            "term",
+            "shard",
+            (
+                F.coalesce(F.col("df_shard"), F.lit(0))
+                + F.coalesce(F.col("df_d"), F.lit(0))
+            ).cast("bigint").alias("df_shard"),
+            (
+                F.coalesce(F.col("tf_shard"), F.lit(0))
+                + F.coalesce(F.col("tf_d"), F.lit(0))
+            ).cast("bigint").alias("tf_shard"),
+            F.when(
+                F.col("postings").isNotNull() & F.col("postings_d").isNotNull(),
+                F.concat_ws(",", F.col("postings"), F.col("postings_d")),
+            )
+            .otherwise(F.coalesce(F.col("postings_d"), F.col("postings")))
+            .alias("postings"),
+        )
+        tmp = os.path.join(path, "_apply_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.partitionBy("shard").parquet(tmp)
+        _publish_index_apply(path, tmp, affected)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+        delta.unpersist()
+
+
+def _publish_index_apply(path: str, tmp: str, affected: list) -> None:
+    """Swap the staged shard dirs in under a rollback journal.
+
+    Phases, each marked on disk so recover_index_apply can tell them
+    apart: (1) journal opens with a _MANIFEST of every affected shard
+    (including brand-new ones with no pre-image); (2) ALL pre-image
+    dirs move into the journal; (3) _SWAP marker, then staged dirs
+    move in; (4) _COMMIT marker, journal retired. Rollback rules per
+    phase are in recover_index_apply."""
+    import shutil
+
+    trash = os.path.join(path, "_apply_trash")
+    shutil.rmtree(trash, ignore_errors=True)
+    os.makedirs(trash)
+    with open(os.path.join(trash, "_MANIFEST"), "w") as fh:
+        fh.write(" ".join(str(s) for s in affected))
+    for s in affected:  # phase 2: journal every pre-image
+        dst = os.path.join(path, f"shard={s}")
+        if os.path.isdir(dst):
+            os.rename(dst, os.path.join(trash, f"shard={s}"))
+    open(os.path.join(trash, "_SWAP"), "w").close()
+    for s in affected:  # phase 3: swap staged dirs in
+        os.rename(
+            os.path.join(tmp, f"shard={s}"), os.path.join(path, f"shard={s}")
+        )
+    open(os.path.join(trash, "_COMMIT"), "w").close()
+    shutil.rmtree(trash)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def recover_index_apply(path: str) -> None:
+    """Heal an interrupted index_sidecar_apply publish. Safe to call
+    any time there is no concurrent writer; run automatically at the
+    start of every apply (readers after an unclean shutdown should
+    call it too).
+
+    - journal has _COMMIT: every swap completed — roll FORWARD (retire
+      the journal).
+    - journal has _SWAP but no _COMMIT: all pre-images are in the
+      journal and any present affected dir is a swapped-in NEW dir —
+      roll BACK (drop new dirs, restore every pre-image).
+    - journal has _MANIFEST only: the swap phase never started — any
+      affected dir still present IS the pre-image (never delete it);
+      restore journaled pre-images whose dir is missing.
+    - journal without even a _MANIFEST: nothing moved — drop it.
+    The staging dir is always discarded (the next apply rebuilds it)."""
+    import shutil
+
+    trash = os.path.join(path, "_apply_trash")
+    if os.path.isdir(trash):
+        if os.path.exists(os.path.join(trash, "_COMMIT")):
+            shutil.rmtree(trash)
+        elif os.path.exists(os.path.join(trash, "_MANIFEST")):
+            swapped = os.path.exists(os.path.join(trash, "_SWAP"))
+            with open(os.path.join(trash, "_MANIFEST")) as fh:
+                shards = [s for s in fh.read().split() if s]
+            for s in shards:
+                dst = os.path.join(path, f"shard={s}")
+                pre = os.path.join(trash, f"shard={s}")
+                if swapped and os.path.isdir(dst):
+                    shutil.rmtree(dst)  # a swapped-in new dir
+                if os.path.isdir(pre) and not os.path.isdir(dst):
+                    os.rename(pre, dst)
+            shutil.rmtree(trash, ignore_errors=True)
+        else:
+            shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(os.path.join(path, "_apply_tmp"), ignore_errors=True)
 
 
 def _index_apply_batches(spark: SparkSession, sf_dir: str):

@@ -482,9 +482,17 @@ def q_pipeline_crawl_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     records = ex2.select("doc_id", record.alias("record"))
     base = _scratch(sf_dir, "crawl_record")
     shutil.rmtree(base, ignore_errors=True)
-    sink_json_append(records, f"{base}/job_list")
-    side = ex2.select(F.col("job_url").alias("company_url"))
-    sink_json_append(side, f"{base}/com_url")
+    # persist across the two sink actions: without it the side
+    # projection re-runs the whole scan→fetch→fetch lineage, fetching
+    # every page TWICE — with a real transport that doubles crawl
+    # traffic (r12 review finding)
+    ex2 = ex2.persist()
+    try:
+        sink_json_append(records, f"{base}/job_list")
+        side = ex2.select(F.col("job_url").alias("company_url"))
+        sink_json_append(side, f"{base}/com_url")
+    finally:
+        ex2.unpersist()
     return spark.read.schema("doc_id bigint, record string").json(
         f"{base}/job_list"
     )

@@ -1554,3 +1554,120 @@ def test_index_sidecar_apply_merges_rows_and_keeps_untouched_shards(
         "no (term, shard) row spans both generations - the merge path "
         "was not exercised"
     )
+
+
+def test_index_apply_publish_recovers_from_every_crash_phase(
+    spark, sf_dir, tmp_path
+):
+    """r12 review fix: the apply publish is a journaled
+    stage→journal→swap→commit; recover_index_apply must restore the
+    EXACT pre-image from a crash in any pre-commit phase and roll
+    forward past the commit marker — no resident posting is ever
+    lost."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _INDEX_SIDECAR_SCHEMA,
+        _index_apply_batches,
+        _index_frame,
+        index_sidecar_apply,
+        recover_index_apply,
+    )
+
+    def build_base(p):
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _index_frame(base).write.partitionBy("shard").parquet(p)
+
+    def rows(p):
+        return {
+            (r["term"], r["shard"]): (r["df_shard"], r["tf_shard"], r["postings"])
+            for r in spark.read.schema(_INDEX_SIDECAR_SCHEMA).parquet(p).collect()
+        }
+
+    path = str(tmp_path / "sidecar")
+    build_base(path)
+    pre_image = rows(path)
+    batch_a, _b = _index_apply_batches(spark, sf_dir)
+    delta = _index_frame(batch_a)
+    affected = [r["shard"] for r in delta.select("shard").distinct().collect()]
+    a_shards = set(affected)
+    # also force a RESIDENT shard into the affected set so the
+    # pre-image-journal path is exercised, not just new-shard creation
+    resident = min(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("shard=")
+    )
+    affected = sorted(a_shards | {resident})
+
+    def stage():
+        tmp = os.path.join(path, "_apply_tmp")
+        shutil.rmtree(tmp, ignore_errors=True)
+        # staged content: the delta plus a REWRITTEN resident shard
+        res = (
+            spark.read.schema(_INDEX_SIDECAR_SCHEMA)
+            .parquet(path)
+            .where(F.col("shard") == resident)
+            .select("term", "shard", "df_shard", "tf_shard", "postings")
+        )
+        delta.select("term", "shard", "df_shard", "tf_shard", "postings") \
+            .unionByName(res).write.partitionBy("shard").parquet(tmp)
+        return tmp
+
+    trash = os.path.join(path, "_apply_trash")
+
+    # phase: staged only (no journal) -> recovery discards staging
+    stage()
+    recover_index_apply(path)
+    assert rows(path) == pre_image
+    assert not os.path.isdir(os.path.join(path, "_apply_tmp"))
+
+    # phase: journal opened, manifest written, NO pre-image moved yet
+    stage()
+    os.makedirs(trash)
+    with open(os.path.join(trash, "_MANIFEST"), "w") as fh:
+        fh.write(" ".join(str(s) for s in affected))
+    recover_index_apply(path)
+    assert rows(path) == pre_image
+
+    # phase: pre-images journaled (some moved), no _SWAP yet
+    stage()
+    os.makedirs(trash)
+    with open(os.path.join(trash, "_MANIFEST"), "w") as fh:
+        fh.write(" ".join(str(s) for s in affected))
+    os.rename(
+        os.path.join(path, f"shard={resident}"),
+        os.path.join(trash, f"shard={resident}"),
+    )
+    recover_index_apply(path)
+    assert rows(path) == pre_image
+
+    # phase: _SWAP marked, one new dir swapped in, crash before commit
+    tmp = stage()
+    os.makedirs(trash)
+    with open(os.path.join(trash, "_MANIFEST"), "w") as fh:
+        fh.write(" ".join(str(s) for s in affected))
+    os.rename(
+        os.path.join(path, f"shard={resident}"),
+        os.path.join(trash, f"shard={resident}"),
+    )
+    open(os.path.join(trash, "_SWAP"), "w").close()
+    swapped = affected[0]
+    os.rename(
+        os.path.join(tmp, f"shard={swapped}"),
+        os.path.join(path, f"shard={swapped}"),
+    )
+    recover_index_apply(path)
+    assert rows(path) == pre_image
+
+    # and the real apply still lands cleanly after all that abuse
+    index_sidecar_apply(spark, path, batch_a)
+    after = rows(path)
+    assert after != pre_image
+    for key, v in pre_image.items():
+        term, shard = key
+        if shard not in a_shards:
+            assert after[key] == v  # untouched shards identical
