@@ -1280,3 +1280,68 @@ def test_html_extract_survives_arbitrary_markup_variation(
     assert row["name"] == title_clean
     assert row["url"] == url
     assert row["mgmt"] == mgmt_clean
+
+
+@_slow
+@given(doc_id=st.integers(0, 10**9))
+def test_analysis_render_extract_roundtrips_shares(spark, doc_id):
+    """For ANY doc_id, extracting the rendered analysis page recovers
+    exactly the shares the generator drew — every distribution string
+    parses back to the _shares_py values, and the gender expression
+    twin names 男性 with the male percentage regardless of block order
+    or rgb spacing (the extraction is inverse to the renderer on the
+    whole id domain, not just the fixture corpus)."""
+    from etl_dagster_service_crawler_spark.functions.html import _h_py
+    from etl_dagster_service_crawler_spark.functions.html_analysis import (
+        _BAR_CHARTS,
+        _EDU_SPREADS,
+        _shares_py,
+        ANALYSIS_EXTRACT_SQL,
+        GENDER_DIST_SQL,
+        render_analysis_page,
+    )
+
+    df = spark.createDataFrame([Row(html=render_analysis_page(doc_id))])
+    gcols = {k: k for k in ("g1_r", "g1_g", "g1_b", "g1_pct",
+                            "g2_r", "g2_g", "g2_b", "g2_pct")}
+    cols = [
+        F.expr(e.format(h="html")).alias(f)
+        for f, e in ANALYSIS_EXTRACT_SQL.items()
+    ]
+    got = (
+        df.select(*cols)
+        .withColumn("gender_dist", F.expr(GENDER_DIST_SQL.format(**gcols)))
+        .first()
+        .asDict()
+    )
+
+    def pcts(s):
+        return [int(p.split(":")[1].rstrip("%")) for p in s.split("、")]
+
+    assert pcts(got["edu_dist"]) == _shares_py(doc_id, "edu", 3, _EDU_SPREADS)
+    for _t, field, labels, prefix, spreads in _BAR_CHARTS:
+        assert pcts(got[field]) == _shares_py(
+            doc_id, prefix, len(labels), spreads
+        ), field
+    pm = 10 + _h_py(doc_id, "gen", 81)
+    assert got["gender_dist"] == f"男性:{pm}%、女性:{100 - pm}%"
+
+
+@_slow
+@given(s=st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=200))
+def test_analysis_extract_never_raises_on_garbage(spark, s):
+    """Arbitrary non-page text through every extraction chain must
+    yield ''/NULL, never raise — the ANSI-cast guard (nullif) and the
+    no-match regexp semantics hold on the whole input domain (this
+    property would have caught the CAST('' AS INT) crash the fixture
+    tests missed until the messy-markup case)."""
+    from etl_dagster_service_crawler_spark.functions.html_analysis import (
+        ANALYSIS_EXTRACT_SQL,
+    )
+
+    df = spark.createDataFrame([Row(html=s)])
+    cols = [
+        F.expr(e.format(h="html")).alias(f)
+        for f, e in ANALYSIS_EXTRACT_SQL.items()
+    ]
+    df.select(*cols).collect()  # must not raise
