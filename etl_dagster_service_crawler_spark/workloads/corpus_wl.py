@@ -1305,7 +1305,10 @@ WITH tf AS (
 SELECT term, CAST(doc_id // {POSTING_SHARD_WIDTH} AS BIGINT) AS shard,
        CAST(count(*) AS BIGINT) AS df_shard,
        CAST(sum(tf) AS BIGINT) AS tf_shard,
-       array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+       array_to_string(
+         list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR)
+              ORDER BY doc_id),
+         ',') AS postings
 FROM tf
 GROUP BY term, shard
 """
@@ -1321,11 +1324,24 @@ def _index_frame(docs: DataFrame) -> DataFrame:
     """The sharded inverted index over an arbitrary documents frame —
     factored from q_build_inverted_index (r12) so the sidecar create
     AND the incremental apply build postings with the literal same
-    expressions."""
+    expressions. Postings carry ``doc_id:tf`` pairs (r12: ids alone
+    could not serve tf-weighted ranking, so every scorer had to rescan
+    the corpus — with tf in the posting, search_conjunctive_indexed
+    reproduces the direct scan's scores from the sidecar alone),
+    doc_id-sorted within the shard."""
     tf = (
         docs.select("doc_id", F.explode(tokens_ws(F.col("text"))).alias("term"))
         .groupBy("term", "doc_id")
         .agg(F.count("*").alias("tf"))
+    )
+    posting = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+            lambda r: F.concat_ws(
+                ":", r["doc_id"].cast("string"), r["tf"].cast("string")
+            ),
+        ),
+        ",",
     )
     return (
         tf.withColumn(
@@ -1335,9 +1351,7 @@ def _index_frame(docs: DataFrame) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("df_shard"),
             F.sum("tf").cast("bigint").alias("tf_shard"),
-            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
-                "postings"
-            ),
+            posting.alias("postings"),
         )
     )
 
@@ -1530,6 +1544,60 @@ def q_sink_index_sidecar_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(_INDEX_SIDECAR_SCHEMA)
         .parquet(path)
         .select("term", "shard", "df_shard", "tf_shard", "postings")
+    )
+
+
+def search_conjunctive_indexed(
+    spark: SparkSession,
+    index_path: str,
+    terms=None,
+    topk: int = 20,
+) -> DataFrame:
+    """Conjunctive keyword search served FROM the persisted sharded
+    index — the deployment shape q_search_conjunctive's docstring
+    names (probe the sidecar's postings instead of rescanning the
+    corpus). Identical semantics and SCORES: postings carry doc_id:tf
+    (r12), so summed-tf ranking reproduces the direct scan's output
+    row-for-row (pinned by test, both before and after incremental
+    applies) — the consume leg of the index family's
+    create→maintain→consume story.
+
+    Scale: the term predicate prunes at the index scan (query terms
+    ≪ vocabulary); only matching postings explode; one doc_id-keyed
+    exchange over O(matching postings) rows; TakeOrderedAndProject for
+    the top-k. The corpus itself is never touched."""
+    if terms is None:
+        terms = SEARCH_TERMS
+    recover_index_apply(index_path)
+    idx = (
+        spark.read.schema(_INDEX_SIDECAR_SCHEMA)
+        .parquet(index_path)
+        .where(F.col("term").isin(*list(terms)))
+        .select("term", "postings")
+    )
+    posts = idx.select(
+        "term", F.explode(F.split("postings", ",")).alias("p")
+    ).select(
+        "term",
+        F.split_part(F.col("p"), F.lit(":"), F.lit(1))
+        .cast("bigint")
+        .alias("doc_id"),
+        F.split_part(F.col("p"), F.lit(":"), F.lit(2))
+        .cast("bigint")
+        .alias("tf"),
+    )
+    hits = (
+        posts.groupBy("doc_id")
+        .agg(
+            F.size(F.collect_set("term")).alias("n_terms"),
+            F.sum("tf").alias("score"),
+        )
+        .where(F.col("n_terms") == len(list(terms)))
+    )
+    return (
+        hits.select("doc_id", "score")
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(topk)
     )
 
 

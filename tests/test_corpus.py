@@ -178,11 +178,13 @@ def test_inverted_index_postings_roundtrip(spark, sf_dir):
     assert rows
     parsed = {}
     for r in rows:
-        p = [int(x) for x in r["postings"].split(",")]
+        items = [x.split(":") for x in r["postings"].split(",")]
+        p = [int(d) for d, _tf in items]
         parsed[(r["term"], r["shard"])] = p
         assert p == sorted(p)
         assert len(p) == r["df_shard"] <= POSTING_SHARD_WIDTH
         assert all(d // POSTING_SHARD_WIDTH == r["shard"] for d in p)
+        assert r["tf_shard"] == sum(int(tf) for _d, tf in items)
 
     replayed = {(t, d) for (t, _s), p in parsed.items() for d in p}
     from etl_dagster_service_crawler_spark.io.tables import load_table
@@ -1545,9 +1547,12 @@ def test_index_sidecar_apply_merges_rows_and_keeps_untouched_shards(
     rows = back.collect()
     merged_rows = 0
     for r in rows:
-        ids = [int(x) for x in r["postings"].split(",")]
+        items = [x.split(":") for x in r["postings"].split(",")]
+        ids = [int(i) for i, _tf in items]
+        assert all(int(tf) >= 1 for _i, tf in items), (r["term"], r["shard"])
         assert ids == sorted(set(ids)), (r["term"], r["shard"])
         assert r["df_shard"] == len(ids)
+        assert r["tf_shard"] == sum(int(tf) for _i, tf in items)
         if any(i <= a_max for i in ids) and any(i > a_max for i in ids):
             merged_rows += 1
     assert merged_rows > 0, (
@@ -1671,3 +1676,67 @@ def test_index_apply_publish_recovers_from_every_crash_phase(
         term, shard = key
         if shard not in a_shards:
             assert after[key] == v  # untouched shards identical
+
+
+def test_search_conjunctive_indexed_equals_direct_scan(spark, sf_dir, tmp_path):
+    """r12 consume leg: the index-served search must reproduce the
+    direct corpus scan's rows AND scores exactly — from the fresh
+    sidecar, and again after an incremental apply extended the corpus
+    (scored over the union, computed only from postings)."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.functions.text import tokens_ws
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        SEARCH_TERMS,
+        _index_apply_batches,
+        _index_frame,
+        index_sidecar_apply,
+        q_search_conjunctive,
+        search_conjunctive_indexed,
+    )
+
+    path = str(tmp_path / "sidecar")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _index_frame(docs).write.partitionBy("shard").parquet(path)
+
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_conjunctive_indexed(spark, path).collect()
+    ]
+    want = [
+        (r["doc_id"], r["score"])
+        for r in q_search_conjunctive(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) > 0
+
+    batch_a, _b = _index_apply_batches(spark, sf_dir)
+    index_sidecar_apply(spark, path, batch_a)
+
+    def direct(union_docs):
+        hits = (
+            union_docs.select(
+                "doc_id", F.explode(tokens_ws(F.col("text"))).alias("term")
+            )
+            .where(F.col("term").isin(*SEARCH_TERMS))
+            .groupBy("doc_id")
+            .agg(
+                F.size(F.collect_set("term")).alias("n_terms"),
+                F.count("*").alias("score"),
+            )
+            .where(F.col("n_terms") == len(SEARCH_TERMS))
+        )
+        return (
+            hits.select("doc_id", "score")
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(20)
+        )
+
+    union = docs.select("doc_id", "text").unionByName(
+        batch_a.select("doc_id", "text")
+    )
+    got2 = [
+        (r["doc_id"], r["score"])
+        for r in search_conjunctive_indexed(spark, path).collect()
+    ]
+    want2 = [(r["doc_id"], r["score"]) for r in direct(union).collect()]
+    assert got2 == want2
