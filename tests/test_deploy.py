@@ -356,21 +356,32 @@ def test_serve_daemon_combined_mode(spark, sf_dir, tmp_path, monkeypatch):
     # its remaining ticks (each needs the lock) and so cannot shut the
     # server down under the probes — deterministic, no sleep-tuning.
     # Acquisition itself may wait out an in-flight tick first.
+    def _probe(req, deadline_s=30.0):
+        # bounded retry on transport-level resets only: the single-
+        # threaded HTTP server can drop a connection under VM load
+        # (observed flake in a full-suite run); HTTPError (a real
+        # response, e.g. the expected 409) always propagates
+        end = _time.time() + deadline_s
+        while True:
+            try:
+                return urllib.request.urlopen(req, timeout=30).read()
+            except urllib.error.HTTPError:
+                raise
+            except (ConnectionResetError, urllib.error.URLError, OSError):
+                if _time.time() >= end:
+                    raise
+                _time.sleep(0.3)
+
     with srv.tick_lock:
         # the status surface answers WHILE the tick loop runs
-        rep = json.loads(
-            urllib.request.urlopen(f"{base}/status.json", timeout=30).read()
-        )
+        rep = json.loads(_probe(f"{base}/status.json"))
         assert "counts" in rep and "sinks" in rep
 
         # a web trigger while the scheduled-tick side holds the shared
         # lock is refused with 409
         try:
-            urllib.request.urlopen(
-                urllib.request.Request(
-                    f"{base}/run", method="POST", data=b""
-                ),
-                timeout=30,
+            _probe(
+                urllib.request.Request(f"{base}/run", method="POST", data=b"")
             )
             raise AssertionError("expected 409")
         except urllib.error.HTTPError as e:
