@@ -38,10 +38,69 @@ def read_epoch_state(spark, root: str, sub: str, schema: str) -> DataFrame:
     discovered epoch partition column is appended regardless of the
     pinned schema — project it away so consumers see exactly the
     declared columns."""
+    from pyspark.sql.types import StructType
+
     path = os.path.join(root, sub)
-    cols = [c.strip().split(" ", 1)[0] for c in schema.split(",")]
+    # parse with the real DDL parser, not schema.split(',') — a nested
+    # comma type (map<string,int>, struct<a:int,b:int>) would silently
+    # shred into garbage column names (r12 ADVICE)
+    cols = StructType.fromDDL(schema).fieldNames()
     if os.path.isdir(path) and any(
         e.startswith("epoch=") for e in os.listdir(path)
     ):
         return spark.read.schema(schema).parquet(path).select(*cols)
     return spark.createDataFrame([], schema)
+
+
+def compact_epoch_dirs(
+    spark, root: str, sub: str, schema: str, key: str | None = None,
+    n_buckets: int = 1,
+) -> None:
+    """Fold all epoch dirs under root/sub into ONE generation dir — the
+    maintenance pass a long-running ingest schedules between drains
+    (a year of hourly drops is ~9k epoch dirs; file-listing cost and
+    per-file open overhead grow with every epoch until compaction).
+    Factored from compact_minhash_state (r13) so the packing state can
+    reuse the exact same crash-safety argument.
+
+    Rows are unioned VERBATIM (append-only facts — no merge logic to
+    get wrong) and land under a NEGATIVE generation epoch (``epoch=-1``,
+    then -2, …), hash-bucketed by `key` when given (else coalesced to
+    n_buckets files). If the pinned schema itself names ``epoch``, the
+    column is dropped before the write and re-provided by the new
+    generation's partition dir — every compacted row reads back with
+    the generation's epoch, which consumers must treat as "before all
+    live epochs" (sums/maxes over facts are invariant to it; per-epoch
+    identity is NOT preserved across compaction).
+
+    Crash safety: the new generation is written to an underscore temp
+    dir (invisible to readers), renamed into place ATOMICALLY, and only
+    then are the superseded epoch dirs removed — at no point does a
+    crash leave fewer facts than before; the worst window duplicates
+    facts, which idempotent consumers collapse. Must run BETWEEN drains
+    (no concurrent writer, no uncommitted epoch in the checkpoint), and
+    root must be LOCAL (require_local: listing and the atomic-rename
+    publish are os-level)."""
+    import shutil
+
+    require_local(root)
+    path = os.path.join(root, sub)
+    if not os.path.isdir(path):
+        return
+    epochs = [e for e in os.listdir(path) if e.startswith("epoch=")]
+    if len(epochs) <= 1:
+        return
+    gens = [int(e.split("=", 1)[1]) for e in epochs]
+    new_gen = min(min(gens), 0) - 1  # -1 first, then -2, ...
+    cur = read_epoch_state(spark, root, sub, schema)
+    if "epoch" in cur.columns:
+        cur = cur.drop("epoch")
+    tmp = os.path.join(path, "_compact_tmp")
+    shutil.rmtree(tmp, ignore_errors=True)
+    out = cur.repartition(n_buckets, key) if key else cur.coalesce(n_buckets)
+    out.write.parquet(tmp)
+    # atomic publish BEFORE any deletion: a crash here at worst leaves
+    # the new generation alongside the old (duplicate facts)
+    os.rename(tmp, os.path.join(path, f"epoch={new_gen}"))
+    for e in epochs:
+        shutil.rmtree(os.path.join(path, e), ignore_errors=True)

@@ -200,38 +200,21 @@ def compact_minhash_state(spark, state_dir: str, n_buckets: int = 8) -> None:
     facts keyed by doc_id — no merge logic exists to get wrong) and
     land under a NEGATIVE generation epoch (``epoch=-1``, then -2, …)
     hash-bucketed by doc_id so later batches' index probes read fewer,
-    larger, co-bucketed files. Crash safety: the new generation is
-    written to an underscore temp dir (invisible to readers), renamed
-    into place ATOMICALLY, and only then are the superseded epoch dirs
-    removed — at no point does a crash leave fewer facts than before
-    (the old generation is never deleted before the new one exists;
-    the worst window duplicates facts, which the ingest's DISTINCT
-    candidate set and read_verified_pairs' DISTINCT collapse — pinned
-    by test). Must run BETWEEN drains (no concurrent writer), and
-    state_dir must be a LOCAL path (see _require_local: the listing
-    and the atomic-rename publish are os-level)."""
-    import shutil
+    larger, co-bucketed files. Crash safety and the between-drains
+    contract: see compact_epoch_dirs (streaming/epoch_state.py — the
+    generation-fold was factored there in r13 so packing's token facts
+    compact under the SAME tested discipline); the worst crash window
+    duplicates facts, which the ingest's DISTINCT candidate set and
+    read_verified_pairs' DISTINCT collapse — pinned by test."""
+    from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+        compact_epoch_dirs,
+    )
 
     _require_local(state_dir)
-
     for sub, schema in (
         ("bands", BANDS_SCHEMA), ("hv", HV_SCHEMA), ("pairs", PAIRS_SCHEMA)
     ):
-        root = os.path.join(state_dir, sub)
-        if not os.path.isdir(root):
-            continue
-        epochs = [e for e in os.listdir(root) if e.startswith("epoch=")]
-        if len(epochs) <= 1:
-            continue
-        gens = [int(e.split("=", 1)[1]) for e in epochs]
-        new_gen = min(min(gens), 0) - 1  # -1 first, then -2, ...
-        cur = _read_state(spark, state_dir, sub, schema)
-        tmp = os.path.join(root, "_compact_tmp")
-        shutil.rmtree(tmp, ignore_errors=True)
         key = "doc_id" if sub != "pairs" else "doc_a"
-        cur.repartition(n_buckets, key).write.parquet(tmp)
-        # atomic publish BEFORE any deletion: a crash here at worst
-        # leaves the new generation alongside the old (duplicates)
-        os.rename(tmp, os.path.join(root, f"epoch={new_gen}"))
-        for e in epochs:
-            shutil.rmtree(os.path.join(root, e), ignore_errors=True)
+        compact_epoch_dirs(
+            spark, state_dir, sub, schema, key=key, n_buckets=n_buckets
+        )

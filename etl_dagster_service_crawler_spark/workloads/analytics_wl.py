@@ -1244,60 +1244,39 @@ def q_pareto_customer_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     share reaches 80%, with rank and cumulative basis points. The
     cumulative sum over a GLOBAL ordering is the classic scale trap —
     `Window.orderBy(...)` with no partition key runs the whole table
-    through ONE task. This implementation is the distributed prefix
-    sum instead:
+    through ONE task. Since r13 the distributed prefix sum is the
+    SHARED global_rank(sum_col=...) operator (operators/ranking.py —
+    the same two-level range-partition decomposition the vocab
+    coverage curve runs on; this entry's former inline copy is gone):
+    per-customer revenue (one fact exchange, exact cents), then ONE
+    range exchange for rank + exact integer running revenue, fully
+    parallel — the only serial window is the constant-size
+    per-partition offsets frame inside global_rank. Output is a pure
+    function of the global ordering (ties broken by custkey), so
+    range boundaries never affect values."""
+    from etl_dagster_service_crawler_spark.operators.ranking import (
+        global_rank,
+    )
 
-      1. per-customer revenue (one fact exchange, exact cents),
-      2. `repartitionByRange` on (revenue DESC, custkey) — globally
-         ordered across partitions, parallel within,
-      3. per-partition totals/counts cumulated over the PARTITION-ID
-         frame (16 rows — the only serial window, constant-sized),
-         broadcast back as offsets,
-      4. within-partition cumsum + offset = exact global prefix sum,
-         in parallel across all range partitions.
-
-    Fully lazy — no driver-side collect; re-evaluating the ranged
-    frame inside one query is consistent because the range sampler
-    seeds per input partition index. Output is a pure function of the
-    global ordering (ties broken by custkey), so range boundaries
-    never affect values."""
     o = load_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5)).cast(
         "bigint"
     )
     per = o.groupBy("o_custkey").agg(F.sum(cents).alias("rev_cents"))
-    ranged = per.repartitionByRange(
-        PARETO_RANGE_PARTS, F.desc("rev_cents"), F.asc("o_custkey")
-    ).withColumn("pid", F.spark_partition_id())
-
-    part_stats = ranged.groupBy("pid").agg(
-        F.sum("rev_cents").alias("p_rev"), F.count(F.lit(1)).alias("p_cnt")
-    )
-    wo = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = part_stats.select(
-        "pid",
-        F.coalesce(F.sum("p_rev").over(wo), F.lit(0)).alias("rev_offset"),
-        F.coalesce(F.sum("p_cnt").over(wo), F.lit(0)).alias("cnt_offset"),
-    )
     total = per.agg(F.sum("rev_cents").alias("total_cents"))
-
-    wp = (
-        Window.partitionBy("pid")
-        .orderBy(F.desc("rev_cents"), F.asc("o_custkey"))
-        .rowsBetween(Window.unboundedPreceding, 0)
+    ranked = global_rank(
+        per,
+        [F.desc("rev_cents"), F.asc("o_custkey")],
+        num_parts=PARETO_RANGE_PARTS,
+        sum_col=F.col("rev_cents"),
     )
     return (
-        ranged.join(F.broadcast(offsets), "pid")
-        .join(F.broadcast(total))
+        ranked.join(F.broadcast(total))
         .select(
             "o_custkey",
             "rev_cents",
-            (F.count(F.lit(1)).over(wp) + F.col("cnt_offset"))
-            .cast("int")
-            .alias("rnk"),
-            (F.sum("rev_cents").over(wp) + F.col("rev_offset")).alias(
-                "cum_rev"
-            ),
+            F.col("__dnt_rank").cast("int").alias("rnk"),
+            F.col("__dnt_cum").alias("cum_rev"),
             "total_cents",
         )
         # exact integer floor division — a double multiply first would

@@ -1377,6 +1377,16 @@ def index_sidecar_apply(spark: SparkSession, path: str, new_docs: DataFrame) -> 
     posting is ever lost; untouched shards stay byte-identical (pinned
     by test).
 
+    The append-only precondition is ENFORCED, not assumed (r12 ADVICE):
+    before merging, the batch's min doc_id is checked against the
+    resident top shard's max posting doc_id — a batch that re-ingests
+    a resident doc_id would silently produce unsorted postings and
+    double-counted df/tf, so it fails loudly instead (the
+    require_local posture). The check is bounded: the resident max
+    comes from ONE shard partition's rows (postings are doc_id-sorted,
+    so the row max is the last pair), the batch min from a narrow agg
+    over the already-persisted delta.
+
     Scale: apply cost = |new docs| + |affected shards' rows|, never
     the index — the hourly-crawl-drop profile; the affected-shard list
     is |batch|/POSTING_SHARD_WIDTH entries (a bounded driver-side
@@ -1391,6 +1401,7 @@ def index_sidecar_apply(spark: SparkSession, path: str, new_docs: DataFrame) -> 
         ]
         if not affected:
             return
+        _assert_append_only(spark, path, new_docs)
         base = (
             spark.read.schema(_INDEX_SIDECAR_SCHEMA)
             .parquet(path)
@@ -1427,6 +1438,46 @@ def index_sidecar_apply(spark: SparkSession, path: str, new_docs: DataFrame) -> 
         _publish_index_apply(path, tmp, affected)
     finally:
         delta.unpersist()
+
+
+def _assert_append_only(spark: SparkSession, path: str, new_docs: DataFrame) -> None:
+    """Fail loudly when a batch violates index_sidecar_apply's
+    append-only contract (every new doc_id exceeds every resident one).
+    Resident max doc_id is recovered from the TOP shard's postings
+    alone — one partition dir's rows, never the index (postings are
+    doc_id-sorted, so each row's max is its last ``doc_id:tf`` pair)."""
+    shards = [
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("shard=")
+    ]
+    if not shards:
+        return
+    top = max(shards)
+    resident_max = (
+        spark.read.schema(_INDEX_SIDECAR_SCHEMA)
+        .parquet(path)
+        .where(F.col("shard") == top)
+        .agg(
+            F.max(
+                F.split_part(
+                    F.split_part(F.col("postings"), F.lit(","), F.lit(-1)),
+                    F.lit(":"),
+                    F.lit(1),
+                ).cast("bigint")
+            )
+        )
+        .first()[0]
+    )
+    batch_min = new_docs.agg(F.min("doc_id")).first()[0]
+    if resident_max is not None and batch_min is not None and batch_min <= resident_max:
+        raise ValueError(
+            f"index_sidecar_apply append-only contract violated: batch min "
+            f"doc_id {batch_min} <= resident max doc_id {resident_max} "
+            f"(shard={top}) — re-ingesting a resident doc_id would produce "
+            "unsorted postings and double-counted df/tf; dedup or re-id the "
+            "batch upstream"
+        )
 
 
 def _publish_index_apply(path: str, tmp: str, affected: list) -> None:
@@ -1552,6 +1603,7 @@ def search_conjunctive_indexed(
     index_path: str,
     terms=None,
     topk: int = 20,
+    recover: bool = False,
 ) -> DataFrame:
     """Conjunctive keyword search served FROM the persisted sharded
     index — the deployment shape q_search_conjunctive's docstring
@@ -1565,10 +1617,20 @@ def search_conjunctive_indexed(
     Scale: the term predicate prunes at the index scan (query terms
     ≪ vocabulary); only matching postings explode; one doc_id-keyed
     exchange over O(matching postings) rows; TakeOrderedAndProject for
-    the top-k. The corpus itself is never touched."""
+    the top-k. The corpus itself is never touched.
+
+    Reader-vs-writer contract (r12 ADVICE): recovery is OPT-IN
+    (``recover=True``), never automatic — recover_index_apply moves
+    and deletes shard dirs, so a reader running it concurrently with
+    an in-flight index_sidecar_apply publish could destroy the
+    writer's journal mid-swap. Pass recover=True only after an unclean
+    shutdown AND with no writer running (the compact_minhash_state
+    serialization discipline: maintenance runs BETWEEN drains). A
+    plain read never mutates the sidecar."""
     if terms is None:
         terms = SEARCH_TERMS
-    recover_index_apply(index_path)
+    if recover:
+        recover_index_apply(index_path)
     idx = (
         spark.read.schema(_INDEX_SIDECAR_SCHEMA)
         .parquet(index_path)
@@ -1598,6 +1660,46 @@ def search_conjunctive_indexed(
         hits.select("doc_id", "score")
         .orderBy(F.desc("score"), "doc_id")
         .limit(topk)
+    )
+
+
+INDEX_SIDECAR_VER = 1
+
+
+def index_sidecar_cached(spark: SparkSession, sf_dir: str) -> str:
+    """Path to a built, _SUCCESS-gated inverted-index sidecar over the
+    documents table — the bigram_lm_cached discipline applied to the
+    search index: path keyed by index version + corpus file-metadata
+    fingerprint (so regeneration, append, and in-place rewrite all
+    force a rebuild), _SUCCESS-gated so a crashed writer never
+    half-serves. Lives under its own leaf, disjoint from the apply
+    entry's scratch dir."""
+    import os as _os
+
+    from etl_dagster_service_crawler_spark.workloads.io_wl import (
+        _scratch,
+        _source_fingerprint,
+    )
+
+    fp = _source_fingerprint(sf_dir, "documents")
+    path = _scratch(sf_dir, f"index_sidecar_cache/v{INDEX_SIDECAR_VER}_{fp}")
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        _index_frame(load_table(spark, sf_dir, "documents")).write.mode(
+            "overwrite"
+        ).partitionBy("shard").parquet(path)
+    return path
+
+
+def q_search_conjunctive_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index family's CONSUME leg as a registered entry (r12
+    verdict item 2): conjunctive search served from the persisted
+    sharded sidecar (see search_conjunctive_indexed — postings carry
+    doc_id:tf, so the scores reproduce the direct scan's exactly).
+    Oracle = the direct-scan SQL (SQL_SEARCH): the sidecar-served
+    top-k is value-hash-checked against a full corpus scan, closing
+    the create→maintain→consume loop under the driver's checker."""
+    return search_conjunctive_indexed(
+        spark, index_sidecar_cached(spark, sf_dir)
     )
 
 
@@ -3463,6 +3565,11 @@ SPECS: list[QuerySpec] = [
         SQL_INDEX_SIDECAR_APPLY,
     ),
     QuerySpec("search_conjunctive", q_search_conjunctive, SQL_SEARCH),
+    # r13: the index family's consume leg — sidecar-served search,
+    # value-hash-checked against the direct corpus scan
+    QuerySpec(
+        "search_conjunctive_indexed", q_search_conjunctive_indexed, SQL_SEARCH
+    ),
     # r10: Okapi BM25 ranked retrieval — the relevance scorer over the
     # search family, cross-engine float discipline per token_entropy
     QuerySpec(

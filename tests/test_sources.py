@@ -180,3 +180,57 @@ def test_frontier_schedule_politeness_invariants(spark, sf_dir):
         slots = [r["fetch_slot"] for r in rs]
         assert all(b - a == FRONTIER_HOST_DELAY
                    for a, b in zip(slots, slots[1:]))
+
+
+def test_frontier_fetch_executes_politeness(spark, sf_dir):
+    """r12 verdict item 6: the frontier plan is load-bearing at fetch
+    time. Pins the execution contract of frontier_fetch: (a) every
+    host's fetches land in exactly ONE partition (http_enrich's
+    politeness domain), (b) rows reach the transport in ascending
+    fetch_slot order within each partition (mapInPandas consumes rows
+    in partition order, and the fetched output preserves it), and
+    (c) consecutive fetches of a host are >= FRONTIER_HOST_DELAY slots
+    apart — so a slot-paced worker enforces the reference's per-host
+    delays by construction."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        FRONTIER_HOST_DELAY,
+        frontier_fetch,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    with_url = d.withColumn(
+        "url", F.expr("'https://example.com/job/' || CAST(doc_id AS STRING)")
+    )
+    fetched = frontier_fetch(with_url, "url", "source", "n_chars")
+    # spark_partition_id AFTER the fetch: a projection moves no rows,
+    # so this is the partition the transport ran in, and collect()
+    # preserves each partition's row order = execution order
+    rows = (
+        fetched.withColumn("pid", F.spark_partition_id())
+        .select("pid", "source", "fetch_slot", "fetch_status")
+        .collect()
+    )
+    assert rows and all(r["fetch_status"] == "ok" for r in rows)
+
+    by_pid: dict[int, list] = {}
+    host_pids: dict[str, set] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r)
+        host_pids.setdefault(r["source"], set()).add(r["pid"])
+    # (a) one politeness domain per host
+    assert all(len(pids) == 1 for pids in host_pids.values()), host_pids
+    for pid, rs in by_pid.items():
+        # (b) execution order is ascending slot order
+        slots = [r["fetch_slot"] for r in rs]
+        assert slots == sorted(slots), f"partition {pid} not slot-ordered"
+        # (c) per-host spacing >= FRONTIER_HOST_DELAY in execution order
+        last: dict[str, int] = {}
+        for r in rs:
+            if r["source"] in last:
+                assert r["fetch_slot"] - last[r["source"]] >= FRONTIER_HOST_DELAY
+            last[r["source"]] = r["fetch_slot"]

@@ -841,3 +841,232 @@ def test_stream_pack_survives_mid_drain_stop_and_resume(spark, sf_dir):
         for r in q_pack_sequences(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_pack_ingest_rejects_misordered_manifest(spark, sf_dir):
+    """r12 ADVICE/verdict: a manifest that delivers a doc_id range out
+    of order (backfilled slice, mis-stamped mtime) must fail the epoch
+    LOUDLY before any state lands — never silently pack offsets that
+    diverge from the batch oracle."""
+    import hashlib
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.errors import StreamingQueryException
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.packing import (
+        pack_ingest,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        write_ordered_slices,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/pack_misorder"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("max(doc_id) * 3 DIV 4")).first()[0]
+    lo = docs.where(F.col("doc_id") <= cut)
+    hi = docs.where(F.col("doc_id") > cut)
+    # the HIGH range lands first (name 0000), the LOW range second —
+    # exactly the backfilled-slice shape the contract forbids
+    write_ordered_slices(hi, f"{base}/in", 1)
+    write_ordered_slices(lo, f"{base}/in", 1, first_index=1)
+    state = f"{base}/state"
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/in")
+    )
+    q = (
+        stream.writeStream.foreachBatch(pack_ingest(state))
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(StreamingQueryException, match="ordering contract"):
+        q.awaitTermination(180)
+    # the violating epoch landed NOTHING: only epoch 0's state exists
+    assert sorted(os.listdir(f"{state}/tok")) == ["epoch=0"]
+    assert sorted(
+        e for e in os.listdir(f"{state}/out") if e.startswith("epoch=")
+    ) == ["epoch=0"]
+
+
+def test_pack_state_compaction_and_resume(spark, sf_dir):
+    """r12 verdict item 5: folding the per-epoch token facts into one
+    generation file between drains must not disturb the running offset
+    — a second tranche ingested AFTER the compaction packs exactly
+    like the single batch query over the whole corpus, and the fact
+    read is bounded by generations, not epochs."""
+    import hashlib
+    import os
+    import shutil
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.packing import (
+        compact_pack_state,
+        read_packed,
+    )
+    from etl_dagster_service_crawler_spark.streaming.packing import (
+        pack_ingest,
+    )
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_pack_sequences,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        write_ordered_slices,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/pack_compact"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("max(doc_id) * 3 DIV 4")).first()[0]
+    lo = docs.where(F.col("doc_id") <= cut)
+    hi = docs.where(F.col("doc_id") > cut)
+    write_ordered_slices(lo, f"{base}/in", 3)
+    state = f"{base}/state"
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(pack_ingest(state))
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    drain()  # 3 epochs of the low range
+    assert len(os.listdir(f"{state}/tok")) == 3
+    compact_pack_state(spark, state)
+    assert sorted(os.listdir(f"{state}/tok")) == ["epoch=-1"]
+
+    # the later tranche lands after the fold; the resumed ingest's
+    # base offset must come from the compacted generation
+    write_ordered_slices(hi, f"{base}/in", 1, first_index=3)
+    drain()
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"], r["seq_first"],
+                      r["seq_last"], r["crosses_boundary"])
+        for r in read_packed(spark, state).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"], r["seq_first"],
+                      r["seq_last"], r["crosses_boundary"])
+        for r in q_pack_sequences(spark, sf_dir).collect()
+    }
+    assert got == want
+    # misordering is still caught ACROSS the compaction boundary: the
+    # guard's prior-max survives the fold
+    import pytest
+
+    with pytest.raises(ValueError, match="ordering contract"):
+        pack_ingest(state)(lo.limit(5), 99)
+
+
+def test_read_epoch_state_nested_comma_schema(spark, tmp_path):
+    """r12 ADVICE: the pinned-schema reader must parse DDL with the
+    real parser — a nested comma type (map<string,bigint>) would shred
+    into garbage column names under schema.split(',')."""
+    import os
+
+    from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+        read_epoch_state,
+    )
+
+    root = str(tmp_path / "state")
+    schema = "epoch bigint, m map<string,bigint>, note string"
+    spark.createDataFrame(
+        [({"a": 1, "b": 2}, "x")], "m map<string,bigint>, note string"
+    ).write.parquet(os.path.join(root, "facts", "epoch=0"))
+    got = read_epoch_state(spark, root, "facts", schema)
+    assert got.columns == ["epoch", "m", "note"]
+    row = got.first()
+    assert row["epoch"] == 0 and row["m"] == {"a": 1, "b": 2}
+    assert row["note"] == "x"
+
+
+def test_stream_crawl_record_matches_batch_and_redelivery_idempotent(
+    spark, sf_dir
+):
+    """r13: the terminal record at ingest. The drained job_list
+    read-back equals the batch entry row-for-row (shared transform ⇒
+    shared oracle), BOTH dual sinks land per epoch, and re-delivering
+    an epoch (foreachBatch is at-least-once) rewrites identical bytes
+    — state after a duplicate delivery is value-identical."""
+    import hashlib
+    import os
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        q_pipeline_crawl_record,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        crawl_record_ingest,
+        q_stream_crawl_record,
+    )
+
+    got = {
+        (r["doc_id"], r["record"])
+        for r in q_stream_crawl_record(spark, sf_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["record"])
+        for r in q_pipeline_crawl_record(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    out = f"/tmp/spark_graft_streams/{tag}/crawl_record/out"
+    # both of the reference's sinks landed, one dir per epoch
+    job_eps = sorted(os.listdir(f"{out}/job_list"))
+    com_eps = sorted(os.listdir(f"{out}/com_url"))
+    assert job_eps == com_eps and len(job_eps) >= 1
+    side = {
+        r["company_url"]
+        for r in spark.read.schema("company_url string")
+        .json(f"{out}/com_url")
+        .collect()
+    }
+    assert len(side) > 0
+
+    # re-deliver epoch 0 with ITS OWN original rows (recovered from the
+    # landed sink, so this works however availableNow sliced the files):
+    # byte-idempotent state
+    ep0_ids = {
+        r["doc_id"]
+        for r in spark.read.schema("doc_id bigint, record string")
+        .json(f"{out}/job_list/epoch=0")
+        .collect()
+    }
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "lang")
+        .where(F.col("doc_id").isin(*ep0_ids))
+    )
+    before = got
+    crawl_record_ingest(out)(docs, 0)
+    after = {
+        (r["doc_id"], r["record"])
+        for r in spark.read.schema("doc_id bigint, record string")
+        .json(f"{out}/job_list")
+        .select("doc_id", "record")
+        .collect()
+    }
+    assert after == before
+    side_after = {
+        r["company_url"]
+        for r in spark.read.schema("company_url string")
+        .json(f"{out}/com_url")
+        .collect()
+    }
+    assert side_after == side
