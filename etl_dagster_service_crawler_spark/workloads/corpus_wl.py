@@ -1673,7 +1673,15 @@ def index_sidecar_cached(spark: SparkSession, sf_dir: str) -> str:
     fingerprint (so regeneration, append, and in-place rewrite all
     force a rebuild), _SUCCESS-gated so a crashed writer never
     half-serves. Lives under its own leaf, disjoint from the apply
-    entry's scratch dir."""
+    entry's scratch dir.
+
+    Layout: one file per shard, rows TERM-SORTED within it — doc_id
+    sharding spreads every term across all shard dirs (that is the
+    apply path's contract), so at scale the probe's pruning lever is
+    the row-group statistics INSIDE each shard: term-sorted row groups
+    give the pushed term predicate real min/max bounds to skip on once
+    a shard exceeds one row group (measured ×10: the warm probe is
+    index-bound, docs/SCALE.md r13 table)."""
     import os as _os
 
     from etl_dagster_service_crawler_spark.workloads.io_wl import (
@@ -1684,9 +1692,14 @@ def index_sidecar_cached(spark: SparkSession, sf_dir: str) -> str:
     fp = _source_fingerprint(sf_dir, "documents")
     path = _scratch(sf_dir, f"index_sidecar_cache/v{INDEX_SIDECAR_VER}_{fp}")
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        _index_frame(load_table(spark, sf_dir, "documents")).write.mode(
-            "overwrite"
-        ).partitionBy("shard").parquet(path)
+        (
+            _index_frame(load_table(spark, sf_dir, "documents"))
+            .repartition("shard")
+            .sortWithinPartitions("shard", "term")
+            .write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(path)
+        )
     return path
 
 
