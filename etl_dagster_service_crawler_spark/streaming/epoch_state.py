@@ -32,12 +32,32 @@ def require_local(state_dir: str) -> str:
     return state_dir
 
 
+def live_epoch_dirs(path: str) -> list[str]:
+    """Epoch dir names under `path` that are NOT superseded by a
+    compacted generation. Each generation dir carries a ``_FOLDED``
+    marker listing every epoch dir it replaced (written atomically with
+    the generation's rename-into-place), so a crash between the
+    generation publish and the old-dir deletions can never DOUBLE facts
+    for any reader: lingering superseded dirs are filtered here, for
+    SUM consumers (packing's base offset) as much as DISTINCT ones
+    (minhash pairs)."""
+    entries = [e for e in os.listdir(path) if e.startswith("epoch=")]
+    superseded: set[str] = set()
+    for e in entries:
+        marker = os.path.join(path, e, "_FOLDED")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                superseded |= {s for s in fh.read().split() if s}
+    return sorted(e for e in entries if e not in superseded)
+
+
 def read_epoch_state(spark, root: str, sub: str, schema: str) -> DataFrame:
-    """Read the union of all epoch dirs under root/sub with a PINNED
-    schema (an empty first epoch must not poison inference); the
+    """Read the union of all LIVE epoch dirs under root/sub with a
+    PINNED schema (an empty first epoch must not poison inference); the
     discovered epoch partition column is appended regardless of the
     pinned schema — project it away so consumers see exactly the
-    declared columns."""
+    declared columns. Epoch dirs superseded by a compaction but not yet
+    deleted (its crash window) are excluded — see live_epoch_dirs."""
     from pyspark.sql.types import StructType
 
     path = os.path.join(root, sub)
@@ -45,10 +65,15 @@ def read_epoch_state(spark, root: str, sub: str, schema: str) -> DataFrame:
     # comma type (map<string,int>, struct<a:int,b:int>) would silently
     # shred into garbage column names (r12 ADVICE)
     cols = StructType.fromDDL(schema).fieldNames()
-    if os.path.isdir(path) and any(
-        e.startswith("epoch=") for e in os.listdir(path)
-    ):
-        return spark.read.schema(schema).parquet(path).select(*cols)
+    if os.path.isdir(path):
+        live = live_epoch_dirs(path)
+        if live:
+            return (
+                spark.read.option("basePath", path)
+                .schema(schema)
+                .parquet(*[os.path.join(path, e) for e in live])
+                .select(*cols)
+            )
     return spark.createDataFrame([], schema)
 
 
@@ -74,11 +99,20 @@ def compact_epoch_dirs(
     identity is NOT preserved across compaction).
 
     Crash safety: the new generation is written to an underscore temp
-    dir (invisible to readers), renamed into place ATOMICALLY, and only
-    then are the superseded epoch dirs removed — at no point does a
-    crash leave fewer facts than before; the worst window duplicates
-    facts, which idempotent consumers collapse. Must run BETWEEN drains
-    (no concurrent writer, no uncommitted epoch in the checkpoint), and
+    dir (invisible to readers) TOGETHER with a ``_FOLDED`` marker
+    listing every epoch dir it supersedes (live AND any still-lingering
+    dirs a previous crash left — transitively, so a chain of interrupted
+    compactions cannot resurrect an already-folded dir after its own
+    generation's marker is deleted), renamed into place ATOMICALLY, and
+    only then are the superseded dirs removed. At no point does a crash
+    leave fewer facts than before, and — because every reader filters
+    superseded dirs via live_epoch_dirs — at no point does it leave
+    MORE: the crash window is invisible even to SUM consumers like the
+    packing base offset (a lingering un-deleted epoch beside the new
+    generation would otherwise double its tokens into every later
+    offset). Deletion retries for free: the next compaction lists the
+    leftovers and folds/deletes them again. Must run BETWEEN drains (no
+    concurrent writer, no uncommitted epoch in the checkpoint), and
     root must be LOCAL (require_local: listing and the atomic-rename
     publish are os-level)."""
     import shutil
@@ -87,20 +121,24 @@ def compact_epoch_dirs(
     path = os.path.join(root, sub)
     if not os.path.isdir(path):
         return
-    epochs = [e for e in os.listdir(path) if e.startswith("epoch=")]
-    if len(epochs) <= 1:
+    # everything present, including superseded leftovers from a prior
+    # crash — they all get folded into the new marker and deleted below
+    entries = [e for e in os.listdir(path) if e.startswith("epoch=")]
+    if len(live_epoch_dirs(path)) <= 1 and len(entries) <= 1:
         return
-    gens = [int(e.split("=", 1)[1]) for e in epochs]
+    gens = [int(e.split("=", 1)[1]) for e in entries]
     new_gen = min(min(gens), 0) - 1  # -1 first, then -2, ...
-    cur = read_epoch_state(spark, root, sub, schema)
+    cur = read_epoch_state(spark, root, sub, schema)  # live dirs only
     if "epoch" in cur.columns:
         cur = cur.drop("epoch")
     tmp = os.path.join(path, "_compact_tmp")
     shutil.rmtree(tmp, ignore_errors=True)
     out = cur.repartition(n_buckets, key) if key else cur.coalesce(n_buckets)
     out.write.parquet(tmp)
-    # atomic publish BEFORE any deletion: a crash here at worst leaves
-    # the new generation alongside the old (duplicate facts)
+    with open(os.path.join(tmp, "_FOLDED"), "w") as fh:
+        fh.write(" ".join(entries))
+    # atomic publish BEFORE any deletion: a crash from here on leaves
+    # the new generation plus superseded dirs its marker filters out
     os.rename(tmp, os.path.join(path, f"epoch={new_gen}"))
-    for e in epochs:
+    for e in entries:
         shutil.rmtree(os.path.join(path, e), ignore_errors=True)

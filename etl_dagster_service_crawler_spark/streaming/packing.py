@@ -79,15 +79,16 @@ def pack_ingest(state_dir: str):
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         ep = int(epoch_id)
+        facts = read_epoch_state(spark, state_dir, "tok", _TOK_SCHEMA)
         prior = (
-            read_epoch_state(spark, state_dir, "tok", _TOK_SCHEMA)
-            .where(F.col("epoch") < ep)
+            facts.where(F.col("epoch") < ep)
             .agg(
                 F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("base"),
                 F.max("max_doc").alias("prior_max"),
             )
             .first()
         )
+        own = facts.where(F.col("epoch") == ep).first()
         spans = pack_doc_spans_frame(batch_df)
         shifted = spans.select(
             "doc_id",
@@ -121,6 +122,22 @@ def pack_ingest(state_dir: str):
                     "a doc_id range out of order (mis-stamped mtime or "
                     "backfilled slice); re-land the slice after the "
                     "resident range or rebuild with the batch query"
+                )
+            # re-delivery sanity on the persisted (min_doc, max_doc):
+            # at-least-once may replay an epoch, but only with the SAME
+            # rows — a different doc range under a repeated epoch id
+            # means checkpoint/source corruption, and overwriting the
+            # committed fact would silently shift every later offset
+            if own is not None and (
+                own["min_doc"] != stats["mn"] or own["max_doc"] != stats["mx"]
+            ):
+                raise ValueError(
+                    f"pack_ingest re-delivery mismatch: epoch {ep} was "
+                    f"committed with doc range [{own['min_doc']}, "
+                    f"{own['max_doc']}] but re-delivered with "
+                    f"[{stats['mn']}, {stats['mx']}] — the checkpoint and "
+                    "the source manifest disagree; refusing to overwrite "
+                    "committed state"
                 )
             out.write.mode("overwrite").parquet(
                 os.path.join(state_dir, "out", f"epoch={ep}")

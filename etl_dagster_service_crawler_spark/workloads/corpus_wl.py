@@ -1401,7 +1401,7 @@ def index_sidecar_apply(spark: SparkSession, path: str, new_docs: DataFrame) -> 
         ]
         if not affected:
             return
-        _assert_append_only(spark, path, new_docs)
+        _assert_append_only(spark, path, delta)
         base = (
             spark.read.schema(_INDEX_SIDECAR_SCHEMA)
             .parquet(path)
@@ -1440,12 +1440,17 @@ def index_sidecar_apply(spark: SparkSession, path: str, new_docs: DataFrame) -> 
         delta.unpersist()
 
 
-def _assert_append_only(spark: SparkSession, path: str, new_docs: DataFrame) -> None:
+def _assert_append_only(spark: SparkSession, path: str, delta: DataFrame) -> None:
     """Fail loudly when a batch violates index_sidecar_apply's
     append-only contract (every new doc_id exceeds every resident one).
     Resident max doc_id is recovered from the TOP shard's postings
-    alone — one partition dir's rows, never the index (postings are
-    doc_id-sorted, so each row's max is its last ``doc_id:tf`` pair)."""
+    alone — one partition dir's rows, never the index — and the batch
+    min from the already-PERSISTED delta postings (never the new_docs
+    lineage, which with a real transport would re-fetch every page —
+    the r12 record-pipeline persist lesson): postings are doc_id-sorted,
+    so a row's max is its last ``doc_id:tf`` pair and its min the
+    first, and shard order is doc-range order, so min struct(shard,
+    first_doc) is the batch's global min."""
     shards = [
         int(e.split("=", 1)[1])
         for e in os.listdir(path)
@@ -1469,7 +1474,15 @@ def _assert_append_only(spark: SparkSession, path: str, new_docs: DataFrame) -> 
         )
         .first()[0]
     )
-    batch_min = new_docs.agg(F.min("doc_id")).first()[0]
+    first_doc = F.split_part(
+        F.split_part(F.col("postings"), F.lit(","), F.lit(1)),
+        F.lit(":"),
+        F.lit(1),
+    ).cast("bigint")
+    mrow = delta.agg(
+        F.min(F.struct(F.col("shard"), first_doc.alias("d"))).alias("m")
+    ).first()["m"]
+    batch_min = None if mrow is None else mrow["d"]
     if resident_max is not None and batch_min is not None and batch_min <= resident_max:
         raise ValueError(
             f"index_sidecar_apply append-only contract violated: batch min "
@@ -1623,14 +1636,32 @@ def search_conjunctive_indexed(
     (``recover=True``), never automatic — recover_index_apply moves
     and deletes shard dirs, so a reader running it concurrently with
     an in-flight index_sidecar_apply publish could destroy the
-    writer's journal mid-swap. Pass recover=True only after an unclean
-    shutdown AND with no writer running (the compact_minhash_state
-    serialization discipline: maintenance runs BETWEEN drains). A
-    plain read never mutates the sidecar."""
+    writer's journal mid-swap. A plain read never mutates the sidecar;
+    when a publish journal IS present it fails LOUDLY instead of
+    silently scanning an index with journaled-away shards (missing
+    postings would return wrong scores with no error): if the journal
+    belongs to a dead writer, pass recover=True — only after an
+    unclean shutdown AND with no writer running (the
+    compact_minhash_state serialization discipline: maintenance runs
+    BETWEEN drains)."""
     if terms is None:
         terms = SEARCH_TERMS
+    trash = os.path.join(index_path, "_apply_trash")
     if recover:
         recover_index_apply(index_path)
+    elif os.path.isdir(trash) and not os.path.exists(
+        os.path.join(trash, "_COMMIT")
+    ):
+        # a committed journal means every swap landed — the index is
+        # complete and only the journal retirement is pending, so the
+        # read is safe; any PRE-commit journal is not
+        raise RuntimeError(
+            f"interrupted index publish detected at {index_path!r} "
+            "(_apply_trash journal present without _COMMIT) — the sidecar "
+            "may be missing journaled shards, so a plain read would "
+            "silently return wrong results. If the writer is dead, re-run "
+            "with recover=True; if a writer is running, wait for its commit"
+        )
     idx = (
         spark.read.schema(_INDEX_SIDECAR_SCHEMA)
         .parquet(index_path)

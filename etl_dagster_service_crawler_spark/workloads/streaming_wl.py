@@ -976,8 +976,8 @@ def write_ordered_slices(
     import shutil
     import time
 
-    mn = docs.agg(F.min("doc_id")).first()[0] or 0
-    mx = docs.agg(F.max("doc_id")).first()[0] or 0
+    bounds = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    mn, mx = bounds[0] or 0, bounds[1] or 0
     width = (mx - mn + n_files) // n_files + 1
     os.makedirs(in_dir, exist_ok=True)
     now = time.time()

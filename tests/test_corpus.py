@@ -1787,11 +1787,16 @@ def test_index_apply_rejects_append_only_violation(spark, sf_dir, tmp_path):
 
 def test_search_indexed_recovery_is_opt_in(spark, sf_dir, tmp_path):
     """r12 ADVICE: a plain indexed read must NEVER mutate the sidecar —
-    an in-flight writer's journal survives a concurrent search — while
-    recover=True (caller asserts no writer) heals an interrupted
-    publish before reading."""
+    an in-flight writer's journal survives a concurrent search — and a
+    PRE-COMMIT journal makes the plain read fail LOUDLY instead of
+    silently scanning an index with journaled-away shards; recover=True
+    (caller asserts no writer) heals an interrupted publish before
+    reading, and a COMMITTED journal (all swaps landed) does not block
+    reads."""
     import os
     import shutil
+
+    import pytest
 
     from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
         _index_frame,
@@ -1822,12 +1827,35 @@ def test_search_indexed_recovery_is_opt_in(spark, sf_dir, tmp_path):
         os.path.join(trash, f"shard={resident}"),
     )
 
-    # plain read: journal untouched (the writer can still finish)
-    search_conjunctive_indexed(spark, path).collect()
+    # plain read: LOUD failure (missing shards would mean silently
+    # wrong scores), and the journal stays untouched for the writer
+    with pytest.raises(RuntimeError, match="interrupted index publish"):
+        search_conjunctive_indexed(spark, path).collect()
     assert os.path.isdir(trash)
     assert os.path.isdir(os.path.join(trash, f"shard={resident}"))
 
-    # opt-in recovery heals, then the search reproduces the direct scan
+    # a COMMITTED journal = every swap landed — reads are safe; only
+    # the journal retirement is pending (restore the shard to make the
+    # index complete, as a committed publish would have)
+    os.rename(
+        os.path.join(trash, f"shard={resident}"),
+        os.path.join(path, f"shard={resident}"),
+    )
+    open(os.path.join(trash, "_COMMIT"), "w").close()
+    got_committed = [
+        (r["doc_id"], r["score"])
+        for r in search_conjunctive_indexed(spark, path).collect()
+    ]
+    assert got_committed == want
+    assert os.path.isdir(trash)  # still the writer's to retire
+
+    # re-create the interrupted state; opt-in recovery heals, then the
+    # search reproduces the direct scan
+    os.remove(os.path.join(trash, "_COMMIT"))
+    os.rename(
+        os.path.join(path, f"shard={resident}"),
+        os.path.join(trash, f"shard={resident}"),
+    )
     got = [
         (r["doc_id"], r["score"])
         for r in search_conjunctive_indexed(spark, path, recover=True).collect()

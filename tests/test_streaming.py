@@ -1070,3 +1070,130 @@ def test_stream_crawl_record_matches_batch_and_redelivery_idempotent(
         .collect()
     }
     assert side_after == side
+
+
+def test_compaction_crash_window_never_doubles_sum_consumers(spark, sf_dir):
+    """r13 review finding: a crash between the compacted generation's
+    rename and the superseded-dir deletions must NOT double facts for
+    SUM consumers — the generation's _FOLDED marker makes readers
+    filter lingering superseded dirs, so the packing base offset stays
+    exact through the crash window, a resumed ingest packs correctly,
+    and the NEXT compaction folds the leftovers away (transitively,
+    across a second interrupted generation)."""
+    import hashlib
+    import os
+    import shutil
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+        read_epoch_state,
+    )
+    from etl_dagster_service_crawler_spark.streaming.packing import (
+        _TOK_SCHEMA,
+        compact_pack_state,
+        pack_ingest,
+        read_packed,
+    )
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_pack_sequences,
+    )
+    from etl_dagster_service_crawler_spark.workloads.streaming_wl import (
+        write_ordered_slices,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/pack_crashwin"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("max(doc_id) * 3 DIV 4")).first()[0]
+    lo = docs.where(F.col("doc_id") <= cut)
+    hi = docs.where(F.col("doc_id") > cut)
+    write_ordered_slices(lo, f"{base}/in", 3)
+    state = f"{base}/state"
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{base}/in")
+        )
+        q = (
+            stream.writeStream.foreachBatch(pack_ingest(state))
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    drain()  # epochs 0..2
+    tok = f"{state}/tok"
+    # simulate the crash window: stash one epoch dir, compact, put the
+    # superseded dir BACK (as if the deletion loop died before it)
+    stash = f"{base}/stash"
+    shutil.copytree(os.path.join(tok, "epoch=0"), stash)
+    compact_pack_state(spark, state)
+    shutil.copytree(stash, os.path.join(tok, "epoch=0"))
+    assert sorted(os.listdir(tok))[:2] == ["epoch=-1", "epoch=0"]
+
+    # the reader must see each fact ONCE (epoch=0 is in -1's _FOLDED)
+    total_tokens = q_pack_sequences(spark, sf_dir).where(
+        F.col("doc_id") <= cut
+    ).agg(F.sum("n_tokens")).first()[0]
+    facts_sum = read_epoch_state(spark, state, "tok", _TOK_SCHEMA).agg(
+        F.sum("n_tokens")
+    ).first()[0]
+    assert facts_sum == total_tokens, "crash window doubled the base facts"
+
+    # resumed ingest over the crash-window state packs exactly
+    write_ordered_slices(hi, f"{base}/in", 1, first_index=3)
+    drain()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"])
+        for r in read_packed(spark, state).collect()
+    }
+    want = {
+        r["doc_id"]: (r["n_tokens"], r["start_tok"])
+        for r in q_pack_sequences(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # the next compaction folds the leftovers transitively: one
+    # generation remains, facts still exact
+    compact_pack_state(spark, state)
+    eps = sorted(e for e in os.listdir(tok) if e.startswith("epoch="))
+    assert eps == ["epoch=-2"], eps
+    assert read_epoch_state(spark, state, "tok", _TOK_SCHEMA).agg(
+        F.sum("n_tokens")
+    ).first()[0] == q_pack_sequences(spark, sf_dir).agg(
+        F.sum("n_tokens")
+    ).first()[0]
+
+
+def test_pack_redelivery_content_mismatch_fails_loudly(spark, sf_dir):
+    """r13 review finding follow-up: the persisted (min_doc, max_doc)
+    fact is load-bearing — re-delivering a committed epoch id with a
+    DIFFERENT doc range (checkpoint/source disagreement) must refuse to
+    overwrite committed state, while a faithful re-delivery stays
+    idempotent."""
+    import hashlib
+    import shutil
+
+    import pytest
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.streaming.packing import (
+        pack_ingest,
+    )
+
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:8]
+    base = f"/tmp/spark_graft_streams/{tag}/pack_redeliver"
+    shutil.rmtree(base, ignore_errors=True)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cut = docs.agg(F.expr("max(doc_id) DIV 2")).first()[0]
+    lo = docs.where(F.col("doc_id") <= cut)
+    state = f"{base}/state"
+    apply = pack_ingest(state)
+    apply(lo, 0)
+    apply(lo, 0)  # faithful re-delivery: idempotent, no error
+    with pytest.raises(ValueError, match="re-delivery mismatch"):
+        apply(lo.limit(10), 0)  # same epoch id, different doc range
