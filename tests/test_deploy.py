@@ -332,6 +332,14 @@ def test_serve_daemon_combined_mode(spark, sf_dir, tmp_path, monkeypatch):
 
     def capture(*a, **k):
         srv = real_serve(*a, **k)
+        # grab the shared tick lock HERE, before main() starts the tick
+        # loop: on a loaded VM both 0.2s ticks can otherwise complete
+        # and shut the server down before the test thread reaches its
+        # probes (observed full-suite flake — the probes then retry
+        # 'connection refused' against a dead server until deadline).
+        # threading.Lock may be released by a different thread, so the
+        # test body releases it after probing.
+        srv.tick_lock.acquire()
         captured["srv"] = srv
         return srv
 
@@ -352,10 +360,10 @@ def test_serve_daemon_combined_mode(spark, sf_dir, tmp_path, monkeypatch):
     srv = captured["srv"]
     base = f"http://127.0.0.1:{srv.server_address[1]}"
 
-    # Hold the shared tick lock while probing: the loop cannot finish
-    # its remaining ticks (each needs the lock) and so cannot shut the
-    # server down under the probes — deterministic, no sleep-tuning.
-    # Acquisition itself may wait out an in-flight tick first.
+    # The shared tick lock is ALREADY HELD (acquired in capture, before
+    # the tick loop started): the loop cannot run any tick, so it
+    # cannot shut the server down under the probes — deterministic, no
+    # sleep-tuning and no race against fast ticks.
     def _probe(req, deadline_s=30.0):
         # bounded retry on transport-level resets only: the single-
         # threaded HTTP server can drop a connection under VM load
@@ -372,13 +380,12 @@ def test_serve_daemon_combined_mode(spark, sf_dir, tmp_path, monkeypatch):
                     raise
                 _time.sleep(0.3)
 
-    with srv.tick_lock:
+    try:
         # the status surface answers WHILE the tick loop runs
         rep = json.loads(_probe(f"{base}/status.json"))
         assert "counts" in rep and "sinks" in rep
 
-        # a web trigger while the scheduled-tick side holds the shared
-        # lock is refused with 409
+        # a web trigger while the tick lock is held is refused with 409
         try:
             _probe(
                 urllib.request.Request(f"{base}/run", method="POST", data=b"")
@@ -386,6 +393,8 @@ def test_serve_daemon_combined_mode(spark, sf_dir, tmp_path, monkeypatch):
             raise AssertionError("expected 409")
         except urllib.error.HTTPError as e:
             assert e.code == 409
+    finally:
+        srv.tick_lock.release()  # let the scheduled ticks proceed
 
     t.join(timeout=600)
     assert not t.is_alive() and rcs == [0]
