@@ -32,6 +32,20 @@ def require_local(state_dir: str) -> str:
     return state_dir
 
 
+def superseded_epoch_dirs(path: str) -> set[str]:
+    """Union of every generation dir's ``_FOLDED`` marker under `path`
+    — the epoch dir names a compaction has replaced (and will delete;
+    a lingering one is the compaction's crash window)."""
+    superseded: set[str] = set()
+    for e in os.listdir(path):
+        if e.startswith("epoch="):
+            marker = os.path.join(path, e, "_FOLDED")
+            if os.path.isfile(marker):
+                with open(marker) as fh:
+                    superseded |= {s for s in fh.read().split() if s}
+    return superseded
+
+
 def live_epoch_dirs(path: str) -> list[str]:
     """Epoch dir names under `path` that are NOT superseded by a
     compacted generation. Each generation dir carries a ``_FOLDED``
@@ -42,13 +56,30 @@ def live_epoch_dirs(path: str) -> list[str]:
     SUM consumers (packing's base offset) as much as DISTINCT ones
     (minhash pairs)."""
     entries = [e for e in os.listdir(path) if e.startswith("epoch=")]
-    superseded: set[str] = set()
-    for e in entries:
-        marker = os.path.join(path, e, "_FOLDED")
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                superseded |= {s for s in fh.read().split() if s}
+    superseded = superseded_epoch_dirs(path)
     return sorted(e for e in entries if e not in superseded)
+
+
+def assert_epoch_writable(root: str, sub: str, epoch_id: int) -> None:
+    """Fail loudly when ``epoch=epoch_id`` was already FOLDED into a
+    compacted generation: writing it again means the streaming
+    checkpoint restarted epoch numbering against existing state (reset
+    or rebuilt checkpoint, same state_dir) — the new dir would be
+    filtered by every reader as a compaction leftover and DELETED by
+    the next compaction, silent data loss. A checkpoint and its
+    state_dir must live and die together; start a fresh state_dir with
+    a fresh checkpoint."""
+    path = os.path.join(root, sub)
+    if os.path.isdir(path) and f"epoch={int(epoch_id)}" in superseded_epoch_dirs(path):
+        raise ValueError(
+            f"epoch={int(epoch_id)} under {path!r} was already folded into a "
+            "compacted generation — the streaming checkpoint appears to have "
+            "been reset against existing state (its epoch numbering "
+            "restarted); writes under a superseded epoch id are invisible to "
+            "readers and deleted by the next compaction. Use a fresh "
+            "state_dir with the fresh checkpoint (or resume the original "
+            "checkpoint)"
+        )
 
 
 def read_epoch_state(spark, root: str, sub: str, schema: str) -> DataFrame:
@@ -124,7 +155,7 @@ def compact_epoch_dirs(
     # everything present, including superseded leftovers from a prior
     # crash — they all get folded into the new marker and deleted below
     entries = [e for e in os.listdir(path) if e.startswith("epoch=")]
-    if len(live_epoch_dirs(path)) <= 1 and len(entries) <= 1:
+    if len(entries) <= 1:
         return
     gens = [int(e.split("=", 1)[1]) for e in entries]
     new_gen = min(min(gens), 0) - 1  # -1 first, then -2, ...
@@ -135,8 +166,21 @@ def compact_epoch_dirs(
     shutil.rmtree(tmp, ignore_errors=True)
     out = cur.repartition(n_buckets, key) if key else cur.coalesce(n_buckets)
     out.write.parquet(tmp)
-    with open(os.path.join(tmp, "_FOLDED"), "w") as fh:
+    # fsync marker bytes AND the parent dir before the rename publish:
+    # without it a power loss could persist the rename while the marker
+    # blocks don't, making both generations live — the exact double the
+    # marker exists to prevent (process crashes alone don't need this;
+    # the page cache survives them)
+    marker = os.path.join(tmp, "_FOLDED")
+    with open(marker, "w") as fh:
         fh.write(" ".join(entries))
+        fh.flush()
+        os.fsync(fh.fileno())
+    dfd = os.open(tmp, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     # atomic publish BEFORE any deletion: a crash from here on leaves
     # the new generation plus superseded dirs its marker filters out
     os.rename(tmp, os.path.join(path, f"epoch={new_gen}"))

@@ -83,7 +83,17 @@ def minhash_dedup_ingest(state_dir: str, jaccard_bp_min: int):
     sentinel_key = "-".join([str(MINHASH_EXPORT_P)] * MINHASH_EXPORT_BAND_ROWS)
 
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
+        from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+            assert_epoch_writable,
+        )
+
         spark = batch_df.sparkSession
+        # loud failure when the checkpoint restarted epoch numbering
+        # against compacted state (reset checkpoint, same state_dir):
+        # a superseded epoch id's writes would be reader-invisible and
+        # deleted by the next compaction
+        for sub in ("bands", "hv", "pairs"):
+            assert_epoch_writable(state_dir, sub, int(epoch_id))
         batch = batch_df.persist()
         new_bands = new_hv = None
         try:

@@ -50,6 +50,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+    assert_epoch_writable,
     compact_epoch_dirs,
     read_epoch_state,
     require_local,
@@ -79,16 +80,27 @@ def pack_ingest(state_dir: str):
     def apply(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         ep = int(epoch_id)
+        # loud failure when the checkpoint restarted epoch numbering
+        # against compacted state — a superseded epoch id's writes
+        # would be reader-invisible and compaction-deleted
+        assert_epoch_writable(state_dir, "tok", ep)
         facts = read_epoch_state(spark, state_dir, "tok", _TOK_SCHEMA)
-        prior = (
-            facts.where(F.col("epoch") < ep)
-            .agg(
-                F.coalesce(F.sum("n_tokens"), F.lit(0)).alias("base"),
-                F.max("max_doc").alias("prior_max"),
-            )
-            .first()
-        )
-        own = facts.where(F.col("epoch") == ep).first()
+        # ONE pass over the fact files: conditional aggregates pull the
+        # prior-prefix totals AND the own-epoch committed fact together
+        # (a second .first() would re-list and re-scan the whole fact
+        # dir on every micro-batch)
+        lt = F.col("epoch") < ep
+        eq = F.col("epoch") == ep
+        prior = facts.agg(
+            F.coalesce(F.sum(F.when(lt, F.col("n_tokens"))), F.lit(0)).alias(
+                "base"
+            ),
+            F.max(F.when(lt, F.col("max_doc"))).alias("prior_max"),
+            F.max(F.when(eq, F.lit(1))).alias("own_seen"),
+            F.max(F.when(eq, F.col("n_tokens"))).alias("own_tok"),
+            F.max(F.when(eq, F.col("min_doc"))).alias("own_min"),
+            F.max(F.when(eq, F.col("max_doc"))).alias("own_max"),
+        ).first()
         spans = pack_doc_spans_frame(batch_df)
         shifted = spans.select(
             "doc_id",
@@ -123,19 +135,24 @@ def pack_ingest(state_dir: str):
                     "backfilled slice); re-land the slice after the "
                     "resident range or rebuild with the batch query"
                 )
-            # re-delivery sanity on the persisted (min_doc, max_doc):
-            # at-least-once may replay an epoch, but only with the SAME
-            # rows — a different doc range under a repeated epoch id
-            # means checkpoint/source corruption, and overwriting the
-            # committed fact would silently shift every later offset
-            if own is not None and (
-                own["min_doc"] != stats["mn"] or own["max_doc"] != stats["mx"]
+            # re-delivery sanity on the persisted fact: at-least-once
+            # may replay an epoch, but only with the SAME content — a
+            # different doc range OR token total under a repeated epoch
+            # id means checkpoint/source corruption (a slice rewritten
+            # in place keeps its doc_ids but changes n_tokens), and
+            # overwriting the committed fact would silently shift every
+            # later offset
+            if prior["own_seen"] is not None and (
+                prior["own_min"] != stats["mn"]
+                or prior["own_max"] != stats["mx"]
+                or prior["own_tok"] != stats["total"]
             ):
                 raise ValueError(
                     f"pack_ingest re-delivery mismatch: epoch {ep} was "
-                    f"committed with doc range [{own['min_doc']}, "
-                    f"{own['max_doc']}] but re-delivered with "
-                    f"[{stats['mn']}, {stats['mx']}] — the checkpoint and "
+                    f"committed as doc range [{prior['own_min']}, "
+                    f"{prior['own_max']}] with {prior['own_tok']} tokens "
+                    f"but re-delivered as [{stats['mn']}, {stats['mx']}] "
+                    f"with {stats['total']} tokens — the checkpoint and "
                     "the source manifest disagree; refusing to overwrite "
                     "committed state"
                 )

@@ -1636,32 +1636,41 @@ def search_conjunctive_indexed(
     (``recover=True``), never automatic — recover_index_apply moves
     and deletes shard dirs, so a reader running it concurrently with
     an in-flight index_sidecar_apply publish could destroy the
-    writer's journal mid-swap. A plain read never mutates the sidecar;
-    when a publish journal IS present it fails LOUDLY instead of
-    silently scanning an index with journaled-away shards (missing
-    postings would return wrong scores with no error): if the journal
-    belongs to a dead writer, pass recover=True — only after an
-    unclean shutdown AND with no writer running (the
-    compact_minhash_state serialization discipline: maintenance runs
-    BETWEEN drains)."""
+    writer's journal mid-swap. A plain read never mutates the sidecar,
+    and when a PRE-COMMIT publish journal is present at call time it
+    fails loudly instead of silently scanning an index with
+    journaled-away shards (missing postings would return wrong scores
+    with no error): if the journal belongs to a dead writer, pass
+    recover=True — only after an unclean shutdown AND with no writer
+    running (the compact_minhash_state serialization discipline:
+    maintenance runs BETWEEN drains). The journal check is best-effort
+    crash DETECTION, not concurrency control — the serialization
+    contract (don't race a live writer) still rests with the caller;
+    a reader racing a live writer gets either this error or a loud
+    missing-file scan failure, never a silent wrong answer on the
+    file set pinned at DataFrame construction."""
     if terms is None:
         terms = SEARCH_TERMS
-    trash = os.path.join(index_path, "_apply_trash")
     if recover:
         recover_index_apply(index_path)
-    elif os.path.isdir(trash) and not os.path.exists(
-        os.path.join(trash, "_COMMIT")
-    ):
-        # a committed journal means every swap landed — the index is
-        # complete and only the journal retirement is pending, so the
-        # read is safe; any PRE-commit journal is not
-        raise RuntimeError(
-            f"interrupted index publish detected at {index_path!r} "
-            "(_apply_trash journal present without _COMMIT) — the sidecar "
-            "may be missing journaled shards, so a plain read would "
-            "silently return wrong results. If the writer is dead, re-run "
-            "with recover=True; if a writer is running, wait for its commit"
-        )
+    else:
+        # ONE listing snapshot (an isdir/exists pair could straddle a
+        # writer's commit-and-retire and spuriously flag a healthy
+        # index); a committed journal means every swap landed — only
+        # its retirement is pending — so the read is safe
+        try:
+            trash_entries = os.listdir(os.path.join(index_path, "_apply_trash"))
+        except FileNotFoundError:
+            trash_entries = None
+        if trash_entries is not None and "_COMMIT" not in trash_entries:
+            raise RuntimeError(
+                f"interrupted index publish detected at {index_path!r} "
+                "(_apply_trash journal present without _COMMIT) — the "
+                "sidecar may be missing journaled shards, so a plain read "
+                "would silently return wrong results. If the writer is "
+                "dead, re-run with recover=True; if a writer is running, "
+                "wait for its commit"
+            )
     idx = (
         spark.read.schema(_INDEX_SIDECAR_SCHEMA)
         .parquet(index_path)

@@ -949,6 +949,14 @@ def test_pack_state_compaction_and_resume(spark, sf_dir):
     compact_pack_state(spark, state)
     assert sorted(os.listdir(f"{state}/tok")) == ["epoch=-1"]
 
+    # a RESET checkpoint restarting epoch numbering against this state
+    # would write under an already-folded epoch id — reader-invisible,
+    # deleted by the next compaction — so it must fail loudly instead
+    import pytest
+
+    with pytest.raises(ValueError, match="already folded"):
+        pack_ingest(state)(hi, 0)
+
     # the later tranche lands after the fold; the resumed ingest's
     # base offset must come from the compacted generation
     write_ordered_slices(hi, f"{base}/in", 1, first_index=3)
@@ -1196,4 +1204,14 @@ def test_pack_redelivery_content_mismatch_fails_loudly(spark, sf_dir):
     apply(lo, 0)
     apply(lo, 0)  # faithful re-delivery: idempotent, no error
     with pytest.raises(ValueError, match="re-delivery mismatch"):
-        apply(lo.limit(10), 0)  # same epoch id, different doc range
+        # same epoch id, DETERMINISTICALLY different doc range (a
+        # limit() could by chance include both extremes and slip past
+        # the min/max check)
+        apply(lo.where(F.col("doc_id") > cut // 2), 0)
+    with pytest.raises(ValueError, match="re-delivery mismatch"):
+        # same doc RANGE but different content (slice rewritten in
+        # place): caught by the token-total component of the fact
+        apply(
+            lo.select("doc_id", F.concat_ws(" ", "text", "text").alias("text")),
+            0,
+        )
