@@ -1272,6 +1272,13 @@ FROM ranked WHERE rk <= {SALIENT_PER_DOC}
 """
 
 
+# Fixture-sized. At production scale, size the width so one shard's
+# (term, shard) rows land as a file of hundreds of MB (row-group
+# multiples): the r13 ×10 A/B (docs/SCALE.md) measured the indexed
+# probe's growth living entirely in the shard-DIR count (listing +
+# per-file open over thousands of tiny dirs), so probe cost at 100 TB
+# is bounded by term-sorted row-group pruning only when shards are
+# file-sized, never when the dir count grows linearly with the corpus.
 POSTING_SHARD_WIDTH = 100
 SEARCH_TERMS = ("hash", "scan")
 COLLOCATION_TOP_K = 50
