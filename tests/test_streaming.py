@@ -1215,3 +1215,73 @@ def test_pack_redelivery_content_mismatch_fails_loudly(spark, sf_dir):
             lo.select("doc_id", F.concat_ws(" ", "text", "text").alias("text")),
             0,
         )
+
+
+def test_epoch_state_double_interrupted_compaction(spark, tmp_path, monkeypatch):
+    """r13 second-review hardening, stressed: TWO consecutive
+    compactions each crash between the generation rename and the
+    superseded-dir deletions (simulated by no-op'ing rmtree for epoch
+    dirs). The transitive _FOLDED markers must keep every fact counted
+    EXACTLY once for a SUM consumer through both crash windows, and a
+    final healthy compaction must fold all leftovers into one
+    generation without loss."""
+    import shutil
+
+    from etl_dagster_service_crawler_spark.streaming.epoch_state import (
+        compact_epoch_dirs,
+        live_epoch_dirs,
+        read_epoch_state,
+    )
+
+    root = str(tmp_path / "state")
+    sub = "facts"
+    schema = "epoch bigint, v bigint"
+    # distinct powers of two: ANY duplication or loss shows in the sum
+    for ep, v in [(0, 1), (1, 2), (2, 4)]:
+        spark.createDataFrame([(v,)], "v bigint").write.parquet(
+            f"{root}/{sub}/epoch={ep}"
+        )
+
+    def total():
+        return (
+            read_epoch_state(spark, root, sub, schema)
+            .agg(F.sum("v"))
+            .first()[0]
+        )
+
+    assert total() == 7
+
+    real_rmtree = shutil.rmtree
+
+    def crashy_rmtree(path, *a, **k):
+        # the staging dir must still clean up (start-of-run hygiene);
+        # superseded epoch-dir deletions "crash" (never happen)
+        if "_compact_tmp" in str(path):
+            return real_rmtree(path, *a, **k)
+        return None
+
+    monkeypatch.setattr(shutil, "rmtree", crashy_rmtree)
+    compact_epoch_dirs(spark, root, sub, schema)  # crashes pre-deletion
+    eps = sorted(os.listdir(f"{root}/{sub}"))
+    assert "epoch=-1" in eps and "epoch=0" in eps  # crash window is live
+    assert live_epoch_dirs(f"{root}/{sub}") == ["epoch=-1"]
+    assert total() == 7  # no double-count through the window
+
+    # a new epoch lands beside the mess, then a SECOND interrupted fold
+    spark.createDataFrame([(8,)], "v bigint").write.parquet(
+        f"{root}/{sub}/epoch=3"
+    )
+    assert total() == 15
+    compact_epoch_dirs(spark, root, sub, schema)  # crashes again
+    assert "epoch=-2" in sorted(os.listdir(f"{root}/{sub}"))
+    assert live_epoch_dirs(f"{root}/{sub}") == ["epoch=-2"]
+    assert total() == 15  # transitive marker: 0..2 still filtered
+
+    # healing: a healthy compaction folds every leftover away
+    monkeypatch.setattr(shutil, "rmtree", real_rmtree)
+    compact_epoch_dirs(spark, root, sub, schema)
+    eps = sorted(
+        e for e in os.listdir(f"{root}/{sub}") if e.startswith("epoch=")
+    )
+    assert eps == ["epoch=-3"], eps
+    assert total() == 15
