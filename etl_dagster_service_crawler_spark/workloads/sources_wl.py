@@ -395,35 +395,34 @@ RECORD_FIELDS = [
 ]
 
 
-def crawl_record_frame(d: DataFrame) -> DataFrame:
-    """The terminal-record TRANSFORM over a documents-shaped frame
-    (doc_id, source, lang), batch or streaming: fetch the detail page
-    AND the analysis page through the SAME http_enrich machinery (two
-    chained Arrow-batched maps, each payload real markup), parse both
-    with the codegen extract chains, assemble the 25 typed detail
-    fields + the job_info struct of 8 distribution maps into ONE
-    nested record, serialize with to_json. Entirely row-level (maps +
-    codegen expressions — no exchange anywhere), so it COMMUTES with
-    micro-batch slicing: the streaming twin (q_stream_crawl_record)
-    drains to exactly these rows and shares the record oracle. Returns
-    (doc_id, record, job_url) — job_url feeds the com_url side
-    projection.
+def _record_fetch_stage(
+    d: DataFrame, detail_transport=None, analysis_transport=None
+) -> DataFrame:
+    """Fetch stage of the terminal-record pipeline: detail page then
+    analysis page over a documents-shaped frame (doc_id, source, lang).
+    The DETAIL fetch is driven through frontier_fetch (r13 — politeness
+    EXECUTED in the flagship pipeline too, not just in
+    pipeline_crawl_extract): per-host queues in one partition each,
+    fetches in ascending fetch_slot order, consecutive fetches of a
+    host >= FRONTIER_HOST_DELAY slots apart. Priority is a constant,
+    so within a host the slot order is the id tiebreak = ascending
+    doc_id — the reference's scan order (test.py:151-176 iterates the
+    list page top to bottom). The ANALYSIS fetch is a second narrow
+    Arrow map over the SAME partitioning (mapInPandas preserves
+    partition row order), so analysis fetches inherit the host's
+    politeness spacing for free — the reference fetches both pages of
+    a job back-to-back inside the same polite loop (test.py:414-421).
 
-    Gender uses the zero-shuffle expression twin of the ±5 tolerance
-    join (GENDER_DIST_SQL; a test pins join ≡ expression), keeping the
-    whole pipeline shuffle-free: scan → fetch → fetch → parse →
-    assemble, the exact shape a 100 TB crawl wants (parse and assembly
-    live in the scan stage)."""
+    Keeps the scheduling columns (host_rank, fetch_slot) in the output
+    for tests/observability; record assembly projects them away. The
+    transports default to the fixture page renderers; tests inject
+    recording/chaos transports here."""
     from pyspark.sql import functions as F
 
     from etl_dagster_service_crawler_spark.functions.html import (
-        EXTRACT_SQL,
         job_page_transport,
     )
     from etl_dagster_service_crawler_spark.functions.html_analysis import (
-        ANALYSIS_EXTRACT_SQL,
-        ANALYSIS_FIELDS,
-        GENDER_DIST_SQL,
         analysis_page_transport,
     )
     from etl_dagster_service_crawler_spark.operators.enrich import http_enrich
@@ -434,12 +433,18 @@ def crawl_record_frame(d: DataFrame) -> DataFrame:
             "'https://example.com/job/' || CAST(doc_id AS STRING) || "
             "'?s=' || source || '&l=' || lang"
         ),
-    )
+    ).withColumn("_fetch_prio", F.lit(0))
     detail = (
-        http_enrich(with_url, "url", transport=job_page_transport)
+        frontier_fetch(
+            with_url,
+            "url",
+            "source",
+            "_fetch_prio",
+            transport=detail_transport or job_page_transport,
+        )
         .where(F.col("fetch_status") == "ok")
         .withColumnRenamed("payload", "detail_html")
-        .drop("fetch_status", "n_attempts")
+        .drop("fetch_status", "n_attempts", "_fetch_prio")
         .withColumn(
             "ana_url",
             F.expr(
@@ -448,11 +453,50 @@ def crawl_record_frame(d: DataFrame) -> DataFrame:
             ),
         )
     )
-    both = (
-        http_enrich(detail, "ana_url", transport=analysis_page_transport)
+    return (
+        http_enrich(
+            detail,
+            "ana_url",
+            transport=analysis_transport or analysis_page_transport,
+        )
         .where(F.col("fetch_status") == "ok")
         .withColumnRenamed("payload", "ana_html")
     )
+
+
+def crawl_record_frame(d: DataFrame) -> DataFrame:
+    """The terminal-record TRANSFORM over a documents-shaped frame
+    (doc_id, source, lang), batch or streaming: fetch the detail page
+    AND the analysis page through the SAME http_enrich machinery (two
+    chained Arrow-batched maps, each payload real markup — the detail
+    fetch scheduled by frontier_fetch, see _record_fetch_stage), parse
+    both with the codegen extract chains, assemble the 25 typed detail
+    fields + the job_info struct of 8 distribution maps into ONE
+    nested record, serialize with to_json. Downstream of the fetch
+    everything is row-level (maps + codegen expressions), and the
+    frontier window only re-places/orders rows — the result SET is
+    unchanged — so the transform COMMUTES with micro-batch slicing:
+    the streaming twin (q_stream_crawl_record) drains to exactly these
+    rows and shares the record oracle (the compare is
+    order-insensitive). Returns (doc_id, record, job_url) — job_url
+    feeds the com_url side projection.
+
+    Gender uses the zero-shuffle expression twin of the ±5 tolerance
+    join (GENDER_DIST_SQL; a test pins join ≡ expression). The ONLY
+    exchange is the frontier's host window over the tiny pre-fetch
+    rows (doc_id, source, lang, url) — politeness costs one exchange
+    of keys, never of payloads; parse and assembly live in the fetch
+    stage, the exact shape a 100 TB crawl wants."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.functions.html import EXTRACT_SQL
+    from etl_dagster_service_crawler_spark.functions.html_analysis import (
+        ANALYSIS_EXTRACT_SQL,
+        ANALYSIS_FIELDS,
+        GENDER_DIST_SQL,
+    )
+
+    both = _record_fetch_stage(d)
     ex = both.select(
         "doc_id",
         *[
@@ -495,8 +539,9 @@ def q_pipeline_crawl_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JSON sink's READ-BACK returned — the oracle builds the
     byte-identical JSON by dialect-neutral concat, so the serialized
     record, the sink round-trip, and every nested field are
-    value-hash-checked. The sink is append-only files — still no
-    exchange anywhere in the pipeline."""
+    value-hash-checked. The sink is append-only files; the pipeline's
+    only exchange is the frontier host window that schedules the
+    polite fetches (r13 — see _record_fetch_stage)."""
     from pyspark.sql import functions as F
 
     from etl_dagster_service_crawler_spark.io.sinks import sink_json_append

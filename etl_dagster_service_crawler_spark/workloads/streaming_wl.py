@@ -786,15 +786,21 @@ def q_stream_crawl_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline — fetch detail page, fetch analysis page, parse both,
     assemble the 25-field + job_info nested record, to_json — and land
     the DUAL JSON SINKS per epoch (test.py:577-580). crawl_record_frame
-    is row-level, so it commutes with micro-batch slicing: the drained
-    job_list read-back equals the batch entry row-for-row and THIS
-    ENTRY SHARES THE RECORD ORACLE (the byte-identical concat-built
-    JSON) — batch/stream symmetry for the engine's flagship artifact.
+    produces a slice-independent row SET (the frontier window inside
+    its fetch stage only re-places/orders rows), so it commutes with
+    micro-batch slicing: the drained job_list read-back equals the
+    batch entry row-for-row and THIS ENTRY SHARES THE RECORD ORACLE
+    (the byte-identical concat-built JSON) — batch/stream symmetry for
+    the engine's flagship artifact.
 
-    Scale: per-tick cost is |new pages| × (2 fetches + codegen parse) —
-    no exchange, no state beyond the epoch dirs, no rescans of landed
-    records; exactly the hourly-crawl-drop profile. Politeness/retry
-    live in the http_enrich transport contract, same as batch."""
+    Scale: per-tick cost is |new pages| × (2 fetches + codegen parse)
+    plus one tiny host-window exchange of the batch's pre-fetch keys —
+    POLITENESS IS EXECUTED AT INGEST (r13: each epoch's fetches run
+    per-host, slot-ordered, >= FRONTIER_HOST_DELAY apart — see
+    _record_fetch_stage); no other state beyond the epoch dirs, no
+    rescans of landed records; exactly the hourly-crawl-drop profile.
+    Retry lives in the http_enrich transport contract, same as
+    batch."""
     import hashlib
     import shutil
 

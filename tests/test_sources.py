@@ -234,3 +234,81 @@ def test_frontier_fetch_executes_politeness(spark, sf_dir):
             if r["source"] in last:
                 assert r["fetch_slot"] - last[r["source"]] >= FRONTIER_HOST_DELAY
             last[r["source"]] = r["fetch_slot"]
+
+
+def _assert_record_fetch_politeness(rows, delay):
+    """Shared contract assertions for _record_fetch_stage execution
+    order: one partition per host, ascending slot order per partition,
+    exact per-host slot spacing, and within a host ascending doc_id —
+    the reference's scan order (constant priority -> id tiebreak)."""
+    assert rows
+    by_pid: dict[int, list] = {}
+    host_pids: dict[str, set] = {}
+    for r in rows:
+        by_pid.setdefault(r["pid"], []).append(r)
+        host_pids.setdefault(r["source"], set()).add(r["pid"])
+    assert all(len(pids) == 1 for pids in host_pids.values()), host_pids
+    for pid, rs in by_pid.items():
+        slots = [r["fetch_slot"] for r in rs]
+        assert slots == sorted(slots), f"partition {pid} not slot-ordered"
+        last: dict[str, tuple] = {}
+        for r in rs:
+            if r["source"] in last:
+                lslot, ldoc = last[r["source"]]
+                assert r["fetch_slot"] - lslot == delay
+                assert r["doc_id"] > ldoc, "not reference scan order"
+            last[r["source"]] = (r["fetch_slot"], r["doc_id"])
+
+
+def test_record_fetch_stage_executes_politeness(spark, sf_dir):
+    """r13: politeness is executed in the TERMINAL-RECORD pipeline too
+    — _record_fetch_stage drives the detail fetch through
+    frontier_fetch, and the analysis fetch (second narrow map, order
+    preserved) inherits the spacing. Both payloads land."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        FRONTIER_HOST_DELAY,
+        _record_fetch_stage,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    )
+    both = _record_fetch_stage(d)
+    rows = (
+        both.withColumn("pid", F.spark_partition_id())
+        .select("pid", "source", "fetch_slot", "doc_id",
+                F.col("detail_html").isNotNull().alias("has_detail"),
+                F.col("ana_html").isNotNull().alias("has_ana"))
+        .collect()
+    )
+    assert all(r["has_detail"] and r["has_ana"] for r in rows)
+    _assert_record_fetch_politeness(rows, FRONTIER_HOST_DELAY)
+
+
+def test_record_fetch_stage_politeness_holds_per_microbatch_slice(spark, sf_dir):
+    """The at-ingest shape: q_stream_crawl_record applies the transform
+    per micro-batch inside foreachBatch, so the politeness contract
+    must hold on an arbitrary SLICE of the corpus — the frontier window
+    re-slots within whatever the epoch delivered."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.io.tables import load_table
+    from etl_dagster_service_crawler_spark.workloads.sources_wl import (
+        FRONTIER_HOST_DELAY,
+        _record_fetch_stage,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang"
+    ).where(F.col("doc_id") % 4 == 1)
+    assert d.count() > 0
+    rows = (
+        _record_fetch_stage(d)
+        .withColumn("pid", F.spark_partition_id())
+        .select("pid", "source", "fetch_slot", "doc_id")
+        .collect()
+    )
+    _assert_record_fetch_politeness(rows, FRONTIER_HOST_DELAY)
