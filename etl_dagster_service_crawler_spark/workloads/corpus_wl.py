@@ -1279,9 +1279,37 @@ FROM ranked WHERE rk <= {SALIENT_PER_DOC}
 # per-file open over thousands of tiny dirs), so probe cost at 100 TB
 # is bounded by term-sorted row-group pruning only when shards are
 # file-sized, never when the dir count grows linearly with the corpus.
+# Resizing is SAFE (r13): width is internal layout — same content and
+# search results at any width (pinned by test) — and every sidecar
+# records its build width in a _WIDTH marker, so an incremental apply
+# always shards its delta at the RESIDENT width and a contradictory
+# explicit width fails loudly (resize = rebuild, never an apply).
 POSTING_SHARD_WIDTH = 100
 SEARCH_TERMS = ("hash", "scan")
 COLLOCATION_TOP_K = 50
+
+
+def _write_width_marker(path: str, width: int) -> None:
+    """Record the shard width a sidecar was built with (r13: the
+    production-sizing note above makes resizing the constant the
+    RECOMMENDED operation at scale — without a recorded width, the
+    next incremental apply after a resize would compute delta shards
+    with the new width against resident shards laid out with the old
+    one and silently corrupt the range ordering). `_`-prefixed so
+    Spark's file index ignores it like _SUCCESS."""
+    with open(os.path.join(path, "_WIDTH"), "w") as fh:
+        fh.write(str(int(width)))
+
+
+def _read_width_marker(path: str):
+    """Width the sidecar at `path` was built with, or None for a
+    legacy sidecar predating the marker (those were always built at
+    the module default)."""
+    try:
+        with open(os.path.join(path, "_WIDTH")) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return None
 
 
 def q_build_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1327,7 +1355,9 @@ _INDEX_SIDECAR_SCHEMA = (
 )
 
 
-def _index_frame(docs: DataFrame) -> DataFrame:
+def _index_frame(
+    docs: DataFrame, width: int = POSTING_SHARD_WIDTH
+) -> DataFrame:
     """The sharded inverted index over an arbitrary documents frame —
     factored from q_build_inverted_index (r12) so the sidecar create
     AND the incremental apply build postings with the literal same
@@ -1335,7 +1365,12 @@ def _index_frame(docs: DataFrame) -> DataFrame:
     could not serve tf-weighted ranking, so every scorer had to rescan
     the corpus — with tf in the posting, search_conjunctive_indexed
     reproduces the direct scan's scores from the sidecar alone),
-    doc_id-sorted within the shard."""
+    doc_id-sorted within the shard. `width` is INTERNAL LAYOUT (r13):
+    it changes only how postings group into shard rows, never the
+    (term, doc_id, tf) content — searches over indexes built at
+    different widths return identical results (pinned by test), which
+    is what licenses the production resizing the POSTING_SHARD_WIDTH
+    note prescribes."""
     tf = (
         docs.select("doc_id", F.explode(tokens_ws(F.col("text"))).alias("term"))
         .groupBy("term", "doc_id")
@@ -1351,8 +1386,11 @@ def _index_frame(docs: DataFrame) -> DataFrame:
         ",",
     )
     return (
+        # integer DIV, not float `/`+cast: identical here, but at
+        # production id magnitudes double rounding could misplace a
+        # boundary doc into the wrong shard
         tf.withColumn(
-            "shard", (F.col("doc_id") / POSTING_SHARD_WIDTH).cast("bigint")
+            "shard", F.expr(f"doc_id DIV {int(width)}").cast("bigint")
         )
         .groupBy("term", "shard")
         .agg(
@@ -1363,7 +1401,12 @@ def _index_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def index_sidecar_apply(spark: SparkSession, path: str, new_docs: DataFrame) -> None:
+def index_sidecar_apply(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    width: int | None = None,
+) -> None:
     """Fold a batch of NEW documents into the persisted sharded index
     WITHOUT rescanning the corpus (r11 verdict item 5 — the
     sink_lm_sidecar_apply / sink_pq_sidecar_apply discipline applied
@@ -1397,11 +1440,30 @@ def index_sidecar_apply(spark: SparkSession, path: str, new_docs: DataFrame) -> 
     Scale: apply cost = |new docs| + |affected shards' rows|, never
     the index — the hourly-crawl-drop profile; the affected-shard list
     is |batch|/POSTING_SHARD_WIDTH entries (a bounded driver-side
-    collect, the sink_pq_sidecar_apply shape)."""
+    collect, the sink_pq_sidecar_apply shape).
+
+    Shard width (r13): the delta MUST shard with the width the
+    RESIDENT index was built with, or merged postings land in
+    wrong-range rows. The width is resolved from the sidecar's
+    _WIDTH marker (legacy sidecars predate it and were always built
+    at the module default); an explicit `width` argument that
+    contradicts the marker fails loudly — resizing the width is a
+    REBUILD, never an apply."""
     import shutil
 
     recover_index_apply(path)
-    delta = _index_frame(new_docs).persist()
+    recorded = _read_width_marker(path)
+    if width is None:
+        width = recorded if recorded is not None else POSTING_SHARD_WIDTH
+    elif recorded is not None and recorded != width:
+        raise ValueError(
+            f"index_sidecar_apply width mismatch: sidecar at {path!r} was "
+            f"built with shard width {recorded}, caller passed {width} — "
+            "a delta sharded at a different width would merge postings "
+            "into wrong-range rows. Resizing the shard width requires a "
+            "full index rebuild"
+        )
+    delta = _index_frame(new_docs, width).persist()
     try:
         affected = [
             r["shard"] for r in delta.select("shard").distinct().collect()
@@ -1608,6 +1670,7 @@ def q_sink_index_sidecar_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(path, ignore_errors=True)
     base = load_table(spark, sf_dir, "documents")
     _index_frame(base).write.partitionBy("shard").parquet(path)
+    _write_width_marker(path, POSTING_SHARD_WIDTH)
     batch_a, batch_b = _index_apply_batches(spark, sf_dir)
     index_sidecar_apply(spark, path, batch_a)
     index_sidecar_apply(spark, path, batch_b)
@@ -1747,6 +1810,7 @@ def index_sidecar_cached(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("shard")
             .parquet(path)
         )
+        _write_width_marker(path, POSTING_SHARD_WIDTH)
     return path
 
 

@@ -1863,3 +1863,101 @@ def test_search_indexed_recovery_is_opt_in(spark, sf_dir, tmp_path):
     assert not os.path.isdir(trash)
     assert got == want and len(got) > 0
     shutil.rmtree(path)
+
+
+def _posting_triples(rows):
+    """Reconstruct the layout-independent index CONTENT — the
+    (term, doc_id, tf) triple set — from sharded sidecar rows."""
+    out = set()
+    for r in rows:
+        for item in r["postings"].split(","):
+            d, tf = item.split(":")
+            out.add((r["term"], int(d), int(tf)))
+    return out
+
+
+def test_index_shard_width_is_internal_layout(spark, sf_dir, tmp_path):
+    """r13: POSTING_SHARD_WIDTH is layout, not semantics — the
+    production-sizing note prescribes resizing it at scale, so pin
+    what licenses that: indexes built at different widths hold the
+    SAME (term, doc_id, tf) content, every row's shard matches its
+    own width, and search served from either returns identical
+    results (and = the direct corpus scan)."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _INDEX_SIDECAR_SCHEMA,
+        _index_frame,
+        _write_width_marker,
+        q_search_conjunctive,
+        search_conjunctive_indexed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    results, triples = [], []
+    for width in (37, 100):
+        p = str(tmp_path / f"idx_w{width}")
+        _index_frame(docs, width).write.partitionBy("shard").parquet(p)
+        _write_width_marker(p, width)
+        rows = spark.read.schema(_INDEX_SIDECAR_SCHEMA).parquet(p).collect()
+        assert all(
+            r["shard"] == d // width
+            for r in rows
+            for d in (int(x.split(":")[0]) for x in r["postings"].split(","))
+        )
+        triples.append(_posting_triples(rows))
+        results.append(
+            [tuple(r) for r in search_conjunctive_indexed(spark, p).collect()]
+        )
+    assert triples[0] == triples[1] and triples[0]
+    assert results[0] == results[1]
+    direct = [tuple(r) for r in q_search_conjunctive(spark, sf_dir).collect()]
+    assert results[0] == direct
+
+
+def test_index_apply_uses_recorded_width_and_rejects_mismatch(
+    spark, sf_dir, tmp_path
+):
+    """r13: an apply against a non-default-width sidecar resolves the
+    width from the _WIDTH marker (delta shards at the RESIDENT width,
+    apply ≡ rebuild at that width), and an explicit contradictory
+    width fails loudly BEFORE anything merges — resizing is a rebuild,
+    never an apply."""
+    import pytest
+
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        _INDEX_SIDECAR_SCHEMA,
+        _index_apply_batches,
+        _index_frame,
+        _write_width_marker,
+        index_sidecar_apply,
+    )
+
+    width = 37
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = str(tmp_path / "idx_w37")
+    _index_frame(docs, width).write.partitionBy("shard").parquet(p)
+    _write_width_marker(p, width)
+    batch_a, _batch_b = _index_apply_batches(spark, sf_dir)
+
+    with pytest.raises(ValueError, match="width mismatch"):
+        index_sidecar_apply(spark, p, batch_a, width=100)
+
+    index_sidecar_apply(spark, p, batch_a)  # width=None -> marker's 37
+    back = spark.read.schema(_INDEX_SIDECAR_SCHEMA).parquet(p)
+    rows = back.collect()
+    assert all(
+        r["shard"] == d // width
+        for r in rows
+        for d in (int(x.split(":")[0]) for x in r["postings"].split(","))
+    ), "apply did not shard the delta at the resident width"
+    rebuild = _index_frame(
+        docs.select("doc_id", "text").unionByName(
+            batch_a.select("doc_id", "text")
+        ),
+        width,
+    ).collect()
+    assert _posting_triples(rows) == _posting_triples(rebuild)
+    assert {(r["term"], r["shard"], r["df_shard"], r["tf_shard"])
+            for r in rows} == {
+        (r["term"], r["shard"], r["df_shard"], r["tf_shard"])
+        for r in rebuild
+    }
