@@ -650,17 +650,40 @@ IVF_MAX_PARTITION_DIRS = 128
 
 
 def ivf_n_dirs(n_centroids: int, cap: int | None = None) -> int:
-    """Directory count of the bucketed assignment layout — derived, not
-    stored: every reader/writer recomputes it from the centroid count,
-    so the layout needs no side-channel metadata file. The cap default
-    reads the module constant at CALL time (a def-time default would
-    freeze it against test monkeypatching)."""
+    """Directory count for a NEW bucketed assignment layout. The cap
+    default reads the module constant at CALL time (a def-time default
+    would freeze it against test monkeypatching).
+
+    For an EXISTING index use ivf_index_n_dirs: re-deriving from the
+    constant is stable only while the cap never changes, and above the
+    cap (production cell counts) a resized cap would make the probe
+    path prune pb = pmod(cid, WRONG_nd) — silently missing candidate
+    buckets with no error. The _NDIRS marker (r13) removes that
+    coupling."""
     return max(1, min(n_centroids, cap if cap is not None else IVF_MAX_PARTITION_DIRS))
+
+
+def ivf_index_n_dirs(index_dir: str, n_centroids: int) -> int:
+    """Bucket count of a PERSISTED index: the _NDIRS marker ivf_build
+    records (atomic with the publish rename), falling back to the
+    derived value for legacy indexes built before the marker (those
+    are consistent as long as the cap constant is unchanged — the
+    exact coupling the marker exists to remove). Every reader
+    (ivf_search's partition pruning) and every appender (streaming
+    ingest) must size pmod by the layout ON DISK, never by today's
+    constants."""
+    import os
+
+    try:
+        with open(os.path.join(index_dir, "_NDIRS")) as fh:
+            return int(fh.read().strip())
+    except FileNotFoundError:
+        return ivf_n_dirs(n_centroids)
 
 
 def write_assignments(
     assignments: DataFrame, out_dir: str, n_centroids: int,
-    mode: str = "error",
+    mode: str = "error", n_dirs: int | None = None,
 ) -> None:
     """Write (or append) assignment rows in the bucketed index layout:
     partitioned by pb = pmod(cid, n_dirs), sorted by cid within each
@@ -672,8 +695,13 @@ def write_assignments(
     every write task emits a sliver into every partition); the
     sortWithinPartitions clusters each cid's rows into contiguous row
     groups, which is what lets the cid IN-filter skip at row-group
-    granularity when a bucket holds many cells."""
-    nd = ivf_n_dirs(n_centroids)
+    granularity when a bucket holds many cells.
+
+    `n_dirs` overrides the derived bucket count — APPENDS to an
+    existing index must pass its recorded count (ivf_index_n_dirs) so
+    the new rows land in the resident layout even if the cap constant
+    changed since the build."""
+    nd = n_dirs if n_dirs is not None else ivf_n_dirs(n_centroids)
     (
         assignments.withColumn(
             "pb", F.pmod(F.col("cid"), F.lit(nd)).cast("int")
@@ -716,6 +744,11 @@ def ivf_build(
     stage = f"{index_dir.rstrip('/')}.stage-{uuid.uuid4().hex[:8]}"
     centroids.write.parquet(f"{stage}/centroids")
     write_assignments(assignments, f"{stage}/assignments", n_centroids)
+    # record the bucket count IN the staged dir so the marker is
+    # atomic with the publish rename — readers and appenders size
+    # pmod by the layout on disk, not today's cap constant (r13)
+    with open(os.path.join(stage, "_NDIRS"), "w") as fh:
+        fh.write(str(ivf_n_dirs(n_centroids)))
     try:
         os.rename(stage, index_dir)
     except OSError:
@@ -749,7 +782,7 @@ def ivf_search(
     probe_cids = sorted(
         int(r["cid"]) for r in probes.select("cid").distinct().collect()
     )
-    nd = ivf_n_dirs(centroids.count())
+    nd = ivf_index_n_dirs(index_dir, centroids.count())
     probe_pbs = sorted({c % nd for c in probe_cids})
     assignments = (
         spark.read.parquet(f"{index_dir}/assignments")

@@ -387,6 +387,7 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_cells,
         ivf_build,
         ivf_index_dir,
+        ivf_index_n_dirs,
         write_assignments,
     )
 
@@ -407,9 +408,15 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = f"{base}/assignments"
 
+    # size pmod by the BUILT index's recorded bucket count, not
+    # today's cap constant — streamed and batch-built layouts must
+    # stay identical even across a cap resize (r13)
+    nd = ivf_index_n_dirs(index_dir, 16)
+
     def ingest(batch_df: DataFrame, batch_id: int) -> None:
         write_assignments(
-            assign_cells(batch_df, centroids), out_dir, 16, mode="append"
+            assign_cells(batch_df, centroids), out_dir, 16, mode="append",
+            n_dirs=nd,
         )
 
     q = (

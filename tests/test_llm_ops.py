@@ -271,8 +271,85 @@ def test_ivf_persisted_index_matches_one_shot_and_prunes_partitions(
     ivf_build(emb, index_dir, n_centroids=8)
     import os
 
-    assert sorted(os.listdir(index_dir)) == ["assignments", "centroids"]
+    assert sorted(os.listdir(index_dir)) == ["_NDIRS", "assignments", "centroids"]
     assert not [d for d in os.listdir(tmp_path) if "stage" in d]
+
+
+
+def test_ivf_search_and_append_use_recorded_bucket_count(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """r13: readers and appenders size pmod by the layout ON DISK
+    (the _NDIRS marker, atomic with the publish rename), never by
+    today's cap constant. Build under a small cap (8 cells -> 4
+    bucket dirs), then restore the default cap: re-deriving would
+    give nd=8 and the probe's pb = pmod(cid, 8) would prune to the
+    WRONG directories, silently dropping candidate buckets. With the
+    marker, search results are identical before and after the cap
+    change, and an append lands rows in the resident 4-dir layout."""
+    import os
+
+    from etl_dagster_service_crawler_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    index_dir = str(tmp_path / "ivf_cap4")
+    monkeypatch.setattr(S, "IVF_MAX_PARTITION_DIRS", 4)
+    S.ivf_build(emb, index_dir, n_centroids=8)
+    with open(os.path.join(index_dir, "_NDIRS")) as fh:
+        assert fh.read().strip() == "4"
+    q = emb.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    before = {
+        (r.qid, r.rn, r.nid)
+        for r in S.ivf_search(spark, index_dir, q, k=5, nprobe=8).collect()
+    }
+    assert before, "search under the build-time cap returned nothing"
+
+    monkeypatch.setattr(S, "IVF_MAX_PARTITION_DIRS", 128)
+    after = {
+        (r.qid, r.rn, r.nid)
+        for r in S.ivf_search(spark, index_dir, q, k=5, nprobe=8).collect()
+    }
+    assert after == before, (
+        "cap resize between build and search changed results - the "
+        "probe is not honoring the recorded bucket count"
+    )
+    # legacy-index fallback: without a marker the derived value is
+    # used (correct only while constants are unchanged)
+    monkeypatch.setattr(S, "IVF_MAX_PARTITION_DIRS", 4)
+    os.remove(os.path.join(index_dir, "_NDIRS"))
+    legacy = {
+        (r.qid, r.rn, r.nid)
+        for r in S.ivf_search(spark, index_dir, q, k=5, nprobe=8).collect()
+    }
+    assert legacy == before
+
+    # append path: recorded nd keeps new rows in the resident layout
+    # even under a resized cap
+    monkeypatch.setattr(S, "IVF_MAX_PARTITION_DIRS", 128)
+    with open(os.path.join(index_dir, "_NDIRS"), "w") as fh:
+        fh.write("4")
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    extra = emb.where(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    S.write_assignments(
+        S.assign_cells(extra, centroids),
+        f"{index_dir}/assignments",
+        8,
+        mode="append",
+        n_dirs=S.ivf_index_n_dirs(index_dir, 8),
+    )
+    pbs = {
+        int(e.split("=", 1)[1])
+        for e in os.listdir(f"{index_dir}/assignments")
+        if e.startswith("pb=")
+    }
+    assert pbs == {0, 1, 2, 3}, f"append spilled outside the resident layout: {pbs}"
+    back = spark.read.parquet(f"{index_dir}/assignments")
+    bad = back.where(F.col("pb") != F.pmod(F.col("cid"), F.lit(4))).count()
+    assert bad == 0, "appended rows bucketed with the wrong modulus"
 
 
 def test_multimodal_features_deterministic_and_typed(spark, sf_dir):
