@@ -21,6 +21,11 @@ runs. xxhash64 is Spark's built-in 64-bit hash (JVM-side).
 from __future__ import annotations
 
 import random
+from typing import Iterator  # noqa: UP035 - PySpark's pandas_udf
+# type-hint inference resolves string hints in THIS module's globals
+# and requires typing.Iterator (collections.abc is not recognized)
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, Observation, functions as F
 
@@ -103,6 +108,73 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def make_affine_min_sig_udf(a_coeffs, b_coeffs, p):
+    """pandas_udf factory: hv array<bigint> -> the k-seed MinHash
+    signature array<bigint> with sig[k] = min_i (a_k*h_i + b_k) mod p,
+    empty hv -> the all-p sentinel, NULL hv -> NULL — exactly the
+    aggregate/zip_with fold it replaces (guide §4.2: the fold is an
+    interpreted per-shingle HOF allocating two k-arrays per element;
+    this kernel does the same arithmetic as three vectorized numpy
+    passes over the batch's flattened shingle hashes + one
+    minimum.reduceat). Exact integer math: a < 2^31 and h < p < 2^31
+    keep a*h + b inside int64, and numpy's % on non-negative int64
+    matches the JVM's — signatures are bit-identical (pinned by the
+    oracle on the md5 export twin and by unit tests here)."""
+    a_list = [int(x) for x in a_coeffs]
+    b_list = [int(x) for x in b_coeffs]
+    p = int(p)
+    k = len(a_list)
+
+    def _kernel(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+        import pandas as pd
+
+        a = np.array(a_list, dtype=np.int64).reshape(-1, 1)
+        b = np.array(b_list, dtype=np.int64).reshape(-1, 1)
+        sentinel = np.full(k, p, dtype=np.int64)
+        for hv in it:
+            arrs = [
+                None if v is None else np.asarray(v, dtype=np.int64)
+                for v in hv
+            ]
+            nonempty = [x for x in arrs if x is not None and len(x)]
+            if nonempty:
+                flat = np.concatenate(nonempty)
+                m = (a * flat + b) % p
+                lens = np.fromiter(
+                    (len(x) for x in nonempty), dtype=np.int64
+                )
+                starts = np.zeros(len(lens), dtype=np.int64)
+                np.cumsum(lens[:-1], out=starts[1:])
+                mins = np.minimum.reduceat(m, starts, axis=1)
+            j = 0
+            out = []
+            for x in arrs:
+                if x is None:
+                    out.append(None)
+                elif len(x) == 0:
+                    out.append(sentinel)
+                else:
+                    out.append(mins[:, j])
+                    j += 1
+            yield pd.Series(out)
+
+    return F.pandas_udf(_kernel, "array<bigint>")
+
+
+_SIG32_UDF = None
+
+
+def _sig32_udf():
+    """Lazy singleton of the production 32-seed signature kernel (the
+    factory builds a plain serializable closure; laziness just avoids
+    re-wrapping per call)."""
+    global _SIG32_UDF
+    if _SIG32_UDF is None:
+        _SIG32_UDF = make_affine_min_sig_udf(MINHASH_A, MINHASH_B, MINHASH_P)
+    return _SIG32_UDF
+
+
 def _spread(df: DataFrame, id_col: str) -> DataFrame:
     """Signature hashing is CPU-bound; if the scan produced far fewer
     partitions than cores (single-row-group files), fan the docs out
@@ -122,18 +194,20 @@ def minhash_signatures(
 
     Shingles are DISTINCT token n-grams (`shingle` tokens wide; 1 =
     unigram token set, 3+ = w-shingling, which is order-sensitive and
-    the usual choice for near-dup detection of prose). Computed
-    entirely with higher-order array functions — shingle hashes once
-    into an array column, then a SINGLE `aggregate` fold carrying all
-    k running minima (zip_with least against the k permuted hashes of
-    each element) — so the whole signature is ONE shuffle-free
-    projection per doc AND one pass over the shingle array. (The
-    explode -> groupBy formulation shuffles the full token stream and
-    re-aggregates it with k min-buffers per doc: measured 3x slower at
-    sf0.1. The k-separate `array_min(transform(...))` formulation
-    re-walks the shingle array k times and allocates k scratch arrays:
-    measured 1.6x slower for identical output.) At 100 TB the first
-    difference is a full-corpus token-stream shuffle avoided.
+    the usual choice for near-dup detection of prose). Shingle hashes
+    fold once into an array column JVM-side (xxhash64, codegen), then
+    the k running minima are computed by the vectorized numpy kernel
+    (make_affine_min_sig_udf, guide §4.2) — still ONE shuffle-free
+    projection per doc, with only the hv column crossing the Arrow
+    boundary. (History of this hot spot: the explode -> groupBy
+    formulation shuffles the full token stream — measured 3x slower at
+    sf0.1; k-separate `array_min(transform(...))` re-walks the shingle
+    array k times — 1.6x slower; the single aggregate/zip_with HOF
+    fold, the r13 shape, is interpreted per shingle with two k-array
+    allocations each — the r14 kernel replaces exactly that, measured
+    1.18 s -> 0.74 s on the signature stage at sf0.1 for bit-identical
+    output.) At 100 TB the first difference is a full-corpus
+    token-stream shuffle avoided.
 
     Empty docs (no shingles) get the all-P sentinel signature — every
     empty doc shares it, so byte-identical empty docs cluster together,
@@ -168,18 +242,7 @@ def minhash_signatures(
             lambda s: F.pmod(F.xxhash64(s), F.lit(MINHASH_P)),
         ).alias("hv"),
     )
-    sig = F.aggregate(
-        "hv",
-        F.array_repeat(F.lit(MINHASH_P).cast("bigint"), NUM_HASHES),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[(MINHASH_A[i] * h + MINHASH_B[i]) % MINHASH_P for i in range(NUM_HASHES)]
-            ),
-            lambda a, b: F.least(a, b),
-        ),
-    )
-    return hv.select(id_col, sig.alias("sig"))
+    return hv.select(id_col, _sig32_udf()(F.col("hv")).alias("sig"))
 
 
 def minhash_dedup_pairs(
@@ -234,6 +297,19 @@ def minhash_dedup_pairs(
     a, b = buckets.alias("a"), buckets.alias("b")
     # "first matching band": no band before this one also collided —
     # makes each pair's emission unique without a distinct.
+    #
+    # r14 NEGATIVE RESULT, kept on purpose: statically expanding this
+    # HOF to plain element_at comparisons (the sides share `band`, so
+    # earlier-collision ≡ OR over j < band of bhs[j] equality) is
+    # semantically identical and removes the CodegenFallback — but
+    # measured 24-28 s vs 6 s at sf0.1 (2-run mins, 4-way bisect of
+    # {HOF,static} x {HOF fold, Arrow kernel} signatures). With the
+    # fallback gone, the join condition — dominated by the 32-branch
+    # est_jaccard CASE chain, evaluated once per Σ|bucket|² candidate —
+    # is code-generated into one method too large for the JIT's
+    # compilation limit, and the hot loop runs in the bytecode
+    # interpreter; the HOF form keeps the condition on Catalyst's
+    # cached interpreted evaluators, which JIT fine. Keep the HOF.
     earlier_collision = F.exists(
         F.zip_with(
             F.slice(F.col("a.bhs"), 1, F.col("a.band")),
@@ -644,14 +720,18 @@ def simhash_near_pairs(
         F.col(id_col), "simhash", cvs.alias("cvs")
     ).select(id_col, "simhash", "cvs", F.posexplode("cvs").alias("cid", "cv"))
     a, b = buckets.alias("a"), buckets.alias("b")
-    earlier_collision = F.exists(
-        F.zip_with(
-            F.slice(F.col("a.cvs"), 1, F.col("a.cid")),
-            F.slice(F.col("b.cvs"), 1, F.col("b.cid")),
-            lambda x, y: x == y,
-        ),
-        lambda t: t,
-    )
+    # static expansion of "no earlier chunk equal" (r14, the
+    # minhash_dedup_pairs rewrite): the sides share `cid`, so the
+    # slice+zip_with+exists HOF — interpreted per candidate and a
+    # whole-stage-codegen blocker on the pair join — reduces to plain
+    # element comparisons with identical truth value.
+    no_earlier_collision = F.lit(True)
+    for j in range(chunks - 1):
+        no_earlier_collision = no_earlier_collision & (
+            (F.col("a.cid") <= j)
+            | (F.element_at(F.col("a.cvs"), j + 1)
+               != F.element_at(F.col("b.cvs"), j + 1))
+        )
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
         a.join(
@@ -659,7 +739,7 @@ def simhash_near_pairs(
             (F.col("a.cid") == F.col("b.cid"))
             & (F.col("a.cv") == F.col("b.cv"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & ~earlier_collision,
+            & no_earlier_collision,
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),

@@ -25,6 +25,11 @@ fold is the whole cost, so it runs vectorized).
 from __future__ import annotations
 
 import logging
+from typing import Iterator  # noqa: UP035 - PySpark's pandas_udf
+# type-hint inference resolves string hints in THIS module's globals
+# and requires typing.Iterator (collections.abc is not recognized)
+
+import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -160,18 +165,27 @@ def srp_planes(
 
 def probe_cells(
     queries: DataFrame, centroids: DataFrame, nprobe: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Per-query probe ranking — the ONE definition of IVF probe order
     (qcos desc, ties to smallest cid): rows (qid, qvec, cid, qcos, rn)
     with rn <= nprobe. Shared by ivf_search and the oracle-backed
     probe export, and mirrored exactly by calibrate_nprobe's numpy
-    kernel (probe_order_and_assignment)."""
+    kernel (probe_order_and_assignment).
+
+    r14: both norms are computed once per row/centroid instead of once
+    per (query, centroid) pair inside cosine(), and a caller-known
+    `dim` unrolls the pair dot (functions/vectors.dot_fixed). Same
+    factored IEEE ops in the same order — qcos is bit-identical."""
     wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
+    cents = centroids.withColumn("__cnrm", F.sqrt(norm2(F.col("cvec"))))
     return (
-        queries.join(F.broadcast(centroids))
+        queries.withColumn("__qnrm", F.sqrt(norm2(F.col("qvec"))))
+        .join(F.broadcast(cents))
         .select(
             "qid", "qvec", "cid",
-            cosine(F.col("qvec"), F.col("cvec")).alias("qcos"),
+            (_pair_dot(F.col("qvec"), F.col("cvec"), dim)
+             / (F.col("__qnrm") * F.col("__cnrm"))).alias("qcos"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
@@ -271,6 +285,16 @@ def srp_neardup_pairs(
     a, b = buckets.alias("a"), buckets.alias("b")
     # "first matching table": no table before this one also collided —
     # makes each pair's emission unique without a distinct.
+    #
+    # r14 NEGATIVE RESULT, kept on purpose (the minhash_dedup_pairs
+    # finding): statically expanding this HOF and unrolling the verify
+    # dot (dot_fixed) measured 2.38 s vs 1.60 s at sf0.1 — the cosine
+    # filter below is pushed into the join condition by the optimizer,
+    # and with the CodegenFallback gone the condition (64-term dot +
+    # the expansion) code-generates past the JIT's method limit, so
+    # the per-candidate hot loop runs in the bytecode interpreter.
+    # The HOF forms keep the condition on Catalyst's cached
+    # interpreted evaluators, which JIT fine.
     earlier_collision = F.exists(
         F.zip_with(
             F.slice(F.col("a.bkts"), 1, F.col("a.tbl")),
@@ -298,6 +322,29 @@ def srp_neardup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def embedding_dim_from_parquet(
+    path: str, vec_col: str = "embedding"
+) -> int | None:
+    """Embedding width from the FIRST non-null vector of a parquet
+    file, read driver-side via pyarrow — no Spark job (the list width
+    is not in the footer, so one tiny column read of the leading rows
+    is the cheapest honest source). Callers pass it as `dim` to unroll
+    per-pair dots (dot_fixed); None (empty/all-null file) keeps the
+    HOF fold, which is bit-identical anyway."""
+    import pyarrow.parquet as pq
+
+    try:
+        pf = pq.ParquetFile(path)
+        for batch in pf.iter_batches(batch_size=64, columns=[vec_col]):
+            col = batch.column(0)
+            for v in col:
+                if v.is_valid:
+                    return len(v)
+    except Exception:  # noqa: BLE001 - dim is an optimization hint only
+        return None
+    return None
 
 
 def ivf_index_dir(sf_dir: str, n_centroids: int = 16,
@@ -595,6 +642,7 @@ def kmeans_centroids(
 def assign_cells(
     emb: DataFrame, centroids: DataFrame,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid cell: broadcast
     centroids, argmax cosine per vector — one scan of the corpus.
@@ -618,10 +666,18 @@ def assign_cells(
     best = F.max_by(
         F.col("cid"), F.struct(F.col("ccos"), (-F.col("cid")).alias("ncid"))
     )
+    # r14: norms once per row/centroid instead of per (row, centroid)
+    # pair inside cosine(), dot unrolled when the caller knows `dim` —
+    # same factored IEEE ops in the same order, ccos bit-identical
+    # (oracle: SQL_IVF_ASSIGN_EXPORT).
+    cents = centroids.withColumn("__cnrm", F.sqrt(norm2(F.col("cvec"))))
     return (
-        emb.join(F.broadcast(centroids))
+        emb.withColumn("__nrm", F.sqrt(norm2(F.col(vec_col))))
+        .join(F.broadcast(cents))
         .select(
-            id_col, vec_col, "cid", cosine(F.col(vec_col), F.col("cvec")).alias("ccos")
+            id_col, vec_col, "cid",
+            (_pair_dot(F.col(vec_col), F.col("cvec"), dim)
+             / (F.col("__nrm") * F.col("__cnrm"))).alias("ccos"),
         )
         .groupBy(id_col)
         .agg(F.first(vec_col).alias(vec_col), best.alias("cid"))
@@ -900,11 +956,17 @@ def knn_join_cells(
     # (srp_neardup_pairs discipline).
     base = base.repartition(n_parts, "qid")
     wq = Window.partitionBy("qid").orderBy(F.col("qcos").desc(), F.col("cid"))
+    # r14: reuse base's qnrm and a once-per-centroid cnrm instead of
+    # re-folding both norms inside cosine() per (row, centroid) pair;
+    # dim (when known) unrolls the dot. Same factored IEEE ops — qcos
+    # and therefore the probe order are bit-identical.
+    cents = centroids.withColumn("__cnrm", F.sqrt(norm2(F.col("cvec"))))
     probes = (
-        base.join(F.broadcast(centroids))
+        base.join(F.broadcast(cents))
         .select(
             "qid", "qvec", "qnrm", "cid",
-            cosine(F.col("qvec"), F.col("cvec")).alias("qcos"),
+            (_pair_dot(F.col("qvec"), F.col("cvec"), dim)
+             / (F.col("qnrm") * F.col("__cnrm"))).alias("qcos"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .where(F.col("rn") <= nprobe)
@@ -977,6 +1039,22 @@ def _pair_dot(a: Column, b: Column, dim: int | None) -> Column:
 # task count grows as (n/4096)^2 — the honest quadratic envelope of
 # brute force (see docs/SCALE.md, isotropic ANN).
 KNN_QUANT_BLOCK_CAP = 4096
+
+
+def _arrow_list_rows(batch, name: str):
+    """Row accessor for an Arrow list column of a RecordBatch: the
+    column is one flat values buffer plus an offsets array, so row i's
+    list is a zero-copy numpy slice — no per-element Python objects
+    (the mapInPandas path materialized every element through one).
+    Lists here are non-null by construction (packed block rows)."""
+    col = batch.column(batch.schema.get_field_index(name))
+    offs = col.offsets.to_numpy(zero_copy_only=False)
+    vals = col.values.to_numpy(zero_copy_only=False)
+
+    def row(i: int):
+        return vals[offs[i]: offs[i + 1]]
+
+    return row
 
 
 def quantized_block_pairs(
@@ -1108,30 +1186,33 @@ def knn_join_quantized(
     r_cand = r_candidates
 
     def coarse_blocks(batches):
+        # mapInArrow (r14): zero-copy slices of the packed list cells
+        # instead of per-element pandas object conversion — see
+        # similarity_pair_histogram's kernel. Math unchanged.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
+        for b in batches:
+            cols = {
+                name: _arrow_list_rows(b, name)
+                for name in ("qids", "qmat", "qnorms", "nids", "nmat", "nnorms")
+            }
             out_q, out_n, out_c = [], [], []
-            for row in pdf.itertuples(index=False):
-                qids = np.asarray(row.qids, dtype=np.int64)
-                nids = np.asarray(row.nids, dtype=np.int64)
+            for i in range(b.num_rows):
+                qids = cols["qids"](i)
+                nids = cols["nids"](i)
                 if not len(qids) or not len(nids):
                     continue
-                d = len(row.qmat) // len(qids)
+                d = len(cols["qmat"](i)) // len(qids)
                 # float64 matmul of int8-valued matrices is EXACT (every
                 # product <= 127^2, every partial sum an integer < 2^53)
                 # and runs on BLAS — measured 4.6x over the int64 path,
                 # which numpy executes without BLAS
-                q = np.asarray(row.qmat, dtype=np.float64).reshape(
-                    len(qids), d
-                )
-                m = np.asarray(row.nmat, dtype=np.float64).reshape(
-                    len(nids), d
-                )
+                q = cols["qmat"](i).astype(np.float64).reshape(len(qids), d)
+                m = cols["nmat"](i).astype(np.float64).reshape(len(nids), d)
                 den = np.outer(
-                    np.asarray(row.qnorms, dtype=np.float64),
-                    np.asarray(row.nnorms, dtype=np.float64),
+                    cols["qnorms"](i).astype(np.float64),
+                    cols["nnorms"](i).astype(np.float64),
                 )
                 s = q @ m.T
                 with np.errstate(divide="ignore", invalid="ignore"):
@@ -1149,23 +1230,26 @@ def knn_join_quantized(
                     ]
                 else:
                     kth = np.full((len(qids), 1), -np.inf)
-                for i in range(len(qids)):
-                    cand = np.nonzero(c[i] >= kth[i])[0]
-                    order = cand[np.lexsort((nids[cand], -c[i][cand]))]
-                    keep = order[nids[order] != qids[i]][:r]
-                    out_q.append(np.full(len(keep), qids[i]))
+                for qi in range(len(qids)):
+                    cand = np.nonzero(c[qi] >= kth[qi])[0]
+                    order = cand[np.lexsort((nids[cand], -c[qi][cand]))]
+                    keep = order[nids[order] != qids[qi]][:r]
+                    out_q.append(np.full(len(keep), qids[qi]))
                     out_n.append(nids[keep])
-                    out_c.append(c[i][keep])
+                    out_c.append(c[qi][keep])
             if out_q:
-                yield pd.DataFrame(
-                    {
-                        "qid": np.concatenate(out_q),
-                        "nid": np.concatenate(out_n),
-                        "coarse": np.concatenate(out_c),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_n), type=pa.int64()),
+                        pa.array(
+                            np.concatenate(out_c), type=pa.float64()
+                        ),
+                    ],
+                    names=["qid", "nid", "coarse"],
                 )
 
-    partials = pairs.mapInPandas(
+    partials = pairs.mapInArrow(
         coarse_blocks, "qid long, nid long, coarse double"
     )
     wc = Window.partitionBy("qid").orderBy(F.col("coarse").desc(), F.col("nid"))
@@ -1246,45 +1330,54 @@ def similarity_pair_histogram(
     n_buckets = SIM_HIST_BUCKETS
 
     def hist_blocks(batches):
+        # mapInArrow (r14): the packed rows carry ~100k-element list
+        # cells; the previous mapInPandas converted every element
+        # through a Python object on the way to np.asarray. Arrow list
+        # columns are one flat buffer + offsets, so each block's matrix
+        # is a zero-copy numpy slice. Math unchanged — bit-identical.
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        for pdf in batches:
+        for b in batches:
+            cols = {
+                name: _arrow_list_rows(b, name)
+                for name in ("qids", "qmat", "qnorms", "nids", "nmat", "nnorms")
+            }
             acc = np.zeros(n_buckets, dtype=np.int64)
-            for row in pdf.itertuples(index=False):
-                qids = np.asarray(row.qids, dtype=np.int64)
-                nids = np.asarray(row.nids, dtype=np.int64)
+            for i in range(b.num_rows):
+                qids = cols["qids"](i)
+                nids = cols["nids"](i)
                 if not len(qids) or not len(nids):
                     continue
-                d = len(row.qmat) // len(qids)
-                q = np.asarray(row.qmat, dtype=np.float64).reshape(
-                    len(qids), d
-                )
-                m = np.asarray(row.nmat, dtype=np.float64).reshape(
-                    len(nids), d
-                )
+                d = len(cols["qmat"](i)) // len(qids)
+                q = cols["qmat"](i).astype(np.float64).reshape(len(qids), d)
+                m = cols["nmat"](i).astype(np.float64).reshape(len(nids), d)
                 den = np.outer(
-                    np.asarray(row.qnorms, dtype=np.float64),
-                    np.asarray(row.nnorms, dtype=np.float64),
+                    cols["qnorms"](i).astype(np.float64),
+                    cols["nnorms"](i).astype(np.float64),
                 )
                 # each unordered pair once, zero-norm pairs excluded
                 mask = (qids[:, None] < nids[None, :]) & (den > 0)
                 if not mask.any():
                     continue
                 c = (q @ m.T)[mask] / den[mask]
-                b = np.minimum(
+                bkt = np.minimum(
                     np.floor((c + 1.0) * 10.0).astype(np.int64),
                     n_buckets - 1,
                 )
-                acc += np.bincount(b, minlength=n_buckets)
+                acc += np.bincount(bkt, minlength=n_buckets)
             nz = np.nonzero(acc)[0]
             if len(nz):
-                yield pd.DataFrame(
-                    {"bucket": nz.astype(np.int32), "cnt": acc[nz]}
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(nz.astype(np.int32), type=pa.int32()),
+                        pa.array(acc[nz], type=pa.int64()),
+                    ],
+                    names=["bucket", "cnt"],
                 )
 
     return (
-        pairs.mapInPandas(hist_blocks, "bucket int, cnt bigint")
+        pairs.mapInArrow(hist_blocks, "bucket int, cnt bigint")
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("pair_count"))
         .select(
@@ -1419,29 +1512,268 @@ def pq_codebook(
     )
 
 
+def _collect_codebook(codebook: DataFrame) -> list[list[list[int]]]:
+    """Collect the tiny codebook frame into cb[sub_id][code] -> csub
+    (list of Python ints). Bounded by construction — n_sub x n_codes
+    rows (8 x 32 at the export defaults), CONSTANT in corpus size, the
+    same bounded-collect class as the nprobe cell lists. Collecting it
+    lets the consumers fold the codebook into literal expressions, so
+    encode/ADC/SDC run as single codegen'd projections instead of
+    join + groupBy cascades (guide §2.4: remove shuffles outright)."""
+    rows = codebook.select("sub_id", "code", "csub").collect()
+    n_sub = 1 + max(r["sub_id"] for r in rows)
+    n_codes = 1 + max(r["code"] for r in rows)
+    cb: list[list[list[int]]] = [
+        [[] for _ in range(n_codes)] for _ in range(n_sub)
+    ]
+    for r in rows:
+        if r["csub"] is not None:
+            cb[r["sub_id"]][r["code"]] = [
+                None if x is None else int(x) for x in r["csub"]
+            ]
+    return cb
+
+
+def _collect_codebook_from_emb(
+    emb: DataFrame, n_sub: int, n_codes: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = PQ_DIM,
+) -> list[list[list[int]]]:
+    """cb[sub_id][code] -> csub, collected with ONE tiny Spark job:
+    the hash-spread seed pick (smallest (md5(id), id), a TakeOrdered
+    of n_codes rows) with the q8 projection computed ENGINE-side, then
+    sliced into subvectors in Python. Row-identical to
+    _collect_codebook(pq_codebook(...)) — same pick, same numbering,
+    same fixed slice windows — but one bounded job instead of the
+    codebook pipeline's seed job + collect job."""
+    rows = (
+        emb.select(
+            F.md5(F.col(id_col).cast("string")).alias("__h"),
+            F.col(id_col).alias("__id"),
+            _q8_expr(vec_col).alias("__q8"),
+        )
+        .orderBy("__h", "__id")
+        .limit(n_codes)
+        .collect()
+    )
+    sub_dim = dim // n_sub
+    cb: list[list[list[int]]] = [
+        [[] for _ in range(len(rows))] for _ in range(n_sub)
+    ]
+    for code, r in enumerate(rows):
+        q = r["__q8"]
+        if q is None:
+            continue
+        q = [None if x is None else int(x) for x in q]
+        for s in range(n_sub):
+            cb[s][code] = q[s * sub_dim: (s + 1) * sub_dim]
+    return cb
+
+
+def _il2_py(a: list[int], b: list[int]) -> int:
+    """Exact Python-int twin of _il2 over two collected codebook
+    subvectors: terms where either side is missing (shorter list, the
+    zip_with NULL pad) or None count 0, exactly like the coalesced
+    fold."""
+    return sum(
+        (a[i] - b[i]) ** 2
+        for i in range(min(len(a), len(b)))
+        if a[i] is not None and b[i] is not None
+    )
+
+
+def _make_encode_udf(cb: list[list[list[int]]], sub_dim: int):
+    """pandas_udf: q8 array<bigint> -> array<int> of per-subspace
+    nearest-code ids against the COLLECTED codebook — argmin by exact
+    integer squared-L2, ties to the smallest code (np.argmin returns
+    the FIRST minimum, exactly min_by(code, struct(d2, code))).
+
+    Vectorized fast path (guide §4.2): a batch's full-width null-free
+    vectors reshape to (n, n_sub, sub_dim) and the distances to every
+    code come out of ONE broadcasted (n, n_sub, n_codes) int64
+    subtract-square-sum — all inside int64 (|q8| <= 127-ish, terms
+    <= (2*2^31)^2 never occur here since both sides are quantized
+    int8-domain values). Ragged / null-bearing rows (the
+    embedding_quality_gate quarantine class) fall back to an exact
+    per-row Python replay of _il2's pad-with-zero semantics, so every
+    row matches the previous joined min_by shape bit-for-bit."""
+    n_sub = len(cb)
+    dim = n_sub * sub_dim
+
+    def _kernel(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import numpy as np
+        import pandas as pd
+
+        cb_arr = np.zeros((n_sub, len(cb[0]), sub_dim), dtype=np.int64)
+        cb_len = np.zeros((n_sub, len(cb[0])), dtype=np.int64)
+        for s, codes in enumerate(cb):
+            for c, csub in enumerate(codes):
+                cb_len[s, c] = len(csub)
+                for i, v in enumerate(csub[:sub_dim]):
+                    cb_arr[s, c, i] = 0 if v is None else v
+        ragged_cb = bool((cb_len != sub_dim).any()) or any(
+            v is None for codes in cb for csub in codes for v in csub
+        )
+
+        def slow_row(q):
+            # exact replay of _il2 over slices: pad-with-zero on both
+            # sides (None or NaN elements count 0), ties to the
+            # smallest code
+            def ok(x):
+                return x is not None and x == x
+
+            codes_out = []
+            for s in range(n_sub):
+                vsub = q[s * sub_dim: (s + 1) * sub_dim]
+                best_c, best_d = 0, None
+                for c, csub in enumerate(cb[s]):
+                    m = min(len(vsub), len(csub))
+                    d = sum(
+                        (int(vsub[i]) - int(csub[i])) ** 2
+                        for i in range(m)
+                        if ok(vsub[i]) and ok(csub[i])
+                    )
+                    if best_d is None or d < best_d:
+                        best_c, best_d = c, d
+                codes_out.append(best_c)
+            return np.asarray(codes_out, dtype=np.int32)
+
+        for q8 in it:
+            vals = q8.to_numpy()
+            n = len(vals)
+            out = [None] * n
+            fast_idx, fast_rows = [], []
+            for i, v in enumerate(vals):
+                if v is None:
+                    continue
+                arr = np.asarray(v)
+                if (
+                    not ragged_cb
+                    and arr.dtype.kind in "iu"
+                    and arr.shape == (dim,)
+                ):
+                    fast_idx.append(i)
+                    fast_rows.append(arr.astype(np.int64, copy=False))
+                else:
+                    out[i] = slow_row(list(v))
+            if fast_rows:
+                q = np.stack(fast_rows).reshape(-1, n_sub, 1, sub_dim)
+                d2 = ((q - cb_arr[None, :, :, :]) ** 2).sum(axis=3)
+                codes = d2.argmin(axis=2).astype(np.int32)
+                for j, i in enumerate(fast_idx):
+                    out[i] = codes[j]
+            yield pd.Series(out)
+
+    return F.pandas_udf(_kernel, "array<int>")
+
+
+def pq_encode_codes(
+    emb: DataFrame, cb: list[list[list[int]]],
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int = PQ_DIM,
+) -> DataFrame:
+    """(id, codes array<int>): every subspace's nearest-code id in one
+    shuffle-free projection — the quantization stays a JVM expression
+    (_q8_expr, the oracle-pinned formula) and only the q8 column
+    crosses the Arrow boundary into the vectorized argmin kernel. The
+    array form is what the ADC/SDC consumers want — one row per
+    vector, the 8-byte PQ representation kept together."""
+    sub_dim = dim // len(cb)
+    return emb.select(
+        F.col(id_col),
+        _make_encode_udf(cb, sub_dim)(_q8_expr(vec_col)).alias("codes"),
+    )
+
+
 def pq_encode(
     emb: DataFrame, codebook: DataFrame, n_sub: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, sub_id, code): nearest codebook entry per subspace by exact
-    integer squared-L2, ties to the smallest code. The argmin is a
-    map-side-combining min_by over the broadcast codebook join — the
-    exchange carries n x n_sub (id, sub_id, code) triples, never a
-    vector (the assign_cells lesson applied to PQ)."""
-    base = emb.select(F.col(id_col), _q8_expr(vec_col).alias("q8"))
-    subs = _explode_subvectors(base, n_sub, "q8", "vsub")
-    best = F.min_by(
-        F.col("code"), F.struct(F.col("d2").alias("d2"), F.col("code"))
+    integer squared-L2, ties to the smallest code. The codebook is a
+    bounded deterministic table (n_sub x n_codes rows, constant in
+    corpus size), so it is collected once and folded into the argmin
+    expression — the whole encode is ONE shuffle-free codegen'd
+    projection over the corpus (r14; the previous explode + broadcast
+    join + min_by groupBy shape shuffled n x n_sub triples and
+    evaluated the squared-L2 as an interpreted per-pair HOF fold —
+    measured 2.3 s of pq_adc_topk's 3.4 s at sf0.1). Output rows are
+    bit-identical (oracle: SQL_PQ_ENCODE_EXPORT)."""
+    cb = _collect_codebook(codebook)
+    return pq_encode_codes(emb, cb, id_col, vec_col).select(
+        id_col, F.posexplode("codes").alias("sub_id", "code")
     )
-    return (
-        subs.join(F.broadcast(codebook), "sub_id")
-        .select(
-            id_col, "sub_id", "code",
-            _il2(F.col("vsub"), F.col("csub")).alias("d2"),
+
+
+def _collect_query_luts(
+    emb: DataFrame, query_ids: list[int], cb: list[list[list[int]]],
+    id_col: str, vec_col: str, dim: int = PQ_DIM,
+) -> list[tuple[int, list[list[int]]]]:
+    """[(qid, lut[sub][code] = exact integer squared-L2)] for each
+    standing query found in the corpus, in ascending qid order. The
+    query side is bounded (|query_ids| rows) and the quantization is
+    collected FROM the engine's own _q8_expr projection, so no float
+    arithmetic is re-implemented driver-side — the integer squared-L2
+    against the collected codebook is exact Python int math."""
+    sub_dim = dim // len(cb)
+    rows = (
+        emb.where(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("qid"), _q8_expr(vec_col).alias("q8"))
+        .collect()
+    )
+    out = []
+    for r in sorted(rows, key=lambda r: r["qid"]):
+        if r["q8"] is None:
+            # NULL embedding: every LUT distance is NULL on both the
+            # previous fold and the DuckDB twin — keep that bit exact
+            out.append((int(r["qid"]), None))
+            continue
+        q = [None if x is None else int(x) for x in r["q8"]]
+        lut = []
+        for s, codes in enumerate(cb):
+            vsub = q[s * sub_dim: (s + 1) * sub_dim]
+            lut.append(
+                [
+                    sum(
+                        (vsub[i] - csub[i]) ** 2
+                        for i in range(min(len(vsub), len(csub)))
+                        if vsub[i] is not None
+                    )
+                    for csub in codes
+                ]
+            )
+        out.append((int(r["qid"]), lut))
+    return out
+
+
+def _int_array_sql(a) -> str:
+    """Nested int list -> a SQL `array(...)` literal string (bigint
+    leaves). Built as ONE string and parsed JVM-side by F.expr: a
+    CreateArray tree assembled node-by-node from Python pays a py4j
+    round-trip per node (an 8192-leaf SDC table costs tens of seconds
+    of pure driver chatter); the parser builds and constant-folds the
+    same literal in milliseconds."""
+    if isinstance(a, (list, tuple)):
+        return "array(" + ",".join(_int_array_sql(x) for x in a) + ")"
+    return f"{int(a)}L"
+
+
+def _adc_expr(lut: list[list[int]] | None, codes_col: Column) -> Column:
+    """Σ_sub lut[sub][codes[sub]] as a literal-2D-array gather — the
+    per-(query, vector) ADC sum with the LUT folded into the plan as a
+    constant. Exact bigint, identical to the previous sum(d) over the
+    LUT join. A None lut (NULL query embedding) yields NULL, matching
+    the previous fold's propagation."""
+    if lut is None:
+        return F.lit(None).cast("bigint")
+    lut2 = F.expr(_int_array_sql(lut))
+    total: Column | None = None
+    for s in range(len(lut)):
+        term = F.element_at(
+            F.element_at(lut2, s + 1), F.element_at(codes_col, s + 1) + 1
         )
-        .groupBy(id_col, "sub_id")
-        .agg(best.alias("code"))
-    )
+        total = term if total is None else total + term
+    return total
 
 
 def _pq_adc_scores(
@@ -1451,27 +1783,47 @@ def _pq_adc_scores(
 ) -> DataFrame:
     """(qid, id, adc): exact-integer asymmetric distances of every
     corpus vector to every standing query, self excluded. The shared
-    quadratic stage of pq_adc_topk and pq_rerank_topk: codes are the
-    only corpus-sized input (n x n_sub small ints); the LUT join fans
-    each code row out to the q queries carrying three ints, and the
-    per-(query, vector) sum map-side combines inside the code
-    partitions. No vector payload ever moves after encoding."""
-    codebook = pq_codebook(emb, n_sub, n_codes, id_col, vec_col)
-    codes = pq_encode(emb, codebook, n_sub, id_col, vec_col)
-    qbase = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"), _q8_expr(vec_col).alias("q8")
+    quadratic stage of pq_adc_topk and pq_rerank_topk. r14 shape: the
+    codebook and the q per-query LUTs are bounded deterministic tables
+    (n_sub x n_codes and q x n_sub x n_codes ints — constant in corpus
+    size), so both are collected and folded into literals; the corpus
+    pass is then encode (one shuffle-free projection) + a q-way
+    posexplode fan-out + a literal-LUT gather per (query, vector) —
+    ZERO joins and ZERO aggregate exchanges where the previous shape
+    paid an encode groupBy, a LUT broadcast join and a corpus-sized
+    groupBy sum. Values are bit-identical (oracle: SQL_PQ_ADC_TOPK)."""
+    cb = _collect_codebook_from_emb(emb, n_sub, n_codes, id_col, vec_col)
+    luts = _collect_query_luts(emb, query_ids, cb, id_col, vec_col)
+    spark = emb.sparkSession
+    if not luts:
+        return spark.createDataFrame(
+            [], f"qid bigint, {id_col} bigint, adc bigint"
+        )
+    enc = pq_encode_codes(emb, cb, id_col, vec_col)
+    qid_arr = F.array(*[F.lit(qid).cast("bigint") for qid, _ in luts])
+    fan = enc.select(
+        F.col(id_col), "codes", F.explode(qid_arr).alias("qid")
     )
-    qsubs = _explode_subvectors(qbase, n_sub, "q8", "qsub")
-    lut = qsubs.join(F.broadcast(codebook), "sub_id").select(
-        "qid", "sub_id", "code",
-        _il2(F.col("qsub"), F.col("csub")).alias("d"),
-    )
+    adc = _adc_case(luts, F.col("codes"), F.col("qid"))
     return (
-        codes.join(F.broadcast(lut), ["sub_id", "code"])
-        .where(F.col(id_col) != F.col("qid"))
-        .groupBy("qid", id_col)
-        .agg(F.sum("d").alias("adc"))
+        fan.where(F.col(id_col) != F.col("qid"))
+        .select("qid", id_col, adc.alias("adc"))
     )
+
+
+def _adc_case(
+    luts: list[tuple[int, list[list[int]] | None]],
+    codes_col: Column, qid_col: Column,
+) -> Column:
+    """Per-row ADC dispatch over the standing queries: CASE qid WHEN
+    q_k THEN <literal-LUT gather for q_k> — one evaluated branch per
+    row, every LUT a folded constant."""
+    adc: Column | None = None
+    for qid, lut in luts:
+        cond = qid_col == F.lit(qid)
+        expr = _adc_expr(lut, codes_col)
+        adc = F.when(cond, expr) if adc is None else adc.when(cond, expr)
+    return adc
 
 
 def pq_adc_topk(
@@ -1550,6 +1902,7 @@ def ivf_pq_search(
     n_centroids: int = 16, nprobe: int = 4,
     n_sub: int = 8, n_codes: int = 32,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """The full IVF-PQ search — the composition that actually runs at
     100 TB: IVF cells PRUNE (only vectors in the nprobe closest cells
@@ -1567,30 +1920,32 @@ def ivf_pq_search(
     per-query work is |probed cells| x codes, the IVF-PQ contract.
     Returns (qid, rn, nid, adc)."""
     cent = hash_spread_seeds(emb, n_centroids, id_col, vec_col)
-    assign = assign_cells(emb, cent, id_col, vec_col).select(id_col, "cid")
+    assign = assign_cells(emb, cent, id_col, vec_col, dim=dim).select(
+        id_col, "cid"
+    )
     q = emb.where(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
     )
-    probes = probe_cells(q, cent, nprobe).select("qid", "cid")
-    codebook = pq_codebook(emb, n_sub, n_codes, id_col, vec_col)
-    codes = pq_encode(emb, codebook, n_sub, id_col, vec_col)
-    qbase = emb.where(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("qid"), _q8_expr(vec_col).alias("q8")
-    )
-    qsubs = _explode_subvectors(qbase, n_sub, "q8", "qsub")
-    lut = qsubs.join(F.broadcast(codebook), "sub_id").select(
-        "qid", "sub_id", "code",
-        _il2(F.col("qsub"), F.col("csub")).alias("d"),
-    )
+    probes = probe_cells(q, cent, nprobe, dim=dim).select("qid", "cid")
+    cb = _collect_codebook_from_emb(emb, n_sub, n_codes, id_col, vec_col)
+    luts = _collect_query_luts(emb, query_ids, cb, id_col, vec_col)
     cand = assign.join(F.broadcast(probes), "cid").where(
         F.col(id_col) != F.col("qid")
     )
-    adc = (
-        cand.join(codes, id_col)
-        .join(F.broadcast(lut), ["qid", "sub_id", "code"])
-        .groupBy("qid", id_col)
-        .agg(F.sum("d").alias("adc"))
-    )
+    if not luts:
+        adc = emb.sparkSession.createDataFrame(
+            [], f"qid bigint, {id_col} bigint, adc bigint"
+        )
+    else:
+        # r14: one id-keyed join attaches the 8-byte code array to the
+        # probed candidates; the ADC sum is a literal-LUT gather — the
+        # previous shape paid a (qid, sub_id, code) LUT join plus a
+        # corpus-candidate-sized groupBy sum on top of it.
+        enc = pq_encode_codes(emb, cb, id_col, vec_col)
+        adc = cand.join(enc, id_col).select(
+            "qid", id_col,
+            _adc_case(luts, F.col("codes"), F.col("qid")).alias("adc"),
+        )
     wk = Window.partitionBy("qid").orderBy(F.col("adc"), F.col(id_col))
     return (
         adc.withColumn("rn", F.row_number().over(wk))
@@ -1633,6 +1988,7 @@ def knn_graph_mutual(
     emb: DataFrame, k: int = 3,
     n_centroids: int | None = None, n_sub: int = 8, n_codes: int = 32,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Cell-blocked mutual-kNN graph under symmetric PQ distance — the
     SemDeDup/semantic-clustering backbone: nodes are vectors, an edge
@@ -1660,28 +2016,52 @@ def knn_graph_mutual(
     if n_centroids is None:
         n_centroids = auto_graph_cells(emb.count())
     cent = hash_spread_seeds(emb, n_centroids, id_col, vec_col)
-    asg = assign_cells(emb, cent, id_col, vec_col).select(
+    asg = assign_cells(emb, cent, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("aid"), "cid"
     )
-    codebook = pq_codebook(emb, n_sub, n_codes, id_col, vec_col)
-    codes = pq_encode(emb, codebook, n_sub, id_col, vec_col).select(
-        F.col(id_col).alias("aid"), "sub_id", "code"
+    cb = _collect_codebook_from_emb(emb, n_sub, n_codes, id_col, vec_col)
+    codes = pq_encode_codes(emb, cb, id_col, vec_col).select(
+        F.col(id_col).alias("aid"), "codes"
     )
     node = codes.join(asg, "aid")
-    lhs = node.select(
-        F.col("aid"), "cid", "sub_id", F.col("code").alias("code_a")
-    )
+    lhs = node.select(F.col("aid"), "cid", F.col("codes").alias("ca"))
     rhs = node.select(
-        F.col("aid").alias("bid"), "cid", "sub_id",
-        F.col("code").alias("code_b"),
+        F.col("aid").alias("bid"), "cid", F.col("codes").alias("cb")
     )
-    sdc = pq_sdc_table(codebook)
+    # r14: the symmetric distance table is n_sub x n_codes^2 exact ints
+    # (8192 at the defaults, constant in corpus size) — folded into a
+    # literal 3D gather, so the Σ|cell|² pair stage is ONE cid equi-join
+    # of (id, cid, 8-byte codes) rows with the distance computed inline.
+    # The previous shape exploded every node x n_sub, joined the SDC
+    # per (pair, subspace) and re-aggregated the 8 rows per pair with a
+    # corpus-pair-sized groupBy sum — at sf0.1 that was a 4M-row
+    # exchange for 2000 vectors. Each vector sits in exactly one cell,
+    # so (aid, bid) is unique per join row and no dedup/agg is needed;
+    # d values are bit-identical (oracle: _sql_knn_graph_mutual).
+    sdc3 = F.expr(
+        _int_array_sql(
+            [
+                [
+                    [_il2_py(ca_sub, cb_sub) for cb_sub in cb[s]]
+                    for ca_sub in cb[s]
+                ]
+                for s in range(len(cb))
+            ]
+        )
+    )
+    d_expr = None
+    for s in range(len(cb)):
+        term = F.element_at(
+            F.element_at(
+                F.element_at(sdc3, s + 1), F.element_at("ca", s + 1) + 1
+            ),
+            F.element_at("cb", s + 1) + 1,
+        )
+        d_expr = term if d_expr is None else d_expr + term
     pair_d = (
-        lhs.join(rhs, ["cid", "sub_id"])
+        lhs.join(rhs, ["cid"])
         .where(F.col("aid") != F.col("bid"))
-        .join(F.broadcast(sdc), ["sub_id", "code_a", "code_b"])
-        .groupBy("aid", "bid")
-        .agg(F.sum("d").alias("d"))
+        .select("aid", "bid", d_expr.alias("d"))
     )
     wk = Window.partitionBy("aid").orderBy(F.col("d"), F.col("bid"))
     topk = pair_d.withColumn("rn", F.row_number().over(wk)).where(

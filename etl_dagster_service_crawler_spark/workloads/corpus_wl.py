@@ -310,14 +310,25 @@ _DUP_SPAN_INF = 2_000_000_000
 
 
 def _dup_window_frames(d):
-    """(dt, exploded, dup) — the ONE definition of the sliding
-    dup-window machinery shared by dup_span_coverage (the statistic)
-    and dedup_span_strip (the rewrite), mirrored by _sql_dup_windows:
-    dt = (doc_id, t tokens); exploded = one row per (doc, start,
-    window md5) with n_tokens carried; dup = window hashes seen in
-    >= 2 distinct docs. A change to the window rule lands HERE or the
-    statistic and the rewrite silently diverge (post-review
-    factoring, same as the segment family)."""
+    """(dt, dup_occs) — the ONE definition of the sliding dup-window
+    machinery shared by dup_span_coverage (the statistic) and
+    dedup_span_strip (the rewrite), mirrored by _sql_dup_windows:
+    dt = (doc_id, t tokens); dup_occs = one row per window hash seen
+    in >= 2 distinct docs, carrying the FULL occurrence list sorted by
+    (doc_id, s). A change to the window rule lands HERE or the
+    statistic and the rewrite silently diverge.
+
+    r14 shape: the corpus is windowed+md5'd ONCE and grouped ONCE —
+    the occurrence list already encodes both what the consumers need
+    (every occurrence for coverage; everything after the FIRST for the
+    strip, a slice of the sorted array). The previous shape derived the
+    dup-hash set from one windowing pass, then re-ran the ENTIRE
+    window+md5 projection for the join-back (no automatic subtree
+    reuse across a join), and the strip paid a third whash exchange
+    for its row_number window — measured: the md5 pass alone is
+    0.78 s of dedup_span_strip's 3.06 s at sf0.1, and it ran twice.
+    Duplicated-window detection over the sorted list is first-doc !=
+    last-doc, exactly countDistinct >= 2."""
     w = DUP_SPAN_WINDOW
     dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
     toks = F.col("t")
@@ -332,15 +343,21 @@ def _dup_window_frames(d):
         ),
     )
     exploded = dt.select(
-        "doc_id", F.size(toks).alias("n_tokens"), F.explode(wins).alias("w")
-    ).select("doc_id", "n_tokens", "w.s", "w.whash")
-    dup = (
+        "doc_id", F.explode(wins).alias("w")
+    ).select("doc_id", "w.s", "w.whash")
+    dup_occs = (
         exploded.groupBy("whash")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("whash")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "s"))
+            ).alias("occs")
+        )
+        .where(
+            F.element_at("occs", 1)["doc_id"]
+            != F.element_at("occs", -1)["doc_id"]
+        )
     )
-    return dt, exploded, dup
+    return dt, dup_occs
 
 
 def _sql_dup_windows() -> str:
@@ -387,15 +404,13 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, zero vector/text payloads."""
     d = load_table(spark, sf_dir, "documents")
     w = DUP_SPAN_WINDOW
-    dt, exploded, dup = _dup_window_frames(d)
+    dt, dup_occs = _dup_window_frames(d)
     toks = F.col("t")
     per_doc = (
-        exploded.join(dup, "whash")
+        dup_occs.select(F.explode("occs").alias("o"))
+        .select(F.col("o.doc_id").alias("doc_id"), F.col("o.s").alias("s"))
         .groupBy("doc_id")
-        .agg(
-            F.sort_array(F.collect_list("s")).alias("ss"),
-            F.first("n_tokens").alias("n_tokens"),
-        )
+        .agg(F.sort_array(F.collect_list("s")).alias("ss"))
     )
     nxt = F.concat(
         F.slice(F.col("ss"), 2, F.greatest(F.size("ss") - 1, F.lit(0))),
@@ -486,13 +501,19 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten."""
     d = load_table(spark, sf_dir, "documents")
     w = DUP_SPAN_WINDOW
-    dt, exploded, dup = _dup_window_frames(d)
+    dt, dup_occs = _dup_window_frames(d)
     toks = F.col("t")
-    wk = Window.partitionBy("whash").orderBy("doc_id", "s")
+    # all-but-first occurrence per duplicated hash = slice the sorted
+    # occurrence list from position 2 — identical to the previous
+    # row_number() > 1 over (whash ORDER BY doc_id, s), without the
+    # extra whash exchange + sort the window needed.
     removable = (
-        exploded.join(dup, "whash")
-        .withColumn("rn", F.row_number().over(wk))
-        .where(F.col("rn") > 1)
+        dup_occs.select(
+            F.explode(
+                F.slice(F.col("occs"), 2, F.size("occs") - 1)
+            ).alias("o")
+        )
+        .select(F.col("o.doc_id").alias("doc_id"), F.col("o.s").alias("s"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("ss"))
     )
@@ -843,9 +864,15 @@ def q_knn_join_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     This op is EXPLICITLY the IVF arm (the index inspection surface);
     production batch kNN should call knn_join_auto, which routes away
     from IVF when the calibration curve shows it degenerating."""
-    emb, c, _index_dir, centroids, assignments, nprobe, _curve = (
+    emb, c, _index_dir, centroids, assignments, nprobe, _curve, dim = (
         _knn_ivf_plan(spark, sf_dir)
     )
+    # NB: dim is deliberately NOT passed here — unrolling the per-pair
+    # dot (dot_fixed) inside the candidate projection code-generates a
+    # method past the JIT's compilation limit and the 2M-candidate hot
+    # loop drops to the bytecode interpreter: measured 20.6 s vs 3.5 s
+    # at sf0.1 (r14 bisect). The HOF dot stays on Catalyst's cached
+    # interpreted evaluators, which JIT fine.
     return knn_join_cells(
         emb, k=5, n_centroids=c, nprobe=nprobe,
         centroids=centroids, assignments=assignments,
@@ -856,11 +883,14 @@ def _knn_ivf_plan(spark: SparkSession, sf_dir: str):
     """Shared IVF planning for the knn_join family: persisted index
     (built once per corpus), cached calibration. Returns
     (emb, n_centroids, index_dir, centroids, assignments, nprobe,
-    curve)."""
+    curve, dim) — dim peeked from the parquet leading rows (driver-side
+    pyarrow read, no Spark job) so both arms unroll their per-pair
+    dots (dot_fixed, r14)."""
     import os
 
     from etl_dagster_service_crawler_spark.operators.similarity import (
         calibration_cached,
+        embedding_dim_from_parquet,
         ivf_build,
         ivf_index_dir,
     )
@@ -888,7 +918,8 @@ def _knn_ivf_plan(spark: SparkSession, sf_dir: str):
     nprobe, curve = calibration_cached(
         emb, centroids, index_dir, target_recall=KNN_TARGET_RECALL, k=5
     )
-    return emb, c, index_dir, centroids, assignments, nprobe, curve
+    dim = embedding_dim_from_parquet(f"{sf_dir}/embeddings.parquet")
+    return emb, c, index_dir, centroids, assignments, nprobe, curve, dim
 
 
 def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -913,11 +944,13 @@ def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         route_knn,
     )
 
-    emb, c, _index_dir, centroids, assignments, nprobe, curve = (
+    emb, c, _index_dir, centroids, assignments, nprobe, curve, dim = (
         _knn_ivf_plan(spark, sf_dir)
     )
     path, nprobe = route_knn(curve, c, KNN_TARGET_RECALL)
     if path == "ivf":
+        # dim deliberately not passed — see q_knn_join_ivf's note on
+        # the dot_fixed JIT pathology (r14 bisect: 20.6 s vs 3.5 s).
         out = knn_join_cells(
             emb, k=5, n_centroids=c, nprobe=nprobe,
             centroids=centroids, assignments=assignments,
@@ -928,17 +961,13 @@ def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows = pq.ParquetFile(
             f"{sf_dir}/embeddings.parquet"
         ).metadata.num_rows
-        # known dim unrolls the rerank dot (dot_fixed). The 1-row probe
-        # job only pays for itself when the survivor set is large, so
-        # skip it for small corpora (n x R rerank pairs are cheap there)
-        dim = (
-            len(emb.select("embedding").first()[0])
-            if n_rows >= 10_000
-            else None
-        )
+        # the rerank leg keeps the pre-r14 shape: unroll the exact
+        # rerank dot only for large corpora (n x R survivors make it
+        # count); dim now comes from the plan's driver-side parquet
+        # peek instead of a 1-row Spark probe job.
         out = knn_join_quantized(
             emb, k=5, r_candidates=KNN_RERANK_CANDIDATES, n_rows=n_rows,
-            dim=dim,
+            dim=dim if n_rows >= 10_000 else None,
         )
     return out.orderBy("qid", "rn")
 
@@ -3011,12 +3040,25 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_CHECKPOINT_EVERY = 8  # merge rounds between lineage truncations
+
+
 def bpe_train(
     d: DataFrame, n_merges: int = BPE_TRAIN_MERGES
 ) -> list[tuple[int, str, str, int]]:
     """Run the BPE-trainer loop over a documents-shaped frame; returns
     the learned merges as (rank, left, right, corpus_pair_count).
-    See q_bpe_train_merges for the scale/exactness contract."""
+    See q_bpe_train_merges for the scale/exactness contract.
+
+    r14: the vocab frame is localCheckpointed every
+    BPE_CHECKPOINT_EVERY rounds instead of every round. The checkpoint
+    exists to bound lineage depth (each round stacks one replace()),
+    not to cache hot data — a handful of stacked narrow replaces
+    re-evaluated from the last checkpoint is cheaper than one eager
+    materialization job per round (the loop is driver-latency-bound:
+    ~2 jobs/round before, ~1 after — the 6-round bench entry drops a
+    full checkpoint job per merge). At a production merge count the
+    cadence still bounds plan depth at O(BPE_CHECKPOINT_EVERY)."""
     words = d.select(
         F.explode(
             F.regexp_extract_all(
@@ -3063,7 +3105,9 @@ def bpe_train(
         rep = _BPE_SEP + left + right + _BPE_SEP
         vocab = vocab.select(
             F.replace(F.col("r"), F.lit(pat), F.lit(rep)).alias("r"), "wcnt"
-        ).localCheckpoint()
+        )
+        if rank % BPE_CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
     return merges
 
 
@@ -3212,7 +3256,12 @@ def bpe_train_batched(
             pat = _BPE_SEP + left + _BPE_SEP + _BPE_SEP + right + _BPE_SEP
             rep = _BPE_SEP + left + right + _BPE_SEP
             col = F.replace(col, F.lit(pat), F.lit(rep))
-        vocab = vocab.select(col.alias("r"), "wcnt").localCheckpoint()
+        vocab = vocab.select(col.alias("r"), "wcnt")
+        # lineage bound, not a cache: truncate every few rounds instead
+        # of paying one eager materialization job per round (see
+        # bpe_train's r14 note)
+        if (rnd + 1) % BPE_CHECKPOINT_EVERY == 0:
+            vocab = vocab.localCheckpoint()
     return merges
 
 

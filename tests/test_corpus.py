@@ -721,7 +721,7 @@ def test_knn_join_quantized_exact_when_r_covers_corpus(spark, sf_dir):
 def test_knn_join_auto_routes_quantized_on_isotropic(spark, sf_dir):
     """The organic fixture embeddings are near-isotropic: calibration
     needs most cells, so the auto op must route to the quantized arm
-    (MapInPandas coarse pass in the plan, no CartesianProduct, no
+    (MapInArrow coarse pass in the plan, no CartesianProduct, no
     BNLJ) and hold the recall pin."""
     from etl_dagster_service_crawler_spark.operators.similarity import (
         cosine_topk_bruteforce,
@@ -733,13 +733,13 @@ def test_knn_join_auto_routes_quantized_on_isotropic(spark, sf_dir):
         q_knn_join_auto,
     )
 
-    _emb, c, _d, _ce, _a, _np_, curve = _knn_ivf_plan(spark, sf_dir)
+    _emb, c, _d, _ce, _a, _np_, curve, _dim = _knn_ivf_plan(spark, sf_dir)
     path, _ = route_knn(curve, c, KNN_TARGET_RECALL)
     assert path == "quantized"
 
     out = q_knn_join_auto(spark, sf_dir)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan
+    assert "MapInArrow" in plan  # the coarse block kernel (r14: Arrow)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -760,7 +760,7 @@ def test_knn_join_auto_routes_quantized_on_isotropic(spark, sf_dir):
 def test_knn_join_auto_routes_ivf_on_clustered(spark, tmp_path):
     """A clustered replica (10 tight clusters, the near-dup-heavy
     crawl-corpus shape): calibration reaches the target within a few
-    probes, so the auto op must KEEP the IVF cell join (no MapInPandas
+    probes, so the auto op must KEEP the IVF cell join (no MapInArrow
     coarse pass) and still hold the recall pin."""
     import numpy as np
     import pandas as pd
@@ -791,14 +791,14 @@ def test_knn_join_auto_routes_ivf_on_clustered(spark, tmp_path):
     ).to_parquet(f"{tmp_path}/embeddings.parquet", index=False)
 
     sf = str(tmp_path)
-    _emb, c, _d, _ce, _a, nprobe, curve = _knn_ivf_plan(spark, sf)
+    _emb, c, _d, _ce, _a, nprobe, curve, _dim = _knn_ivf_plan(spark, sf)
     path, nprobe = route_knn(curve, c, KNN_TARGET_RECALL)
     assert path == "ivf"
     assert nprobe <= 0.25 * c
 
     out = q_knn_join_auto(spark, sf)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" not in plan
+    assert "MapInArrow" not in plan  # no coarse block kernel on this arm
     assert "CartesianProduct" not in plan
 
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")

@@ -951,9 +951,12 @@ def test_pq_encode_complete_codes_in_range(spark, sf_dir):
 
 
 def test_pq_adc_plan_scans_codes_not_vectors(spark, sf_dir):
-    """ADC plan shape: no CartesianProduct/BNLJ anywhere — the LUT and
-    codebook attach as broadcast equi-joins — and the quadratic stage's
-    exchange carries (qid, id, adc) aggregates, never an embedding."""
+    """ADC plan shape (r14): the codebook and per-query LUTs are
+    bounded collected tables folded into literals, so the scoring pass
+    has NO join of any kind — one Arrow-kernel encode projection, a
+    query fan-out, a literal-LUT gather — and the only exchange left
+    in the whole query is the top-k window's. Never a
+    CartesianProduct/BNLJ."""
     from etl_dagster_service_crawler_spark.operators.similarity import (
         pq_adc_topk,
     )
@@ -963,7 +966,9 @@ def test_pq_adc_plan_scans_codes_not_vectors(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "Join" not in plan  # scoring is join-free since r14
+    assert "ArrowEvalPython" in plan  # the vectorized encode kernel
+    assert plan.count("Exchange") <= 2  # top-k window (+AQE read)
     rows = df.collect()
     by_q = {}
     for r in rows:
