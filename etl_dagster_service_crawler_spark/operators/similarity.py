@@ -1102,6 +1102,10 @@ def quantized_block_pairs(
             "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
         )
     )
+    # NB (r14, measured): packed is consumed by both the query and the
+    # corpus legs, but both read the IDENTICAL pack exchange and Spark
+    # plans the second as a ReusedExchange — an explicit persist added
+    # an eager count job for no gain (1.69 s vs 1.59 s interleaved).
     packed = (
         base.groupBy("block")
         .agg(
@@ -2023,7 +2027,13 @@ def knn_graph_mutual(
     codes = pq_encode_codes(emb, cb, id_col, vec_col).select(
         F.col(id_col).alias("aid"), "codes"
     )
-    node = codes.join(asg, "aid")
+    # persist + eager count (r14): the pair join consumes node TWICE
+    # (lhs/rhs) — without materialization the whole upstream (assign
+    # aggregate + encode kernel + id join) executes once per side.
+    # The node frame is (id, cid, n_sub codes) — the corpus-sized but
+    # payload-free artifact a real deployment persists anyway.
+    node = codes.join(asg, "aid").persist()
+    node.count()
     lhs = node.select(F.col("aid"), "cid", F.col("codes").alias("ca"))
     rhs = node.select(
         F.col("aid").alias("bid"), "cid", F.col("codes").alias("cb")
@@ -2064,9 +2074,14 @@ def knn_graph_mutual(
         .select("aid", "bid", d_expr.alias("d"))
     )
     wk = Window.partitionBy("aid").orderBy(F.col("d"), F.col("bid"))
+    # persist + eager count (r14): the mutuality join consumes topk
+    # TWICE (fwd/rev) — without materialization the entire Σ|cell|²
+    # pair stage executes once per direction. topk is n x k rows.
     topk = pair_d.withColumn("rn", F.row_number().over(wk)).where(
         F.col("rn") <= k
-    )
+    ).persist()
+    topk.count()
+    node.unpersist()
     fwd = topk.select("aid", "bid", "d")
     rev = topk.select(
         F.col("bid").alias("aid"), F.col("aid").alias("bid")
