@@ -2314,22 +2314,23 @@ def _doc_bigram_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bigram_lm_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus bigram LM table (bigram, c12, c1): bigram counts plus
-    the context totals c(w1 ·) joined back — one bigram-keyed map-side
-    combined exchange, then a vocab-sized regroup."""
+    the context totals c(w1 ·). r14 shape: c1 is a windowed sum over
+    the w1 partition of the counted LM — ONE w1-keyed exchange where
+    the previous shape paid a w1 aggregate exchange AND re-shuffled the
+    LM by the same expression for the join-back. Values identical
+    (exact integer counts; oracle: SQL_LM_SIDECAR)."""
     db = _doc_bigram_frame(spark, sf_dir)
     lm = (
         db.select(F.explode("bg").alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("c12"))
     )
-    ctx = (
-        lm.groupBy(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
-        .agg(F.sum("c12").alias("c1"))
+    w1 = Window.partitionBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
     )
-    return lm.join(
-        ctx,
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
-    ).select("bigram", "c12", "c1")
+    return lm.select(
+        "bigram", "c12", F.sum("c12").over(w1).alias("c1")
+    )
 
 
 # Bump when the LM's semantics change (tokenization, smoothing inputs):
@@ -2464,14 +2465,16 @@ def q_sink_lm_sidecar_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("c12"),
         )
     )
-    ctx = merged.groupBy(
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
-    ).agg(F.sum("c12").alias("c1"))
-    out = merged.join(
-        ctx,
-        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == F.col("w1"),
-    ).select("bigram", F.col("c12").cast("bigint").alias("c12"),
-             F.col("c1").cast("bigint").alias("c1"))
+    # c1 as a windowed sum over the merged counts (the _bigram_lm_build
+    # r14 shape): one w1 exchange, no aggregate + join-back
+    w1 = Window.partitionBy(
+        F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+    )
+    out = merged.select(
+        "bigram",
+        F.col("c12").cast("bigint").alias("c12"),
+        F.sum("c12").over(w1).cast("bigint").alias("c1"),
+    )
     path = _scratch(sf_dir, "lm_sidecar_apply")
     shutil.rmtree(path, ignore_errors=True)
     out.sort("bigram").coalesce(1).write.parquet(path)

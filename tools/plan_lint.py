@@ -89,7 +89,6 @@ ALLOW: dict[tuple[str, str], str] = {
     # hash_spread_seeds frame (the corpus-sized pick is a distributed
     # TakeOrdered); ivf_pq_search's BNLJ is assign_cells/probe_cells
     # broadcasting the 16-row centroid set, same as the ivf exports
-    ("pq_encode_export", "Window"): "32-row codebook-rank frame",
     ("pq_adc_topk", "Window"): "32-row codebook-rank frame",
     ("ivf_pq_search", "Window"): "16/32-row seed-rank frames",
     ("ivf_pq_search", "BroadcastNestedLoopJoin"): "16-row centroid set",
@@ -162,10 +161,6 @@ ALLOW: dict[tuple[str, str], str] = {
     ("ann_recall_report", "Window"): "16/32-row seed-rank frames",
     ("ann_recall_report", "BroadcastNestedLoopJoin"):
         "probe rows (exact arm) + 16-row centroid set",
-    # Spark-injected runtime bloom-filter build (1-row aggregate) on
-    # the checkpointed shared-ADC frame — SCALE.md 'Runtime row-level
-    # filtering', not a data-sized single-partition exchange
-    ("ann_recall_report", "SinglePartition"): "runtime bloom-filter build",
     ("stream_anomaly_alerts", "BroadcastNestedLoopJoin"): "per-type stats rows",
     # calendar/constant-size frames: unpartitioned windows and single
     # -partition exchanges over days/months/deciles/offsets frames
@@ -230,11 +225,7 @@ ALLOW: dict[tuple[str, str], str] = {
 # plan text that follows each occurrence. Without this, an allowlist
 # entry keyed only by (query, operator) would silently accept a future
 # DATA-SIZED exchange introduced into the same query's plan.
-ALLOW_CONTEXT: dict[tuple[str, str], str] = {
-    # the Spark-injected 1-row runtime bloom-filter build: the
-    # exchange's direct child is the partial bloom_filter_agg node
-    ("ann_recall_report", "SinglePartition"): "partial_bloom_filter_agg",
-}
+ALLOW_CONTEXT: dict[tuple[str, str], str] = {}
 
 _PATTERN_TEXT = {"SinglePartition": "Exchange SinglePartition"}
 
