@@ -721,20 +721,48 @@ def ivf_n_dirs(n_centroids: int, cap: int | None = None) -> int:
 
 def ivf_index_n_dirs(index_dir: str, n_centroids: int) -> int:
     """Bucket count of a PERSISTED index: the _NDIRS marker ivf_build
-    records (atomic with the publish rename), falling back to the
-    derived value for legacy indexes built before the marker (those
-    are consistent as long as the cap constant is unchanged — the
-    exact coupling the marker exists to remove). Every reader
-    (ivf_search's partition pruning) and every appender (streaming
-    ingest) must size pmod by the layout ON DISK, never by today's
-    constants."""
+    records (atomic with the publish rename). For marker-less legacy
+    indexes the count is derived from the ON-DISK layout itself — the
+    highest pb= partition directory under assignments/ plus one — never from
+    today's cap constant (r14, ADVICE item: a cap resized after such an
+    index was built would make the probe path prune pmod(cid, WRONG_nd)
+    and silently miss candidate buckets; the layout on disk is the only
+    authority). max(pb)+1 rather than the dir COUNT so interior empty
+    buckets cannot undercount; only trailing all-empty residue classes
+    remain unknowable without the marker, and the derivation then still
+    beats a resized constant. The constant is the last resort when
+    assignments/ itself is unreadable — with a loud warning either way. Every
+    reader (ivf_search's partition pruning) and every appender
+    (streaming ingest) must size pmod by the layout ON DISK."""
     import os
 
     try:
         with open(os.path.join(index_dir, "_NDIRS")) as fh:
             return int(fh.read().strip())
     except FileNotFoundError:
-        return ivf_n_dirs(n_centroids)
+        pass
+    try:
+        pbs = [
+            int(e.split("=", 1)[1])
+            for e in os.listdir(os.path.join(index_dir, "assignments"))
+            if e.startswith("pb=")
+        ]
+    except (OSError, ValueError):
+        pbs = []
+    if pbs:
+        _log.warning(
+            "ivf_index_n_dirs: %s has no _NDIRS marker (pre-r13 index); "
+            "deriving bucket count %d from the on-disk pb= layout",
+            index_dir, max(pbs) + 1,
+        )
+        return max(pbs) + 1
+    _log.warning(
+        "ivf_index_n_dirs: no _NDIRS marker and no pb= directories under "
+        "%s/assignments — falling back to the CURRENT cap constant, which "
+        "is only correct if the cap has not changed since the index was "
+        "built", index_dir,
+    )
+    return ivf_n_dirs(n_centroids)
 
 
 def write_assignments(

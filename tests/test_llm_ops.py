@@ -315,8 +315,9 @@ def test_ivf_search_and_append_use_recorded_bucket_count(
         "cap resize between build and search changed results - the "
         "probe is not honoring the recorded bucket count"
     )
-    # legacy-index fallback: without a marker the derived value is
-    # used (correct only while constants are unchanged)
+    # legacy-index fallback (r14): without a marker the count comes
+    # from the ON-DISK pb= layout, so even a resized cap cannot
+    # misroute the probe pruning
     monkeypatch.setattr(S, "IVF_MAX_PARTITION_DIRS", 4)
     os.remove(os.path.join(index_dir, "_NDIRS"))
     legacy = {
@@ -324,6 +325,16 @@ def test_ivf_search_and_append_use_recorded_bucket_count(
         for r in S.ivf_search(spark, index_dir, q, k=5, nprobe=8).collect()
     }
     assert legacy == before
+    assert S.ivf_index_n_dirs(index_dir, 8) == 4
+    # the case the old constant-derived fallback got WRONG: marker
+    # gone AND the cap since resized — the on-disk layout still wins
+    monkeypatch.setattr(S, "IVF_MAX_PARTITION_DIRS", 128)
+    assert S.ivf_index_n_dirs(index_dir, 8) == 4
+    legacy_resized = {
+        (r.qid, r.rn, r.nid)
+        for r in S.ivf_search(spark, index_dir, q, k=5, nprobe=8).collect()
+    }
+    assert legacy_resized == before
 
     # append path: recorded nd keeps new rows in the resident layout
     # even under a resized cap
