@@ -2051,65 +2051,45 @@ def knn_graph_mutual(
     asg = assign_cells(emb, cent, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("aid"), "cid"
     )
-    cb = _collect_codebook_from_emb(emb, n_sub, n_codes, id_col, vec_col)
-    codes = pq_encode_codes(emb, cb, id_col, vec_col).select(
-        F.col(id_col).alias("aid"), "codes"
+    # r14 NEGATIVE RESULT, reverted to the r13 pair shape on purpose:
+    # carrying the codes as an ARRAY and computing d as a folded-
+    # literal SDC gather over ONE cid equi-join (no x n_sub explode,
+    # no pair-sized groupBy) is row-identical but measured SLOWER at
+    # sf0.1 (interleaved mins 6.6 s vs 5.9 s, with/without persists of
+    # the twice-consumed node/topk frames) — the (cid, sub_id) join +
+    # broadcast SDC + partial-agg groupBy below is fully whole-stage-
+    # codegen'd tight JIT'd loops, while the literal-gather projection
+    # is not. The encode itself still comes from the r14 Arrow kernel
+    # via pq_encode (bit-identical, measured faster), which is where
+    # the real win was.
+    codebook = pq_codebook(emb, n_sub, n_codes, id_col, vec_col)
+    codes = pq_encode(emb, codebook, n_sub, id_col, vec_col).select(
+        F.col(id_col).alias("aid"), "sub_id", "code"
     )
-    # persist + eager count (r14): the pair join consumes node TWICE
-    # (lhs/rhs) — without materialization the whole upstream (assign
-    # aggregate + encode kernel + id join) executes once per side.
-    # The node frame is (id, cid, n_sub codes) — the corpus-sized but
-    # payload-free artifact a real deployment persists anyway.
-    node = codes.join(asg, "aid").persist()
-    node.count()
-    lhs = node.select(F.col("aid"), "cid", F.col("codes").alias("ca"))
+    node = codes.join(asg, "aid")
+    lhs = node.select(
+        F.col("aid"), "cid", "sub_id", F.col("code").alias("code_a")
+    )
     rhs = node.select(
-        F.col("aid").alias("bid"), "cid", F.col("codes").alias("cb")
+        F.col("aid").alias("bid"), "cid", "sub_id",
+        F.col("code").alias("code_b"),
     )
-    # r14: the symmetric distance table is n_sub x n_codes^2 exact ints
-    # (8192 at the defaults, constant in corpus size) — folded into a
-    # literal 3D gather, so the Σ|cell|² pair stage is ONE cid equi-join
-    # of (id, cid, 8-byte codes) rows with the distance computed inline.
-    # The previous shape exploded every node x n_sub, joined the SDC
-    # per (pair, subspace) and re-aggregated the 8 rows per pair with a
-    # corpus-pair-sized groupBy sum — at sf0.1 that was a 4M-row
-    # exchange for 2000 vectors. Each vector sits in exactly one cell,
-    # so (aid, bid) is unique per join row and no dedup/agg is needed;
-    # d values are bit-identical (oracle: _sql_knn_graph_mutual).
-    sdc3 = F.expr(
-        _int_array_sql(
-            [
-                [
-                    [_il2_py(ca_sub, cb_sub) for cb_sub in cb[s]]
-                    for ca_sub in cb[s]
-                ]
-                for s in range(len(cb))
-            ]
-        )
-    )
-    d_expr = None
-    for s in range(len(cb)):
-        term = F.element_at(
-            F.element_at(
-                F.element_at(sdc3, s + 1), F.element_at("ca", s + 1) + 1
-            ),
-            F.element_at("cb", s + 1) + 1,
-        )
-        d_expr = term if d_expr is None else d_expr + term
+    sdc = pq_sdc_table(codebook)
     pair_d = (
-        lhs.join(rhs, ["cid"])
+        lhs.join(rhs, ["cid", "sub_id"])
         .where(F.col("aid") != F.col("bid"))
-        .select("aid", "bid", d_expr.alias("d"))
+        .join(F.broadcast(sdc), ["sub_id", "code_a", "code_b"])
+        .groupBy("aid", "bid")
+        .agg(F.sum("d").alias("d"))
     )
     wk = Window.partitionBy("aid").orderBy(F.col("d"), F.col("bid"))
-    # persist + eager count (r14): the mutuality join consumes topk
-    # TWICE (fwd/rev) — without materialization the entire Σ|cell|²
-    # pair stage executes once per direction. topk is n x k rows.
+    # (r14 measured: persisting topk for the fwd/rev double read is a
+    # wash — 5.86 s vs 5.92 s interleaved — because both legs reuse
+    # the pair aggregation exchange; keep the allocation-free lazy
+    # form.)
     topk = pair_d.withColumn("rn", F.row_number().over(wk)).where(
         F.col("rn") <= k
-    ).persist()
-    topk.count()
-    node.unpersist()
+    )
     fwd = topk.select("aid", "bid", "d")
     rev = topk.select(
         F.col("bid").alias("aid"), F.col("aid").alias("bid")
