@@ -245,38 +245,137 @@ def minhash_signatures(
     return hv.select(id_col, _sig32_udf()(F.col("hv")).alias("sig"))
 
 
-def minhash_dedup_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7
+# Sub-block grain for the vectorized pair kernel: a bucket with more
+# members than this is split into ceil(n/B) hash sub-blocks and every
+# (sub-block, sub-block) pair becomes its own kernel row, so a mega
+# bucket (the near-constant-corpus failure mode) never serializes
+# through one kernel invocation — per-row work is bounded by B^2 x k
+# comparisons (~34M int ops at B=1024, tens of ms) and two B-row block
+# payloads (~600 KB), the quantized_block_pairs envelope applied to
+# LSH buckets. B=512 (not 4096) because the pair WEIGHT of a bucket
+# is quadratic in its size: at sf0.1 a 1630-member bucket left whole
+# put 42% of all candidate pairs into one hash partition (measured
+# max/median 4.33M/24k pairs at B=4096/1x width); sweeping B at sf0.1
+# measured 128..512 equal within noise (~2.5-3.2 s) and 1024+ slower
+# (straggler partitions return). The cost of a smaller B is payload
+# replication (each member ships in ceil(m/B) block pairs), so the
+# LARGEST B inside the flat knee wins at scale — 512.
+MINHASH_PAIR_BLOCK_ROWS = 512
+
+
+def _make_lsh_pair_kernel(threshold: float, k: int, n_bands: int):
+    """mapInArrow kernel over packed (band, bh) sub-block pairs: exact
+    replay of the streamed join's per-candidate math (guide §4.2) —
+    n_eq = Σ_k [sig_a[k] == sig_b[k]] as k vectorized numpy column
+    compares, est = n_eq / k in float64 (same IEEE divide), pairs with
+    a NULL signature on either side score 0 (each NULL eq term folded
+    to 0, exactly the CASE ... OTHERWISE 0), first-matching-band
+    emission as (band) plain != masks over the earlier band hashes,
+    and id_a < id_b orientation. Emits only survivors of
+    est >= threshold, so the output IS the old row set."""
+
+    # bound the (rows x rows x k) boolean equality temporary: chunk the
+    # query rows so one slab stays ~64 MB (cache/RSS-friendly with many
+    # concurrent workers). A gather-based variant (one fancy-indexed
+    # pass per component over a flattened pair list) measured SLOWER
+    # distributed — 32 workers of random gathers saturate memory
+    # bandwidth where the dense compare streams sequentially.
+    slab_elems = 64 * 1024 * 1024
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from etl_dagster_service_crawler_spark.operators.similarity import (
+            _arrow_list_rows,
+        )
+
+        names = ("qids", "qoks", "qsigs", "qbhss", "nids", "noks", "nsigs", "nbhss")
+        for b in batches:
+            get = {name: _arrow_list_rows(b, name) for name in names}
+            bandc = b.column(b.schema.get_field_index("band")).to_numpy(
+                zero_copy_only=False
+            )
+            same = (
+                b.column(b.schema.get_field_index("qblk")).to_numpy(
+                    zero_copy_only=False
+                )
+                == b.column(b.schema.get_field_index("tblk")).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            out_a, out_b, out_e = [], [], []
+            for i in range(b.num_rows):
+                qids = get["qids"](i)
+                nids = get["nids"](i)
+                mq, mn = len(qids), len(nids)
+                if not mq or not mn:
+                    continue
+                qsig = get["qsigs"](i).reshape(mq, k)
+                nsig = get["nsigs"](i).reshape(mn, k)
+                okm = (
+                    get["qoks"](i).astype(bool)[:, None]
+                    & get["noks"](i).astype(bool)[None, :]
+                )
+                band = int(bandc[i])
+                if band:
+                    qbh = get["qbhss"](i).reshape(mq, n_bands)
+                    nbh = get["nbhss"](i).reshape(mn, n_bands)
+                # chunk query rows so the 3D equality slab stays bounded
+                step = max(1, slab_elems // max(1, mn * k))
+                for lo in range(0, mq, step):
+                    hi = min(mq, lo + step)
+                    # ONE dense pass: n_eq = Σ_k [sig_a[k] == sig_b[k]]
+                    neq = (
+                        (qsig[lo:hi, None, :] == nsig[None, :, :])
+                        .sum(axis=2, dtype=np.int32)
+                    )
+                    est = neq.astype(np.float64) / float(k)
+                    est = np.where(okm[lo:hi], est, 0.0)
+                    keep = est >= threshold
+                    if band:
+                        for j in range(band):
+                            keep &= (
+                                qbh[lo:hi, j][:, None] != nbh[:, j][None, :]
+                            )
+                    if same[i]:
+                        # same sub-block: rows are id-sorted on both
+                        # sides, strict upper triangle == id_a < id_b
+                        keep &= qids[lo:hi, None] < nids[None, :]
+                        ia, ib = np.nonzero(keep)
+                        a_ids, b_ids = qids[ia + lo], nids[ib]
+                    else:
+                        ia, ib = np.nonzero(keep)
+                        a_raw, b_raw = qids[ia + lo], nids[ib]
+                        a_ids = np.minimum(a_raw, b_raw)
+                        b_ids = np.maximum(a_raw, b_raw)
+                    if len(a_ids):
+                        out_a.append(a_ids)
+                        out_b.append(b_ids)
+                        out_e.append(est[ia, ib])
+            if out_a:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_a), type=pa.int64()),
+                        pa.array(np.concatenate(out_b), type=pa.int64()),
+                        pa.array(np.concatenate(out_e), type=pa.float64()),
+                    ],
+                    names=["id_a", "id_b", "est_jaccard"],
+                )
+
+    return kernel
+
+
+def _minhash_pair_blocks(
+    sig: DataFrame, id_col: str, block_rows: int = MINHASH_PAIR_BLOCK_ROWS
 ) -> DataFrame:
-    """Near-dup pairs with estimated jaccard >= threshold.
-    Estimate = fraction of equal signature components.
-
-    Shuffle discipline — exactly TWO exchanges (the two sides of the
-    bucket self-join), everything else is projection:
-
-    - Bucket rows carry the full signature (k longs) plus the b band
-      hashes, so the jaccard estimate is computed INLINE in the join
-      projection — no pair table is ever materialized, no join-back.
-    - Each qualifying pair is emitted by its FIRST matching band only
-      (join condition: no earlier band hash collides), so the output is
-      exactly the distinct pair set with NO distinct/dedup exchange.
-      The naive id-only formulation (enumerate per-band collisions,
-      distinct, join signatures back twice) shuffles O(candidates) rows
-      three extra times; on template-heavy corpora candidates >> docs
-      and that dominates — measured 40% slower at sf0.1 (5.1M raw
-      candidates for 5k docs).
-    - Cost of carrying signatures: bucket shuffle is
-      docs x bands x ~8(k+b) bytes — O(corpus), independent of the
-      candidate count, the right side of the tradeoff whenever dup
-      density is non-trivial (the reason one runs dedup at all).
-
-    The estimate itself is a flat sum of k element comparisons rather
-    than zip_with+filter+size: same value, no per-row array
-    allocations, stays inside one codegen'd projection."""
-    sig = minhash_signatures(df, id_col, text_col).persist()
-    # Eager: with a lazy cache, the self-join's two sides race to fill
-    # it on first action and each computes the signature subtree.
-    sig.count()
+    """Packed sub-block pairs of the LSH buckets, feeding the pair
+    kernel: one row per (band, bh, query sub-block, target sub-block)
+    with the id-sorted member ids, flattened signatures, flattened
+    band-hash arrays and a NULL-signature mask. Buckets of n members
+    split into ceil(n/block_rows) hash sub-blocks; singleton buckets
+    (the vast majority) are dropped by the size prefilter before any
+    payload is packed."""
     bhs = F.array(
         *[
             F.xxhash64(
@@ -285,62 +384,127 @@ def minhash_dedup_pairs(
             for j in range(LSH_BANDS)
         ]
     )
-    buckets = (
-        sig.select(F.col(id_col), "sig", bhs.alias("bhs"))
+    bucket = sig.select(
+        F.col(id_col).alias("__id"),
+        F.col("sig").isNotNull().alias("ok"),
+        F.coalesce(
+            "sig", F.array_repeat(F.lit(0).cast("bigint"), NUM_HASHES)
+        ).alias("sigf"),
+        bhs.alias("bhs"),
+    ).select(
+        "__id", "ok", "sigf", "bhs", F.posexplode("bhs").alias("band", "bh")
+    )
+    # bucket sizes: map-side partial aggregation, one tiny row per
+    # bucket — the prefilter that drops singleton buckets' payloads
+    # before the pack, and the source of the sub-block count
+    sz = (
+        bucket.groupBy("band", "bh")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
         .select(
-            id_col,
-            "sig",
-            "bhs",
-            F.posexplode("bhs").alias("band", "bh"),
+            "band", "bh",
+            F.ceil(F.col("__n") / F.lit(block_rows)).cast("int").alias("nblk"),
         )
     )
-    a, b = buckets.alias("a"), buckets.alias("b")
-    # "first matching band": no band before this one also collided —
-    # makes each pair's emission unique without a distinct.
-    #
-    # r14 NEGATIVE RESULT, kept on purpose: statically expanding this
-    # HOF to plain element_at comparisons (the sides share `band`, so
-    # earlier-collision ≡ OR over j < band of bhs[j] equality) is
-    # semantically identical and removes the CodegenFallback — but
-    # measured 24-28 s vs 6 s at sf0.1 (2-run mins, 4-way bisect of
-    # {HOF,static} x {HOF fold, Arrow kernel} signatures). With the
-    # fallback gone, the join condition — dominated by the 32-branch
-    # est_jaccard CASE chain, evaluated once per Σ|bucket|² candidate —
-    # is code-generated into one method too large for the JIT's
-    # compilation limit, and the hot loop runs in the bytecode
-    # interpreter; the HOF form keeps the condition on Catalyst's
-    # cached interpreted evaluators, which JIT fine. Keep the HOF.
-    earlier_collision = F.exists(
-        F.zip_with(
-            F.slice(F.col("a.bhs"), 1, F.col("a.band")),
-            F.slice(F.col("b.bhs"), 1, F.col("b.band")),
-            lambda x, y: x == y,
-        ),
-        lambda t: t,
+    joined = bucket.join(sz, ["band", "bh"]).select(
+        "band", "bh", "__id", "ok", "sigf", "bhs",
+        F.pmod(F.xxhash64(F.col("__id")), F.col("nblk")).cast("int").alias("blk"),
+        "nblk",
     )
-    eq_terms = [
-        F.when(
-            F.element_at(F.col("a.sig"), i + 1) == F.element_at(F.col("b.sig"), i + 1),
-            1,
-        ).otherwise(0)
-        for i in range(NUM_HASHES)
-    ]
-    n_eq = sum(eq_terms[1:], eq_terms[0])
-    est = n_eq.cast("double") / float(NUM_HASHES)
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            & ~earlier_collision,
+    packed = (
+        joined.groupBy("band", "bh", "blk")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("__id", "ok", "sigf", "bhs"))
+            ).alias("rows"),
+            F.first("nblk").alias("nblk"),
         )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            est.alias("est_jaccard"),
+            "band", "bh", "blk", "nblk",
+            F.transform("rows", lambda r: r["__id"]).alias("ids"),
+            F.transform("rows", lambda r: r["ok"]).alias("oks"),
+            F.flatten(F.transform("rows", lambda r: r["sigf"])).alias("sigs"),
+            F.flatten(F.transform("rows", lambda r: r["bhs"])).alias("bhss"),
         )
-        .where(F.col("est_jaccard") >= threshold)
+    )
+    qside = packed.select(
+        "band", "bh",
+        F.col("blk").alias("qblk"),
+        F.col("ids").alias("qids"), F.col("oks").alias("qoks"),
+        F.col("sigs").alias("qsigs"), F.col("bhss").alias("qbhss"),
+        F.explode(F.sequence("blk", F.col("nblk") - 1)).alias("tblk"),
+    )
+    nside = packed.select(
+        "band", "bh", F.col("blk").alias("tblk"),
+        F.col("ids").alias("nids"), F.col("oks").alias("noks"),
+        F.col("sigs").alias("nsigs"), F.col("bhss").alias("nbhss"),
+    )
+    # explicit width: AQE would coalesce this small exchange to one
+    # partition and run every kernel task serially (the knn_join_cells
+    # lesson); an explicit repartition pins the fan-out and is reused
+    # as the join's left-side exchange. 4x the core count because the
+    # block-pair rows carry wildly uneven pair weights (1 .. B² pairs
+    # per row) — finer bins keep the heavy rows from clumping into one
+    # hash partition (measured: at 1x width one partition drew 42% of
+    # all pairs at sf0.1).
+    n_parts = 4 * sig.sparkSession.sparkContext.defaultParallelism
+    return qside.repartition(n_parts, "band", "bh", "tblk").join(
+        nside, ["band", "bh", "tblk"]
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.7,
+    block_rows: int = MINHASH_PAIR_BLOCK_ROWS,
+) -> DataFrame:
+    """Near-dup pairs with estimated jaccard >= threshold.
+    Estimate = fraction of equal signature components. Requires a
+    numeric (long) id_col — ids cross the Arrow kernel as int64.
+
+    r15 shape (guide §4.1/§4.2): each (band, bh) bucket is packed into
+    id-sorted hash sub-blocks (ceil(n/block_rows) per bucket) and every
+    candidate pair is evaluated by a dense numpy kernel over
+    (sub-block, sub-block) pairs — one vectorized equality pass per
+    block pair instead of streaming Σ|bucket|² candidates through the
+    bucket self-join's interpreted 32-term CASE chain (the r13/r14
+    shape: measured 5.1-6.2 s at sf0.1 against 2.5-3.2 s for the
+    kernel, same-session interleaved, identical 1,268,188-pair output).
+    Semantics replayed exactly:
+
+    - each qualifying pair is emitted by its FIRST matching band only
+      (kernel mask: no earlier band hash equal), so the output is
+      exactly the distinct pair set with no dedup exchange;
+    - est = (Σ_k [sig_a[k] == sig_b[k]]) / k in float64, pairs with a
+      NULL signature on either side score 0 (the CASE ... OTHERWISE 0
+      fold), emitted iff est >= threshold;
+    - id_a < id_b orientation (id-sorted blocks: strict upper triangle
+      within a block, value min/max across blocks).
+
+    Skew: a mega bucket (the near-constant-corpus failure mode) splits
+    into bounded block pairs — per-task work <= block_rows² x k
+    compares, payload <= 2 x block_rows rows — instead of either one
+    giant collected group (OOM) or one hash partition owning the
+    quadratic pair mass (measured 42% of all pairs in one task before
+    sub-blocking). Singleton buckets (the vast majority) are dropped by
+    a count prefilter before any payload is packed or shuffled.
+
+    r14 NEGATIVE RESULT on the old join shape, kept for the record:
+    statically expanding its first-matching-band HOF removed the
+    CodegenFallback but code-generated the 32-branch est CASE chain
+    past the JIT's method limit — 24-28 s vs 6 s. A gather-vectorized
+    kernel variant (flattened pair list, one fancy-indexed pass per
+    component) also measured SLOWER distributed than this dense form:
+    32 workers of random gathers saturate memory bandwidth where the
+    dense compare streams sequentially."""
+    sig = minhash_signatures(df, id_col, text_col).persist()
+    # Eager: with a lazy cache, the pack plan's two bucket consumers
+    # (size prefilter + member join) race to fill it on first action
+    # and each computes the signature subtree.
+    sig.count()
+    pairs = _minhash_pair_blocks(sig, id_col, block_rows)
+    kernel = _make_lsh_pair_kernel(threshold, NUM_HASHES, LSH_BANDS)
+    return pairs.mapInArrow(
+        kernel, "id_a bigint, id_b bigint, est_jaccard double"
     )
 
 

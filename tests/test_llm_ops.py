@@ -99,6 +99,52 @@ def test_minhash_firstband_pairs_equal_naive_distinct(spark, sf_dir):
     assert got == want and len(want) > 0
 
 
+def test_minhash_subblocked_hot_bucket_matches_whole_bucket(spark):
+    """The r15 sub-blocked pair kernel must emit the identical pair set
+    when a bucket is split across sub-blocks (block_rows smaller than
+    the hot bucket) as when every bucket fits one block — including
+    cross-block id orientation, first-matching-band masking, and the
+    est values. A shared template puts many docs into the same band
+    buckets (the hot-bucket shape), unique docs stay singletons."""
+    tmpl = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, tmpl) for i in range(60)]
+    rows += [(1000 + i, f"unique doc {i} words tail {i * 7} end") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    whole = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5,
+                                block_rows=4096)
+    split = minhash_dedup_pairs(df, "doc_id", "text", threshold=0.5,
+                                block_rows=8)
+    got_w = {(r.id_a, r.id_b, r.est_jaccard) for r in whole.collect()}
+    got_s = {(r.id_a, r.id_b, r.est_jaccard) for r in split.collect()}
+    # 60 identical docs -> the full 60*59/2 clique at est 1.0 must be
+    # present exactly once each (as a subset: the "unique" docs share
+    # template tokens and may legitimately pair among themselves too)
+    assert got_w == got_s
+    clique = {(a, b, e) for a, b, e in got_w if a < 60 and b < 60}
+    assert len(clique) == 60 * 59 // 2
+    assert all(a < b for a, b, _ in got_w)
+    assert all(e == 1.0 for _, _, e in clique)
+
+
+def test_minhash_pairs_null_text_scores_zero(spark):
+    """A NULL-text doc has a NULL signature: every eq term folds to 0,
+    so it can never reach a positive threshold — and its presence must
+    not break the kernel (NULL rows cross as masked zero rows)."""
+    rows = [(1, "aa bb cc dd"), (2, "aa bb cc dd"), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    from etl_dagster_service_crawler_spark.operators.dedup import (
+        minhash_dedup_pairs,
+    )
+
+    got = {(r.id_a, r.id_b) for r in
+           minhash_dedup_pairs(df, "doc_id", "text", 0.5).collect()}
+    assert got == {(1, 2)}
+
+
 def test_split_train_holdout_deterministic_fraction(spark, sf_dir):
     from etl_dagster_service_crawler_spark.workloads.llm import (
         q_split_train_holdout,
