@@ -496,11 +496,13 @@ def minhash_dedup_pairs(
     component) also measured SLOWER distributed than this dense form:
     32 workers of random gathers saturate memory bandwidth where the
     dense compare streams sequentially."""
-    sig = minhash_signatures(df, id_col, text_col).persist()
-    # Eager: with a lazy cache, the pack plan's two bucket consumers
-    # (size prefilter + member join) race to fill it on first action
-    # and each computes the signature subtree.
-    sig.count()
+    # localCheckpoint(eager), not persist+count (r15): the pack plan's
+    # two bucket consumers (size prefilter + member join) read a
+    # materialized frame either way, but the checkpoint skips the
+    # separate count job and leaves no CacheManager entry behind
+    # (blocks are freed when the frame is GC'd) — measured 2.3-2.5 s
+    # vs 2.8-3.1 s interleaved at sf0.1 for the whole query.
+    sig = minhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     pairs = _minhash_pair_blocks(sig, id_col, block_rows)
     kernel = _make_lsh_pair_kernel(threshold, NUM_HASHES, LSH_BANDS)
     return pairs.mapInArrow(
@@ -548,20 +550,24 @@ def minhash_assign_representatives(
                 for j in range(LSH_BANDS)
             ]
         )
-        # sig persisted: the skew probe plus the plan's two consumers
+        # sig materialized: the skew probe plus the plan's two consumers
         # would otherwise recompute the signature fold three times (the
         # 2-consumer no-persist tradeoff measured in r2 flips with a
         # third consumer). In exact mode the bucket projection is a
-        # cheap sha2 — not worth a cache.
-        buckets = sig.persist().select(
+        # cheap sha2 — not worth a cache. r15: localCheckpoint(eager)
+        # instead of a lazy persist — measured a wash on wall time at
+        # sf0.1 but it leaves no CacheManager entry for the session to
+        # leak (blocks are freed when the frame is GC'd; the persists
+        # here were never unpersisted).
+        buckets = sig.localCheckpoint(eager=True).select(
             F.col(id_col), F.explode(bands).alias("bh")
         )
-    # bucket stats persisted too: one row per distinct bucket — min id
-    # and size come out of the same exchange, read by the probe and by
-    # the main plan.
+    # bucket stats materialized too: one row per distinct bucket — min
+    # id and size come out of the same exchange, read by the probe and
+    # by the main plan.
     stats = buckets.groupBy("bh").agg(
         F.min(id_col).alias("bucket_rep"), F.count(F.lit(1)).alias("bn")
-    ).persist()
+    ).localCheckpoint(eager=True)
     hot = stats.where(F.col("bn") > hot_bucket_rows).select(
         "bh", F.lit(True).alias("is_hot")
     )
@@ -869,10 +875,11 @@ def simhash_near_pairs(
             "threshold (pairs beyond the bound can differ in every chunk "
             "and would be silently missed)"
         )
-    # persisted + eagerly materialized: the 63-agg vote pass would
-    # otherwise run once per self-join side (lazy caches race-fill)
-    sig = simhash_signatures(df, id_col, text_col).persist()
-    sig.count()
+    # eagerly materialized: the 63-agg vote pass would otherwise run
+    # once per self-join side (lazy caches race-fill). localCheckpoint
+    # (r15) skips the persist path's separate count job and leaves no
+    # CacheManager entry to leak across invocations.
+    sig = simhash_signatures(df, id_col, text_col).localCheckpoint(eager=True)
     width = SIMHASH_BITS // chunks
     cvs = F.array(
         *[

@@ -275,10 +275,12 @@ def srp_neardup_pairs(
                 for t in range(n_tables)
             ]
         ).alias("bkts"),
-    ).persist()
-    # Eager: with a lazy cache, the self-join's two sides race to fill
-    # it on first action and each computes the signature subtree.
-    sig.count()
+    ).localCheckpoint(eager=True)
+    # Eager: lazily materialized, the self-join's two sides would race
+    # to fill it on first action and each compute the signature
+    # subtree. localCheckpoint (r15) rather than persist+count: one
+    # materialization job instead of two, and no CacheManager entry
+    # leaks across invocations (the persist here was never released).
     buckets = sig.select(
         id_col, vec_col, "nrm", "bkts", F.posexplode("bkts").alias("tbl", "bkt")
     )

@@ -3076,18 +3076,21 @@ def q_dedup_minhash_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ|band bucket|², never n²; document text never joins. The verify
     join is doc_id-keyed equi, broadcast-eligible when the candidate
     set is small."""
-    # r14: ONE md5 shingle pass — the hv frame is persisted eagerly and
-    # feeds both the band keys and the exact-Jaccard verify (the
+    # r14: ONE md5 shingle pass — the hv frame is materialized eagerly
+    # and feeds both the band keys and the exact-Jaccard verify (the
     # previous shape re-ran the full shingle+md5 projection for each
     # consumer: 2 x 0.88 s at sf0.1). The bands frame (4 tiny rows per
-    # doc) is persisted too so the candidate self-join's two sides
-    # don't each re-fold the signature. Eager count()s fill the caches
-    # before the self-join races to do it twice; both run inside the
-    # operator's own invocation, so nothing is precomputed across runs.
-    hv_all = _minhash_shingle_hv(spark, sf_dir).persist()
-    hv_all.count()
-    bands = minhash_bands_from_hv(hv_all).persist()
-    bands.count()
+    # doc) is materialized too so the candidate self-join's two sides
+    # don't each re-fold the signature. r15: localCheckpoint(eager)
+    # instead of persist+count — same one-pass materialization inside
+    # the operator's own invocation (nothing crosses runs), measured
+    # FASTER (1.23-1.41 s vs 1.40-1.68 s interleaved at sf0.1), and no
+    # CacheManager entry outlives the returned frame: checkpoint blocks
+    # are released when the frame is garbage collected, where the old
+    # persists accumulated across invocations until LRU eviction
+    # (ADVICE r14: never unpersisted).
+    hv_all = _minhash_shingle_hv(spark, sf_dir).localCheckpoint(eager=True)
+    bands = minhash_bands_from_hv(hv_all).localCheckpoint(eager=True)
     hv = (
         hv_all
         .select("doc_id", F.array_distinct("hv").alias("hv"))
