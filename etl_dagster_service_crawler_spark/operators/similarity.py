@@ -1555,6 +1555,11 @@ def _collect_codebook(codebook: DataFrame) -> list[list[list[int]]]:
     encode/ADC/SDC run as single codegen'd projections instead of
     join + groupBy cascades (guide §2.4: remove shuffles outright)."""
     rows = codebook.select("sub_id", "code", "csub").collect()
+    if not rows:
+        # empty corpus -> empty codebook: consumers produce an empty
+        # result (the old join-based shape's behavior) instead of this
+        # helper crashing on max() of an empty sequence (r15, ADVICE)
+        return []
     n_sub = 1 + max(r["sub_id"] for r in rows)
     n_codes = 1 + max(r["code"] for r in rows)
     cb: list[list[list[int]]] = [
@@ -1734,6 +1739,17 @@ def pq_encode(
     measured 2.3 s of pq_adc_topk's 3.4 s at sf0.1). Output rows are
     bit-identical (oracle: SQL_PQ_ENCODE_EXPORT)."""
     cb = _collect_codebook(codebook)
+    if not cb:
+        # empty codebook (empty corpus): the old explode+join+min_by
+        # shape produced zero rows; mirror that instead of dividing the
+        # slice width by len(cb) == 0 (r15, ADVICE)
+        return (
+            emb.select(
+                F.col(id_col),
+                F.lit(None).cast("int").alias("sub_id"),
+                F.lit(None).cast("int").alias("code"),
+            ).where(F.lit(False))
+        )
     return pq_encode_codes(emb, cb, id_col, vec_col).select(
         id_col, F.posexplode("codes").alias("sub_id", "code")
     )
@@ -1770,8 +1786,12 @@ def _collect_query_luts(
                 [
                     sum(
                         (vsub[i] - csub[i]) ** 2
+                        # either-side-None terms count 0 — the _il2_py /
+                        # encode slow_row rule; a None element inside a
+                        # collected codebook subvector used to raise a
+                        # driver-side TypeError here (r15, ADVICE)
                         for i in range(min(len(vsub), len(csub)))
-                        if vsub[i] is not None
+                        if vsub[i] is not None and csub[i] is not None
                     )
                     for csub in codes
                 ]
@@ -1833,7 +1853,14 @@ def _pq_adc_scores(
         return spark.createDataFrame(
             [], f"qid bigint, {id_col} bigint, adc bigint"
         )
-    enc = pq_encode_codes(emb, cb, id_col, vec_col)
+    # NULL-embedding corpus rows encode to NULL codes; the pre-r14
+    # join-based shape DROPPED them (posexplode of a NULL array emits
+    # no rows -> inner codes join drops the id). Keep that exact
+    # semantics: without this filter their NULL adc would sort NULLS
+    # FIRST into ranks 1..k of every query's window (r15, ADVICE).
+    enc = pq_encode_codes(emb, cb, id_col, vec_col).where(
+        F.col("codes").isNotNull()
+    )
     qid_arr = F.array(*[F.lit(qid).cast("bigint") for qid, _ in luts])
     fan = enc.select(
         F.col(id_col), "codes", F.explode(qid_arr).alias("qid")
@@ -1974,8 +2001,12 @@ def ivf_pq_search(
         # r14: one id-keyed join attaches the 8-byte code array to the
         # probed candidates; the ADC sum is a literal-LUT gather — the
         # previous shape paid a (qid, sub_id, code) LUT join plus a
-        # corpus-candidate-sized groupBy sum on top of it.
-        enc = pq_encode_codes(emb, cb, id_col, vec_col)
+        # corpus-candidate-sized groupBy sum on top of it. NULL-codes
+        # rows (NULL embeddings) are dropped as the old exploded codes
+        # join did (r15, ADVICE — else NULL adc ranks first).
+        enc = pq_encode_codes(emb, cb, id_col, vec_col).where(
+            F.col("codes").isNotNull()
+        )
         adc = cand.join(enc, id_col).select(
             "qid", id_col,
             _adc_case(luts, F.col("codes"), F.col("qid")).alias("adc"),

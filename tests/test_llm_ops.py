@@ -1007,6 +1007,66 @@ def test_pq_encode_complete_codes_in_range(spark, sf_dir):
         assert by_vec[vid] == {want}
 
 
+def test_pq_adc_null_embedding_row_is_dropped(spark):
+    """A NULL-embedding corpus row encodes to NULL codes; the pre-r14
+    join-based ADC dropped it (posexplode of NULL emits no rows -> the
+    inner codes join drops the id). The literal-LUT shape must keep
+    that semantics — without the drop, NULL adc sorts NULLS FIRST and
+    the quarantine-class row would occupy rank 1 of every query."""
+    import random
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_rerank_topk,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(40)]
+    rows.append((99, None))
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    adc = pq_adc_topk(e, [0, 1], k=5).collect()
+    assert adc and all(r["nid"] != 99 for r in adc)
+    assert all(r["adc"] is not None for r in adc)
+    rr = pq_rerank_topk(e, [0, 1], k=5, r_candidates=8).collect()
+    assert rr and all(r["nid"] != 99 for r in rr)
+
+
+def test_pq_encode_empty_corpus_returns_empty(spark):
+    """An empty corpus yields an empty codebook; pq_encode must return
+    an empty frame (the old join shape's behavior), not crash on max()
+    of an empty collect."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        pq_codebook,
+        pq_encode,
+    )
+
+    e = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    cb = pq_codebook(e, 8, 32)
+    out = pq_encode(e, cb, 8)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["vec_id", "sub_id", "code"]
+
+
+def test_collect_query_luts_tolerates_null_codebook_element(spark):
+    """A None element inside a collected codebook subvector (a seed
+    embedding with a NULL element) must count 0 for that term — the
+    _il2_py / encode slow_row rule — not raise a TypeError."""
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        _collect_query_luts,
+    )
+
+    e = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0, 4.0]), (1, [2.0, 1.0, 0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cb = [[[1, None], [2, 2]], [[None, 1], [0, 0]]]  # 2 subs x 2 codes
+    luts = _collect_query_luts(e, [0], cb, "vec_id", "embedding", dim=4)
+    assert len(luts) == 1 and luts[0][0] == 0
+    lut = luts[0][1]
+    assert len(lut) == 2 and all(len(cs) == 2 for cs in lut)
+    assert all(isinstance(v, int) for cs in lut for v in cs)
+
+
 def test_pq_adc_plan_scans_codes_not_vectors(spark, sf_dir):
     """ADC plan shape (r14): the codebook and per-query LUTs are
     bounded collected tables folded into literals, so the scoring pass
