@@ -682,6 +682,24 @@ def minhash_cluster_cc(
     )
 
 
+# Propagation rounds batched into one checkpointed job (see the loop
+# comment in cc_label_propagation). Module-level so tests and probes
+# can pin either batching. r15 NEGATIVE RESULT, kept for the record:
+# 2-hop batching (halving the eager checkpoint round-trips, VERDICT
+# r14 item 6) measured consistently SLOWER on the benched LSH-CC path
+# at sf0.1 — interleaved mins over 3 rounds: 1hop [2.40, 2.38, 2.03] s
+# vs 2hop [3.85, 3.45, 3.20] s, identical 500-row output. The loop
+# converges in ~4 data rounds here, so batching saves at most 2 driver
+# round-trips (~100 ms) but every batch runs its second hop's two
+# aligned exchanges + pointer jump as REAL shuffle work even when the
+# first hop already converged, and the fixpoint test only fires per
+# batch — one to two full overshoot rounds of shuffles for the saved
+# latency. Keep 1; the batch machinery stays because the tradeoff
+# flips when driver latency dominates shuffle cost (high-RTT cluster
+# masters), and tests pin output equality at either setting.
+CC_HOPS_PER_JOB = 1
+
+
 def cc_label_propagation(
     edges: DataFrame, id_col: str, n_edges: int, max_iters: int = 10,
     hot_bucket_rows: int = HOT_BUCKET_ROWS, n_salts: int = N_SALTS,
@@ -748,51 +766,69 @@ def cc_label_propagation(
 
         labels: DataFrame | None = None
         prev_sum = None
-        for it in range(max_iters):
-            if it == 0:
-                bucket_min = stats.select("bh", "bucket_label")
-            else:
-                bucket_min = (
-                    by_id.join(labels, id_col)
-                    .groupBy("bh")
-                    .agg(F.min("label").alias("bucket_label"))
+        it = 0
+        # The loop supports batching CC_HOPS_PER_JOB propagation
+        # rounds into one checkpointed job: min-label propagation is
+        # monotone, so batching can only overshoot by already-converged
+        # rounds inside the same job — the fixpoint (and therefore
+        # every consumer's output) is identical at any batch size.
+        # Default is 1: see the CC_HOPS_PER_JOB negative result above
+        # (batched overshoot rounds are real shuffle work and measured
+        # slower than the driver round-trips they save at sf0.1).
+        hops_per_job = CC_HOPS_PER_JOB
+        while it < max_iters:
+            batch = min(hops_per_job, max_iters - it)
+            cur = labels
+            for _ in range(batch):
+                if cur is None:
+                    bucket_min = stats.select("bh", "bucket_label")
+                else:
+                    bucket_min = (
+                        by_id.join(cur, id_col)
+                        .groupBy("bh")
+                        .agg(F.min("label").alias("bucket_label"))
+                    )
+                if has_hot:
+                    bucket_min = _replicate_labels_across_salts(
+                        bucket_min, hot, n_salts
+                    )
+                hop = (
+                    by_bh.join(bucket_min, join_keys)
+                    .groupBy(id_col)
+                    .agg(F.min("bucket_label").alias("label"))
                 )
-            if has_hot:
-                bucket_min = _replicate_labels_across_salts(
-                    bucket_min, hot, n_salts
+                # pointer jump: follow the label one more step through
+                # the hop frame itself (labels are doc ids, so
+                # label2 = hop[label])
+                lmap = hop.select(
+                    F.col(id_col).alias("label"), F.col("label").alias("label2")
                 )
-            hop = (
-                by_bh.join(bucket_min, join_keys)
-                .groupBy(id_col)
-                .agg(F.min("bucket_label").alias("label"))
-            )
-            # pointer jump: follow the label one more step through the hop
-            # frame itself (labels are doc ids, so label2 = hop[label])
-            lmap = hop.select(
-                F.col(id_col).alias("label"), F.col("label").alias("label2")
-            )
+                cur = hop.join(lmap, "label", "left").select(
+                    F.col(id_col), F.coalesce("label2", "label").alias("label")
+                )
             # localCheckpoint, not persist: persist caches DATA but the
             # LOGICAL plan keeps growing — the pointer jump self-joins
-            # hop with itself, so the plan TREE doubles every iteration
+            # hop with itself, so the plan TREE doubles every round
             # (shared subtrees are re-printed, not shared, by plan
             # stringification). At sf0.1 (4 rounds) that is invisible;
             # the 10x scale replica needed more rounds and the driver
             # OOM'd inside TreeNode.generateTreeString before the data
             # was ever large. Checkpointing truncates lineage to a
-            # LogicalRDD each round: plan depth is O(1) in iterations,
+            # LogicalRDD each job: plan depth is O(1) in iterations,
             # which is the property that actually matters at 100 TB
             # (on a cluster: reliable checkpoint dir, same call shape).
             #
             # The fixpoint sum rides the checkpoint action as an
-            # observed metric (r9): one job per iteration instead of
-            # checkpoint + a separate agg/collect — the loop is
-            # driver-latency-bound at small SF, and the observed sum
-            # is computed on exactly the rows the checkpoint writes.
+            # observed metric (r9): one job per batch instead of
+            # checkpoint + a separate agg/collect — and the observed
+            # sum is computed on exactly the rows the checkpoint
+            # writes. Equal consecutive sums mean the LAST round
+            # changed nothing (labels are monotone non-increasing, the
+            # sum strictly decreases until the fixpoint), so stopping
+            # on equality is exact at any batch size.
             obs = Observation(f"cc_labsum_{it}")
             new_labels = (
-                hop.join(lmap, "label", "left")
-                .select(F.col(id_col), F.coalesce("label2", "label").alias("label"))
-                .observe(
+                cur.observe(
                     obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
                 )
                 .localCheckpoint(eager=True)
@@ -801,6 +837,7 @@ def cc_label_propagation(
             if labels is not None:
                 labels.unpersist()
             labels = new_labels
+            it += batch
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum

@@ -514,6 +514,35 @@ def test_cc_merges_chains_one_hop_cannot(spark):
     assert lab[4] != lab[1]
 
 
+def test_cc_hop_batching_output_identical(spark, monkeypatch):
+    """cc_label_propagation batches CC_HOPS_PER_JOB propagation rounds
+    per checkpointed job; min-label propagation is monotone so the
+    fixpoint is identical at any batch size. Pin that: a 3-chain plus
+    an isolated doc must label identically at 1-hop and 2-hop batching
+    (default is 1 — the r15 measured negative result — but the batch
+    machinery must stay correct for the cluster-master tradeoff)."""
+    from pyspark.sql import Row
+
+    import etl_dagster_service_crawler_spark.operators.dedup as dd
+
+    mid = " ".join(f"w{i}" for i in range(30))
+    a = " ".join(f"w{i}" for i in range(0, 29)) + " onlyA"
+    c = " ".join(f"w{i}" for i in range(1, 30)) + " onlyC"
+    other = "entirely different text about benchmarks and clusters"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=mid),
+         Row(doc_id=3, text=c), Row(doc_id=4, text=other)]
+    )
+    outs = []
+    for hops in (1, 2):
+        monkeypatch.setattr(dd, "CC_HOPS_PER_JOB", hops)
+        outs.append({
+            (r["doc_id"], r["label"], r["is_dup"])
+            for r in dd.minhash_cluster_cc(df, "doc_id", "text").collect()
+        })
+    assert outs[0] == outs[1] and len(outs[0]) == 4
+
+
 def test_image_decode_and_resize_with_pillow():
     """Runs green where pillow is installed; SKIPS (not stubs) where it
     isn't — the decode body is real either way."""
