@@ -185,6 +185,27 @@ def main() -> None:
         "canary_post": canary_post,
     }
     print(json.dumps(out))
+    # Sidecar file (r15, VERDICT r14 item 5): the driver keeps only a
+    # ~2 KiB stdout tail, which truncated most per-query `runs` spreads
+    # exactly when a noisy window needed them for adjudication. Persist
+    # the FULL evidence line (runs + both canary windows) to a JSONL
+    # sidecar next to this file — one appended line per invocation, so
+    # consecutive windows stay comparable. Additions-only: stdout is
+    # unchanged, and a read-only checkout degrades to a warning.
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_runs.jsonl"),
+    )
+    if sidecar:
+        try:
+            rec = dict(out)
+            rec["wall_clock_utc"] = time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+            )
+            with open(sidecar, "a") as fh:
+                fh.write(json.dumps(rec, separators=(",", ":")) + "\n")
+        except OSError as e:
+            print(f"# bench sidecar not written ({sidecar}): {e}", file=sys.stderr)
     # Final compact line: no runs spread, no canary windows, minimal
     # separators — the per-query map itself must survive the driver's
     # stdout-tail capture intact. bench_history merges runs back in
