@@ -1087,21 +1087,167 @@ def _arrow_list_rows(batch, name: str):
     return row
 
 
+def _quantize_rows_kernel(batches):
+    """mapInArrow kernel: (id, emb array<float>) -> (id, q8 array<int>,
+    n8 double) — the embedding_quantize formula as three vectorized
+    numpy passes over the batch's flattened element buffer. Exact
+    replay of the JVM expression chain it replaces:
+
+    - absmax = fold greatest(acc, abs(double(x))) from 0.0 — max of
+      |x| over non-null elements (np.maximum.reduceat on the flat
+      buffer; float32->float64 cast then abs, same IEEE values);
+    - scale = 127.0/absmax when absmax > 0 else 0.0 (same divide);
+    - q8[i] = floor(double(x)*scale + 0.5) as int (same mul/add/floor
+      order; results are in [-127, 127] so int32 is lossless);
+    - n8 = sqrt(double(sum q8[i]^2)) with the sum exact (<= dim*127^2,
+      integral in float64);
+    - NULL emb -> NULL q8 / NULL n8; empty emb -> empty q8 / n8 = 0.0;
+      a NULL ELEMENT maps to a NULL q8 element and poisons the n8 fold
+      to NULL (the JVM acc + NULL semantics) — such rows take a
+      per-row replay path, flagged by the Arrow element validity mask
+      (a pandas_udf would have collapsed element-NULL to NaN and made
+      the replay undetectable, hence mapInArrow)."""
+    import numpy as np
+    import pyarrow as pa
+
+    for b in batches:
+        ids = b.column(b.schema.get_field_index("id"))
+        col = b.column(b.schema.get_field_index("emb"))
+        n_rows = len(col)
+        # absolute offsets into the (possibly shared) values child;
+        # rebase so the flat compute covers exactly the logical rows
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base, stop = int(offs[0]), int(offs[-1])
+        offs0 = offs - base
+        evals = col.values.slice(base, stop - base)
+        vals64 = evals.to_numpy(zero_copy_only=False).astype(np.float64)
+        row_null = (
+            col.is_null().to_numpy(zero_copy_only=False)
+            if col.null_count
+            else np.zeros(n_rows, dtype=bool)
+        )
+        lens = offs0[1:] - offs0[:-1]
+        nonempty = lens > 0
+        # fast path: every non-empty segment in three reduceat passes
+        absmax = np.zeros(n_rows, dtype=np.float64)
+        if nonempty.any():
+            absmax[nonempty] = np.maximum.reduceat(
+                np.abs(vals64), offs0[:-1][nonempty]
+            )
+        scale = np.where(absmax > 0, 127.0 / absmax, 0.0)
+        q8flat = np.floor(
+            vals64 * np.repeat(scale, lens) + 0.5
+        ).astype(np.int32)
+        sumsq = np.zeros(n_rows, dtype=np.float64)
+        if nonempty.any():
+            sumsq[nonempty] = np.add.reduceat(
+                q8flat.astype(np.float64) ** 2, offs0[:-1][nonempty]
+            )
+        n8_list: list[float | None] = np.sqrt(sumsq).tolist()
+        elem_null = (
+            evals.is_null().to_numpy(zero_copy_only=False)
+            if evals.null_count
+            else None
+        )
+        if row_null.any() or elem_null is not None:
+            # slow-path replay, only for rows the fast path can't
+            # represent: NULL rows and rows with NULL elements
+            redo = set(np.nonzero(row_null)[0].tolist())
+            if elem_null is not None:
+                bad = (
+                    np.searchsorted(
+                        offs0, np.nonzero(elem_null)[0], side="right"
+                    )
+                    - 1
+                )
+                redo.update(int(x) for x in np.unique(bad))
+            q8_rows: list[list[int | None] | None] = [None] * n_rows
+            for i in range(n_rows):
+                if row_null[i]:
+                    n8_list[i] = None
+                elif i in redo:
+                    lo, hi = int(offs0[i]), int(offs0[i + 1])
+                    elems = [
+                        None if not evals[j].is_valid else float(evals[j].as_py())
+                        for j in range(lo, hi)
+                    ]
+                    amx = 0.0
+                    for x in elems:
+                        if x is not None and abs(x) > amx:
+                            amx = abs(x)
+                    sc = 127.0 / amx if amx > 0 else 0.0
+                    q8_rows[i] = [
+                        None if x is None else int(np.floor(x * sc + 0.5))
+                        for x in elems
+                    ]
+                    n8_list[i] = (
+                        None
+                        if any(x is None for x in elems)
+                        else float(
+                            np.sqrt(float(sum(q * q for q in q8_rows[i])))
+                        )
+                    )
+                else:
+                    lo, hi = int(offs0[i]), int(offs0[i + 1])
+                    q8_rows[i] = q8flat[lo:hi].tolist()
+            q8_arr = pa.array(q8_rows, type=pa.list_(pa.int32()))
+            n8_out = pa.array(n8_list, type=pa.float64())
+        else:
+            q8_arr = pa.ListArray.from_arrays(
+                pa.array(offs0, type=pa.int32()),
+                pa.array(q8flat, type=pa.int32()),
+            )
+            n8_out = pa.array(n8_list, type=pa.float64())
+        yield pa.RecordBatch.from_arrays(
+            [ids.cast(pa.int64()), q8_arr, n8_out], names=["id", "q8", "n8"]
+        )
+
+
 def quantized_block_pairs(
     emb: DataFrame,
     n: int,
     block_rows: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    triangle: bool = False,
+    dim: int | None = None,
 ) -> DataFrame:
     """The shared block-product stage of the quantized family
     (knn_join_quantized, similarity_pair_histogram): int8-quantize
     (the embedding_quantize formula), hash vectors into
     ceil(n/block_rows) blocks packed ONCE into id-sorted (ids,
-    flattened int8 matrix, int-exact norms), and form every (query
-    block, corpus block) pair via explode(sequence) + plain shuffled
-    EQUI-join — never a CartesianProduct or unbounded BNLJ. Returns
-    rows (nb, qids, qmat, qnorms, nids, nmat, nnorms)."""
+    flattened int8 matrix, int-exact norms), and form (query block,
+    corpus block) pairs via explode(sequence) + plain EQUI-join —
+    never a CartesianProduct or unbounded BNLJ. Returns rows
+    (nb, qblk, qids, qmat, qnorms, nids, nmat, nnorms).
+
+    ``triangle=True`` fans only qblk <= nb (the LSH pair-kernel
+    pattern) for symmetric consumers that count each unordered pair
+    once — the full ordered fan computes every block product twice
+    and throws half away (a same-block mask cannot recover the
+    cross-block half). Kernel-side contract: same-block rows
+    (qblk == nb) carry the full self product; cross-block rows carry
+    each unordered pair exactly once.
+
+    r15 shape changes (measured, guide §2.4/§2.5):
+    - the packed frame is localCheckpoint(eager)ed: the q and corpus
+      legs previously compiled as two SEPARATE full subtrees (the
+      join's pushed isnotnull(nb) made the corpus leg's exchange
+      non-identical, so ReusedExchange never fired — the r14 comment
+      claiming it did was wrong, see plans/r15/*_before.txt: two
+      ObjectHashAggregate+Exchange chains, two parquet scans) — the
+      scan + quantize + pack now run once per invocation;
+    - the corpus leg is broadcast when the whole packed corpus is
+      provably small (n * (4*dim+16) bytes; 512-dim assumed when dim
+      is unknown), so the pair rows stream over the explicit
+      round-robin repartition and the kernel runs min(pairs, cores)
+      tasks — the previous plan broadcast the QUERY leg and ran the
+      kernel over the corpus leg's hashpartitioning(block) exchange:
+      at most n_blocks (4 at sf0.1) non-empty tasks for 16 block
+      pairs, the knn_join_cells AQE-serialization lesson again. At
+      scale the broadcast arm disarms (payload > cap) and the join
+      shuffles on nb, whose cardinality n/4096 then exceeds the core
+      count anyway."""
     if block_rows is None:
         # B^2 ~ P/2 block pairs: enough tasks to fill the cluster once
         # AQE splits, few enough that per-pair stage overhead doesn't
@@ -1112,30 +1258,24 @@ def quantized_block_pairs(
         block_rows = min(KNN_QUANT_BLOCK_CAP, max(64, -(-n // b_target)))
     n_blocks = max(1, -(-n // block_rows))
 
-    absmax = F.aggregate(
-        F.col(vec_col), F.lit(0.0),
-        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
-    )
-    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
-    q8 = F.transform(
-        F.col(vec_col),
-        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
-    )
-    izero = F.lit(0).cast("bigint")
-    isq = F.aggregate(
-        F.col("q8"), izero, lambda acc, x: acc + (x * x).cast("bigint")
-    )
+    # r15: the absmax/scale/floor quantize + int-exact norm runs as ONE
+    # vectorized Arrow kernel over the scan partitions (guide §4.2) —
+    # the interpreted HOF expression chain it replaces (aggregate fold
+    # + per-element transform lambda + a second aggregate fold) was the
+    # dominant cost of the whole pair stage: 1.05 s of the 1.3 s pairs
+    # plan at sf0.1 against 0.12 s for the bare scan, measured with a
+    # noop sink on each subplan. Math and null semantics are replayed
+    # exactly (see _quantize_rows_kernel); output is bit-identical
+    # (histogram value-hash oracle + exact-when-r-covers-corpus pin).
     base = (
-        emb.select(F.col(id_col).alias("id"), q8.alias("q8"))
-        .withColumn("n8", F.sqrt(isq.cast("double")))
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+        .mapInArrow(
+            _quantize_rows_kernel, "id bigint, q8 array<int>, n8 double"
+        )
         .withColumn(
             "block", F.pmod(F.xxhash64(F.col("id")), F.lit(n_blocks)).cast("int")
         )
     )
-    # NB (r14, measured): packed is consumed by both the query and the
-    # corpus legs, but both read the IDENTICAL pack exchange and Spark
-    # plans the second as a ReusedExchange — an explicit persist added
-    # an eager count job for no gain (1.69 s vs 1.59 s interleaved).
     packed = (
         base.groupBy("block")
         .agg(
@@ -1149,12 +1289,19 @@ def quantized_block_pairs(
             F.flatten(F.transform("rows", lambda r: r["q8"])).alias("mat"),
             F.transform("rows", lambda r: r["n8"]).alias("norms"),
         )
+        .localCheckpoint(eager=True)
+    )
+    span = (
+        F.sequence(F.col("block"), F.lit(n_blocks - 1))
+        if triangle
+        else F.sequence(F.lit(0), F.lit(n_blocks - 1))
     )
     qb = packed.select(
+        F.col("block").alias("qblk"),
         F.col("ids").alias("qids"),
         F.col("mat").alias("qmat"),
         F.col("norms").alias("qnorms"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("nb"),
+        F.explode(span).alias("nb"),
     )
     nb = packed.select(
         F.col("block").alias("nb"),
@@ -1163,7 +1310,16 @@ def quantized_block_pairs(
         F.col("norms").alias("nnorms"),
     )
     n_parts = emb.sparkSession.sparkContext.defaultParallelism
-    return qb.repartition(n_parts, "qids", "nb").join(nb, "nb")
+    # broadcast cap: the whole packed corpus as one relation — int
+    # codes dominate (4 bytes each after the JVM int cast) plus
+    # id+norm per row
+    est_bytes = n * (4 * (dim or 512) + 16)
+    if est_bytes <= 32 * 1024 * 1024:
+        # round-robin spread of the block-pair rows (each carries
+        # bounded uniform work, so balance beats key affinity; the
+        # sort-before-repartition cost is n_blocks tiny header rows)
+        return qb.repartition(n_parts).join(F.broadcast(nb), "nb")
+    return qb.repartition(n_parts, "nb").join(nb, "nb")
 
 
 def knn_join_quantized(
@@ -1215,7 +1371,7 @@ def knn_join_quantized(
         return emb.sparkSession.createDataFrame(
             [], "qid long, nid long, cos double, rn int"
         )
-    pairs = quantized_block_pairs(emb, n, block_rows, id_col, vec_col)
+    pairs = quantized_block_pairs(emb, n, block_rows, id_col, vec_col, dim=dim)
 
     r_cand = r_candidates
 
@@ -1360,7 +1516,9 @@ def similarity_pair_histogram(
         return spark.createDataFrame(
             [], "bucket int, cos_lo double, pair_count bigint"
         )
-    pairs = quantized_block_pairs(emb, n, block_rows, id_col, vec_col)
+    pairs = quantized_block_pairs(
+        emb, n, block_rows, id_col, vec_col, triangle=True
+    )
     n_buckets = SIM_HIST_BUCKETS
 
     def hist_blocks(batches):
@@ -1369,6 +1527,13 @@ def similarity_pair_histogram(
         # through a Python object on the way to np.asarray. Arrow list
         # columns are one flat buffer + offsets, so each block's matrix
         # is a zero-copy numpy slice. Math unchanged — bit-identical.
+        #
+        # r15: triangle fan — the pair stage now emits qblk <= nb only
+        # (the full ordered fan ran every block product twice and the
+        # qids < nids mask threw half away). Same-block rows keep the
+        # id-order mask; cross-block rows count every pair, which each
+        # occurs in exactly one (qblk, nb) combination. Bucket counts
+        # are bit-identical (coarse cosine is symmetric).
         import numpy as np
         import pyarrow as pa
 
@@ -1377,6 +1542,14 @@ def similarity_pair_histogram(
                 name: _arrow_list_rows(b, name)
                 for name in ("qids", "qmat", "qnorms", "nids", "nmat", "nnorms")
             }
+            same = (
+                b.column(b.schema.get_field_index("qblk")).to_numpy(
+                    zero_copy_only=False
+                )
+                == b.column(b.schema.get_field_index("nb")).to_numpy(
+                    zero_copy_only=False
+                )
+            )
             acc = np.zeros(n_buckets, dtype=np.int64)
             for i in range(b.num_rows):
                 qids = cols["qids"](i)
@@ -1391,7 +1564,9 @@ def similarity_pair_histogram(
                     cols["nnorms"](i).astype(np.float64),
                 )
                 # each unordered pair once, zero-norm pairs excluded
-                mask = (qids[:, None] < nids[None, :]) & (den > 0)
+                mask = den > 0
+                if same[i]:
+                    mask &= qids[:, None] < nids[None, :]
                 if not mask.any():
                     continue
                 c = (q @ m.T)[mask] / den[mask]

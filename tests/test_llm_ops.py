@@ -993,6 +993,61 @@ def test_similarity_pair_histogram_totals_and_duplicate_mode(spark, sf_dir, tmp_
     assert sum(got.values()) == 200 * 199 // 2
 
 
+def test_quantize_rows_kernel_replays_jvm_edge_semantics(spark):
+    """The r15 Arrow quantize kernel must replay the JVM expression
+    chain exactly, including the edges: NULL embedding -> NULL q8/n8;
+    empty array -> empty q8, n8 = 0.0; a NULL element -> NULL q8
+    element and a NULL-poisoned n8 fold; zero vector -> all-zero q8,
+    n8 = 0.0. Compare kernel output row-for-row against the HOF
+    expression chain it replaced."""
+    from pyspark.sql import functions as F
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        _quantize_rows_kernel,
+    )
+
+    rows = [
+        (1, [1.0, -2.0, 0.5]),
+        (2, None),
+        (3, []),
+        (4, [0.0, 0.0]),
+        (5, [3.5, None, -1.25]),
+        (6, [127.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {
+        r["id"]: (r["q8"], r["n8"])
+        for r in e.select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("emb")
+        )
+        .mapInArrow(_quantize_rows_kernel, "id bigint, q8 array<int>, n8 double")
+        .collect()
+    }
+    absmax = F.aggregate(
+        F.col("embedding"), F.lit(0.0),
+        lambda acc, x: F.greatest(acc, F.abs(x.cast("double"))),
+    )
+    scale = F.when(absmax > 0, F.lit(127.0) / absmax).otherwise(F.lit(0.0))
+    q8 = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * scale + 0.5).cast("int"),
+    )
+    isq = F.aggregate(
+        F.col("q8"), F.lit(0).cast("bigint"),
+        lambda acc, x: acc + (x * x).cast("bigint"),
+    )
+    want = {
+        r["vec_id"]: (r["q8"], r["n8"])
+        for r in e.select(F.col("vec_id"), q8.alias("q8"))
+        .withColumn("n8", F.sqrt(isq.cast("double")))
+        .collect()
+    }
+    assert got == want
+    assert got[2] == (None, None)
+    assert got[3] == ([], 0.0)
+    assert got[5][0][1] is None and got[5][1] is None
+
+
 def test_pq_encode_complete_codes_in_range(spark, sf_dir):
     """Every (vector, subspace) gets exactly one code in
     [0, PQ_EXPORT_CODES); a codebook seed vector encodes to ITSELF in
