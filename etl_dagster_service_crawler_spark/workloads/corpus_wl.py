@@ -310,25 +310,42 @@ _DUP_SPAN_INF = 2_000_000_000
 
 
 def _dup_window_frames(d):
-    """(dt, dup_occs) — the ONE definition of the sliding dup-window
+    """(dt, occ) — the ONE definition of the sliding dup-window
     machinery shared by dup_span_coverage (the statistic) and
     dedup_span_strip (the rewrite), mirrored by _sql_dup_windows:
-    dt = (doc_id, t tokens); dup_occs = one row per window hash seen
-    in >= 2 distinct docs, carrying the FULL occurrence list sorted by
-    (doc_id, s). A change to the window rule lands HERE or the
+    dt = (doc_id, t tokens); occ = one row per occurrence of a window
+    hash seen in >= 2 distinct docs, as (doc_id, s, is_first) with
+    is_first marking the corpus-wide first occurrence (smallest
+    (doc_id, s)). A change to the window rule lands HERE or the
     statistic and the rewrite silently diverge.
 
-    r14 shape: the corpus is windowed+md5'd ONCE and grouped ONCE —
-    the occurrence list already encodes both what the consumers need
-    (every occurrence for coverage; everything after the FIRST for the
-    strip, a slice of the sorted array). The previous shape derived the
-    dup-hash set from one windowing pass, then re-ran the ENTIRE
-    window+md5 projection for the join-back (no automatic subtree
-    reuse across a join), and the strip paid a third whash exchange
-    for its row_number window — measured: the md5 pass alone is
-    0.78 s of dedup_span_strip's 3.06 s at sf0.1, and it ran twice.
-    Duplicated-window detection over the sorted list is first-doc !=
-    last-doc, exactly countDistinct >= 2."""
+    The corpus is windowed+md5'd ONCE (r14: the previous shape re-ran
+    the full window+md5 projection per consumer — 2 x 0.78 s at
+    sf0.1): the occurrence triples are localCheckpoint(eager)ed and
+    both the stats aggregate and the occurrence join read the
+    materialized frame. (An explicit whash repartition was tried
+    first: the planner broadcast the stats side and compiled TWO full
+    md5 subtrees anyway — ReusedExchange needs byte-identical exchange
+    children and the join's pushed predicates break that, the same
+    trap quantized_block_pairs hit.)
+
+    r15 skew hardening (VERDICT r14 item 4): the r14 shape collected
+    EVERY occurrence of a duplicated hash into one
+    sort_array(collect_list) row — a boilerplate window shared by
+    millions of docs at 100 TB becomes a multi-million-element array
+    in a single aggregation buffer, then a single-task explode (the
+    guide §2.5 hot-key failure the pre-r14 shape didn't have). The
+    stats aggregate now carries only min(struct)/min/max — O(1) per
+    hash however hot — and occurrences flow back per-ROW through an
+    equi-join on whash (broadcast when the dup-hash set is small;
+    shuffled at scale, where AQE skew-join splits a hot hash's
+    partition — machinery that exists for joins but not for the
+    aggregation the old collect_list was). The per-doc regroup
+    downstream bounds every collected array by the DOC's own window
+    count. Duplicated ≡
+    min(doc_id) != max(doc_id) ≡ countDistinct >= 2; first ≡
+    min(struct(doc_id, s)) ≡ head of the sorted occurrence list —
+    identical rows (oracle-pinned on both consumers)."""
     w = DUP_SPAN_WINDOW
     dt = d.select("doc_id", tokens_ws(F.col("text")).alias("t"))
     toks = F.col("t")
@@ -342,22 +359,27 @@ def _dup_window_frames(d):
             F.md5(F.array_join(F.slice(toks, s, w), " ")).alias("whash"),
         ),
     )
-    exploded = dt.select(
-        "doc_id", F.explode(wins).alias("w")
-    ).select("doc_id", "w.s", "w.whash")
-    dup_occs = (
-        exploded.groupBy("whash")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "s"))
-            ).alias("occs")
+    exploded = dt.select("doc_id", F.explode(wins).alias("w")).select(
+        "doc_id", "w.s", "w.whash"
+    )
+    wspec = Window.partitionBy("whash")
+    occ = (
+        exploded.select(
+            "doc_id",
+            "s",
+            F.min(F.struct("doc_id", "s")).over(wspec).alias("first"),
+            (
+                F.min("doc_id").over(wspec) != F.max("doc_id").over(wspec)
+            ).alias("dup"),
         )
-        .where(
-            F.element_at("occs", 1)["doc_id"]
-            != F.element_at("occs", -1)["doc_id"]
+        .where(F.col("dup"))
+        .select(
+            "doc_id",
+            "s",
+            (F.struct("doc_id", "s") == F.col("first")).alias("is_first"),
         )
     )
-    return dt, dup_occs
+    return dt, occ
 
 
 def _sql_dup_windows() -> str:
@@ -404,12 +426,10 @@ def q_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, zero vector/text payloads."""
     d = load_table(spark, sf_dir, "documents")
     w = DUP_SPAN_WINDOW
-    dt, dup_occs = _dup_window_frames(d)
+    dt, occ = _dup_window_frames(d)
     toks = F.col("t")
     per_doc = (
-        dup_occs.select(F.explode("occs").alias("o"))
-        .select(F.col("o.doc_id").alias("doc_id"), F.col("o.s").alias("s"))
-        .groupBy("doc_id")
+        occ.groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("ss"))
     )
     nxt = F.concat(
@@ -501,19 +521,13 @@ def q_dedup_span_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewritten."""
     d = load_table(spark, sf_dir, "documents")
     w = DUP_SPAN_WINDOW
-    dt, dup_occs = _dup_window_frames(d)
+    dt, occ = _dup_window_frames(d)
     toks = F.col("t")
-    # all-but-first occurrence per duplicated hash = slice the sorted
-    # occurrence list from position 2 — identical to the previous
-    # row_number() > 1 over (whash ORDER BY doc_id, s), without the
-    # extra whash exchange + sort the window needed.
+    # all-but-first occurrence per duplicated hash = the is_first flag
+    # from the shared frame — identical to the previous row_number() >
+    # 1 over (whash ORDER BY doc_id, s) / sorted-list slice.
     removable = (
-        dup_occs.select(
-            F.explode(
-                F.slice(F.col("occs"), 2, F.size("occs") - 1)
-            ).alias("o")
-        )
-        .select(F.col("o.doc_id").alias("doc_id"), F.col("o.s").alias("s"))
+        occ.where(~F.col("is_first"))
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list("s")).alias("ss"))
     )

@@ -918,6 +918,41 @@ def test_dup_span_coverage_hand_values(spark, tmp_path):
     assert got[3]["n_tokens"] == 2 and got[3]["dup_frac_bp"] == 0
 
 
+def test_dup_span_hot_window_no_giant_array(spark, tmp_path):
+    """Skew hardening (r15): a single window shared by MANY docs must
+    not funnel through one collected occurrence array (the hot-key
+    shape a boilerplate footer produces at corpus scale). 20k docs
+    share one 8-token window; the strip keeps exactly the first
+    occurrence (doc 0) and coverage reports 8 covered tokens per doc.
+    The per-whash stats aggregate is O(1) per hash, so this completes
+    in seconds where a collect_list of 20k-element structs per hash
+    would accumulate one giant buffer."""
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_dedup_span_strip,
+        q_dup_span_coverage,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (i, f"u{i}a u{i}b u{i}c {shared} u{i}x u{i}y u{i}z", "en", "s", 1)
+        for i in range(20_000)
+    ]
+    sf = _write_documents(tmp_path, rows)
+    cov = q_dup_span_coverage(spark, sf)
+    agg = cov.agg(
+        F.sum("covered_tokens").alias("ct"),
+        F.sum("n_dup_windows").alias("nw"),
+    ).collect()[0]
+    assert agg["ct"] == 8 * 20_000 and agg["nw"] == 20_000
+    stripped = q_dedup_span_strip(spark, sf)
+    kept = stripped.where(F.col("removed_tokens") == 0)
+    assert kept.count() == 1
+    assert kept.collect()[0]["doc_id"] == 0
+    assert (
+        stripped.where(F.col("removed_tokens") == 8).count() == 20_000 - 1
+    )
+
+
 # --- r9: segment dedup / cross-source overlap / interval join / mixing -------
 
 
