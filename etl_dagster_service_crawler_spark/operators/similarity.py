@@ -370,7 +370,13 @@ def ivf_index_dir(sf_dir: str, n_centroids: int = 16,
         ident = f"{f}|{st.st_size}|{st.st_mtime_ns}|{n_centroids}|v2"
     except OSError:
         ident = f"{f}|missing|{n_centroids}|v2"
-    return "/tmp/spark_graft_ivf/" + hashlib.sha1(ident.encode()).hexdigest()[:12]
+    # root overridable (r15): a driver that wants build-from-cold runs
+    # points this at a session temp dir; the default keeps the
+    # per-corpus amortization the search entries document. The BUILD
+    # cost itself is benched either way via sink_ivf_index, which
+    # force-rebuilds into this location every invocation.
+    root = os.environ.get("SPARK_GRAFT_IVF_ROOT", "/tmp/spark_graft_ivf")
+    return os.path.join(root, hashlib.sha1(ident.encode()).hexdigest()[:12])
 
 
 KMEANS_TRAIN_CAP = 100_000
@@ -803,6 +809,7 @@ def write_assignments(
 def ivf_build(
     emb: DataFrame, index_dir: str, n_centroids: int = 16,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    force: bool = False,
 ) -> str:
     """Build the PERSISTED IVF index: centroids as a tiny parquet table,
     assignments written in the bucketed layout (write_assignments —
@@ -815,7 +822,12 @@ def ivf_build(
     Publish is atomic: the index is staged under a temp name and
     os.rename'd into place, so a concurrent reader sees either no index
     or a complete one; on a build race the first publisher wins and the
-    loser's staging is discarded.
+    loser's staging is discarded. ``force=True`` (r15, the
+    sink_ivf_index entry) rebuilds even when an index exists and swaps
+    the fresh build in: new dir renamed aside-then-in, so a reader
+    never sees a half-written tree (it sees the old index, a brief
+    missing window, or the new one — the sink_graph_sidecar
+    overwrite discipline for a directory artifact).
 
     Returns index_dir.
     """
@@ -835,12 +847,21 @@ def ivf_build(
     # pmod by the layout on disk, not today's cap constant (r13)
     with open(os.path.join(stage, "_NDIRS"), "w") as fh:
         fh.write(str(ivf_n_dirs(n_centroids)))
+    old = None
+    if force and os.path.isdir(index_dir):
+        old = f"{index_dir.rstrip('/')}.old-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(index_dir, old)
+        except OSError:
+            old = None
     try:
         os.rename(stage, index_dir)
     except OSError:
         shutil.rmtree(stage, ignore_errors=True)
         if not os.path.isdir(index_dir):
             raise
+    if old:
+        shutil.rmtree(old, ignore_errors=True)
     return index_dir
 
 

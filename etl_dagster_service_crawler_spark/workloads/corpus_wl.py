@@ -936,6 +936,55 @@ def _knn_ivf_plan(spark: SparkSession, sf_dir: str):
     return emb, c, index_dir, centroids, assignments, nprobe, curve, dim
 
 
+def q_sink_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Force-build the persisted IVF index the knn_join family
+    searches (r15, VERDICT r14 item 2): k-means train, full-corpus
+    assign, bucketed cid-sorted parquet write, atomic publish, AND the
+    nprobe calibration memo — then return the READ-BACK assignment
+    rows (vec_id, cid, pb), so the on-disk artifact round-trips
+    through the check, not just the in-memory frame (the
+    sink_graph_sidecar / sink_lm_sidecar discipline).
+
+    This makes the index BUILD a first-class benched cost: before it,
+    knn_join_ivf / knn_join_auto / similarity_topk_ivf only ever timed
+    the search against a /tmp index persisted across bench runs — the
+    train+assign pass appeared in no timed entry. The consumers'
+    amortize-across-queries contract is unchanged; this entry is the
+    one that pays (and re-pays, every invocation) the build.
+
+    Rows-only: MLlib's k-means centroids are seed-deterministic within
+    Spark but not dialect-replayable, so there is no DuckDB twin for
+    the cid VALUES. Anchors: the row count equals the corpus row count
+    (every vector assigned exactly one cell — the driver's rows-only
+    check pins it), pb == pmod(cid, _NDIRS) is pinned by unit test,
+    and search parity over the rebuilt index is pinned by the
+    similarity_topk_ivf == one-shot ivf_topk test."""
+    import os
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        calibration_cached,
+        ivf_build,
+        ivf_index_dir,
+    )
+    import pyarrow.parquet as pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_rows = pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows
+    c = max(16, int(n_rows**0.5 / 2))  # the _knn_ivf_plan sizing rule
+    index_dir = ivf_index_dir(sf_dir, n_centroids=c)
+    ivf_build(emb, index_dir, n_centroids=c, force=True)
+    centroids = spark.read.parquet(f"{index_dir}/centroids")
+    # calibration is planning work that belongs to the index artifact:
+    # computing (and persisting) it here keeps the search entries timing
+    # search, not deferred planning
+    calibration_cached(
+        emb, centroids, index_dir, target_recall=KNN_TARGET_RECALL, k=5
+    )
+    return spark.read.parquet(os.path.join(index_dir, "assignments")).select(
+        "vec_id", "cid", F.col("pb").cast("int").alias("pb")
+    )
+
+
 def q_knn_join_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-adaptive batch ANN (the production knn_join entry): runs
     the SAME calibration as knn_join_ivf, then lets route_knn
@@ -3811,6 +3860,10 @@ SPECS: list[QuerySpec] = [
         _sql_dedup_url_canonical(),
     ),
     QuerySpec("knn_join_ivf", q_knn_join_ivf, None, bench=True),
+    # r15: the IVF index build as a first-class benched sink — the
+    # train+assign+write cost was previously amortized into a /tmp
+    # cache and appeared in no timed entry (VERDICT r14 item 2)
+    QuerySpec("sink_ivf_index", q_sink_ivf_index, None, bench=True),
     # the routed production entry (r7 item 1): IVF when the corpus
     # clusters, quantized block scan when calibration shows IVF
     # degenerating — bench tracks the routed cost

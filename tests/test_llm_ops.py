@@ -322,6 +322,56 @@ def test_ivf_persisted_index_matches_one_shot_and_prunes_partitions(
 
 
 
+def test_sink_ivf_index_force_rebuild_and_layout(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """The r15 benched build entry: force-rebuilds into the canonical
+    index dir every invocation (old tree swapped out whole, no stage/
+    old residue), returns the read-back (vec_id, cid, pb) with one row
+    per corpus vector, pb == pmod(cid, _NDIRS), and search results over
+    the rebuilt index identical to the pre-rebuild ones (seeded k-means
+    -> deterministic rebuild)."""
+    import os
+
+    from etl_dagster_service_crawler_spark.operators.similarity import (
+        ivf_search,
+    )
+    from etl_dagster_service_crawler_spark.workloads.corpus_wl import (
+        q_sink_ivf_index,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF_ROOT", str(tmp_path / "ivf_root"))
+    out1 = q_sink_ivf_index(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(out1) == n
+    root = tmp_path / "ivf_root"
+    dirs = os.listdir(root)
+    assert len(dirs) == 1 and not any(
+        "stage" in d or "old" in d for d in dirs
+    )
+    index_dir = str(root / dirs[0])
+    with open(os.path.join(index_dir, "_NDIRS")) as fh:
+        nd = int(fh.read().strip())
+    assert all(r["pb"] == r["cid"] % nd for r in out1)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id").isin([0, 1])).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    before = {(r.qid, r.rn, r.nid) for r in
+              ivf_search(spark, index_dir, q, k=5, nprobe=2).collect()}
+    # second invocation: rebuild-and-swap, identical rows, no residue
+    out2 = q_sink_ivf_index(spark, sf_dir).collect()
+    assert sorted((r["vec_id"], r["cid"]) for r in out1) == sorted(
+        (r["vec_id"], r["cid"]) for r in out2
+    )
+    assert len(os.listdir(root)) == 1
+    after = {(r.qid, r.rn, r.nid) for r in
+             ivf_search(spark, index_dir, q, k=5, nprobe=2).collect()}
+    assert before == after
+    # calibration memo persisted with the index (search entries read it)
+    assert os.path.exists(os.path.join(index_dir, "nprobe_calibration.json"))
+
+
 def test_ivf_search_and_append_use_recorded_bucket_count(
     spark, sf_dir, tmp_path, monkeypatch
 ):
