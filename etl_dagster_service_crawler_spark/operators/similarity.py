@@ -2245,6 +2245,181 @@ def auto_graph_cells(n: int) -> int:
     return max(1, round(n ** 0.5))
 
 
+# Sub-block grain for the graph pair kernel: a cell with more members
+# than this splits into ceil(m/B) hash sub-blocks, so a hot cell never
+# serializes through one kernel task — per-row work is bounded by
+# B² x n_sub gathers and two B-row code payloads (the
+# MINHASH_PAIR_BLOCK_ROWS envelope applied to IVF cells).
+GRAPH_PAIR_BLOCK_ROWS = 1024
+
+
+def _collect_sdc(cb: list[list[list[int]]]):
+    """numpy SDC table from the collected codebook:
+    sdc[s, i, j] = exact integer squared-L2 between codes i and j of
+    subspace s — the _il2_py twin of pq_sdc_table's _il2 fold, so the
+    gathered pair distances are bit-identical to the broadcast-join
+    shape's. n_sub x n_codes² int64 entries (8 KiB at the export
+    defaults) — bounded, closed over by the kernel."""
+    import numpy as np
+
+    n_sub = len(cb)
+    n_codes = max((len(s) for s in cb), default=0)
+    sdc = np.zeros((n_sub, n_codes, n_codes), dtype=np.int64)
+    for s, codes in enumerate(cb):
+        for i, ci in enumerate(codes):
+            for j in range(i, len(codes)):
+                d = _il2_py(ci, codes[j])
+                sdc[s, i, j] = d
+                sdc[s, j, i] = d
+    return sdc
+
+
+def _graph_pair_blocks(
+    node: DataFrame, block_rows: int = GRAPH_PAIR_BLOCK_ROWS
+) -> DataFrame:
+    """Packed sub-blocked cell pairs feeding the graph pair kernel:
+    node = (aid, cid, codes array<int>, n_sub codes per row); one row
+    per (cid, qblk, tblk >= qblk) with id-sorted member ids and
+    flattened code matrices for both sides (the _minhash_pair_blocks
+    shape without bands — triangle fan, the kernel emits both pair
+    orientations from one distance matrix). Singleton cells are
+    dropped by the size prefilter (no same-cell pair exists)."""
+    sz = (
+        node.groupBy("cid")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") >= 2)
+        .select(
+            "cid",
+            F.ceil(F.col("__n") / F.lit(block_rows)).cast("int").alias("nblk"),
+        )
+    )
+    joined = node.join(sz, "cid").select(
+        "cid", "aid", "codes",
+        F.pmod(F.xxhash64(F.col("aid")), F.col("nblk")).cast("int").alias("blk"),
+        "nblk",
+    )
+    packed = (
+        joined.groupBy("cid", "blk")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("aid", "codes"))).alias("rows"),
+            F.first("nblk").alias("nblk"),
+        )
+        .select(
+            "cid", "blk", "nblk",
+            F.transform("rows", lambda r: r["aid"]).alias("ids"),
+            F.flatten(F.transform("rows", lambda r: r["codes"])).alias("mat"),
+        )
+    )
+    qside = packed.select(
+        "cid",
+        F.col("blk").alias("qblk"),
+        F.col("ids").alias("qids"),
+        F.col("mat").alias("qmat"),
+        F.explode(F.sequence("blk", F.col("nblk") - 1)).alias("tblk"),
+    )
+    nside = packed.select(
+        "cid", F.col("blk").alias("tblk"),
+        F.col("ids").alias("nids"), F.col("mat").alias("nmat"),
+    )
+    # explicit width, 4x cores: block-pair rows carry uneven quadratic
+    # pair weights — finer bins keep heavy rows from clumping (the
+    # _minhash_pair_blocks sizing note); AQE would otherwise coalesce
+    # the small exchange to one partition and serialize the kernel.
+    n_parts = 4 * node.sparkSession.sparkContext.defaultParallelism
+    return qside.repartition(n_parts, "cid", "tblk").join(
+        nside, ["cid", "tblk"]
+    )
+
+
+def _make_graph_pair_kernel(sdc, k: int, n_sub: int):
+    """mapInArrow kernel over packed (cell, sub-block, sub-block)
+    pairs: per block pair ONE gather-sum distance matrix
+    D[a, b] = Σ_s sdc[s, codes_a[s], codes_b[s]] (exact int64 — the
+    broadcast-SDC join + groupBy sum it replaces, per pair), then a
+    per-aid PARTIAL top-k with a tie-preserving value cutoff: every
+    candidate with d <= the k-th smallest of that row survives, so the
+    downstream window merge (d asc, bid asc) reproduces the exact
+    global top-k per aid. Same-block pairs mask the diagonal
+    (aid != bid — blocks hash-partition ids, so cross-block aid == bid
+    is impossible); cross-block pairs emit BOTH orientations from one
+    matrix (rows and transpose), which is why the fan is triangular.
+    Rows with NULL codes never reach the kernel (filtered upstream,
+    matching the exploded-encode inner join's drop); null code
+    ELEMENTS cannot be produced by the encode argmin — the kernel
+    raises rather than guess if it ever sees one."""
+    import numpy as np
+
+    sdc = np.ascontiguousarray(sdc, dtype=np.int64)
+    sentinel = np.iinfo(np.int64).max // 4
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def partials(D, rids, cids, out):
+            m, n = D.shape
+            kk = min(k, n)
+            if n > kk:
+                kth = np.partition(D, kk - 1, axis=1)[:, kk - 1, None]
+            else:
+                kth = D.max(axis=1, keepdims=True)
+            keep = (D <= kth) & (D < sentinel)
+            ia, ib = np.nonzero(keep)
+            if len(ia):
+                out[0].append(rids[ia])
+                out[1].append(cids[ib])
+                out[2].append(D[ia, ib])
+
+        for b in batches:
+            names = ("qids", "qmat", "nids", "nmat")
+            get = {name: _arrow_list_rows(b, name) for name in names}
+            for nm in ("qmat", "nmat"):
+                col = b.column(b.schema.get_field_index(nm))
+                if col.values.null_count:
+                    raise ValueError(
+                        "graph pair kernel: NULL code element in packed "
+                        "block — encode cannot produce this; refusing to "
+                        "approximate the SDC join's drop semantics"
+                    )
+            same = (
+                b.column(b.schema.get_field_index("qblk")).to_numpy(
+                    zero_copy_only=False
+                )
+                == b.column(b.schema.get_field_index("tblk")).to_numpy(
+                    zero_copy_only=False
+                )
+            )
+            out = ([], [], [])
+            for i in range(b.num_rows):
+                qids = get["qids"](i)
+                nids = get["nids"](i)
+                mq, mn = len(qids), len(nids)
+                if not mq or not mn:
+                    continue
+                A = get["qmat"](i).reshape(mq, n_sub)
+                B = get["nmat"](i).reshape(mn, n_sub)
+                D = sdc[0][A[:, 0][:, None], B[:, 0][None, :]].copy()
+                for s in range(1, n_sub):
+                    D += sdc[s][A[:, s][:, None], B[:, s][None, :]]
+                if same[i]:
+                    np.fill_diagonal(D, sentinel)
+                    partials(D, qids, nids, out)
+                else:
+                    partials(D, qids, nids, out)
+                    partials(D.T, nids, qids, out)
+            if out[0]:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out[0]), type=pa.int64()),
+                        pa.array(np.concatenate(out[1]), type=pa.int64()),
+                        pa.array(np.concatenate(out[2]), type=pa.int64()),
+                    ],
+                    names=["aid", "bid", "d"],
+                )
+
+    return kernel
+
+
 def knn_graph_mutual(
     emb: DataFrame, k: int = 3,
     n_centroids: int | None = None, n_sub: int = 8, n_codes: int = 32,
@@ -2280,44 +2455,51 @@ def knn_graph_mutual(
     asg = assign_cells(emb, cent, id_col, vec_col, dim=dim).select(
         F.col(id_col).alias("aid"), "cid"
     )
-    # r14 NEGATIVE RESULT, reverted to the r13 pair shape on purpose:
-    # carrying the codes as an ARRAY and computing d as a folded-
-    # literal SDC gather over ONE cid equi-join (no x n_sub explode,
-    # no pair-sized groupBy) is row-identical but measured SLOWER at
-    # sf0.1 (interleaved mins 6.6 s vs 5.9 s, with/without persists of
-    # the twice-consumed node/topk frames) — the (cid, sub_id) join +
-    # broadcast SDC + partial-agg groupBy below is fully whole-stage-
-    # codegen'd tight JIT'd loops, while the literal-gather projection
-    # is not. The encode itself still comes from the r14 Arrow kernel
-    # via pq_encode (bit-identical, measured faster), which is where
-    # the real win was.
+    # r15: the pair stage is a cell-blocked Arrow kernel — one
+    # gather-sum distance matrix per (cell sub-block, sub-block) pair
+    # plus a per-aid tie-preserving partial top-k, replacing the
+    # (cid, sub_id) row join x n_sub, the broadcast SDC join, the
+    # pair-sized groupBy sum AND most of the top-k window's input
+    # (the window now merges ~n x k partials instead of ranking
+    # Σ|cell|² pair rows). The r14 attempt at removing this machinery
+    # (a folded-literal SDC gather as a JVM projection) measured
+    # SLOWER because the interpreted expression lost to the join's
+    # codegen; the numpy kernel wins where the expression could not —
+    # the same history as minhash_dedup_pairs. Distances are exact
+    # int64 SDC gathers (_collect_sdc is the _il2_py twin of
+    # pq_sdc_table), NULL-codes rows are dropped exactly as the
+    # exploded-encode inner join dropped them, and sub-blocking keeps
+    # a hot cell's quadratic pair mass spread across tasks.
     codebook = pq_codebook(emb, n_sub, n_codes, id_col, vec_col)
-    codes = pq_encode(emb, codebook, n_sub, id_col, vec_col).select(
-        F.col(id_col).alias("aid"), "sub_id", "code"
+    cb = _collect_codebook(codebook)
+    if not cb:
+        return emb.sparkSession.createDataFrame(
+            [], "src bigint, dst bigint, d bigint"
+        )
+    node = (
+        pq_encode_codes(emb, cb, id_col, vec_col)
+        .where(F.col("codes").isNotNull())
+        .select(F.col(id_col).alias("aid"), "codes")
+        .join(asg, "aid")
     )
-    node = codes.join(asg, "aid")
-    lhs = node.select(
-        F.col("aid"), "cid", "sub_id", F.col("code").alias("code_a")
-    )
-    rhs = node.select(
-        F.col("aid").alias("bid"), "cid", "sub_id",
-        F.col("code").alias("code_b"),
-    )
-    sdc = pq_sdc_table(codebook)
-    pair_d = (
-        lhs.join(rhs, ["cid", "sub_id"])
-        .where(F.col("aid") != F.col("bid"))
-        .join(F.broadcast(sdc), ["sub_id", "code_a", "code_b"])
-        .groupBy("aid", "bid")
-        .agg(F.sum("d").alias("d"))
+    kernel = _make_graph_pair_kernel(_collect_sdc(cb), k, n_sub)
+    # block grain read at call time (module global) so tests can pin
+    # sub-blocked == whole-cell equality by monkeypatching it
+    partial = _graph_pair_blocks(node, GRAPH_PAIR_BLOCK_ROWS).mapInArrow(
+        kernel, "aid bigint, bid bigint, d bigint"
     )
     wk = Window.partitionBy("aid").orderBy(F.col("d"), F.col("bid"))
-    # (r14 measured: persisting topk for the fwd/rev double read is a
-    # wash — 5.86 s vs 5.92 s interleaved — because both legs reuse
-    # the pair aggregation exchange; keep the allocation-free lazy
-    # form.)
-    topk = pair_d.withColumn("rn", F.row_number().over(wk)).where(
-        F.col("rn") <= k
+    # topk materialized eagerly: the mutuality join consumes it twice
+    # (fwd/rev) with DIFFERENT column prunings, so the pre-window
+    # exchanges are not byte-identical and ReusedExchange does not fire
+    # — without this the whole pack+kernel subtree compiles and runs
+    # once per direction (verified in plans/r15/knn_graph_mutual_*:
+    # 2 MapInArrow nodes without the checkpoint). n x k rows, within
+    # this invocation only; blocks are freed when the frame is GC'd.
+    topk = (
+        partial.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= k)
+        .localCheckpoint(eager=True)
     )
     fwd = topk.select("aid", "bid", "d")
     rev = topk.select(

@@ -1355,6 +1355,39 @@ def test_knn_graph_mutual_properties(spark, sf_dir):
         assert e["d"] >= 0
 
 
+def test_graph_pair_kernel_subblocked_hot_cell_identical(spark, monkeypatch):
+    """The r15 graph pair kernel must emit the identical edge set when
+    a cell is split across sub-blocks (GRAPH_PAIR_BLOCK_ROWS smaller
+    than the hot cell) as when every cell fits one block — dual
+    orientation emission, diagonal masking, tie-preserving partial
+    top-k, and the window merge all replayed across the split. One
+    dominant cluster (60 near-identical vectors, all in one cell at
+    n_centroids=2) is the hot-cell shape."""
+    import random
+
+    import etl_dagster_service_crawler_spark.operators.similarity as S
+
+    rng = random.Random(11)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [
+        (i, [x + rng.uniform(-0.02, 0.02) for x in base]) for i in range(60)
+    ]
+    rows += [
+        (100 + i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(10)
+    ]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = {}
+    for tag, blk in (("whole", 4096), ("split", 8)):
+        monkeypatch.setattr(S, "GRAPH_PAIR_BLOCK_ROWS", blk)
+        got[tag] = {
+            tuple(r)
+            for r in S.knn_graph_mutual(
+                e, k=3, n_centroids=2, n_sub=8, n_codes=8
+            ).collect()
+        }
+    assert got["whole"] == got["split"] and got["whole"]
+
+
 def test_graph_sidecar_roundtrip_and_reuse(spark, sf_dir):
     """The persisted mutual-kNN graph sidecar (r10): a cold read
     builds+persists and matches the direct build edge-for-edge; a warm
