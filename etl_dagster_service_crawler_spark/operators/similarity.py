@@ -25,11 +25,6 @@ fold is the whole cost, so it runs vectorized).
 from __future__ import annotations
 
 import logging
-from typing import Iterator  # noqa: UP035 - PySpark's pandas_udf
-# type-hint inference resolves string hints in THIS module's globals
-# and requires typing.Iterator (collections.abc is not recognized)
-
-import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1817,89 +1812,156 @@ def _il2_py(a: list[int], b: list[int]) -> int:
     )
 
 
-def _make_encode_udf(cb: list[list[list[int]]], sub_dim: int):
-    """pandas_udf: q8 array<bigint> -> array<int> of per-subspace
-    nearest-code ids against the COLLECTED codebook — argmin by exact
-    integer squared-L2, ties to the smallest code (np.argmin returns
-    the FIRST minimum, exactly min_by(code, struct(d2, code))).
+def _make_fused_encode_kernel(cb: list[list[list[int]]], sub_dim: int):
+    """mapInArrow kernel: (id, emb array<float>) -> (id, codes
+    array<int>) — the _q8_expr quantize AND the per-subspace argmin
+    encode fused into one Python crossing (r15: the interpreted JVM
+    quantize fold was ~half of pq_encode_codes' cost at sf0.1, the
+    same hot spot quantized_block_pairs' kernel removed). Exact
+    replay, stage by stage:
 
-    Vectorized fast path (guide §4.2): a batch's full-width null-free
-    vectors reshape to (n, n_sub, sub_dim) and the distances to every
-    code come out of ONE broadcasted (n, n_sub, n_codes) int64
-    subtract-square-sum — all inside int64 (|q8| <= 127-ish, terms
-    <= (2*2^31)^2 never occur here since both sides are quantized
-    int8-domain values). Ragged / null-bearing rows (the
-    embedding_quality_gate quarantine class) fall back to an exact
-    per-row Python replay of _il2's pad-with-zero semantics, so every
-    row matches the previous joined min_by shape bit-for-bit."""
+    - quantize: the _quantize_rows_kernel math (absmax fold over
+      non-null |x| in float64, 127.0/absmax when positive else 0.0,
+      floor(x*scale + 0.5)) — values identical to _q8_expr's bigint
+      transform;
+    - encode: the r14 argmin-UDF math — full-width null-free rows
+      take the broadcast (n, n_sub, n_codes) int64 subtract-square-sum
+      argmin (FIRST minimum == ties to the smallest code); NULL rows
+      encode to NULL; ragged or null-element rows (and every row, when
+      the codebook itself is ragged) replay _il2's pad-with-zero
+      semantics per row, bit-for-bit with the old joined min_by."""
+    import numpy as np
+
     n_sub = len(cb)
     dim = n_sub * sub_dim
+    cb_arr = np.zeros((n_sub, len(cb[0]), sub_dim), dtype=np.int64)
+    cb_len = np.zeros((n_sub, len(cb[0])), dtype=np.int64)
+    for s, codes in enumerate(cb):
+        for c, csub in enumerate(codes):
+            cb_len[s, c] = len(csub)
+            for i, v in enumerate(csub[:sub_dim]):
+                cb_arr[s, c, i] = 0 if v is None else v
+    ragged_cb = bool((cb_len != sub_dim).any()) or any(
+        v is None for codes in cb for csub in codes for v in csub
+    )
 
-    def _kernel(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
-        import numpy as np
-        import pandas as pd
+    def slow_row(q):
+        # exact replay of _il2 over slices: pad-with-zero on both
+        # sides (None or NaN elements count 0), ties to the smallest
+        # code — q is the row's q8 list (ints with None holes)
+        def ok(x):
+            return x is not None and x == x
 
-        cb_arr = np.zeros((n_sub, len(cb[0]), sub_dim), dtype=np.int64)
-        cb_len = np.zeros((n_sub, len(cb[0])), dtype=np.int64)
-        for s, codes in enumerate(cb):
-            for c, csub in enumerate(codes):
-                cb_len[s, c] = len(csub)
-                for i, v in enumerate(csub[:sub_dim]):
-                    cb_arr[s, c, i] = 0 if v is None else v
-        ragged_cb = bool((cb_len != sub_dim).any()) or any(
-            v is None for codes in cb for csub in codes for v in csub
-        )
+        codes_out = []
+        for s in range(n_sub):
+            vsub = q[s * sub_dim: (s + 1) * sub_dim]
+            best_c, best_d = 0, None
+            for c, csub in enumerate(cb[s]):
+                m = min(len(vsub), len(csub))
+                d = sum(
+                    (int(vsub[i]) - int(csub[i])) ** 2
+                    for i in range(m)
+                    if ok(vsub[i]) and ok(csub[i])
+                )
+                if best_d is None or d < best_d:
+                    best_c, best_d = c, d
+            codes_out.append(best_c)
+        return codes_out
 
-        def slow_row(q):
-            # exact replay of _il2 over slices: pad-with-zero on both
-            # sides (None or NaN elements count 0), ties to the
-            # smallest code
-            def ok(x):
-                return x is not None and x == x
+    def q8_row(elems):
+        # _q8_expr per row for the slow path: greatest skips nulls,
+        # scale 0 when absmax is not positive, floor(x*scale + 0.5)
+        amx = 0.0
+        for x in elems:
+            if x is not None and abs(x) > amx:
+                amx = abs(x)
+        sc = 127.0 / amx if amx > 0 else 0.0
+        return [
+            None if x is None else int(np.floor(x * sc + 0.5))
+            for x in elems
+        ]
 
-            codes_out = []
-            for s in range(n_sub):
-                vsub = q[s * sub_dim: (s + 1) * sub_dim]
-                best_c, best_d = 0, None
-                for c, csub in enumerate(cb[s]):
-                    m = min(len(vsub), len(csub))
-                    d = sum(
-                        (int(vsub[i]) - int(csub[i])) ** 2
-                        for i in range(m)
-                        if ok(vsub[i]) and ok(csub[i])
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids = b.column(b.schema.get_field_index("id"))
+            col = b.column(b.schema.get_field_index("emb"))
+            n_rows = len(col)
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            base, stop = int(offs[0]), int(offs[-1])
+            offs0 = offs - base
+            evals = col.values.slice(base, stop - base)
+            row_null = (
+                col.is_null().to_numpy(zero_copy_only=False)
+                if col.null_count
+                else np.zeros(n_rows, dtype=bool)
+            )
+            lens = offs0[1:] - offs0[:-1]
+            elem_null = (
+                evals.is_null().to_numpy(zero_copy_only=False)
+                if evals.null_count
+                else None
+            )
+            bad = np.zeros(n_rows, dtype=bool)
+            if elem_null is not None:
+                hit = (
+                    np.searchsorted(
+                        offs0, np.nonzero(elem_null)[0], side="right"
                     )
-                    if best_d is None or d < best_d:
-                        best_c, best_d = c, d
-                codes_out.append(best_c)
-            return np.asarray(codes_out, dtype=np.int32)
-
-        for q8 in it:
-            vals = q8.to_numpy()
-            n = len(vals)
-            out = [None] * n
-            fast_idx, fast_rows = [], []
-            for i, v in enumerate(vals):
-                if v is None:
-                    continue
-                arr = np.asarray(v)
-                if (
-                    not ragged_cb
-                    and arr.dtype.kind in "iu"
-                    and arr.shape == (dim,)
-                ):
-                    fast_idx.append(i)
-                    fast_rows.append(arr.astype(np.int64, copy=False))
-                else:
-                    out[i] = slow_row(list(v))
-            if fast_rows:
-                q = np.stack(fast_rows).reshape(-1, n_sub, 1, sub_dim)
+                    - 1
+                )
+                bad[np.unique(hit)] = True
+            fast = (
+                ~row_null & ~bad & (lens == dim)
+                if not ragged_cb
+                else np.zeros(n_rows, dtype=bool)
+            )
+            out: list[list[int] | None] = [None] * n_rows
+            if fast.any():
+                vals64 = evals.to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                )
+                nonempty = lens > 0
+                absmax = np.zeros(n_rows, dtype=np.float64)
+                if nonempty.any():
+                    absmax[nonempty] = np.maximum.reduceat(
+                        np.abs(vals64), offs0[:-1][nonempty]
+                    )
+                scale = np.where(absmax > 0, 127.0 / absmax, 0.0)
+                q8flat = np.floor(
+                    vals64 * np.repeat(scale, lens) + 0.5
+                ).astype(np.int64)
+                starts = offs0[:-1][fast]
+                idx = starts[:, None] + np.arange(dim)[None, :]
+                q = q8flat[idx].reshape(-1, n_sub, 1, sub_dim)
                 d2 = ((q - cb_arr[None, :, :, :]) ** 2).sum(axis=3)
                 codes = d2.argmin(axis=2).astype(np.int32)
-                for j, i in enumerate(fast_idx):
-                    out[i] = codes[j]
-            yield pd.Series(out)
+                for j, i in enumerate(np.nonzero(fast)[0]):
+                    out[int(i)] = codes[j].tolist()
+            for i in range(n_rows):
+                if row_null[i] or out[i] is not None:
+                    continue
+                lo, hi = int(offs0[i]), int(offs0[i + 1])
+                elems = [
+                    None if not evals[j].is_valid else float(evals[j].as_py())
+                    for j in range(lo, hi)
+                ]
+                out[i] = slow_row(q8_row(elems))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.cast(pa.int64()),
+                    pa.array(
+                        [None if row_null[i] else out[i] for i in range(n_rows)],
+                        type=pa.list_(pa.int32()),
+                    ),
+                ],
+                names=["id", "codes"],
+            )
 
-    return F.pandas_udf(_kernel, "array<int>")
+    return kernel
 
 
 def pq_encode_codes(
@@ -1908,16 +1970,22 @@ def pq_encode_codes(
     dim: int = PQ_DIM,
 ) -> DataFrame:
     """(id, codes array<int>): every subspace's nearest-code id in one
-    shuffle-free projection — the quantization stays a JVM expression
-    (_q8_expr, the oracle-pinned formula) and only the q8 column
-    crosses the Arrow boundary into the vectorized argmin kernel. The
-    array form is what the ADC/SDC consumers want — one row per
-    vector, the 8-byte PQ representation kept together."""
+    shuffle-free projection. r15: the quantize AND the argmin encode
+    run fused inside one mapInArrow kernel — the r14 shape kept the
+    quantization as the interpreted _q8_expr JVM fold (measured ~half
+    of this projection's cost at sf0.1: 1.05 s of interpreted HOF per
+    corpus pass) and crossed the q8 arrays into a separate pandas_udf.
+    Only (id, emb) cross the boundary now; output rows are
+    bit-identical (oracle: SQL_PQ_ENCODE_EXPORT; edge rows via the
+    per-row replay in _make_fused_encode_kernel). The array form is
+    what the ADC/SDC consumers want — one row per vector, the 8-byte
+    PQ representation kept together."""
     sub_dim = dim // len(cb)
     return emb.select(
-        F.col(id_col),
-        _make_encode_udf(cb, sub_dim)(_q8_expr(vec_col)).alias("codes"),
-    )
+        F.col(id_col).alias("id"), F.col(vec_col).alias("emb")
+    ).mapInArrow(
+        _make_fused_encode_kernel(cb, sub_dim), "id bigint, codes array<int>"
+    ).withColumnRenamed("id", id_col)
 
 
 def pq_encode(

@@ -1218,7 +1218,9 @@ def test_pq_adc_plan_scans_codes_not_vectors(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" not in plan  # scoring is join-free since r14
-    assert "ArrowEvalPython" in plan  # the vectorized encode kernel
+    # the fused quantize+encode kernel (r15; was a JVM q8 fold feeding
+    # an ArrowEvalPython argmin in r14)
+    assert "MapInArrow" in plan
     assert plan.count("Exchange") <= 2  # top-k window (+AQE read)
     rows = df.collect()
     by_q = {}
