@@ -52,7 +52,6 @@ ALLOW: dict[tuple[str, str], str] = {
     ("skew_diagnose_report", "BroadcastNestedLoopJoin"): "1-row totals",
     ("scan_parquet", "BroadcastNestedLoopJoin"): "1-row per-table counts",
     ("salient_terms_tfidf", "BroadcastNestedLoopJoin"): "1-row corpus count",
-    ("dedup_embedding_lsh", "BroadcastNestedLoopJoin"): "1-row SRP plane set",
     ("similarity_topk", "BroadcastNestedLoopJoin"): "probe-vector row",
     # r11: the 8 quantized probe vectors broadcast over one corpus
     # scan (the similarity_topk shape; flips to a block equi-join
@@ -122,11 +121,12 @@ ALLOW: dict[tuple[str, str], str] = {
     # source-count frame (the mix_sqrt_temperature shape)
     ("mix_upsample_epochs", "BroadcastNestedLoopJoin"): "1-row n_max",
     ("mix_upsample_epochs", "SinglePartition"): "1-row n_max agg",
-    # PageRank needs no entries: the graph build and the 1-row
-    # node-count broadcast execute at construction behind eager
-    # localCheckpoints, so the returned plan reads LogicalRDDs only
-    # (their constant-size frames are the same ones knn_graph_mutual's
-    # own entries cover)
+    # PageRank and knn_graph_mutual need no entries: the graph build's
+    # constant-size frames (seed-rank window, centroid broadcast) and
+    # the 1-row node-count broadcast execute at construction behind
+    # eager localCheckpoints, so the returned plans read LogicalRDDs
+    # only (r15: the pair-kernel rewrite moved the graph's own tiny
+    # frames behind its topk checkpoint too)
     # source vocabulary rank: the node-id window runs on the DISTINCT
     # source set — tiny by construction (mixture vocabularies are
     # human-scale), same class as the seed-rank frames
@@ -156,8 +156,6 @@ ALLOW: dict[tuple[str, str], str] = {
     # assign_cells/probe_cells, and the 8-probe-row brute-force arm
     # of the recall report (the similarity_topk allowlist pattern)
     ("pq_rerank_topk", "Window"): "32-row codebook-rank frame",
-    ("knn_graph_mutual", "Window"): "16/32-row seed-rank frames",
-    ("knn_graph_mutual", "BroadcastNestedLoopJoin"): "16-row centroid set",
     ("ann_recall_report", "Window"): "16/32-row seed-rank frames",
     ("ann_recall_report", "BroadcastNestedLoopJoin"):
         "probe rows (exact arm) + 16-row centroid set",
