@@ -1812,13 +1812,14 @@ def _il2_py(a: list[int], b: list[int]) -> int:
     )
 
 
-def _make_fused_encode_kernel(cb: list[list[list[int]]], sub_dim: int):
-    """mapInArrow kernel: (id, emb array<float>) -> (id, codes
-    array<int>) — the _q8_expr quantize AND the per-subspace argmin
-    encode fused into one Python crossing (r15: the interpreted JVM
-    quantize fold was ~half of pq_encode_codes' cost at sf0.1, the
-    same hot spot quantized_block_pairs' kernel removed). Exact
-    replay, stage by stage:
+def _make_encode_batch_fn(cb: list[list[list[int]]], sub_dim: int):
+    """Per-batch fused quantize+encode over an Arrow (id, emb) batch —
+    the _q8_expr quantize AND the per-subspace argmin encode in one
+    Python pass (r15: the interpreted JVM quantize fold was ~half of
+    pq_encode_codes' cost at sf0.1, the same hot spot
+    quantized_block_pairs' kernel removed). Shared by the encode
+    kernel and the fused ADC-scores kernel. Exact replay, stage by
+    stage:
 
     - quantize: the _quantize_rows_kernel math (absmax fold over
       non-null |x| in float64, 127.0/absmax when positive else 0.0,
@@ -1881,84 +1882,108 @@ def _make_fused_encode_kernel(cb: list[list[list[int]]], sub_dim: int):
             for x in elems
         ]
 
+    def encode_batch(b):
+        """-> (ids pa int64, row_null bool np, codes_mat (n, n_sub)
+        int32 np with zeros in null rows) — shared by the encode and
+        the fused ADC kernels."""
+        import pyarrow as pa
+
+        ids = b.column(b.schema.get_field_index("id")).cast(pa.int64())
+        col = b.column(b.schema.get_field_index("emb"))
+        n_rows = len(col)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        base, stop = int(offs[0]), int(offs[-1])
+        offs0 = offs - base
+        evals = col.values.slice(base, stop - base)
+        row_null = (
+            col.is_null().to_numpy(zero_copy_only=False)
+            if col.null_count
+            else np.zeros(n_rows, dtype=bool)
+        )
+        lens = offs0[1:] - offs0[:-1]
+        elem_null = (
+            evals.is_null().to_numpy(zero_copy_only=False)
+            if evals.null_count
+            else None
+        )
+        bad = np.zeros(n_rows, dtype=bool)
+        if elem_null is not None:
+            hit = (
+                np.searchsorted(
+                    offs0, np.nonzero(elem_null)[0], side="right"
+                )
+                - 1
+            )
+            bad[np.unique(hit)] = True
+        fast = (
+            ~row_null & ~bad & (lens == dim)
+            if not ragged_cb
+            else np.zeros(n_rows, dtype=bool)
+        )
+        mat = np.zeros((n_rows, n_sub), dtype=np.int32)
+        done = fast | row_null
+        if fast.any():
+            vals64 = evals.to_numpy(zero_copy_only=False).astype(np.float64)
+            nonempty = lens > 0
+            absmax = np.zeros(n_rows, dtype=np.float64)
+            if nonempty.any():
+                absmax[nonempty] = np.maximum.reduceat(
+                    np.abs(vals64), offs0[:-1][nonempty]
+                )
+            scale = np.where(absmax > 0, 127.0 / absmax, 0.0)
+            q8flat = np.floor(
+                vals64 * np.repeat(scale, lens) + 0.5
+            ).astype(np.int64)
+            starts = offs0[:-1][fast]
+            idx = starts[:, None] + np.arange(dim)[None, :]
+            q = q8flat[idx].reshape(-1, n_sub, 1, sub_dim)
+            d2 = ((q - cb_arr[None, :, :, :]) ** 2).sum(axis=3)
+            mat[fast] = d2.argmin(axis=2).astype(np.int32)
+        for i in range(n_rows):
+            if done[i]:
+                continue
+            lo, hi = int(offs0[i]), int(offs0[i + 1])
+            elems = [
+                None if not evals[j].is_valid else float(evals[j].as_py())
+                for j in range(lo, hi)
+            ]
+            mat[i] = slow_row(q8_row(elems))
+        return ids, row_null, mat
+
+    return encode_batch
+
+
+def _make_fused_encode_kernel(cb: list[list[list[int]]], sub_dim: int):
+    """mapInArrow kernel wrapping _make_encode_batch_fn: (id, emb) ->
+    (id, codes array<int>), NULL rows to NULL codes."""
+    encode_batch = _make_encode_batch_fn(cb, sub_dim)
+    n_sub = len(cb)
+
     def kernel(batches):
+        import numpy as np
         import pyarrow as pa
 
         for b in batches:
-            ids = b.column(b.schema.get_field_index("id"))
-            col = b.column(b.schema.get_field_index("emb"))
-            n_rows = len(col)
-            offs = col.offsets.to_numpy(zero_copy_only=False).astype(
-                np.int64
-            )
-            base, stop = int(offs[0]), int(offs[-1])
-            offs0 = offs - base
-            evals = col.values.slice(base, stop - base)
-            row_null = (
-                col.is_null().to_numpy(zero_copy_only=False)
-                if col.null_count
-                else np.zeros(n_rows, dtype=bool)
-            )
-            lens = offs0[1:] - offs0[:-1]
-            elem_null = (
-                evals.is_null().to_numpy(zero_copy_only=False)
-                if evals.null_count
-                else None
-            )
-            bad = np.zeros(n_rows, dtype=bool)
-            if elem_null is not None:
-                hit = (
-                    np.searchsorted(
-                        offs0, np.nonzero(elem_null)[0], side="right"
-                    )
-                    - 1
+            ids, row_null, mat = encode_batch(b)
+            n_rows = len(ids)
+            if row_null.any():
+                codes_arr = pa.array(
+                    [
+                        None if row_null[i] else mat[i].tolist()
+                        for i in range(n_rows)
+                    ],
+                    type=pa.list_(pa.int32()),
                 )
-                bad[np.unique(hit)] = True
-            fast = (
-                ~row_null & ~bad & (lens == dim)
-                if not ragged_cb
-                else np.zeros(n_rows, dtype=bool)
-            )
-            out: list[list[int] | None] = [None] * n_rows
-            if fast.any():
-                vals64 = evals.to_numpy(zero_copy_only=False).astype(
-                    np.float64
-                )
-                nonempty = lens > 0
-                absmax = np.zeros(n_rows, dtype=np.float64)
-                if nonempty.any():
-                    absmax[nonempty] = np.maximum.reduceat(
-                        np.abs(vals64), offs0[:-1][nonempty]
-                    )
-                scale = np.where(absmax > 0, 127.0 / absmax, 0.0)
-                q8flat = np.floor(
-                    vals64 * np.repeat(scale, lens) + 0.5
-                ).astype(np.int64)
-                starts = offs0[:-1][fast]
-                idx = starts[:, None] + np.arange(dim)[None, :]
-                q = q8flat[idx].reshape(-1, n_sub, 1, sub_dim)
-                d2 = ((q - cb_arr[None, :, :, :]) ** 2).sum(axis=3)
-                codes = d2.argmin(axis=2).astype(np.int32)
-                for j, i in enumerate(np.nonzero(fast)[0]):
-                    out[int(i)] = codes[j].tolist()
-            for i in range(n_rows):
-                if row_null[i] or out[i] is not None:
-                    continue
-                lo, hi = int(offs0[i]), int(offs0[i + 1])
-                elems = [
-                    None if not evals[j].is_valid else float(evals[j].as_py())
-                    for j in range(lo, hi)
-                ]
-                out[i] = slow_row(q8_row(elems))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    ids.cast(pa.int64()),
+            else:
+                codes_arr = pa.ListArray.from_arrays(
                     pa.array(
-                        [None if row_null[i] else out[i] for i in range(n_rows)],
-                        type=pa.list_(pa.int32()),
+                        np.arange(n_rows + 1, dtype=np.int32) * n_sub,
+                        type=pa.int32(),
                     ),
-                ],
-                names=["id", "codes"],
+                    pa.array(mat.reshape(-1), type=pa.int32()),
+                )
+            yield pa.RecordBatch.from_arrays(
+                [ids, codes_arr], names=["id", "codes"]
             )
 
     return kernel
@@ -2094,6 +2119,78 @@ def _adc_expr(lut: list[list[int]] | None, codes_col: Column) -> Column:
     return total
 
 
+def _make_adc_scores_kernel(
+    cb: list[list[list[int]]], sub_dim: int,
+    luts: list[tuple[int, list[list[int]] | None]],
+):
+    """mapInArrow kernel: (id, emb) -> (qid, id, adc) — the encode
+    (via _make_encode_batch_fn) fused with the q-way query fan-out and
+    the LUT gather in ONE Python crossing (r15: the literal-LUT CASE
+    chain this replaces was 2.1 s of pq_adc_topk's 2.6 s at sf0.1 —
+    dominated by the giant folded-constant expression tree, not the
+    arithmetic). Replayed semantics: NULL-codes corpus rows emit
+    nothing (the old isNotNull filter / pre-r14 inner-join drop);
+    self pairs (id == qid) excluded; a None LUT (NULL query embedding)
+    emits NULL adc for every corpus row, exactly like the NULL-literal
+    branch of _adc_case. adc = Σ_s lut[s][codes[s]] in int64 — the LUT
+    entries are bounded (≤ dim·254²), so the sum is exact."""
+    import numpy as np
+
+    encode_batch = _make_encode_batch_fn(cb, sub_dim)
+    n_sub = len(cb)
+    qids = [int(q) for q, _ in luts]
+    has_lut = [lut is not None for _, lut in luts]
+    width = max(
+        (len(cs) for _, lut in luts if lut is not None for cs in lut),
+        default=1,
+    )
+    lut_arr = np.zeros((len(luts), n_sub, width), dtype=np.int64)
+    for qi, (_, lut) in enumerate(luts):
+        if lut is None:
+            continue
+        for s, cs in enumerate(lut):
+            lut_arr[qi, s, : len(cs)] = cs
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            ids, row_null, mat = encode_batch(b)
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            valid = ~row_null
+            vids = ids_np[valid]
+            vmat = mat[valid].astype(np.int64, copy=False)
+            if not len(vids):
+                continue
+            out_q, out_i, out_a = [], [], []
+            for qi, qid in enumerate(qids):
+                keep = vids != qid
+                kids = vids[keep]
+                if not len(kids):
+                    continue
+                if has_lut[qi]:
+                    km = vmat[keep]
+                    adc = lut_arr[qi, 0][km[:, 0]].copy()
+                    for s in range(1, n_sub):
+                        adc += lut_arr[qi, s][km[:, s]]
+                    out_a.append(pa.array(adc, type=pa.int64()))
+                else:
+                    out_a.append(pa.nulls(len(kids), pa.int64()))
+                out_q.append(np.full(len(kids), qid, dtype=np.int64))
+                out_i.append(kids)
+            if out_q:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(out_q), type=pa.int64()),
+                        pa.array(np.concatenate(out_i), type=pa.int64()),
+                        pa.concat_arrays(out_a),
+                    ],
+                    names=["qid", "id", "adc"],
+                )
+
+    return kernel
+
+
 def _pq_adc_scores(
     emb: DataFrame, query_ids: list[int],
     n_sub: int, n_codes: int,
@@ -2101,15 +2198,16 @@ def _pq_adc_scores(
 ) -> DataFrame:
     """(qid, id, adc): exact-integer asymmetric distances of every
     corpus vector to every standing query, self excluded. The shared
-    quadratic stage of pq_adc_topk and pq_rerank_topk. r14 shape: the
-    codebook and the q per-query LUTs are bounded deterministic tables
+    quadratic stage of pq_adc_topk and pq_rerank_topk. The codebook
+    and the q per-query LUTs are bounded deterministic tables
     (n_sub x n_codes and q x n_sub x n_codes ints — constant in corpus
-    size), so both are collected and folded into literals; the corpus
-    pass is then encode (one shuffle-free projection) + a q-way
-    posexplode fan-out + a literal-LUT gather per (query, vector) —
-    ZERO joins and ZERO aggregate exchanges where the previous shape
-    paid an encode groupBy, a LUT broadcast join and a corpus-sized
-    groupBy sum. Values are bit-identical (oracle: SQL_PQ_ADC_TOPK)."""
+    size), collected once per invocation; the corpus pass is ONE
+    mapInArrow kernel fusing quantize + argmin encode + query fan-out
+    + LUT gather (r15 — the r14 shape kept the fan and the gather as a
+    folded-literal CASE chain, measured 2.1 s of the 2.6 s query at
+    sf0.1, dominated by the giant constant expression tree). ZERO
+    joins, ZERO aggregate exchanges, one Python crossing. Values are
+    bit-identical (oracle: SQL_PQ_ADC_TOPK)."""
     cb = _collect_codebook_from_emb(emb, n_sub, n_codes, id_col, vec_col)
     luts = _collect_query_luts(emb, query_ids, cb, id_col, vec_col)
     spark = emb.sparkSession
@@ -2117,22 +2215,14 @@ def _pq_adc_scores(
         return spark.createDataFrame(
             [], f"qid bigint, {id_col} bigint, adc bigint"
         )
-    # NULL-embedding corpus rows encode to NULL codes; the pre-r14
-    # join-based shape DROPPED them (posexplode of a NULL array emits
-    # no rows -> inner codes join drops the id). Keep that exact
-    # semantics: without this filter their NULL adc would sort NULLS
-    # FIRST into ranks 1..k of every query's window (r15, ADVICE).
-    enc = pq_encode_codes(emb, cb, id_col, vec_col).where(
-        F.col("codes").isNotNull()
-    )
-    qid_arr = F.array(*[F.lit(qid).cast("bigint") for qid, _ in luts])
-    fan = enc.select(
-        F.col(id_col), "codes", F.explode(qid_arr).alias("qid")
-    )
-    adc = _adc_case(luts, F.col("codes"), F.col("qid"))
+    sub_dim = PQ_DIM // len(cb)
     return (
-        fan.where(F.col(id_col) != F.col("qid"))
-        .select("qid", id_col, adc.alias("adc"))
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("emb"))
+        .mapInArrow(
+            _make_adc_scores_kernel(cb, sub_dim, luts),
+            "qid bigint, id bigint, adc bigint",
+        )
+        .withColumnRenamed("id", id_col)
     )
 
 
